@@ -1,0 +1,189 @@
+"""HTML main-content extraction (boilerplate stripping).
+
+The Ray-native analog of the reference's Marker layout parse for
+Common-Crawl-style HTML rows (BASELINE.json north_star: "HTML boilerplate
+stripping (text-density + link-density DOM heuristics a la readability)").
+The reference converts PDFs via Marker into an ordered block list
+(heading/paragraph/table, consumed at services/contract_parser.py:196-239);
+this module produces the same block model from HTML:
+
+- parse the DOM with the stdlib ``html.parser`` (no external deps),
+- drop non-content subtrees (script/style/nav/header/footer/aside/form...),
+- segment text by block-level elements, preserving document order,
+- score each segment by link density (chars under <a> / total chars) and
+  length; keep headings and sufficiently text-dense segments,
+- emit ``(extracted_text, blocks)`` where blocks is the ordered
+  ``[{type, text, order}]`` list (types: heading | paragraph | table —
+  the Marker JSON block model).
+
+Everything is deterministic and pure; byte-identical goldens are generated
+by running exactly these functions serially (FIXTURES.md §2).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Any, Dict, List, Optional, Tuple
+
+# subtrees that never contribute content
+STRIP_TAGS = frozenset(
+    "script style noscript template svg iframe nav header footer aside form button select option".split()
+)
+# elements that delimit text segments
+BLOCK_TAGS = frozenset(
+    "p div article section main h1 h2 h3 h4 h5 h6 li ul ol td th tr table pre blockquote figcaption br title".split()
+)
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6", "title"})
+TABLE_TAGS = frozenset({"td", "th"})
+
+MAX_LINK_DENSITY = 0.3
+MIN_PARAGRAPH_CHARS = 12
+
+_WS = re.compile(r"[ \t\r\f\v]+")
+
+
+class _Segment:
+    __slots__ = ("kind", "pieces", "total_chars", "link_chars")
+
+    def __init__(self, kind: str) -> None:
+        self.kind = kind
+        self.pieces: List[str] = []
+        self.total_chars = 0
+        self.link_chars = 0
+
+
+class _ContentParser(HTMLParser):
+    """Collects ordered text segments with link-char accounting."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.segments: List[_Segment] = []
+        self._strip_depth = 0
+        self._a_depth = 0
+        self._block_stack: List[str] = []
+        self._current: Optional[_Segment] = None
+
+    def _kind(self) -> str:
+        for tag in reversed(self._block_stack):
+            if tag in HEADING_TAGS:
+                return "heading"
+            if tag in TABLE_TAGS:
+                return "table"
+            break
+        return "paragraph"
+
+    def _break_segment(self) -> None:
+        self._current = None
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in STRIP_TAGS:
+            self._strip_depth += 1
+            return
+        if self._strip_depth:
+            return
+        if tag == "a":
+            self._a_depth += 1
+        if tag in BLOCK_TAGS:
+            if tag != "br":
+                self._block_stack.append(tag)
+            self._break_segment()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in STRIP_TAGS:
+            if self._strip_depth:
+                self._strip_depth -= 1
+            return
+        if self._strip_depth:
+            return
+        if tag == "a" and self._a_depth:
+            self._a_depth -= 1
+        if tag in BLOCK_TAGS and tag != "br":
+            for i in range(len(self._block_stack) - 1, -1, -1):
+                if self._block_stack[i] == tag:
+                    del self._block_stack[i:]
+                    break
+            self._break_segment()
+
+    def handle_data(self, data: str) -> None:
+        if self._strip_depth or not data:
+            return
+        if self._current is None:
+            self._current = _Segment(self._kind())
+            self.segments.append(self._current)
+        seg = self._current
+        seg.pieces.append(data)
+        n = len(data.strip())
+        seg.total_chars += n
+        if self._a_depth:
+            seg.link_chars += n
+
+
+def _normalize_segment_text(pieces: List[str]) -> str:
+    text = "".join(pieces)
+    text = _WS.sub(" ", text)
+    # collapse newline runs inside a segment; segments join with "\n" later
+    text = re.sub(r" ?\n ?", " ", text)
+    return text.strip()
+
+
+def extract_blocks(html_str: str) -> List[Dict[str, Any]]:
+    """Parse HTML → ordered kept blocks ``[{type, text, order}]``."""
+    parser = _ContentParser()
+    parser.feed(html_str)
+    parser.close()
+    blocks: List[Dict[str, Any]] = []
+    order = 0
+    for seg in parser.segments:
+        if seg.total_chars == 0:
+            continue
+        text = _normalize_segment_text(seg.pieces)
+        if not text:
+            continue
+        density = seg.link_chars / seg.total_chars
+        if density > MAX_LINK_DENSITY:
+            continue
+        if seg.kind != "heading" and len(text) < MIN_PARAGRAPH_CHARS:
+            continue
+        blocks.append({"type": seg.kind, "text": text, "order": order})
+        order += 1
+    return blocks
+
+
+def extract_main_text(
+    html_bytes: Optional[bytes], pre_text: Optional[str] = None
+) -> Tuple[str, List[Dict[str, Any]], str, str]:
+    """One page → ``(extracted_text, blocks, status, error)``.
+
+    ``pre_text`` mirrors reference rows that arrive already converted
+    (DocumentType markdown/text, models/document.py:13-18): it is passed
+    through verbatim and block-segmented by lines.
+    Failures (undecodable bytes, empty content) soft-fail with
+    status='error' — the SafeProcessor semantics
+    (services/safe_table_processor.py:17-30): never raise per row.
+    """
+    if pre_text is not None and pre_text != "":
+        blocks = []
+        for i, line in enumerate(pre_text.split("\n")):
+            line = line.strip()
+            if not line:
+                continue
+            kind = "heading" if line.startswith("#") else "paragraph"
+            if line.startswith("|") and line.endswith("|"):
+                kind = "table"
+            blocks.append({"type": kind, "text": line, "order": len(blocks)})
+        return pre_text, blocks, "converted", ""
+    if html_bytes is None or len(html_bytes) == 0:
+        return "", [], "error", "empty html"
+    try:
+        html_str = html_bytes.decode("utf-8", errors="strict")
+    except UnicodeDecodeError as e:
+        return "", [], "error", f"decode error: {e.reason} at byte {e.start}"
+    try:
+        blocks = extract_blocks(html_str)
+    except Exception as e:  # HTMLParser is lenient; belt-and-braces soft fail
+        return "", [], "error", f"parse error: {type(e).__name__}: {e}"
+    if not blocks:
+        return "", [], "error", "no main content"
+    text = "\n".join(b["text"] for b in blocks)
+    return text, blocks, "converted", ""

@@ -1,0 +1,87 @@
+"""HTML main-content extraction unit tests (functions/htmlx.py)."""
+
+from pappermate_ray.fixtures import build_pages_table, make_page_row, wrap_html
+from pappermate_ray.functions.htmlx import extract_blocks, extract_main_text
+
+
+def test_boilerplate_stripped():
+    html = wrap_html(1, "# Title Line Here\nThis is the main paragraph with enough characters.")
+    text, blocks, status, error = extract_main_text(bytes(html))
+    assert status == "converted"
+    # nav/sidebar/footer links must not appear
+    assert "Category" not in text
+    assert "Related page" not in text
+    assert "Privacy" not in text
+    assert "Site 1 portal" not in text  # <header> stripped
+    assert "var t=" not in text  # script stripped
+    assert "# Title Line Here" in text
+    assert "main paragraph" in text
+
+
+def test_link_density_filter():
+    html = (
+        "<html><body>"
+        '<div><a href="/1">link one here</a> <a href="/2">link two here</a> tiny</div>'
+        "<p>A real content paragraph that easily clears the length threshold.</p>"
+        "</body></html>"
+    )
+    blocks = extract_blocks(html)
+    texts = [b["text"] for b in blocks]
+    assert any("real content paragraph" in t for t in texts)
+    assert not any("link one" in t for t in texts)
+
+
+def test_block_types_and_order():
+    html = (
+        "<html><body><article>"
+        "<h2>Heading text</h2>"
+        "<p>First paragraph with plenty of characters to keep.</p>"
+        "<table><tr><td>Cell content long enough to keep here</td></tr></table>"
+        "</article></body></html>"
+    )
+    blocks = extract_blocks(html)
+    kinds = [b["type"] for b in blocks]
+    assert kinds == ["heading", "paragraph", "table"]
+    assert [b["order"] for b in blocks] == [0, 1, 2]
+
+
+def test_malformed_bytes_soft_fail():
+    text, blocks, status, error = extract_main_text(b"<html><p>ok</p>" + "é".encode()[:1])
+    assert status == "error"
+    assert "decode error" in error
+    assert text == ""
+
+
+def test_empty_html_soft_fail():
+    text, blocks, status, error = extract_main_text(b"")
+    assert status == "error"
+
+
+def test_pre_extracted_passthrough():
+    md = "# Title\n\nBody line with sufficient length to matter.\n| a | b |"
+    text, blocks, status, error = extract_main_text(None, md)
+    assert status == "converted"
+    assert text == md  # byte-identical passthrough
+    assert blocks[0]["type"] == "heading"
+    assert blocks[-1]["type"] == "table"
+
+
+def test_deterministic():
+    t = build_pages_table(50)
+    row = {c: t[c][7].as_py() for c in t.column_names}
+    again = make_page_row(7, "Generic filler sentence number 7 about data processing.")
+    assert row["url"] == again["url"]
+    assert row["html"] == again["html"]
+    r1 = extract_main_text(row["html"], row["text"])
+    r2 = extract_main_text(again["html"], again["text"])
+    assert r1 == r2
+
+
+def test_fixture_has_error_and_giant_rows():
+    t = build_pages_table(600)
+    import pyarrow.compute as pc
+
+    sizes = pc.binary_length(t["html"]).to_pylist()
+    statuses = [extract_main_text(h, tx)[2] for h, tx in zip(t["html"].to_pylist(), t["text"].to_pylist())]
+    assert statuses.count("error") > 10  # malformed tail exists
+    assert max(s for s in sizes if s) > 20 * sorted(s for s in sizes if s)[len(sizes) // 2]  # giant-doc skew

@@ -1,0 +1,100 @@
+"""End-to-end golden test: Ray pipeline output is byte-identical, per url,
+to the same extractor functions executed serially (FIXTURES.md §2 —
+"produced once by the pure-Python reference-behavior extractor functions ...
+pytest asserts the pipeline output is byte-identical per url")."""
+
+import pyarrow as pa
+import pytest
+
+from pappermate_ray.fixtures import build_pages_table
+from pappermate_ray.functions.contract import parse_contract
+from pappermate_ray.functions.htmlx import extract_main_text
+from pappermate_ray.functions.spans import extract_spans
+from pappermate_ray.pipelines.extract_pipeline import build_extraction_pipeline
+
+N_ROWS = 400
+
+
+def _serial_goldens(pages: pa.Table) -> dict:
+    """Run the exact extractor functions serially → goldens keyed by url."""
+    goldens = {}
+    for row in pages.to_pylist():
+        text, blocks, status, error = extract_main_text(row["html"], row["text"])
+        rec = {"text": text, "status": status, "error": error, "blocks": blocks}
+        if status != "error" and text:
+            parsed = parse_contract(text, default_name=row["url"])
+            rec.update(
+                contract_number=parsed["contract_number"],
+                contract_type=parsed["contract_type"],
+                client_name=parsed["client_name"],
+                effective_date=parsed["effective_date"],
+                total_value=parsed["total_value"],
+                currency=parsed["currency"],
+            )
+            rec["entities"] = extract_spans(text)
+        goldens[row["url"]] = rec
+    return goldens
+
+
+@pytest.fixture(scope="module")
+def pages() -> pa.Table:
+    return build_pages_table(N_ROWS)
+
+
+def test_pipeline_matches_serial_goldens(ray_session, pages):
+    import ray.data as rd
+
+    goldens = _serial_goldens(pages)
+    ds = build_extraction_pipeline(rd.from_arrow(pages), batch_size=64)
+    out = {}
+    for batch in ds.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            out[row["url"]] = row
+
+    assert set(out) == set(goldens)
+    mismatches = []
+    for url, g in goldens.items():
+        r = out[url]
+        if r["text"] != g["text"]:  # BYTE-identical extracted text
+            mismatches.append((url, "text"))
+            continue
+        if r["status"] != g["status"] or r["error"] != g["error"]:
+            mismatches.append((url, "status"))
+        if g["status"] != "error" and g["text"]:
+            for k in ("contract_number", "contract_type", "client_name", "currency", "total_value"):
+                if r[k] != g[k]:
+                    mismatches.append((url, k))
+            if r["effective_date"] != g["effective_date"]:
+                mismatches.append((url, "effective_date"))
+            # span identity: same ordered (type, start, end, text)
+            got = [(e["entity_type"], e["start"], e["end"], e["text"]) for e in r["entities"]]
+            want = [(e["entity_type"], e["start"], e["end"], e["text"]) for e in g["entities"]]
+            if got != want:
+                mismatches.append((url, "entities"))
+            gb = [(b["type"], b["text"], b["order"]) for b in r["blocks"]]
+            wb = [(b["type"], b["text"], b["order"]) for b in g["blocks"]]
+            if gb != wb:
+                mismatches.append((url, "blocks"))
+    assert mismatches == []
+
+
+def test_pipeline_error_rows_survive(ray_session, pages):
+    import ray.data as rd
+
+    ds = build_extraction_pipeline(rd.from_arrow(pages), batch_size=64)
+    tbl = pa.concat_tables(list(ds.iter_batches(batch_size=1024, batch_format="pyarrow")))
+    statuses = tbl["status"].to_pylist()
+    # malformed fixture rows flow through as error rows (dead-letter path),
+    # they never kill the task (SafeProcessor semantics)
+    assert statuses.count("error") > 0
+    assert len(statuses) == N_ROWS
+
+
+def test_skew_partition_same_results(ray_session, pages):
+    import ray.data as rd
+
+    base = build_extraction_pipeline(rd.from_arrow(pages), batch_size=64)
+    skew = build_extraction_pipeline(rd.from_arrow(pages), batch_size=64, skew_partition=True)
+    a = sorted((r["url"], r["text"]) for r in base.select_columns(["url", "text"]).take_all())
+    b = sorted((r["url"], r["text"]) for r in skew.select_columns(["url", "text"]).take_all())
+    assert a == b
