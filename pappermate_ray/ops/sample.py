@@ -1,0 +1,34 @@
+"""Sampling operators (SURVEY.md §2.6 T5/T6).
+
+``stratified_head`` is the deterministic stratified sample: per-stratum
+first-k by sort key — the engine's sibling of the reference's proportional
+``random.sample`` per stratum (scripts/openai_contract_explorer.py:229-310),
+made reproducible (the reference seeds with wall-clock; determinism rules
+forbid that, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from typing import List, Union
+
+import pandas as pd
+
+import ray
+
+
+def stratified_head(
+    ds: "ray.data.Dataset",
+    strata: Union[str, List[str]],
+    sort_key: str,
+    k: int,
+) -> "ray.data.Dataset":
+    """Per-(strata) groups, take the first ``k`` rows ordered by sort_key.
+
+    One hash shuffle on the strata key; per-group work is a tiny sort+head.
+    """
+    strata_list = [strata] if isinstance(strata, str) else list(strata)
+
+    def _head(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(sort_key, kind="mergesort").head(k)
+
+    return ds.groupby(strata_list).map_groups(_head, batch_format="pandas")

@@ -1,0 +1,68 @@
+"""Organize pipeline: canonical naming + supplier-partitioned layout.
+
+Ray-native sibling of the reference's file organizer
+(scripts/system_contract_organizer.py:237-336, SURVEY.md §2.2 M27-M30,
+§2.1 S15): instead of ``shutil.move`` into supplier folders, rows get a
+canonical filename + supplier partition column and are written as
+Hive-partitioned Parquet.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..functions.dates import extract_year
+from ..functions.naming import (
+    canonical_contract_filename,
+    normalize_supplier_name,
+    operation_type,
+    sanitize_filename,
+)
+
+
+def add_organize_columns(batch: pa.Table) -> pa.Table:
+    """docs → + canonical_filename, supplier_dir, operation."""
+    names, suppliers, ops = [], [], []
+    for url, vendor, ctype, eff, exp, num in zip(
+        batch["url"].to_pylist(),
+        batch["vendor_name"].to_pylist(),
+        batch["contract_type"].to_pylist(),
+        batch["effective_date"].to_pylist(),
+        batch["expiration_date"].to_pylist(),
+        batch["contract_number"].to_pylist(),
+    ):
+        vendor = vendor or ""
+        start_year = extract_year(str(eff) if eff else "")
+        end_year = extract_year(str(exp) if exp else "") or start_year
+        names.append(
+            canonical_contract_filename(vendor, ctype or "", start_year, end_year, num or "")
+        )
+        suppliers.append(normalize_supplier_name(vendor if vendor != "N/A" else ""))
+        # operation routed on the url tail (the reference routes on filename)
+        ops.append(operation_type(url.rsplit("/", 1)[-1]))
+    out = batch.append_column("canonical_filename", pa.array(names, pa.string()))
+    out = out.append_column("supplier_dir", pa.array(suppliers, pa.string()))
+    out = out.append_column("operation", pa.array(ops, pa.string()))
+    return out
+
+
+def organize(docs: "rd.Dataset") -> "rd.Dataset":
+    return docs.map_batches(add_organize_columns, batch_format="pyarrow")
+
+
+def sanitize_url_names(docs: "rd.Dataset") -> "rd.Dataset":
+    """M14 filename sanitization over the contract_name column (the CJK
+    term-map deterministic fallback path)."""
+
+    def _san(batch: pa.Table) -> pa.Table:
+        outs, statuses = [], []
+        for name in batch["contract_name"].to_pylist():
+            s, status, _err = sanitize_filename((name or "") + ".pdf")
+            outs.append(s)
+            statuses.append(status)
+        out = batch.append_column("sanitized_name", pa.array(outs, pa.string()))
+        return out.append_column("sanitize_status", pa.array(statuses, pa.string()))
+
+    return docs.map_batches(_san, batch_format="pyarrow")

@@ -1,0 +1,597 @@
+"""Query battery: one entry per operator family (SURVEY.md §2).
+
+Each ``q_*`` takes ``sf_dir`` and returns a Dataset / pyarrow Table. The
+matching ANSI-SQL oracle lives in ``ORACLE_SQL`` (run by the driver via
+DuckDB over the same parquet, views pre-registered). Column names match
+between both sides; float aggregates are rounded identically on both sides
+so the value-hash compare is stable.
+
+Scale notes are in each docstring: what shuffles, what broadcasts, what
+streams. Nothing here materializes a large input on the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from .ops.joins import broadcast_anti, broadcast_lookup, broadcast_semi, hash_join
+from .ops.sample import stratified_head
+
+
+def _round_cols(ds: "rd.Dataset", spec: Dict[str, int]) -> "rd.Dataset":
+    def _r(batch: pa.Table) -> pa.Table:
+        for col, nd in spec.items():
+            i = batch.schema.get_field_index(col)
+            batch = batch.set_column(i, col, pc.round(batch[col], ndigits=nd))
+        return batch
+
+    return ds.map_batches(_r, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Aggregations (SURVEY.md §2.5 A1-A3) — partial-combine then tiny shuffle
+# --------------------------------------------------------------------------
+
+def q_event_histogram(sf_dir: str):
+    """Histogram by event_type with partial per-batch pre-aggregation.
+
+    The map side collapses each block to ≤|distinct keys| rows before the
+    hash shuffle — at 100 TB the exchange moves key-cardinality rows per
+    block, not the corpus (SURVEY.md §2.5 A1).
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate([("value", "sum"), ("value", "count")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "value_part": g["value_sum"],
+                "cnt_part": pc.cast(g["value_count"], pa.int64()),
+            }
+        )
+
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    agg = ds.groupby("event_type").aggregate(
+        Sum("cnt_part", alias_name="n_events"),
+        Sum("value_part", alias_name="total_value"),
+    )
+    return _round_cols(agg, {"total_value": 2})
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate (Sum/Mean/Count) over lineitem."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="n"),
+    )
+    return _round_cols(agg, {"sum_qty": 2, "sum_price": 2, "avg_disc": 6})
+
+
+def q_lang_counts(sf_dir: str):
+    """Distinct-value histogram (A10 corpus-wide distinct via hash shuffle)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling event-time window as a derived-key groupby (guide §streaming)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t["ts"], unit="hour")
+        return t.append_column("window_start", w).drop_columns(["ts"])
+
+    ds = ds.map_batches(add_window, batch_format="pyarrow")
+    agg = ds.groupby(["event_type", "window_start"]).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"),
+    )
+    return _round_cols(agg, {"sum_value": 2})
+
+
+# --------------------------------------------------------------------------
+# Filters / projections / per-row maps (§2.2)
+# --------------------------------------------------------------------------
+
+def q_docs_filter_project(sf_dir: str):
+    """Vectorized predicate + projection (M18-style gate, pruned read)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["lang"], "en"), pc.greater_equal(t["n_chars"], 200))
+        ).select(["doc_id", "source", "n_chars"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_ascii_docs(sf_dir: str):
+    """ASCII-safety predicate (M18): char length == byte length."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _ascii(t: pa.Table) -> pa.Table:
+        mask = pc.equal(pc.utf8_length(t["text"]), pc.binary_length(pc.cast(t["text"], pa.binary())))
+        return t.filter(mask).select(["doc_id"])
+
+    return ds.map_batches(_ascii, batch_format="pyarrow")
+
+
+def q_token_counts(sf_dir: str):
+    """Whitespace token count per doc, vectorized (quality ops)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _tok(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.utf8_split_whitespace(pc.utf8_trim_whitespace(t["text"])))
+        # split_whitespace('') yields [''] → force 0 for blank docs
+        blank = pc.equal(pc.utf8_trim_whitespace(t["text"]), "")
+        n = pc.if_else(blank, pa.scalar(0, pa.int32()), n)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": pc.cast(n, pa.int64())})
+
+    return ds.map_batches(_tok, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Sorts / top-k / sampling (§2.6)
+# --------------------------------------------------------------------------
+
+def q_top_docs(sf_dir: str):
+    """Global top-k by column (T4-shape: sort + limit)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: first 2 per (lang, source) (T6)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"])
+    return stratified_head(ds, ["lang", "source"], "doc_id", 2)
+
+
+# --------------------------------------------------------------------------
+# Joins (§2.4)
+# --------------------------------------------------------------------------
+
+def q_mktsegment_revenue(sf_dir: str):
+    """Broadcast join: small dimension (customer) ray.put once, orders stream."""
+    import pyarrow.parquet as pq
+
+    cust_t = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    lookup = dict(zip(cust_t["c_custkey"].to_pylist(), cust_t["c_mktsegment"].to_pylist()))
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_lookup(orders, lookup, "o_custkey", "c_mktsegment")
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="revenue"),
+        Count(alias_name="n_orders"),
+    )
+    return _round_cols(agg, {"revenue": 2})
+
+
+def q_orderstatus_lineitem(sf_dir: str):
+    """Large-large partitioned hash join (lineitem ⋈ orders) then aggregate."""
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"])
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=16)
+    agg = joined.groupby("o_orderstatus").aggregate(
+        Count(alias_name="n_items"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+    )
+    return _round_cols(agg, {"sum_price": 2})
+
+
+def q_nation_region(sf_dir: str):
+    """Dimension ⋈ dimension broadcast join + grouped count."""
+    import pyarrow.parquet as pq
+
+    region_t = pq.read_table(f"{sf_dir}/region.parquet")
+    lookup = dict(zip(region_t["r_regionkey"].to_pylist(), region_t["r_name"].to_pylist()))
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    joined = broadcast_lookup(nation, lookup, "n_regionkey", "r_name")
+    return joined.groupby("r_name").aggregate(Count(alias_name="n_nations"))
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join via broadcast key set (D5 resume shape).
+
+    Predicate pushed into the read (only 'F'-status custkeys build the key
+    set) so the broadcast side stays small at scale.
+    """
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    keys = orders.unique("o_custkey")
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    return broadcast_anti(cust, keys, "c_custkey")
+
+
+def q_customers_with_orders(sf_dir: str):
+    """Semi-join + global count."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    keys = orders.unique("o_custkey")
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    n = broadcast_semi(cust, keys, "c_custkey").count()
+    return pa.table({"n_customers": pa.array([n], pa.int64())})
+
+
+# --------------------------------------------------------------------------
+# Dedup (§2.7)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: content hash → hash-partitioned group → keep min id (D1).
+
+    The md5 column is computed in-stream per batch; the shuffle key is the
+    16-byte digest, so the exchange is narrow regardless of document size.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table({"h": pa.array(hs, pa.string()), "doc_id": t["doc_id"]})
+
+    ds = ds.map_batches(add_hash, batch_format="pyarrow")
+    return ds.groupby("h").aggregate(
+        Min("doc_id", alias_name="keep_id"),
+        Count(alias_name="dup_count"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+def q_knn_bruteforce(sf_dir: str, k: int = 5, n_queries: int = 3):
+    """Brute-force cosine top-k: query matrix broadcast, batches stream.
+
+    The query block (n_queries × d) is ray.put once; every batch computes
+    a (batch × n_queries) float64 matmul and emits its LOCAL top-k per
+    query; a final tiny sort/head per query merges the partials — the
+    classic scatter-gather top-k (no full pairwise materialization).
+    """
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qids = [i for i in range(n_queries)]
+    qmask = pc.is_in(qt["vec_id"], value_set=pa.array(qids))
+    qtab = qt.filter(qmask)
+    Q = np.array(qtab["embedding"].to_pylist(), dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_vec_ids = np.array(qtab["vec_id"].to_pylist(), dtype=np.int64)
+    ref = ray.put((q_vec_ids, Qn))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qv, qn = ray.get(ref)
+        X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = Xn @ qn.T  # (batch, n_queries)
+        vec_ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(qv):
+            col = sims[:, j]
+            mask = vec_ids != qid
+            ids, ss = vec_ids[mask], col[mask]
+            take = min(k, len(ids))
+            idx = np.argsort(-ss, kind="stable")[:take]
+            out_q.extend([qid] * take)
+            out_n.extend(ids[idx].tolist())
+            out_s.extend(ss[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)
+        return g[["query_id", "neighbor_id"]]
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+ORACLE_SQL: Dict[str, str] = {
+    "event_histogram": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY event_type
+    """,
+    "lineitem_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "lang_counts": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
+    "events_hourly": """
+        SELECT event_type,
+               date_trunc('hour', ts) AS window_start,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    "docs_filter_project": """
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE lang = 'en' AND n_chars >= 200
+    """,
+    "ascii_docs": """
+        SELECT doc_id FROM documents
+        WHERE length(text) = octet_length(encode(text))
+    """,
+    "token_counts": """
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               END AS n_tokens
+        FROM documents
+    """,
+    "top_docs": """
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id LIMIT 10
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang, source FROM (
+            SELECT doc_id, lang, source,
+                   ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+            FROM documents
+        ) t WHERE rn <= 2
+    """,
+    "mktsegment_revenue": """
+        SELECT c_mktsegment,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "orderstatus_lineitem": """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_items,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+    """,
+    "nation_region": """
+        SELECT r_name, COUNT(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    "customers_with_orders": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_customers FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS h,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS dup_count
+        FROM documents GROUP BY md5(text)
+    """,
+    "knn_bruteforce": """
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < 3 AND b.vec_id <> a.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY a.vec_id
+            ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
+        ) <= 5
+    """,
+}
+
+# --------------------------------------------------------------------------
+# Non-SQL-expressible queries (driver records rows-only checks)
+# --------------------------------------------------------------------------
+
+def q_extraction_docs(sf_dir: str):
+    """Flagship pipeline: per-url extraction summary (golden-tested in pytest)."""
+    from .pipelines.extract_pipeline import run_extraction
+
+    docs = run_extraction(sf_dir)
+    return docs.select_columns(
+        ["url", "status", "n_chars", "contract_number", "contract_type",
+         "client_name", "vendor_name", "currency", "n_entities", "parse_confidence"]
+    )
+
+
+def q_extraction_status(sf_dir: str):
+    from .pipelines.extract_pipeline import run_extraction
+    from .pipelines.reports import status_report
+
+    return status_report(run_extraction(sf_dir))
+
+
+def q_contract_type_histogram(sf_dir: str):
+    from .pipelines.extract_pipeline import run_extraction
+    from .pipelines.reports import contract_type_histogram
+
+    return contract_type_histogram(run_extraction(sf_dir))
+
+
+def q_party_histogram(sf_dir: str):
+    from .pipelines.extract_pipeline import run_extraction
+    from .pipelines.reports import party_histogram
+
+    return party_histogram(run_extraction(sf_dir))
+
+
+_PARENT_REF = None
+
+
+def q_contract_edges(sf_dir: str):
+    """J3: explode parent references → edges(child_id, parent_id)."""
+    import re
+
+    from .pipelines.extract_pipeline import run_extraction
+
+    pat = re.compile(r"Parent contract reference:\s*([A-Z]+-\d{4}-\d{3})")
+
+    def edges(t: pa.Table) -> pa.Table:
+        kids, parents = [], []
+        for num, text in zip(t["contract_number"].to_pylist(), t["text"].to_pylist()):
+            if not num or num == "N/A" or not text:
+                continue
+            for m in pat.finditer(text):
+                kids.append(num)
+                parents.append(m.group(1))
+        return pa.table({"child_id": pa.array(kids, pa.string()),
+                         "parent_id": pa.array(parents, pa.string())})
+
+    return run_extraction(sf_dir).map_batches(edges, batch_format="pyarrow")
+
+
+def q_organize(sf_dir: str):
+    """M27-M30 organize projection: canonical filename + supplier partition."""
+    from .pipelines.extract_pipeline import run_extraction
+    from .pipelines.organize import organize
+
+    return organize(run_extraction(sf_dir)).select_columns(
+        ["url", "canonical_filename", "supplier_dir", "operation"]
+    )
+
+
+def q_sanitize_names(sf_dir: str):
+    """M14/M17: deterministic CJK filename sanitization over contract names."""
+    from .pipelines.extract_pipeline import run_extraction
+    from .pipelines.organize import sanitize_url_names
+
+    return sanitize_url_names(run_extraction(sf_dir)).select_columns(
+        ["url", "sanitized_name", "sanitize_status"]
+    )
+
+
+def _docs_with_dups(sf_dir: str):
+    """documents ∪ mutated copies of every 10th doc (id+1_000_000) — the
+    deterministic dup-bearing corpus for near-dup oracles."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def mutate(t: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if did % 10 == 0:
+                ids.append(did + 1_000_000)
+                texts.append((text or "") + " extra")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    return ds.union(ds.map_batches(mutate, batch_format="pyarrow"))
+
+
+def q_minhash_near_dups(sf_dir: str):
+    """MinHash+LSH near-dup pairs over the dup-bearing corpus."""
+    from .stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs_with_dups(sf_dir), "doc_id", "text", threshold=0.5)
+
+
+def q_simhash_near_dups(sf_dir: str):
+    from .stages.dedup import simhash_pairs
+
+    return simhash_pairs(_docs_with_dups(sf_dir), "doc_id", "text", max_hamming=3)
+
+
+def q_embedding_near_dups(sf_dir: str):
+    """Embedding-cosine near-dup via sign-LSH buckets.
+
+    Random embeddings carry no near-dups, so the corpus is augmented with
+    deterministically perturbed copies of every 20th vector
+    (vec_id+1_000_000) — those pairs are what the operator must find."""
+    from .stages.similarity import lsh_bucketed_cosine_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def perturb(t: pa.Table) -> pa.Table:
+        ids, vecs = [], []
+        for vid, vec in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()):
+            if vid % 20 == 0:
+                v = list(vec)
+                v[0] = v[0] + 0.01
+                ids.append(vid + 1_000_000)
+                vecs.append(v)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "embedding": pa.array(vecs, type=t["embedding"].type)})
+
+    full = ds.union(ds.map_batches(perturb, batch_format="pyarrow"))
+    return lsh_bucketed_cosine_pairs(full, threshold=0.95)
+
+
+def q_text_analysis(sf_dir: str):
+    """Fused language-ID / quality / token / fingerprint pass."""
+    from .stages.quality import analyze_text_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(analyze_text_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "pred_lang", "quality", "n_tokens", "n_bpe_tokens", "fingerprint"]
+    )
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: synthetic media table → actor-pool feature stage."""
+    from .stages.multimodal import MediaFeatureExtract, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(200))
+    ds = media.map_batches(
+        MediaFeatureExtract, batch_format="pyarrow", batch_size=32, concurrency=(1, 4),
+        fn_constructor_kwargs={"fake": True},
+    )
+    return ds.select_columns(["media_id", "media_type", "decode_status", "features"])
+
+
+NOSQL_QUERIES = {
+    "extraction_docs": q_extraction_docs,
+    "extraction_status": q_extraction_status,
+    "contract_type_histogram": q_contract_type_histogram,
+    "party_histogram": q_party_histogram,
+    "contract_edges": q_contract_edges,
+    "organize": q_organize,
+    "sanitize_names": q_sanitize_names,
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_near_dups": q_simhash_near_dups,
+    "embedding_near_dups": q_embedding_near_dups,
+    "text_analysis": q_text_analysis,
+    "media_features": q_media_features,
+}
+
+
+SQL_QUERIES = {
+    "event_histogram": q_event_histogram,
+    "lineitem_pricing": q_lineitem_pricing,
+    "lang_counts": q_lang_counts,
+    "events_hourly": q_events_hourly,
+    "docs_filter_project": q_docs_filter_project,
+    "ascii_docs": q_ascii_docs,
+    "token_counts": q_token_counts,
+    "top_docs": q_top_docs,
+    "stratified_sample": q_stratified_sample,
+    "mktsegment_revenue": q_mktsegment_revenue,
+    "orderstatus_lineitem": q_orderstatus_lineitem,
+    "nation_region": q_nation_region,
+    "customers_without_orders": q_customers_without_orders,
+    "customers_with_orders": q_customers_with_orders,
+    "dedup_exact": q_dedup_exact,
+    "knn_bruteforce": q_knn_bruteforce,
+}

@@ -1,0 +1,206 @@
+"""Corpus-level deduplication operators (beyond-reference, driver brief).
+
+All follow the shuffle-frugal shape from the Ray guide: per-batch vectorized
+signature computation → narrow exchange on (band, hash) or bucket keys →
+per-group pair emission → pair-level verification. Document payloads never
+ride through the shuffle — only ids + signatures.
+
+- exact:        md5(content) hash-partition, keep min id (D1 corpus analog)
+- MinHash+LSH:  word-shingle MinHash, banded LSH buckets, signature-estimated
+                Jaccard verify (Broder 1997 / MMDS ch.3)
+- SimHash:      64-bit SimHash, prefix-bucketed, Hamming-distance verify
+                (Charikar 2002)
+- n-gram Jaccard: exact character-n-gram Jaccard verification for a
+                candidate pair list (broadcast small side)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+from ..functions.dedupfn import (
+    hamming64,
+    jaccard,
+    lsh_bands,
+    minhash_signature,
+    ngram_set,
+    shingles,
+    simhash64,
+)
+
+
+def exact_dedup(ds: "rd.Dataset", id_col: str, text_col: str) -> "rd.Dataset":
+    """(h, keep_id, dup_count) per distinct content hash."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t[text_col].to_pylist()]
+        return pa.table({"h": pa.array(hs, pa.string()), id_col: t[id_col]})
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min(id_col, alias_name="keep_id"), Count(alias_name="dup_count"))
+    )
+
+
+def minhash_lsh_pairs(
+    ds: "rd.Dataset",
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> "rd.Dataset":
+    """Near-duplicate pairs (id_a < id_b, est_jaccard ≥ threshold).
+
+    Stage 1 (map): shingle → MinHash sig → band hashes; emit one row per
+    (band_id, band_hash) carrying the signature bytes.
+    Stage 2 (shuffle): groupby band bucket; within-bucket pairwise
+    signature-estimated Jaccard (buckets are tiny for honest data).
+    Stage 3 (shuffle): dedupe pairs discovered in multiple bands.
+    """
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        ids, bands_id, bands_hash, sigs = [], [], [], []
+        for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            sig = minhash_signature(shingles(text or "", shingle_k), num_perm)
+            for b, bh in enumerate(lsh_bands(sig, num_bands)):
+                ids.append(did)
+                bands_id.append(b)
+                bands_hash.append(bh)
+                sigs.append(sig.tobytes())
+        return pa.table(
+            {
+                "band_id": pa.array(bands_id, pa.int32()),
+                "band_hash": pa.array(bands_hash, pa.int64()),
+                id_col: pa.array(ids),
+                "sig": pa.array(sigs, pa.binary()),
+            }
+        )
+
+    banded = ds.map_batches(sig_rows, batch_format="pyarrow")
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "est_jaccard": "float64"}
+            )
+        rows = group.sort_values(id_col, kind="mergesort")
+        ids = rows[id_col].to_numpy()
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in rows["sig"]])
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+            for off in np.nonzero(eq >= threshold)[0]:
+                out_a.append(int(ids[i]))
+                out_b.append(int(ids[i + 1 + off]))
+                out_j.append(float(eq[off]))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
+
+    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
+    # a pair can surface in several bands → keep one row per pair
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("est_jaccard", alias_name="est_jaccard"))
+
+
+def simhash_pairs(
+    ds: "rd.Dataset",
+    id_col: str,
+    text_col: str,
+    prefix_bits: int = 16,
+    max_hamming: int = 3,
+) -> "rd.Dataset":
+    """Near-duplicate pairs by SimHash: bucket on the top prefix bits, verify
+    full 64-bit Hamming distance within buckets.
+
+    NOTE the standard recall caveat: a single prefix table misses pairs
+    that differ inside the prefix; production uses 4 rotated tables. One
+    table keeps the shuffle small and is documented engine behavior.
+    """
+
+    def sh_rows(t: pa.Table) -> pa.Table:
+        ids, hs, buckets = [], [], []
+        for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            h = simhash64(text or "")
+            ids.append(did)
+            hs.append(h)
+            buckets.append((h >> (64 - prefix_bits)) & ((1 << prefix_bits) - 1))
+        return pa.table(
+            {
+                "bucket": pa.array(buckets, pa.int64()),
+                id_col: pa.array(ids),
+                "simhash": pa.array(hs, pa.int64()),
+            }
+        )
+
+    bucketed = ds.map_batches(sh_rows, batch_format="pyarrow")
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_d = [], [], []
+        rows = group.sort_values(id_col, kind="mergesort")
+        ids = rows[id_col].to_numpy()
+        hs = rows["simhash"].to_numpy()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = hamming64(int(hs[i]), int(hs[j]))
+                if d <= max_hamming:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j]))
+                    out_d.append(d)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d}).astype(
+            {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
+        )
+
+    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+
+
+def verify_pairs_ngram_jaccard(
+    ds: "rd.Dataset",
+    pairs: List[tuple],
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> pa.Table:
+    """Exact char-n-gram Jaccard for candidate pairs.
+
+    The candidate id set is broadcast; texts are fetched by a semi-join
+    filter (streaming), n-gram sets built once per needed doc, pairs
+    verified on the driver (candidate lists are small by construction —
+    LSH already pruned the corpus).
+    """
+    need = sorted({i for p in pairs for i in p[:2]})
+    need_arr = pa.array(need)
+    import pyarrow.compute as pc
+
+    texts: dict = {}
+    filtered = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=need_arr)).select([id_col, text_col]),
+        batch_format="pyarrow",
+    )
+    for batch in filtered.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            texts[did] = ngram_set(text or "", n)
+    out_a, out_b, out_j = [], [], []
+    for a, b, *_ in pairs:
+        j = jaccard(texts.get(a, set()), texts.get(b, set()))
+        if j >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(round(j, 6))
+    return pa.table(
+        {
+            "id_a": pa.array(out_a, pa.int64()),
+            "id_b": pa.array(out_b, pa.int64()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        }
+    )

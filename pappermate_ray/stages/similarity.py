@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (beyond-reference, driver brief).
+
+- ``knn_scatter_gather``: exact cosine top-k — broadcast query matrix,
+  per-batch float64 matmul emits LOCAL top-k, tiny per-query merge. The
+  baseline path; replaces the reference's ChromaDB query
+  (services/vector_store.py:29-51, SURVEY.md §2.6 T4).
+- ``lsh_bucketed_cosine_pairs``: scale path — random-hyperplane signatures
+  (fixed seed) bucket vectors; near-dup pairs verified within buckets.
+  Embedding-cosine near-dup for dedup pipelines.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Min
+
+
+def _emb_matrix(t: pa.Table, col: str) -> np.ndarray:
+    x = np.array(t[col].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return x / norms
+
+
+def knn_scatter_gather(
+    ds: "rd.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    exclude_self: bool = True,
+) -> "rd.Dataset":
+    """(query_id, neighbor_id, sim) — exact top-k per query vector."""
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), qn))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(ref)
+        xn = _emb_matrix(t, emb_col)
+        sims = xn @ qmat.T
+        vec_ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(qids):
+            col = sims[:, j]
+            mask = vec_ids != qid if exclude_self else np.ones(len(vec_ids), bool)
+            ids, ss = vec_ids[mask], col[mask]
+            take = min(k, len(ids))
+            idx = np.argsort(-ss, kind="stable")[:take]
+            out_q.extend([int(qid)] * take)
+            out_n.extend(ids[idx].tolist())
+            out_s.extend(ss[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def lsh_bucketed_cosine_pairs(
+    ds: "rd.Dataset",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 12,
+    threshold: float = 0.9,
+    seed: int = 42,
+) -> "rd.Dataset":
+    """(id_a, id_b, sim) for pairs with cosine ≥ threshold that collide in a
+    random-hyperplane sign bucket. Deterministic planes (fixed seed).
+
+    Recall caveat (documented engine behavior): single-table sign-LSH
+    misses collisions across bucket boundaries; raise recall by lowering
+    n_planes or running rotated tables.
+    """
+    planes = np.random.RandomState(seed).normal(size=(dim, n_planes))
+    ref = ray.put(planes)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        p = ray.get(ref)
+        xn = _emb_matrix(t, emb_col)
+        signs = (xn @ p) > 0
+        buckets = np.packbits(signs, axis=1, bitorder="little")[:, :2].copy().view(np.uint16).ravel()
+        return pa.table(
+            {
+                "bucket": pa.array(buckets.astype(np.int64), pa.int64()),
+                id_col: t[id_col],
+                emb_col: t[emb_col],
+            }
+        )
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        rows = group.sort_values(id_col, kind="mergesort")
+        ids = rows[id_col].to_numpy()
+        x = np.stack(rows[emb_col].to_numpy())
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        xn = x / norms
+        sims = xn @ xn.T
+        out_a, out_b, out_s = [], [], []
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        for i, j in zip(ii, jj):
+            out_a.append(int(ids[i]))
+            out_b.append(int(ids[j]))
+            out_s.append(round(float(sims[i, j]), 6))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s}).astype(
+            {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+        )
+
+    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")

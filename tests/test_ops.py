@@ -1,0 +1,223 @@
+"""Tests for joins, sampling, dedup, similarity, quality, multimodal ops."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    rows = []
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again in the field",
+        "completely different text about ray data pipelines and arrow batches here",
+        "a third document that shares nothing with the others at all in any way",
+    ]
+    for i in range(30):
+        rows.append({"doc_id": i, "text": base[i % 3] + f" tail {i}"})
+    # planted near-dups: 100+i is doc i with one word appended
+    for i in range(3):
+        rows.append({"doc_id": 100 + i, "text": base[i] + f" tail {i}" + " extra"})
+    # planted exact dup of doc 0
+    rows.append({"doc_id": 200, "text": base[0] + " tail 0"})
+    return rd.from_items(rows)
+
+
+class TestJoins:
+    def test_broadcast_lookup(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.ops.joins import broadcast_lookup
+
+        ds = rd.from_items([{"k": 1}, {"k": 2}, {"k": 9}])
+        out = broadcast_lookup(ds, {1: "a", 2: "b"}, "k", "v").take_all()
+        assert {(r["k"], r["v"]) for r in out} == {(1, "a"), (2, "b"), (9, None)}
+
+    def test_broadcast_semi_anti(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.ops.joins import broadcast_anti, broadcast_semi
+
+        ds = rd.from_items([{"k": i} for i in range(10)])
+        semi = sorted(r["k"] for r in broadcast_semi(ds, [2, 4, 99], "k").take_all())
+        anti = sorted(r["k"] for r in broadcast_anti(ds, [2, 4, 99], "k").take_all())
+        assert semi == [2, 4]
+        assert anti == [0, 1, 3, 5, 6, 7, 8, 9]
+
+    def test_hash_join(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.ops.joins import hash_join
+
+        left = rd.from_items([{"k": i, "a": i * 10} for i in range(6)])
+        right = rd.from_items([{"rk": i, "b": i * 100} for i in range(3, 9)])
+        out = hash_join(left, right, on="k", right_on="rk", num_partitions=4).take_all()
+        got = sorted((r["k"], r["a"], r["b"]) for r in out)
+        assert got == [(3, 30, 300), (4, 40, 400), (5, 50, 500)]
+
+
+class TestSample:
+    def test_stratified_head(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.ops.sample import stratified_head
+
+        ds = rd.from_items(
+            [{"g": g, "id": i} for g in ("x", "y") for i in range(10)]
+        )
+        out = stratified_head(ds, "g", "id", 3).take_all()
+        by_g = {}
+        for r in out:
+            by_g.setdefault(r["g"], []).append(r["id"])
+        assert sorted(by_g["x"]) == [0, 1, 2]
+        assert sorted(by_g["y"]) == [0, 1, 2]
+
+
+class TestDedup:
+    def test_exact(self, docs_ds):
+        from pappermate_ray.stages.dedup import exact_dedup
+
+        out = exact_dedup(docs_ds, "doc_id", "text").take_all()
+        dups = [r for r in out if r["dup_count"] > 1]
+        assert len(dups) == 1
+        assert dups[0]["keep_id"] == 0  # min id wins
+        assert dups[0]["dup_count"] == 2
+
+    def test_minhash_lsh(self, docs_ds):
+        from pappermate_ray.stages.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(docs_ds, "doc_id", "text", threshold=0.5).take_all()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        for i in range(3):
+            assert (i, 100 + i) in got  # planted near-dups found
+        assert (0, 200) in got  # exact dup is also a near-dup
+        # no cross-template pairs
+        assert not any(a % 3 != (b % 3 if b < 100 else b % 100 % 3) for a, b in got if a < 30 and b < 30)
+
+    def test_simhash(self, docs_ds):
+        from pappermate_ray.stages.dedup import simhash_pairs
+
+        pairs = simhash_pairs(docs_ds, "doc_id", "text", max_hamming=10).take_all()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (0, 200) in got  # exact dup → hamming 0
+        assert all(r["hamming"] <= 10 for r in pairs)
+
+    def test_ngram_verify(self, docs_ds):
+        from pappermate_ray.stages.dedup import verify_pairs_ngram_jaccard
+
+        out = verify_pairs_ngram_jaccard(
+            docs_ds, [(0, 100), (0, 1)], "doc_id", "text", threshold=0.6
+        )
+        rows = out.to_pylist()
+        assert [(r["id_a"], r["id_b"]) for r in rows] == [(0, 100)]
+        assert rows[0]["jaccard"] > 0.8
+
+
+class TestSimilarity:
+    def test_knn_matches_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.similarity import knn_scatter_gather
+
+        rng = np.random.RandomState(7)
+        X = rng.normal(size=(50, 8))
+        ds = rd.from_items(
+            [{"vec_id": i, "embedding": X[i].tolist()} for i in range(50)]
+        )
+        q_ids = np.array([0, 1])
+        out = knn_scatter_gather(ds, X[:2], q_ids, k=3).take_all()
+        # numpy reference
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = Xn @ Xn[:2].T
+        for j, qid in enumerate(q_ids):
+            col = sims[:, j].copy()
+            col[qid] = -np.inf
+            want = set(np.argsort(-col, kind="stable")[:3].tolist())
+            got = {r["neighbor_id"] for r in out if r["query_id"] == qid}
+            assert got == want
+
+    def test_lsh_cosine_pairs(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.similarity import lsh_bucketed_cosine_pairs
+
+        rng = np.random.RandomState(11)
+        X = rng.normal(size=(40, 64))
+        items = [{"vec_id": i, "embedding": X[i].tolist()} for i in range(40)]
+        # planted: vec 1000 ≈ vec 5
+        v = X[5].copy()
+        v[0] += 0.01
+        items.append({"vec_id": 1000, "embedding": v.tolist()})
+        ds = rd.from_items(items)
+        pairs = lsh_bucketed_cosine_pairs(ds, threshold=0.95).take_all()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(5, 1000)}
+
+
+class TestQualityStage:
+    def test_columns(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.quality import analyze_text_batch
+
+        ds = rd.from_items([{"doc_id": 0, "text": "the cat and the dog sat on the mat"}])
+        row = ds.map_batches(analyze_text_batch, batch_format="pyarrow").take_all()[0]
+        assert row["pred_lang"] == "en"
+        assert row["n_tokens"] == 9
+        assert 0 <= row["quality"] <= 1
+        assert isinstance(row["fingerprint"], int)
+
+
+class TestMultimodal:
+    def test_fake_decode_deterministic(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.multimodal import MediaFeatureExtract, synth_media_table
+
+        ds = rd.from_arrow(synth_media_table(20))
+        out = ds.map_batches(
+            MediaFeatureExtract, batch_format="pyarrow", batch_size=8,
+            concurrency=(1, 2), fn_constructor_kwargs={"fake": True},
+        ).take_all()
+        assert len(out) == 20
+        assert all(r["decode_status"] == "ok" for r in out)
+        assert all(len(r["features"]) == 16 for r in out)
+        # payload column dropped before any downstream shuffle
+        assert "payload" not in out[0]
+
+    def test_real_decode_stubbed(self):
+        from pappermate_ray.stages.multimodal import MediaFeatureExtract, synth_media_table
+
+        stage = MediaFeatureExtract(fake=False)
+        out = stage(synth_media_table(3))
+        assert out["decode_status"].to_pylist() == ["error"] * 3
+        assert "NotImplementedError" not in out["decode_error"][0].as_py()  # message, not traceback
+
+
+class TestReportsOrganize:
+    def test_reports_and_organize(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.fixtures import build_pages_table
+        from pappermate_ray.pipelines.extract_pipeline import build_extraction_pipeline
+        from pappermate_ray.pipelines.organize import organize
+        from pappermate_ray.pipelines.reports import (
+            contract_type_histogram,
+            party_histogram,
+            status_report,
+        )
+
+        docs = build_extraction_pipeline(rd.from_arrow(build_pages_table(120)), batch_size=64)
+        statuses = {r["status"]: r["n_docs"] for r in status_report(docs).take_all()}
+        assert statuses.get("converted", 0) > 0 and statuses.get("error", 0) > 0
+        hist = contract_type_histogram(docs).take_all()
+        assert sum(r["n_docs"] for r in hist) == statuses["converted"]
+        # histogram sorted by count desc (T3)
+        counts = [r["n_docs"] for r in hist]
+        assert counts == sorted(counts, reverse=True)
+        parties = party_histogram(docs).take_all()
+        assert any(r["party"].startswith("TechCorp") for r in parties)
+        org = organize(docs).take_all()
+        assert all(r["canonical_filename"].endswith(".pdf") for r in org)
+        assert any(r["supplier_dir"] == "Unknown" for r in org)
