@@ -1,0 +1,168 @@
+"""Resumable partitioned Parquet sink with per-partition lineage.
+
+The engine's replacement for the reference's mutable operation log +
+skip_existing (scripts/system_contract_organizer.py:425-442, MANUAL
+--skip_existing; SURVEY.md §2.1 S12, §2.7 D5, §4 checkpoint/resume):
+
+- rows are hash-partitioned on a stable key (fnv1a(url) % n_parts),
+- each partition directory is written to a temp name and atomically
+  renamed — the rename IS the completion marker; a killed run leaves no
+  half-visible partition,
+- each partition carries a ``_meta.json`` lineage record (partition id,
+  row count, content hash over sorted urls, engine version) written under
+  the same atomic rename,
+- a resumed run lists completed partitions and anti-joins them out of the
+  input BEFORE extraction, so finished work is never recomputed.
+
+At cluster scale n_parts should be O(total cores × 4); the per-partition
+writer is a ``groupby(part).map_groups`` task so partitions write in
+parallel across the cluster.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Optional, Set
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from ..functions.quality import fnv1a64
+
+PART_PREFIX = "part="
+TMP_PREFIX = ".tmp_part="
+
+
+def partition_of(url: str, n_parts: int) -> int:
+    return fnv1a64(url.encode("utf-8")) % n_parts
+
+
+def add_partition_column(ds: "rd.Dataset", n_parts: int, key_col: str = "url") -> "rd.Dataset":
+    def _add(t: pa.Table) -> pa.Table:
+        parts = [partition_of(u, n_parts) for u in t[key_col].to_pylist()]
+        return t.append_column("part", pa.array(parts, pa.int32()))
+
+    return ds.map_batches(_add, batch_format="pyarrow")
+
+
+def completed_parts(out_dir: str) -> Set[int]:
+    """Partition ids already durably written (atomic-rename markers)."""
+    if not os.path.isdir(out_dir):
+        return set()
+    done = set()
+    for name in os.listdir(out_dir):
+        if name.startswith(PART_PREFIX) and os.path.isdir(os.path.join(out_dir, name)):
+            try:
+                done.add(int(name[len(PART_PREFIX):]))
+            except ValueError:
+                continue
+    return done
+
+
+def _write_partition(group: pa.Table, out_dir: str, key_col: str) -> pa.Table:
+    """Write one partition dir atomically; return its lineage row."""
+    part = group["part"][0].as_py()
+    final = os.path.join(out_dir, f"{PART_PREFIX}{part:05d}")
+    tmp = os.path.join(out_dir, f"{TMP_PREFIX}{part:05d}.{os.getpid()}")
+    os.makedirs(tmp, exist_ok=True)
+    data = group.drop_columns(["part"])
+    pq.write_table(data, os.path.join(tmp, "data.parquet"))
+    urls = sorted(group[key_col].to_pylist())
+    content_hash = hashlib.md5("\n".join(urls).encode("utf-8")).hexdigest()
+    meta = {
+        "part": part,
+        "n_rows": group.num_rows,
+        "content_hash": content_hash,
+        "engine": "pappermate_ray-0.1.0",
+    }
+    with open(os.path.join(tmp, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+    os.rename(tmp, final)  # atomic completion marker
+    return pa.table(
+        {
+            "part": pa.array([part], pa.int32()),
+            "n_rows": pa.array([group.num_rows], pa.int64()),
+            "content_hash": pa.array([content_hash], pa.string()),
+        }
+    )
+
+
+def write_resumable(
+    ds: "rd.Dataset",
+    out_dir: str,
+    n_parts: int = 64,
+    key_col: str = "url",
+    skip_parts: Optional[Set[int]] = None,
+) -> pa.Table:
+    """Partition ``ds`` on ``key_col`` and write, skipping completed parts.
+
+    Returns the manifest (one lineage row per partition written THIS run).
+    The caller is expected to have filtered input with
+    ``filter_completed`` before the expensive stages; this function
+    additionally drops completed partitions defensively (idempotent).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_parts(out_dir) if skip_parts is None else skip_parts
+    parted = add_partition_column(ds, n_parts, key_col)
+    if done:
+        done_arr = pa.array(sorted(done), pa.int32())
+        parted = parted.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(t["part"], value_set=done_arr))),
+            batch_format="pyarrow",
+        )
+    manifest = parted.groupby("part").map_groups(
+        lambda g: _write_partition(g, out_dir, key_col), batch_format="pyarrow"
+    )
+    batches = list(manifest.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    if not batches:
+        return pa.table(
+            {"part": pa.array([], pa.int32()), "n_rows": pa.array([], pa.int64()),
+             "content_hash": pa.array([], pa.string())}
+        )
+    return pa.concat_tables(batches)
+
+
+def filter_completed(
+    pages: "rd.Dataset", out_dir: str, n_parts: int, key_col: str = "url"
+) -> "rd.Dataset":
+    """Resume anti-join (D5): drop input rows whose partition is done.
+
+    Runs BEFORE extraction so completed documents never re-enter the
+    expensive stages. The completed set is tiny (≤ n_parts ints) — a
+    broadcast filter, not a shuffle.
+    """
+    done = completed_parts(out_dir)
+    if not done:
+        return pages
+    done_set = frozenset(done)
+
+    def _drop(t: pa.Table) -> pa.Table:
+        mask = [partition_of(u, n_parts) not in done_set for u in t[key_col].to_pylist()]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return pages.map_batches(_drop, batch_format="pyarrow")
+
+
+def read_manifest(out_dir: str) -> pa.Table:
+    """Lineage across all completed partitions (from _meta.json records)."""
+    rows = []
+    for part in sorted(completed_parts(out_dir)):
+        with open(os.path.join(out_dir, f"{PART_PREFIX}{part:05d}", "_meta.json")) as f:
+            rows.append(json.load(f))
+    if not rows:
+        return pa.table({"part": [], "n_rows": [], "content_hash": [], "engine": []})
+    return pa.Table.from_pylist(rows)
+
+
+def read_output(out_dir: str) -> "rd.Dataset":
+    """Read all completed partition data back as one Dataset."""
+    paths = [
+        os.path.join(out_dir, f"{PART_PREFIX}{p:05d}", "data.parquet")
+        for p in sorted(completed_parts(out_dir))
+    ]
+    return rd.read_parquet(paths)

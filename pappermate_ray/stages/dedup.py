@@ -52,6 +52,34 @@ def exact_dedup(ds: "rd.Dataset", id_col: str, text_col: str) -> "rd.Dataset":
     )
 
 
+def _keep_multi_member_buckets(ds: "rd.Dataset", key_cols: List[str]):
+    """Drop rows in single-member buckets before a per-bucket pair stage.
+
+    Almost every LSH bucket has exactly one member; running map_groups over
+    all of them pays per-group overhead N×bands times. One narrow groupby
+    counts occupancy; buckets with ≥2 members (the candidate set — tiny for
+    honest corpora) are broadcast and the rows filtered. Returns None when
+    no bucket has ≥2 members.
+    """
+    counts = ds.groupby(key_cols).aggregate(Count(alias_name="n"))
+    hot = counts.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["n"], 2)).select(key_cols),
+        batch_format="pyarrow",
+    )
+    hot_keys = {tuple(r[c] for c in key_cols) for r in hot.take_all()}
+    if not hot_keys:
+        return None
+    hot_ref = ray.put(hot_keys)
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        keys = ray.get(hot_ref)
+        cols = [t[c].to_pylist() for c in key_cols]
+        mask = [tup in keys for tup in zip(*cols)]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep_hot, batch_format="pyarrow")
+
+
 def minhash_lsh_pairs(
     ds: "rd.Dataset",
     id_col: str,
@@ -88,7 +116,17 @@ def minhash_lsh_pairs(
             }
         )
 
-    banded = ds.map_batches(sig_rows, batch_format="pyarrow")
+    # Signatures are ~1% of document size → materializing them is the
+    # documented small-intermediate exception: it lets the occupancy
+    # pre-pass and the pair stage share one computation instead of
+    # re-shingling the corpus twice.
+    banded = ds.map_batches(sig_rows, batch_format="pyarrow").materialize()
+    banded = _keep_multi_member_buckets(banded, ["band_id", "band_hash"])
+    if banded is None:
+        return rd.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                      "est_jaccard": pa.array([], pa.float64())})
+        )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
@@ -142,7 +180,13 @@ def simhash_pairs(
             }
         )
 
-    bucketed = ds.map_batches(sh_rows, batch_format="pyarrow")
+    bucketed = ds.map_batches(sh_rows, batch_format="pyarrow").materialize()
+    bucketed = _keep_multi_member_buckets(bucketed, ["bucket"])
+    if bucketed is None:
+        return rd.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+        )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_d = [], [], []
