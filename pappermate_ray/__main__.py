@@ -1,0 +1,119 @@
+"""CLI entry point — the ``ray job submit`` surface.
+
+    python -m pappermate_ray extract --input <pages parquet dir|sf_dir> \
+        --output /tmp/out [--n-parts 64] [--resume] [--skew]
+    python -m pappermate_ray report --output /tmp/out
+    python -m pappermate_ray manifest --output /tmp/out
+
+``extract`` is resumable: rerunning with ``--resume`` after a kill skips
+completed partitions (atomic-rename markers + lineage manifest,
+io/sink.py). This script OWNS its Ray session (guarded init) — the only
+places allowed to init are entry points like this one.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.enable_tensor_extension_casting = False
+    return ray
+
+
+def cmd_extract(args) -> None:
+    ray = _init_ray()
+    import ray.data as rd
+
+    from .fixtures import read_pages
+    from .io.sink import filter_completed, write_resumable
+    from .pipelines.extract_pipeline import build_extraction_pipeline
+
+    t0 = time.perf_counter()
+    if os.path.isfile(os.path.join(args.input, "documents.parquet")):
+        pages = read_pages(args.input)  # sf_dir → synthesize pages
+    else:
+        pages = rd.read_parquet(args.input)
+    if args.resume:
+        pages = filter_completed(pages, args.output, args.n_parts)
+    docs = build_extraction_pipeline(pages, skew_partition=args.skew)
+    flat = docs.drop_columns(["blocks", "entities"])
+    manifest = write_resumable(flat, args.output, n_parts=args.n_parts)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "written_partitions": manifest.num_rows,
+        "written_rows": sum(manifest["n_rows"].to_pylist()),
+        "sec": round(dt, 2),
+        "output": args.output,
+    }))
+    ray.shutdown()
+
+
+def cmd_report(args) -> None:
+    ray = _init_ray()
+    from .io.sink import read_output
+    from .pipelines.reports import contract_type_histogram, status_report
+
+    docs = read_output(args.output)
+    out = {
+        "status": {r["status"]: r["n_docs"] for r in status_report(docs).take_all()},
+        "contract_types": {
+            r["contract_type"]: r["n_docs"] for r in contract_type_histogram(docs).take_all()
+        },
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+def cmd_manifest(args) -> None:
+    from .io.sink import read_manifest
+
+    m = read_manifest(args.output)
+    print(json.dumps({"partitions": m.num_rows, "rows": sum(m["n_rows"].to_pylist() or [0])}))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="pappermate_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("extract", help="run the extraction pipeline to a resumable sink")
+    pe.add_argument("--input", required=True, help="pages parquet dir, or an sf_dir with documents.parquet")
+    pe.add_argument("--output", required=True)
+    pe.add_argument("--n-parts", type=int, default=64)
+    pe.add_argument("--resume", action="store_true")
+    pe.add_argument("--skew", action="store_true", help="size-bucket sort before extraction")
+    pe.set_defaults(fn=cmd_extract)
+
+    pr = sub.add_parser("report", help="aggregate reports over a completed output dir")
+    pr.add_argument("--output", required=True)
+    pr.set_defaults(fn=cmd_report)
+
+    pm = sub.add_parser("manifest", help="print lineage manifest summary")
+    pm.add_argument("--output", required=True)
+    pm.set_defaults(fn=cmd_manifest)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

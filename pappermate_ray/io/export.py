@@ -1,0 +1,67 @@
+"""Export sinks (SURVEY.md §2.1 S9/S10).
+
+- CSV projection: fixed flat columns, list columns joined with "; "
+  (the reference's CSV writer, scripts/openai_contract_explorer.py:411-455).
+- JSONL training rows: one ``{text, labels{...}, metadata{...}}`` per line
+  (reference :457-496), emitted as a struct column for ``write_json``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+
+CSV_COLUMNS = [
+    "url", "lang", "status", "contract_number", "contract_type", "contract_name",
+    "client_name", "vendor_name", "currency", "total_value", "n_sections",
+    "n_table_lines", "emails", "key_clauses", "parse_confidence",
+]
+
+
+def csv_projection(docs: "rd.Dataset") -> "rd.Dataset":
+    """Stringify list columns ('; ' join, the reference separator) and
+    project the fixed CSV column set."""
+
+    def _proj(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name in CSV_COLUMNS:
+            col = t[name]
+            if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+                joined = ["; ".join(v or []) for v in col.to_pylist()]
+                cols[name] = pa.array(joined, pa.string())
+            else:
+                cols[name] = col
+        return pa.table(cols)
+
+    return docs.map_batches(_proj, batch_format="pyarrow")
+
+
+def write_csv(docs: "rd.Dataset", out_dir: str) -> None:
+    csv_projection(docs).write_csv(out_dir)
+
+
+def training_rows(docs: "rd.Dataset") -> "rd.Dataset":
+    """One training record per successfully parsed doc: text + label block
+    + metadata block (reference JSONL layout :457-496)."""
+    import pyarrow.compute as pc
+
+    def _rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["status"], "converted"))
+        labels = pa.StructArray.from_arrays(
+            [t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c]
+             for c in ("contract_type", "contract_number", "client_name", "vendor_name", "currency")],
+            names=["contract_type", "contract_number", "client_name", "vendor_name", "currency"],
+        )
+        meta = pa.StructArray.from_arrays(
+            [t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c]
+             for c in ("url", "lang", "n_chars")],
+            names=["url", "lang", "n_chars"],
+        )
+        return pa.table({"text": t["text"], "labels": labels, "metadata": meta})
+
+    return docs.map_batches(_rows, batch_format="pyarrow")
+
+
+def write_training_jsonl(docs: "rd.Dataset", out_dir: str) -> None:
+    training_rows(docs).write_json(out_dir)

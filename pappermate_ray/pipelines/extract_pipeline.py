@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import ray
 import ray.data
 
 from ..stages.extract import add_size_bucket, extract_pages_batch
@@ -22,33 +23,101 @@ from ..stages.parse import ContractParse
 from ..stages.spans import EntitySpans
 
 
+_WORKER_STAGE = None
+
+
+def fused_task_batch(batch):
+    """Task-mode fused stage: per-worker-process singleton state.
+
+    For light construction state (compiled regexes, pattern store) tasks
+    beat a fixed actor pool: they share the node elastically with the
+    parquet read/decompress and write stages instead of statically
+    reserving CPUs (a pool of ncpu-2 leaves the read 2 CPUs and the read
+    becomes the bottleneck — measured). State is still built once per
+    worker process and reused across tasks. Heavy state (model weights)
+    should use compute="actors" instead, where pool size bounds memory.
+    """
+    global _WORKER_STAGE
+    if _WORKER_STAGE is None:
+        _WORKER_STAGE = ExtractParseSpans()
+    return _WORKER_STAGE(batch)
+
+
+class ExtractParseSpans:
+    """Fused extract→parse→spans actor (ONE pool holds all pinned state).
+
+    Why fused: separate pools statically partition the node's CPUs between
+    stages; whichever stage is momentarily lighter idles its share (and two
+    pools sized to the node deadlock the stateless read stage entirely).
+    One pool sized ncpu-2 keeps all per-doc work elastic across the node
+    while preserving the pinned-state actor pattern (ST1/ST3): parse caps
+    and the span pattern store are built once per actor here.
+    """
+
+    def __init__(self):
+        self.parse = ContractParse()
+        self.spans = EntitySpans()
+
+    def __call__(self, batch):
+        return self.spans(self.parse(extract_pages_batch(add_size_bucket(batch))))
+
+
 def build_extraction_pipeline(
     pages: "ray.data.Dataset",
     *,
     batch_size: int = 256,
-    parse_actors: int = 8,
-    span_actors: int = 8,
+    parse_actors: Optional[int] = None,
+    span_actors: Optional[int] = None,
     skew_partition: bool = False,
+    fused: bool = True,
+    compute: str = "tasks",
 ) -> "ray.data.Dataset":
-    """Compose the flagship docs pipeline over a ``pages`` Dataset."""
+    """Compose the flagship docs pipeline over a ``pages`` Dataset.
+
+    Default: fused stage in task mode (see fused_task_batch — state is a
+    per-worker singleton, CPUs shared elastically with read/write).
+    ``compute="actors"`` switches to a fixed actor pool (for heavy model
+    state where pool size must bound memory); ``fused=False`` gives the
+    staged layout (stages with different resources, e.g. a GPU span
+    model)."""
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    if fused:
+        ds = pages
+        if skew_partition:
+            ds = ds.map_batches(add_size_bucket, batch_format="pyarrow", batch_size=batch_size)
+            ds = ds.sort("size_bucket")
+            # fused stage re-adds the bucket column; drop the pre-sort one
+            ds = ds.map_batches(
+                lambda t: t.drop_columns(["size_bucket"]), batch_format="pyarrow"
+            )
+        if compute == "tasks":
+            return ds.map_batches(
+                fused_task_batch, batch_format="pyarrow", batch_size=batch_size
+            )
+        # exact pool size (fixed pools pre-start every actor; autoscaling
+        # (1,N) ramps too slowly and serializes short jobs), leaving CPUs
+        # of headroom for the stateless read/write tasks
+        pool = max(2, (ncpu * 3) // 4)
+        return ds.map_batches(
+            ExtractParseSpans,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=pool,
+        )
+    parse_actors = parse_actors or max(2, (ncpu * 3) // 8)
+    span_actors = span_actors or max(2, (ncpu * 3) // 8)
     ds = pages.map_batches(add_size_bucket, batch_format="pyarrow", batch_size=batch_size)
     if skew_partition:
-        # group giant docs together so a block's memory footprint is
-        # homogeneous; a sort by bucket is a cheap proxy for a
-        # groupby-bucket shuffle on a single key byte (SURVEY.md §4 skew)
         ds = ds.sort("size_bucket")
     ds = ds.map_batches(extract_pages_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(
-        ContractParse,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=(1, parse_actors),
+        ContractParse, batch_format="pyarrow", batch_size=batch_size, concurrency=parse_actors
     )
     ds = ds.map_batches(
-        EntitySpans,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=(1, span_actors),
+        EntitySpans, batch_format="pyarrow", batch_size=batch_size, concurrency=span_actors
     )
     return ds
 

@@ -70,18 +70,57 @@ def q_event_histogram(sf_dir: str):
 
 
 def q_lineitem_pricing(sf_dir: str):
-    """TPC-H-Q1-shaped grouped aggregate (Sum/Mean/Count) over lineitem."""
+    """TPC-H-Q1-shaped grouped aggregate over lineitem.
+
+    Partial pre-aggregation inside map_batches (pyarrow group_by per
+    block) collapses each block to ≤6 rows before the hash shuffle — the
+    exchange is O(keys × blocks), not O(rows). Mean decomposes into
+    (sum, count) partials.
+    """
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
-    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_price"),
-        Mean("l_discount", alias_name="avg_disc"),
-        Count(alias_name="n"),
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("l_discount", "sum"), ("l_discount", "count")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "qty_part": g["l_quantity_sum"],
+                "price_part": g["l_extendedprice_sum"],
+                "disc_part": g["l_discount_sum"],
+                "n_part": pc.cast(g["l_discount_count"], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("qty_part", alias_name="sum_qty"),
+        Sum("price_part", alias_name="sum_price"),
+        Sum("disc_part", alias_name="sum_disc"),
+        Sum("n_part", alias_name="n"),
     )
-    return _round_cols(agg, {"sum_qty": 2, "sum_price": 2, "avg_disc": 6})
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg = pc.round(pc.divide(t["sum_disc"], pc.cast(t["n"], pa.float64())), ndigits=6)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pc.round(t["sum_qty"], ndigits=2),
+                "sum_price": pc.round(t["sum_price"], ndigits=2),
+                "avg_disc": avg,
+                "n": t["n"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def q_lang_counts(sf_dir: str):
@@ -227,6 +266,25 @@ def q_customers_with_orders(sf_dir: str):
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
     n = broadcast_semi(cust, keys, "c_custkey").count()
     return pa.table({"n_customers": pa.array([n], pa.int64())})
+
+
+def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization: per-user session count with a 30-min inactivity gap.
+
+    One hash shuffle on user_id; per-group work is a sort + diff + cumsum
+    (the ordered, partitioned-log pattern from the Ray guide §streaming).
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts", kind="mergesort")
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        n = int(gaps.sum()) + 1
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]}).astype(
+            {"user_id": "int64", "n_sessions": "int64"}
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------
@@ -392,6 +450,25 @@ ORACLE_SQL: Dict[str, str] = {
                COUNT(*) AS dup_count
         FROM documents GROUP BY md5(text)
     """,
+    "user_sessions": """
+        SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions
+        FROM (
+            SELECT user_id,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_id
+            FROM (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                    > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ) marks
+        ) numbered
+        GROUP BY user_id
+    """,
     "knn_bruteforce": """
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
         FROM embeddings a, embeddings b
@@ -549,6 +626,19 @@ def q_text_analysis(sf_dir: str):
     )
 
 
+def q_translate_names(sf_dir: str):
+    """M21/ST5: cached deterministic translation of CJK contract names
+    (actor pool holding the per-actor LRU cache)."""
+    from .pipelines.extract_pipeline import run_extraction
+    from .stages.translate import CachedTranslator
+
+    docs = run_extraction(sf_dir)
+    out = docs.map_batches(
+        CachedTranslator, batch_format="pyarrow", batch_size=256, concurrency=2,
+    )
+    return out.select_columns(["url", "lang", "translated_name", "was_translated"])
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: synthetic media table → actor-pool feature stage."""
     from .stages.multimodal import MediaFeatureExtract, synth_media_table
@@ -561,7 +651,97 @@ def q_media_features(sf_dir: str):
     return ds.select_columns(["media_id", "media_type", "decode_status", "features"])
 
 
+def q_validate(sf_dir: str):
+    """SchemaValidator business rules over parsed contracts (§3.3)."""
+    from .pipelines.extract_pipeline import run_extraction
+    from .stages.validate import validate_contracts_batch
+
+    docs = run_extraction(sf_dir)
+    out = docs.map_batches(validate_contracts_batch, batch_format="pyarrow")
+    return out.select_columns(["url", "is_valid", "validation_errors"])
+
+
+def q_blocks_parse(sf_dir: str):
+    """Blocks-input (Marker-JSON path) parse: M2/M4/M6 over the nested
+    blocks column produced by extraction."""
+    from .functions.blocksparse import parse_contract_from_blocks
+    from .pipelines.extract_pipeline import run_extraction
+
+    def parse_blocks(t: pa.Table) -> pa.Table:
+        recs = []
+        for url, blocks, status in zip(
+            t["url"].to_pylist(), t["blocks"].to_pylist(), t["status"].to_pylist()
+        ):
+            if status == "error" or not blocks:
+                recs.append({"url": url, "contract_number": None, "contract_type": None,
+                             "n_sections": 0, "n_table_blocks": 0, "confidence": 0.0})
+                continue
+            r = parse_contract_from_blocks(blocks, default_name=url)
+            recs.append({"url": url, "contract_number": r["contract_number"],
+                         "contract_type": r["contract_type"], "n_sections": r["n_sections"],
+                         "n_table_blocks": r["n_table_blocks"], "confidence": r["confidence"]})
+        return pa.Table.from_pylist(recs)
+
+    return run_extraction(sf_dir).map_batches(parse_blocks, batch_format="pyarrow")
+
+
+def q_key_clause_histogram(sf_dir: str):
+    """A1 over the exploded key_clauses list column."""
+    from .pipelines.extract_pipeline import run_extraction
+
+    def explode(t: pa.Table) -> pa.Table:
+        clauses = []
+        for lst in t["key_clauses"].to_pylist():
+            clauses.extend(lst or [])
+        return pa.table({"clause": pa.array(clauses, pa.string())})
+
+    from ray.data.aggregate import Count
+
+    docs = run_extraction(sf_dir)
+    return docs.map_batches(explode, batch_format="pyarrow").groupby("clause").aggregate(
+        Count(alias_name="n_docs")
+    )
+
+
+def q_hierarchy_orphans(sf_dir: str):
+    """J3 orphan check: parent ids referenced by edges that have no
+    corresponding contract in the corpus (anti-join on contract_number)."""
+    edges = q_contract_edges(sf_dir)
+    from .pipelines.extract_pipeline import run_extraction
+
+    docs = run_extraction(sf_dir)
+    known = docs.map_batches(
+        lambda t: t.select(["contract_number"]), batch_format="pyarrow"
+    ).unique("contract_number")
+    from .ops.joins import broadcast_anti
+
+    orphans = broadcast_anti(edges, [k for k in known if k], "parent_id").unique("parent_id")
+    return pa.table({"parent_id": pa.array(sorted(orphans), pa.string())})
+
+
+def q_training_rows(sf_dir: str):
+    """S10 JSONL training-data projection (text + labels + metadata)."""
+    from .io.export import training_rows
+    from .pipelines.extract_pipeline import run_extraction
+
+    return training_rows(run_extraction(sf_dir))
+
+
+def q_csv_projection(sf_dir: str):
+    """S9 CSV projection (lists joined with '; ')."""
+    from .io.export import csv_projection
+    from .pipelines.extract_pipeline import run_extraction
+
+    return csv_projection(run_extraction(sf_dir))
+
+
 NOSQL_QUERIES = {
+    "validate": q_validate,
+    "blocks_parse": q_blocks_parse,
+    "key_clause_histogram": q_key_clause_histogram,
+    "hierarchy_orphans": q_hierarchy_orphans,
+    "training_rows": q_training_rows,
+    "csv_projection": q_csv_projection,
     "extraction_docs": q_extraction_docs,
     "extraction_status": q_extraction_status,
     "contract_type_histogram": q_contract_type_histogram,
@@ -574,6 +754,7 @@ NOSQL_QUERIES = {
     "embedding_near_dups": q_embedding_near_dups,
     "text_analysis": q_text_analysis,
     "media_features": q_media_features,
+    "translate_names": q_translate_names,
 }
 
 
@@ -594,4 +775,5 @@ SQL_QUERIES = {
     "customers_with_orders": q_customers_with_orders,
     "dedup_exact": q_dedup_exact,
     "knn_bruteforce": q_knn_bruteforce,
+    "user_sessions": q_user_sessions,
 }

@@ -77,6 +77,45 @@ def test_deterministic():
     assert r1 == r2
 
 
+def test_scanner_matches_htmlparser():
+    """Differential test: the fast scanner must match the stdlib-HTMLParser
+    reference collector segment-for-segment on the whole fixture corpus
+    and on adversarial snippets."""
+    from pappermate_ray.functions import htmlx
+
+    def old_segments(s):
+        p = htmlx._ContentParser()
+        p.feed(s)
+        p.close()
+        return p.segments
+
+    def norm(segs):
+        return [
+            (s.kind, "".join(s.pieces), s.total_chars, s.link_chars)
+            for s in segs
+            if s.total_chars > 0
+        ]
+
+    corpus = [
+        r["html"] for r in build_pages_table(300).to_pylist() if r["html"]
+    ]
+    adversarial = [
+        b"<html><head><title>T &amp; co</title></head><body><p>hello &lt;x&gt; padded text</p></body></html>",
+        b"<p>unclosed paragraph text that just ends",
+        b"<script>var x = '<p>not content</p>';</script><p>real paragraph content here</p>",
+        b"<!-- <p>c</p> --><p>after comment paragraph long enough here</p>",
+        b"<P CLASS='x'>UPPERCASE TAG paragraph should still work</P>",
+        b"<textarea><p>inside</p></textarea><p>outside textarea long enough text</p>",
+        b"<td>cell content long enough</td><br><a href=x>linky link link</a>",
+    ]
+    for raw in corpus + adversarial:
+        try:
+            s = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        assert norm(old_segments(s)) == norm(htmlx._scan_segments(s))
+
+
 def test_fixture_has_error_and_giant_rows():
     t = build_pages_table(600)
     import pyarrow.compute as pc
