@@ -52,6 +52,31 @@ def organize(docs: "rd.Dataset") -> "rd.Dataset":
     return docs.map_batches(add_organize_columns, batch_format="pyarrow")
 
 
+def disambiguate_filenames(docs: "rd.Dataset") -> "rd.Dataset":
+    """D4 unique-output-filename: counter-suffix per collision group.
+
+    Reference probes the filesystem in a loop (file_handler.py:416-425);
+    distributed analog: hash-shuffle on the canonical name, deterministic
+    enumeration (ordered by url) within each collision group — first keeps
+    the name, later ones get ``_1``, ``_2``... before the extension.
+    """
+    import pandas as pd
+
+    def _enumerate(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("url", kind="mergesort").reset_index(drop=True)
+        outs = []
+        for i, name in enumerate(g["canonical_filename"]):
+            if i == 0:
+                outs.append(name)
+            else:
+                dot = name.rfind(".")
+                outs.append(f"{name[:dot]}_{i}{name[dot:]}" if dot > 0 else f"{name}_{i}")
+        g["final_filename"] = outs
+        return g
+
+    return docs.groupby("canonical_filename").map_groups(_enumerate, batch_format="pandas")
+
+
 def sanitize_url_names(docs: "rd.Dataset") -> "rd.Dataset":
     """M14 filename sanitization over the contract_name column (the CJK
     term-map deterministic fallback path)."""

@@ -735,8 +735,65 @@ def q_csv_projection(sf_dir: str):
     return csv_projection(run_extraction(sf_dir))
 
 
+def q_entity_type_histogram(sf_dir: str):
+    """Explode the nested entities column (fm) → grouped counts (A1-shape
+    over span types)."""
+    from ray.data.aggregate import Count
+
+    from .pipelines.extract_pipeline import run_extraction
+
+    def explode(t: pa.Table) -> pa.Table:
+        types = []
+        for spans in t["entities"].to_pylist():
+            types.extend(s["entity_type"] for s in (spans or []))
+        return pa.table({"entity_type": pa.array(types, pa.string())})
+
+    docs = run_extraction(sf_dir)
+    return docs.map_batches(explode, batch_format="pyarrow").groupby("entity_type").aggregate(
+        Count(alias_name="n_spans")
+    )
+
+
+def q_pattern_probe(sf_dir: str):
+    """J4: broadcast pattern store × docs similarity probe (no shuffle)."""
+    from .functions.spans import BASE_PATTERNS
+    from .pipelines.extract_pipeline import run_extraction
+    from .stages.patternprobe import PatternProbe
+
+    ref = ray.put(BASE_PATTERNS)
+    docs = run_extraction(sf_dir)
+    return docs.map_batches(
+        PatternProbe,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=4,
+        fn_constructor_kwargs={"patterns_ref": ref, "threshold": 0.3},
+    )
+
+
+def q_unique_filenames(sf_dir: str):
+    """D4: collision-free output filenames via per-group enumeration."""
+    from .pipelines.extract_pipeline import run_extraction
+    from .pipelines.organize import disambiguate_filenames, organize
+
+    org = organize(run_extraction(sf_dir))
+    return disambiguate_filenames(org).select_columns(
+        ["url", "canonical_filename", "final_filename"]
+    )
+
+
+def q_random_sample(sf_dir: str):
+    """T5 seeded random sample (deterministic for a fixed Ray version)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return ds.random_sample(0.1, seed=42)
+
+
 NOSQL_QUERIES = {
     "validate": q_validate,
+    "entity_type_histogram": q_entity_type_histogram,
+    "pattern_probe": q_pattern_probe,
+    "unique_filenames": q_unique_filenames,
+    "random_sample": q_random_sample,
     "blocks_parse": q_blocks_parse,
     "key_clause_histogram": q_key_clause_histogram,
     "hierarchy_orphans": q_hierarchy_orphans,
