@@ -35,7 +35,7 @@ CLIENTS = ["TechCorp Inc.", "Wayne Enterprises", "Stark Industries", "Hooli Inc.
 CTYPES = ["MSA", "SOW", "PWO", "LSA", "CR", "CNF"]
 CJK_TITLES = ["【御見積書】_システム運用サポート", "【請求書】_システム契約", "合同_系统支持_报价"]
 LANGS = ["en", "pt", "ja", "zh", "de"]
-KINDS = ["contract", "plain", "relation", "contract", "dates", "cjk"]
+KINDS = ["contract", "plain", "relation", "pdf", "dates", "cjk"]
 
 PAGES_SCHEMA = pa.schema(
     [
@@ -129,6 +129,57 @@ def _cjk_md(i: int, filler: str) -> str:
     )
 
 
+def pdf_payload(i: int, filler: str) -> bytes:
+    """Deterministic PDFSYN layout document (functions/layout.py format).
+
+    Multi-page with repeated header/footer furniture, a heading, body
+    paragraphs (two-column on every 3rd pdf doc), and a cell-aligned table
+    — exercising furniture removal, column reading order, line→block
+    grouping, heading and table detection.
+    """
+    import json as _json
+
+    md = _contract_md(i, filler)
+    body_lines = [l for l in md.split("\n") if l.strip() and not l.startswith("|")]
+    two_col = (i // 6) % 3 == 0
+    pages = []
+    per_page = 18
+    page_count = max(1, (len(body_lines) + per_page - 1) // per_page)
+    for p in range(page_count):
+        chunk = body_lines[p * per_page : (p + 1) * per_page]
+        lines = [
+            {"x": 50.0, "y": 20.0, "w": 300.0, "h": 10.0,
+             "text": f"CONFIDENTIAL — Agreement {CTYPES[i % len(CTYPES)]}"},
+            {"x": 280.0, "y": 772.0, "w": 60.0, "h": 10.0, "text": f"Page {p + 1}"},
+        ]
+        if two_col and len(chunk) >= 6:
+            half = len(chunk) // 2
+            cols = [(50.0, chunk[:half]), (330.0, chunk[half:])]
+        else:
+            cols = [(50.0, chunk)]
+        for x0, col_chunk in cols:
+            y = 60.0
+            for line in col_chunk:
+                is_heading = line.startswith("#")
+                text = line.lstrip("# ") if is_heading else line
+                h = 18.0 if is_heading else 12.0
+                gap = 30.0 if is_heading else 14.0
+                lines.append({"x": x0, "y": y, "w": 250.0, "h": h, "text": text})
+                y += gap
+        if p == page_count - 1:  # table on the last page
+            ty = 700.0
+            for row in (f"Item {i % 9}\tQuantity\tPrice",
+                        f"Support hours\t{i % 40 + 1}\tR$ 100,00",
+                        f"Licenses\t{i % 7 + 1}\tR$ 250,00"):
+                lines.append({"x": 50.0, "y": ty, "w": 400.0, "h": 12.0,
+                              "text": row, "cells": [50.0, 200.0, 330.0]})
+                ty += 14.0
+        pages.append({"width": 612.0, "height": 792.0, "lines": lines})
+    from .functions.layout import PDF_MAGIC
+
+    return PDF_MAGIC + _json.dumps({"pages": pages}).encode("utf-8")
+
+
 def doc_markdown(i: int, filler: str) -> str:
     """The main-content markdown for row i (pure function of i + filler)."""
     kind = KINDS[i % len(KINDS)]
@@ -189,10 +240,12 @@ def make_page_row(i: int, filler: str, lang: Optional[str] = None) -> Dict:
     url = f"https://site{i % 97}.example/{kind}/{i}"
     ts = EPOCH + _dt.timedelta(seconds=37 * i)
     md = doc_markdown(i, filler)
-    if i % 20 == 13:  # malformed: truncate a UTF-8 page mid-multibyte sequence
-        raw = wrap_html(i, md)
+    if i % 20 == 13:  # malformed: truncate mid-multibyte / corrupt payload
+        raw = pdf_payload(i, filler) if kind == "pdf" else wrap_html(i, md)
         cut = raw[:200] + "é".encode("utf-8")[:1]
         return {"url": url, "warc_ts": ts, "html": cut, "text": None, "lang": lang}
+    if kind == "pdf":  # PDF-layout row (geometric parse path)
+        return {"url": url, "warc_ts": ts, "html": pdf_payload(i, filler), "text": None, "lang": lang}
     if i % 7 == 3:  # pre-extracted row (arrives already converted)
         return {"url": url, "warc_ts": ts, "html": b"", "text": md, "lang": lang}
     return {"url": url, "warc_ts": ts, "html": wrap_html(i, md), "text": None, "lang": lang}

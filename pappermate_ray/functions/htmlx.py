@@ -272,7 +272,10 @@ def _scan_segments(html_str: str) -> List[_Segment]:
 
 
 def extract_blocks(html_str: str) -> List[Dict[str, Any]]:
-    """Parse HTML → ordered kept blocks ``[{type, text, order}]``."""
+    """Parse HTML → ordered kept blocks ``[{type, text, page, order}]``.
+
+    HTML has no pages; ``page`` is 0 (the PDF layout path fills real page
+    indices, functions/layout.py)."""
     segments = _scan_segments(html_str)
     blocks: List[Dict[str, Any]] = []
     order = 0
@@ -287,7 +290,7 @@ def extract_blocks(html_str: str) -> List[Dict[str, Any]]:
             continue
         if seg.kind != "heading" and len(text) < MIN_PARAGRAPH_CHARS:
             continue
-        blocks.append({"type": seg.kind, "text": text, "order": order})
+        blocks.append({"type": seg.kind, "text": text, "page": 0, "order": order})
         order += 1
     return blocks
 
@@ -313,10 +316,14 @@ def extract_main_text(
             kind = "heading" if line.startswith("#") else "paragraph"
             if line.startswith("|") and line.endswith("|"):
                 kind = "table"
-            blocks.append({"type": kind, "text": line, "order": len(blocks)})
+            blocks.append({"type": kind, "text": line, "page": 0, "order": len(blocks)})
         return pre_text, blocks, "converted", ""
     if html_bytes is None or len(html_bytes) == 0:
         return "", [], "error", "empty html"
+    from .layout import extract_pdf_text, is_pdf_payload
+
+    if is_pdf_payload(html_bytes):
+        return extract_pdf_text(html_bytes)
     try:
         html_str = html_bytes.decode("utf-8", errors="strict")
     except UnicodeDecodeError as e:

@@ -24,7 +24,10 @@ import pyarrow.compute as pc
 from ..functions.htmlx import extract_main_text
 
 BLOCKS_TYPE = pa.list_(
-    pa.struct([("type", pa.string()), ("text", pa.large_string()), ("order", pa.int32())])
+    pa.struct(
+        [("type", pa.string()), ("text", pa.large_string()),
+         ("page", pa.int32()), ("order", pa.int32())]
+    )
 )
 
 
