@@ -49,8 +49,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # (the production input is page parquet on storage; synthesizing pages
     # from the tiny documents table inside the timed pipeline would make
     # task granularity an artifact of the small source file)
+    from pappermate_ray.fixtures import FIXTURES_VERSION
+
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    pages_dir = f"/tmp/bench_pages_{sf_tag}_x{REPLICATE}"
+    pages_dir = f"/tmp/bench_pages_v{FIXTURES_VERSION}_{sf_tag}_x{REPLICATE}"
     marker = os.path.join(pages_dir, "_SUCCESS")
     if not os.path.exists(marker):
         shutil.rmtree(pages_dir, ignore_errors=True)

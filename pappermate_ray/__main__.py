@@ -57,13 +57,28 @@ def cmd_extract(args) -> None:
     docs = build_extraction_pipeline(pages, skew_partition=args.skew)
     flat = docs.drop_columns(["blocks", "entities"])
     manifest = write_resumable(flat, args.output, n_parts=args.n_parts)
+    dead_rows = None
+    if args.dead_letter_dir:
+        # derive the dead-letter table from the WRITTEN output (cheap
+        # parquet re-read, no pipeline recompute)
+        from .io.sink import read_output, split_dead_letter
+
+        _, dead = split_dead_letter(read_output(args.output))
+        dead_manifest = write_resumable(
+            dead.select_columns(["url", "warc_ts", "lang", "status", "error"]),
+            args.dead_letter_dir, n_parts=max(4, args.n_parts // 8),
+        )
+        dead_rows = sum(dead_manifest["n_rows"].to_pylist())
     dt = time.perf_counter() - t0
-    print(json.dumps({
+    out = {
         "written_partitions": manifest.num_rows,
         "written_rows": sum(manifest["n_rows"].to_pylist()),
         "sec": round(dt, 2),
         "output": args.output,
-    }))
+    }
+    if dead_rows is not None:
+        out["dead_letter_rows"] = dead_rows
+    print(json.dumps(out))
     ray.shutdown()
 
 
@@ -100,6 +115,8 @@ def main(argv=None) -> int:
     pe.add_argument("--n-parts", type=int, default=64)
     pe.add_argument("--resume", action="store_true")
     pe.add_argument("--skew", action="store_true", help="size-bucket sort before extraction")
+    pe.add_argument("--dead-letter-dir", default=None,
+                    help="write error rows to this dir instead of the main output")
     pe.set_defaults(fn=cmd_extract)
 
     pr = sub.add_parser("report", help="aggregate reports over a completed output dir")

@@ -29,6 +29,9 @@ from typing import Dict, List, Optional
 import numpy as np
 import pyarrow as pa
 
+# bump when generated content changes — cached bench corpora key on this
+FIXTURES_VERSION = 2
+
 EPOCH = _dt.datetime(2024, 1, 1)
 SUPPLIERS = ["DevSolutions Ltd.", "Acme Corp.", "Globex GmbH.", "Initech LLC.", "Umbrella SA."]
 CLIENTS = ["TechCorp Inc.", "Wayne Enterprises", "Stark Industries", "Hooli Inc.", "Pied Piper"]

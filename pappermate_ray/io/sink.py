@@ -159,6 +159,20 @@ def read_manifest(out_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def split_dead_letter(docs: "rd.Dataset"):
+    """(ok_rows, error_rows) — the dead-letter flow replacing the
+    reference's mutable retry queue (ST8, services/file_handler.py:504-561):
+    failures become data, written to their own path; a retry is simply a
+    rerun over the dead-letter partition after fixing the cause."""
+    ok = docs.map_batches(
+        lambda t: t.filter(pc.not_equal(t["status"], "error")), batch_format="pyarrow"
+    )
+    bad = docs.map_batches(
+        lambda t: t.filter(pc.equal(t["status"], "error")), batch_format="pyarrow"
+    )
+    return ok, bad
+
+
 def read_output(out_dir: str) -> "rd.Dataset":
     """Read all completed partition data back as one Dataset."""
     paths = [

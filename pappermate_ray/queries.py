@@ -268,6 +268,45 @@ def q_customers_with_orders(sf_dir: str):
     return pa.table({"n_customers": pa.array([n], pa.int64())})
 
 
+def q_regex_extract(sf_dir: str):
+    """Per-row regex extraction (M1/M32-shape) with a DuckDB RE2 oracle:
+    first engine-keyword match per doc (empty string when none)."""
+    import re
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pat = re.compile(r"\b(spark|merge|window)\b")
+
+    def _ex(t: pa.Table) -> pa.Table:
+        outs = []
+        for text in t["text"].to_pylist():
+            m = pat.search(text or "")
+            outs.append(m.group(1) if m else "")
+        return pa.table({"doc_id": t["doc_id"], "first_kw": pa.array(outs, pa.string())})
+
+    return ds.map_batches(_ex, batch_format="pyarrow")
+
+
+def q_wordcount_top(sf_dir: str, k: int = 20):
+    """Corpus word count with partial per-batch combine → tiny shuffle →
+    global top-k (the canonical wordcount; T3 ordering with tie-break)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for text in t["text"].to_pylist():
+            for w in (text or "").split():
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {"token": pa.array(list(counts.keys()), pa.string()),
+             "c": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("token").aggregate(
+        Sum("c", alias_name="cnt")
+    )
+    return agg.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
 def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
     """Sessionization: per-user session count with a 30-min inactivity gap.
 
@@ -450,6 +489,20 @@ ORACLE_SQL: Dict[str, str] = {
                COUNT(*) AS dup_count
         FROM documents GROUP BY md5(text)
     """,
+    "regex_extract": """
+        SELECT doc_id,
+               COALESCE(regexp_extract(text, '\\b(spark|merge|window)\\b', 1), '') AS first_kw
+        FROM documents
+    """,
+    "wordcount_top": """
+        SELECT token, CAST(SUM(1) AS BIGINT) AS cnt FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+            FROM documents WHERE trim(text) <> ''
+        ) t
+        GROUP BY token
+        ORDER BY cnt DESC, token
+        LIMIT 20
+    """,
     "user_sessions": """
         SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions
         FROM (
@@ -514,9 +567,6 @@ def q_party_histogram(sf_dir: str):
     from .pipelines.reports import party_histogram
 
     return party_histogram(run_extraction(sf_dir))
-
-
-_PARENT_REF = None
 
 
 def q_contract_edges(sf_dir: str):
@@ -833,4 +883,6 @@ SQL_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "knn_bruteforce": q_knn_bruteforce,
     "user_sessions": q_user_sessions,
+    "regex_extract": q_regex_extract,
+    "wordcount_top": q_wordcount_top,
 }
