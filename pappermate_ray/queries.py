@@ -268,6 +268,30 @@ def q_customers_with_orders(sf_dir: str):
     return pa.table({"n_customers": pa.array([n], pa.int64())})
 
 
+def q_sliding_windows(sf_dir: str):
+    """Sliding 2h windows advancing hourly: each event contributes to the
+    two windows covering it (flat-map to window keys → grouped aggregate).
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def explode_windows(t: pa.Table) -> pa.Table:
+        w0i = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64())
+        w1i = pc.subtract(w0i, pa.scalar(3_600_000_000, pa.int64()))  # −1h in µs
+        mk = lambda wi: pa.table(
+            {"event_type": t["event_type"],
+             "window_start": pc.cast(wi, pa.timestamp("us")),
+             "value": t["value"]}
+        )
+        return pa.concat_tables([mk(w0i), mk(w1i)])
+
+    exploded = ds.map_batches(explode_windows, batch_format="pyarrow")
+    agg = exploded.groupby(["event_type", "window_start"]).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"),
+    )
+    return _round_cols(agg, {"sum_value": 2})
+
+
 def q_regex_extract(sf_dir: str):
     """Per-row regex extraction (M1/M32-shape) with a DuckDB RE2 oracle:
     first engine-keyword match per doc (empty string when none)."""
@@ -488,6 +512,18 @@ ORACLE_SQL: Dict[str, str] = {
                MIN(doc_id) AS keep_id,
                COUNT(*) AS dup_count
         FROM documents GROUP BY md5(text)
+    """,
+    "sliding_windows": """
+        SELECT event_type, window_start,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM (
+            SELECT event_type, value,
+                   unnest([date_trunc('hour', ts),
+                           date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start
+            FROM events
+        ) w
+        GROUP BY event_type, window_start
     """,
     "regex_extract": """
         SELECT doc_id,
@@ -885,4 +921,5 @@ SQL_QUERIES = {
     "user_sessions": q_user_sessions,
     "regex_extract": q_regex_extract,
     "wordcount_top": q_wordcount_top,
+    "sliding_windows": q_sliding_windows,
 }

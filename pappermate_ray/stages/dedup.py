@@ -146,8 +146,20 @@ def minhash_lsh_pairs(
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
 
     pairs = banded.groupby(["band_id", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
-    # a pair can surface in several bands → keep one row per pair
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("est_jaccard", alias_name="est_jaccard"))
+    # a pair can surface in several bands → keep one row per pair. The
+    # candidate pair set is LSH-pruned (≪ corpus), so this dedup runs on
+    # the driver instead of paying a third shuffle; if a pathological
+    # corpus ever made pairs huge, swap back to
+    # pairs.groupby(["id_a","id_b"]).aggregate(Min(...)).
+    dfs = [b for b in pairs.iter_batches(batch_size=65536, batch_format="pandas")]
+    if not dfs:
+        return rd.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                      "est_jaccard": pa.array([], pa.float64())})
+        )
+    allp = pd.concat(dfs, ignore_index=True)
+    dedup = allp.groupby(["id_a", "id_b"], as_index=False)["est_jaccard"].min()
+    return rd.from_pandas(dedup)
 
 
 def simhash_pairs(

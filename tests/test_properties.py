@@ -1,0 +1,146 @@
+"""Property-based tests (hypothesis) for the pure function library.
+
+Beyond the reference's test strategy (which has no property tests,
+SURVEY.md §5): invariants that must hold for ARBITRARY input, because at
+100 TB every weird input occurs.
+"""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pappermate_ray.functions.amounts import parse_amount
+from pappermate_ray.functions.contract import extract_sections, parse_contract
+from pappermate_ray.functions.dates import extract_dates
+from pappermate_ray.functions.dedupfn import (
+    jaccard,
+    lsh_bands,
+    minhash_signature,
+    shingles,
+    simhash64,
+)
+from pappermate_ray.functions.htmlx import extract_blocks, extract_main_text
+from pappermate_ray.functions.naming import sanitize_filename
+from pappermate_ray.functions.quality import detect_language, fingerprint, quality_score, token_count
+from pappermate_ray.functions.spans import chunk_text, dedupe_spans, extract_spans
+
+text_strategy = st.text(max_size=2000)
+html_ish = st.text(
+    alphabet=string.ascii_letters + string.digits + " <>/=\"'&#;.-\n",
+    max_size=1500,
+)
+
+
+class TestNeverRaise:
+    """Soft-fail contract: pure functions never raise on any string."""
+
+    @given(text_strategy)
+    @settings(max_examples=200, deadline=None)
+    def test_parse_amount(self, s):
+        out = parse_amount(s)
+        assert out is None or isinstance(out, float)
+
+    @given(text_strategy)
+    @settings(max_examples=200, deadline=None)
+    def test_extract_dates(self, s):
+        for d in extract_dates(s):
+            assert 0 <= d["position"] <= len(s)
+            assert d["text"] in s
+
+    @given(text_strategy)
+    @settings(max_examples=100, deadline=None)
+    def test_parse_contract(self, s):
+        rec = parse_contract(s, default_name="x")
+        assert rec["currency"]  # always has a currency default
+        assert rec["contract_number"]
+
+    @given(html_ish)
+    @settings(max_examples=200, deadline=None)
+    def test_extract_blocks(self, s):
+        blocks = extract_blocks(s)
+        # order strictly increasing from 0
+        assert [b["order"] for b in blocks] == list(range(len(blocks)))
+
+    @given(st.binary(max_size=500))
+    @settings(max_examples=200, deadline=None)
+    def test_extract_main_text_bytes(self, b):
+        text, blocks, status, error = extract_main_text(b)
+        assert status in ("converted", "error")
+        if status == "error":
+            assert text == "" and blocks == []
+
+    @given(text_strategy)
+    @settings(max_examples=100, deadline=None)
+    def test_quality_funcs(self, s):
+        assert 0.0 <= quality_score(s) <= 1.0
+        assert token_count(s) >= 0
+        assert isinstance(detect_language(s), str)
+        assert -(2**63) <= fingerprint(s) < 2**63  # valid int64
+
+    @given(st.text(max_size=200))
+    @settings(max_examples=100, deadline=None)
+    def test_sanitize_filename(self, s):
+        name, status, err = sanitize_filename(s + ".pdf")
+        assert status in ("success", "failed")
+
+
+class TestStructural:
+    @given(st.text(min_size=1, max_size=3000))
+    @settings(max_examples=100, deadline=None)
+    def test_chunker_reassembles(self, s):
+        chunks = chunk_text(s, 128)
+        assert "".join(c for _, c in chunks) == s
+        assert all(0 <= off < len(s) for off, _ in chunks)
+
+    @given(text_strategy)
+    @settings(max_examples=100, deadline=None)
+    def test_span_offsets_valid(self, s):
+        for span in extract_spans(s):
+            assert s[span["start"]:span["end"]] == span["text"]
+
+    @given(text_strategy)
+    @settings(max_examples=50, deadline=None)
+    def test_dedupe_idempotent(self, s):
+        spans = extract_spans(s)
+        assert dedupe_spans(spans) == spans  # already deduped output is a fixpoint
+
+    @given(st.text(max_size=500), st.text(max_size=500))
+    @settings(max_examples=50, deadline=None)
+    def test_fingerprint_ws_invariant(self, a, b):
+        # whitespace runs don't change the fingerprint (normalized content)
+        assert fingerprint(a + " " + b) == fingerprint(a + "   \t\n " + b)
+
+
+class TestDedupMath:
+    @given(st.text(min_size=0, max_size=800))
+    @settings(max_examples=50, deadline=None)
+    def test_minhash_self_similarity(self, s):
+        sh = shingles(s)
+        sig = minhash_signature(sh, 64)
+        assert len(sig) == 64
+        # identical text → identical signature and bands
+        sig2 = minhash_signature(shingles(s), 64)
+        assert (sig == sig2).all()
+        assert lsh_bands(sig) == lsh_bands(sig2)
+
+    @given(st.text(min_size=1, max_size=400), st.text(min_size=1, max_size=400))
+    @settings(max_examples=50, deadline=None)
+    def test_jaccard_bounds(self, a, b):
+        j = jaccard(shingles(a), shingles(b))
+        assert 0.0 <= j <= 1.0
+        assert jaccard(shingles(a), shingles(a)) == 1.0
+
+    @given(st.text(max_size=400))
+    @settings(max_examples=50, deadline=None)
+    def test_simhash_int64(self, s):
+        h = simhash64(s)
+        assert -(2**63) <= h < 2**63
+
+
+class TestSectionsQuirk:
+    @given(st.text(alphabet=string.printable, max_size=1000))
+    @settings(max_examples=100, deadline=None)
+    def test_sections_never_raise(self, s):
+        sections = extract_sections(s)
+        assert all(isinstance(k, str) and isinstance(v, str) for k, v in sections.items())
