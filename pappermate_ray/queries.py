@@ -702,6 +702,21 @@ def q_embedding_near_dups(sf_dir: str):
     return lsh_bucketed_cosine_pairs(full, threshold=0.95)
 
 
+def q_ivf_knn(sf_dir: str):
+    """IVF-bucketed approximate knn (scale path; recall vs exact tested
+    in pytest). Same 3 query vectors as knn_bruteforce."""
+    import pyarrow.parquet as pq
+
+    from .stages.similarity import ivf_knn
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtab = qt.filter(pc.is_in(qt["vec_id"], value_set=pa.array([0, 1, 2])))
+    Q = np.array(qtab["embedding"].to_pylist(), dtype=np.float64)
+    qids = np.array(qtab["vec_id"].to_pylist(), dtype=np.int64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_knn(ds, Q, qids, k=5).select_columns(["query_id", "neighbor_id"])
+
+
 def q_text_analysis(sf_dir: str):
     """Fused language-ID / quality / token / fingerprint pass."""
     from .stages.quality import analyze_text_batch
@@ -895,6 +910,7 @@ NOSQL_QUERIES = {
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_near_dups": q_embedding_near_dups,
+    "ivf_knn": q_ivf_knn,
     "text_analysis": q_text_analysis,
     "media_features": q_media_features,
     "translate_names": q_translate_names,

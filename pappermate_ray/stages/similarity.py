@@ -74,6 +74,94 @@ def knn_scatter_gather(
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def _kmeans_lite(X: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Deterministic mini k-means (fixed seed + iteration count) for IVF
+    coarse centroids. Empty clusters re-seed to the farthest point."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(X), size=min(k, len(X)), replace=False)
+    C = X[np.sort(idx)].copy()
+    for _ in range(iters):
+        d = X @ C.T  # cosine on normalized inputs → argmax dot
+        assign = np.argmax(d, axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                C[j] = c / n if n > 0 else C[j]
+            else:
+                far = np.argmin(d.max(axis=1))
+                C[j] = X[far]
+    return C
+
+
+def ivf_knn(
+    ds: "rd.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> "rd.Dataset":
+    """IVF approximate top-k: the scale path for similarity search.
+
+    Build: coarse centroids from a bounded sample (driver-side mini
+    k-means, deterministic), broadcast them; every batch assigns its
+    vectors to their nearest centroid (the inverted-list id).
+    Query: each query probes its ``n_probe`` nearest centroids; batches
+    drop vectors outside probed lists BEFORE scoring, so the scored
+    fraction is ~n_probe/n_centroids of the corpus. Same scatter-gather
+    merge as the exact path. Approximate by construction — recall is
+    tested against ``knn_scatter_gather`` (tests/test_ops.py).
+    """
+    sample = ds.limit(sample_size).take_all()
+    X = np.array([r[emb_col] for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    C = _kmeans_lite(X / norms, n_centroids, seed=seed)
+
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    q_probes = np.argsort(-(qn @ C.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    probed = sorted({int(c) for row in q_probes for c in row})
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), qn, C, q_probes, set(probed)))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qids, qmat, cents, probes, probe_set = ray.get(ref)
+        xn = _emb_matrix(t, emb_col)
+        vec_ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        assign = np.argmax(xn @ cents.T, axis=1)
+        keep = np.isin(assign, list(probe_set))
+        xn, vec_ids, assign = xn[keep], vec_ids[keep], assign[keep]
+        out_q, out_n, out_s = [], [], []
+        if len(vec_ids):
+            sims = xn @ qmat.T
+            for j, qid in enumerate(qids):
+                in_probe = np.isin(assign, probes[j]) & (vec_ids != qid)
+                ids, ss = vec_ids[in_probe], sims[in_probe, j]
+                take = min(k, len(ids))
+                idx = np.argsort(-ss, kind="stable")[:take]
+                out_q.extend([int(qid)] * take)
+                out_n.extend(ids[idx].tolist())
+                out_s.extend(ss[idx].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             "neighbor_id": pa.array(out_n, pa.int64()),
+             "sim": pa.array(out_s, pa.float64())}
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["sim", "neighbor_id"], ascending=[False, True],
+                                 kind="mergesort").head(k)
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 def lsh_bucketed_cosine_pairs(
     ds: "rd.Dataset",
     id_col: str = "vec_id",

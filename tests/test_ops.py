@@ -138,6 +138,32 @@ class TestSimilarity:
             got = {r["neighbor_id"] for r in out if r["query_id"] == qid}
             assert got == want
 
+    def test_ivf_recall_vs_exact(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.similarity import ivf_knn, knn_scatter_gather
+
+        rng = np.random.RandomState(3)
+        X = rng.normal(size=(300, 16))
+        ds = rd.from_items(
+            [{"vec_id": i, "embedding": X[i].tolist()} for i in range(300)]
+        )
+        qids = np.array([0, 1, 2])
+        exact = knn_scatter_gather(ds, X[:3], qids, k=5).take_all()
+        approx = ivf_knn(ds, X[:3], qids, k=5, n_centroids=8, n_probe=4).take_all()
+        recalls = []
+        for qid in qids:
+            e = {r["neighbor_id"] for r in exact if r["query_id"] == qid}
+            a = {r["neighbor_id"] for r in approx if r["query_id"] == qid}
+            recalls.append(len(e & a) / len(e))
+        # probing half the lists on random data: recall is decent, not 1.0
+        assert sum(recalls) / len(recalls) >= 0.5
+        # deterministic across runs
+        approx2 = ivf_knn(ds, X[:3], qids, k=5, n_centroids=8, n_probe=4).take_all()
+        assert sorted((r["query_id"], r["neighbor_id"]) for r in approx) == sorted(
+            (r["query_id"], r["neighbor_id"]) for r in approx2
+        )
+
     def test_lsh_cosine_pairs(self, ray_session):
         import ray.data as rd
 
