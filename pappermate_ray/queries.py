@@ -759,7 +759,15 @@ def q_validate(sf_dir: str):
 
     docs = run_extraction(sf_dir)
     out = docs.map_batches(validate_contracts_batch, batch_format="pyarrow")
-    return out.select_columns(["url", "is_valid", "validation_errors"])
+
+    def stringify(t: pa.Table) -> pa.Table:
+        # '; '-joined error list — keeps the driver's generic pandas
+        # conversion away from variable-length list columns
+        errs = ["; ".join(e or []) for e in t["validation_errors"].to_pylist()]
+        return pa.table({"url": t["url"], "is_valid": t["is_valid"],
+                         "validation_errors": pa.array(errs, pa.string())})
+
+    return out.map_batches(stringify, batch_format="pyarrow")
 
 
 def q_blocks_parse(sf_dir: str):

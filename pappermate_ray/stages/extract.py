@@ -31,11 +31,18 @@ BLOCKS_TYPE = pa.list_(
 )
 
 
-def extract_pages_batch(batch: pa.Table) -> pa.Table:
+MAX_DOC_BYTES = 32 * 1024 * 1024  # cap per-row work: one giant doc must not OOM a worker
+
+
+def extract_pages_batch(batch: pa.Table, max_doc_bytes: int = MAX_DOC_BYTES) -> pa.Table:
     """pages(url, warc_ts, html, text, lang) → docs(+text, blocks, status, error).
 
     Pure function of the batch; html/pre-text routing mirrors the
     reference's converted-input branch (models/document.py:13-18).
+    Payloads over ``max_doc_bytes`` are truncated before parsing (the
+    reference's text-truncation caps, SURVEY.md §2.2 M36 / §4 skew) and
+    tagged ``truncated`` in the error column while still converting —
+    the lenient scanner tolerates a mid-tag cut.
     """
     htmls = batch["html"].to_pylist()
     pre_texts = batch["text"].to_pylist()
@@ -44,7 +51,13 @@ def extract_pages_batch(batch: pa.Table) -> pa.Table:
     statuses: List[str] = []
     errors: List[str] = []
     for html, pre in zip(htmls, pre_texts):
+        truncated = False
+        if html is not None and len(html) > max_doc_bytes:
+            html = html[:max_doc_bytes]
+            truncated = True
         text, blocks, status, error = extract_main_text(html, pre)
+        if truncated and status == "converted":
+            error = "truncated: payload exceeded max_doc_bytes"
         texts.append(text)
         blocks_col.append(blocks)
         statuses.append(status)

@@ -124,3 +124,24 @@ def test_fixture_has_error_and_giant_rows():
     statuses = [extract_main_text(h, tx)[2] for h, tx in zip(t["html"].to_pylist(), t["text"].to_pylist())]
     assert statuses.count("error") > 10  # malformed tail exists
     assert max(s for s in sizes if s) > 20 * sorted(s for s in sizes if s)[len(sizes) // 2]  # giant-doc skew
+
+
+def test_oversized_doc_truncated():
+    """A giant payload is capped, converts, and is tagged truncated."""
+    from pappermate_ray.stages.extract import extract_pages_batch
+    import pyarrow as pa
+
+    big = ("<p>" + "word " * 40 + "</p>") * 2000
+    t = pa.table(
+        {
+            "url": ["u"],
+            "warc_ts": pa.array([0], pa.timestamp("us")),
+            "html": [big.encode()],
+            "text": pa.array([None], pa.string()),
+            "lang": ["en"],
+        }
+    )
+    out = extract_pages_batch(t, max_doc_bytes=10_000)
+    assert out["status"][0].as_py() == "converted"
+    assert "truncated" in out["error"][0].as_py()
+    assert out["n_chars"][0].as_py() < 11_000
