@@ -102,7 +102,11 @@ def cmd_manifest(args) -> None:
     from .io.sink import read_manifest
 
     m = read_manifest(args.output)
-    print(json.dumps({"partitions": m.num_rows, "rows": sum(m["n_rows"].to_pylist() or [0])}))
+    out = {"partitions": m.num_rows, "rows": sum(m["n_rows"].to_pylist() or [0])}
+    for col in ("n_error", "n_truncated", "sum_chars"):
+        if col in m.column_names:
+            out[col] = int(sum(x or 0 for x in m[col].to_pylist()))
+    print(json.dumps(out))
 
 
 def main(argv=None) -> int:

@@ -80,6 +80,17 @@ def _write_partition(group: pa.Table, out_dir: str, key_col: str) -> pa.Table:
         "content_hash": content_hash,
         "engine": "pappermate_ray-0.1.0",
     }
+    # per-partition counters (north-rule lineage metrics): error/truncated
+    # tallies + byte volume, when the standard columns are present
+    names = set(group.column_names)
+    if "status" in names:
+        statuses = group["status"].to_pylist()
+        meta["n_error"] = sum(1 for s in statuses if s == "error")
+    if "error" in names:
+        errs = group["error"].to_pylist()
+        meta["n_truncated"] = sum(1 for e in errs if e and e.startswith("truncated"))
+    if "n_chars" in names:
+        meta["sum_chars"] = int(sum(x or 0 for x in group["n_chars"].to_pylist()))
     with open(os.path.join(tmp, "_meta.json"), "w") as f:
         json.dump(meta, f)
     os.rename(tmp, final)  # atomic completion marker
