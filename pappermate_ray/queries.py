@@ -331,6 +331,26 @@ def q_wordcount_top(sf_dir: str, k: int = 20):
     return agg.sort(["cnt", "token"], descending=[True, False]).limit(k)
 
 
+def q_asof_latest_order(sf_dir: str):
+    """Backward as-of join: for each event, the customer's most recent
+    order at/before the event time (ops/asof.py). One hash shuffle on the
+    shared key; deterministic max-orderkey tie-break."""
+    from .ops.asof import asof_join
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    out = asof_join(
+        events, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        left_id="event_id", right_id="o_orderkey",
+    )
+    return out.map_batches(
+        lambda t: pa.table({"event_id": t["left_id"], "o_orderkey": t["right_id"]}),
+        batch_format="pyarrow",
+    )
+
+
 def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
     """Sessionization: per-user session count with a 30-min inactivity gap.
 
@@ -512,6 +532,18 @@ ORACLE_SQL: Dict[str, str] = {
                MIN(doc_id) AS keep_id,
                COUNT(*) AS dup_count
         FROM documents GROUP BY md5(text)
+    """,
+    "asof_latest_order": """
+        SELECT event_id, o_orderkey FROM (
+            SELECT e.event_id, o.o_orderkey,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                   ) AS rn
+            FROM events e
+            JOIN orders o ON e.user_id = o.o_custkey
+            WHERE o.o_orderdate <= e.ts
+        ) t WHERE rn = 1
     """,
     "sliding_windows": """
         SELECT event_type, window_start,
@@ -946,4 +978,5 @@ SQL_QUERIES = {
     "regex_extract": q_regex_extract,
     "wordcount_top": q_wordcount_top,
     "sliding_windows": q_sliding_windows,
+    "asof_latest_order": q_asof_latest_order,
 }
