@@ -351,6 +351,41 @@ def q_asof_latest_order(sf_dir: str):
     )
 
 
+def q_range_join_windows(sf_dir: str):
+    """Range join: events matched to per-customer 12h service windows
+    (derived deterministically from orders) by interval containment
+    (ops/rangejoin.py). Single shuffle on the customer key."""
+    from .ops.rangejoin import range_join
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    DAY_US = 86_400_000_000
+    BASE_US = 1_704_067_200_000_000  # 2024-01-01 in µs since epoch
+
+    def windows(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        start = (keys % 30).astype(np.int64) * DAY_US + BASE_US
+        end = start + DAY_US // 2
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"],
+             "wstart": pa.array(start).cast(pa.timestamp("us")),
+             "wend": pa.array(end).cast(pa.timestamp("us"))}
+        )
+
+    win = orders.map_batches(windows, batch_format="pyarrow")
+    out = range_join(
+        events, win,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_start="wstart", right_end="wend",
+        left_id="event_id", right_id="o_orderkey",
+    )
+    return out.map_batches(
+        lambda t: pa.table({"event_id": t["left_id"], "o_orderkey": t["right_id"]}),
+        batch_format="pyarrow",
+    )
+
+
 def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
     """Sessionization: per-user session count with a 30-min inactivity gap.
 
@@ -532,6 +567,19 @@ ORACLE_SQL: Dict[str, str] = {
                MIN(doc_id) AS keep_id,
                COUNT(*) AS dup_count
         FROM documents GROUP BY md5(text)
+    """,
+    "range_join_windows": """
+        WITH win AS (
+            SELECT o_orderkey, o_custkey,
+                   TIMESTAMP '2024-01-01' + (o_orderkey % 30) * INTERVAL 1 DAY AS wstart,
+                   TIMESTAMP '2024-01-01' + (o_orderkey % 30) * INTERVAL 1 DAY
+                       + INTERVAL 12 HOUR AS wend
+            FROM orders
+        )
+        SELECT e.event_id, w.o_orderkey
+        FROM events e
+        JOIN win w ON e.user_id = w.o_custkey
+                  AND w.wstart <= e.ts AND e.ts < w.wend
     """,
     "asof_latest_order": """
         SELECT event_id, o_orderkey FROM (
@@ -979,4 +1027,5 @@ SQL_QUERIES = {
     "wordcount_top": q_wordcount_top,
     "sliding_windows": q_sliding_windows,
     "asof_latest_order": q_asof_latest_order,
+    "range_join_windows": q_range_join_windows,
 }
