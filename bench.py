@@ -118,7 +118,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     for name in (
         "event_histogram", "lineitem_pricing", "events_hourly", "orderstatus_lineitem",
         "mktsegment_revenue", "dedup_exact", "stratified_sample", "top_docs",
-        "knn_bruteforce", "token_counts",
+        "knn_bruteforce", "token_counts", "asof_latest_order", "range_join_windows",
+        "sliding_windows", "user_sessions", "wordcount_top",
     ):
         fn = SQL_QUERIES[name]
         t0 = time.perf_counter()

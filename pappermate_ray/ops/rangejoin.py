@@ -33,8 +33,10 @@ def range_join(
 
     def tag_left(t: pa.Table) -> pa.Table:
         n = len(t)
+        # null end column typed like the left ts (ts and end must be
+        # comparable), so non-us timestamp inputs union cleanly
         return pa.table(
-            {"key": t[left_key], "ts": t[left_ts], "end": pa.nulls(n, pa.timestamp("us")),
+            {"key": t[left_key], "ts": t[left_ts], "end": pa.nulls(n, t[left_ts].type),
              "rid": t[left_id], "side": pa.array(["L"] * n, pa.string())}
         )
 
