@@ -78,6 +78,41 @@ def test_pipeline_matches_serial_goldens(ray_session, pages):
     assert mismatches == []
 
 
+def test_pipeline_matches_frozen_goldens(ray_session, pages):
+    """The committed golden parquet (tools/gen_goldens.py) pins extractor
+    behavior ACROSS sessions: any silent drift in extraction/parse/span
+    semantics fails here even if pipeline and serial run drift together."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    golden_path = os.path.join(os.path.dirname(__file__), "goldens", "golden_extractions.parquet")
+    frozen = {r["url"]: r for r in pq.read_table(golden_path).to_pylist()}
+    ds = build_extraction_pipeline(rd.from_arrow(pages), batch_size=64)
+    mismatches = []
+    for batch in ds.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            g = frozen[row["url"]]
+            if row["text"] != g["extracted_text"]:
+                mismatches.append((row["url"], "text"))
+                continue
+            if row["status"] != g["status"]:
+                mismatches.append((row["url"], "status"))
+            if g["status"] != "error" and g["extracted_text"]:
+                digest = "|".join(
+                    f"{s['entity_type']}:{s['start']}:{s['end']}" for s in row["entities"]
+                )
+                if digest != g["span_digest"]:
+                    mismatches.append((row["url"], "spans"))
+                if row["contract_number"] != g["contract_number"]:
+                    mismatches.append((row["url"], "contract_number"))
+                if "|".join(b["type"] for b in row["blocks"]) != g["block_types"]:
+                    mismatches.append((row["url"], "block_types"))
+    assert mismatches == []
+
+
 def test_pipeline_error_rows_survive(ray_session, pages):
     import ray.data as rd
 
