@@ -331,6 +331,30 @@ def q_wordcount_top(sf_dir: str, k: int = 20):
     return agg.sort(["cnt", "token"], descending=[True, False]).limit(k)
 
 
+def q_props_json(sf_dir: str):
+    """JSON scalar extraction (§2.8 json family): pull props.k per event,
+    aggregate per event_type. Vectorized-ish per batch; oracle uses
+    DuckDB json_extract."""
+    import json as _json
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def extract_k(t: pa.Table) -> pa.Table:
+        ks = []
+        for p in t["props"].to_pylist():
+            try:
+                ks.append(int(_json.loads(p)["k"]))
+            except Exception:
+                ks.append(None)
+        return pa.table({"event_type": t["event_type"], "k": pa.array(ks, pa.int64())})
+
+    agg = ds.map_batches(extract_k, batch_format="pyarrow").groupby("event_type").aggregate(
+        Sum("k", alias_name="sum_k"),
+        Count(alias_name="n"),
+    )
+    return agg
+
+
 def q_asof_latest_order(sf_dir: str):
     """Backward as-of join: for each event, the customer's most recent
     order at/before the event time (ops/asof.py). One hash shuffle on the
@@ -567,6 +591,12 @@ ORACLE_SQL: Dict[str, str] = {
                MIN(doc_id) AS keep_id,
                COUNT(*) AS dup_count
         FROM documents GROUP BY md5(text)
+    """,
+    "props_json": """
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
     """,
     "range_join_windows": """
         WITH win AS (
@@ -1028,4 +1058,5 @@ SQL_QUERIES = {
     "sliding_windows": q_sliding_windows,
     "asof_latest_order": q_asof_latest_order,
     "range_join_windows": q_range_join_windows,
+    "props_json": q_props_json,
 }
