@@ -331,6 +331,39 @@ def q_wordcount_top(sf_dir: str, k: int = 20):
     return agg.sort(["cnt", "token"], descending=[True, False]).limit(k)
 
 
+def q_jaccard_verify(sf_dir: str):
+    """Dedup verification with an exact oracle: word-set Jaccard between
+    each planted near-dup pair (doc, doc+' extra') of the dup-bearing
+    corpus. The pair list is the deterministic plant (doc_id % 10 == 0),
+    texts are fetched by a distributed semi-filter over the union corpus,
+    similarity computed from hashed word sets (64-bit FNV — collision-free
+    in practice). Oracle reconstructs b's word set as a ∪ {'extra'}."""
+    import pyarrow.parquet as pq
+
+    from .functions.dedupfn import jaccard, shingles
+
+    base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    pair_ids = [int(d) for d in base["doc_id"].to_pylist() if d % 10 == 0]
+    pairs = [(d, d + 1_000_000) for d in pair_ids]
+
+    ds = _docs_with_dups(sf_dir)
+    need = pa.array([i for p in pairs for i in p])
+    texts: dict = {}
+    filtered = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=need)),
+        batch_format="pyarrow",
+    )
+    for batch in filtered.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            texts[did] = shingles((text or "").lower(), 1)  # hashed word unigrams
+    out_a, out_j = [], []
+    for a, b in pairs:
+        out_a.append(a)
+        out_j.append(round(jaccard(texts.get(a, set()), texts.get(b, set())), 6))
+    return pa.table({"doc_id": pa.array(out_a, pa.int64()),
+                     "jaccard": pa.array(out_j, pa.float64())})
+
+
 def q_props_json(sf_dir: str):
     """JSON scalar extraction (§2.8 json family): pull props.k per event,
     aggregate per event_type. Vectorized-ish per batch; oracle uses
@@ -591,6 +624,23 @@ ORACLE_SQL: Dict[str, str] = {
                MIN(doc_id) AS keep_id,
                COUNT(*) AS dup_count
         FROM documents GROUP BY md5(text)
+    """,
+    "jaccard_verify": """
+        SELECT doc_id,
+               CASE WHEN n_words = 0 THEN 0.0
+                    ELSE ROUND(n_words * 1.0 /
+                               CASE WHEN has_extra THEN n_words ELSE n_words + 1 END, 6)
+               END AS jaccard
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')))
+                   END AS n_words,
+                   CASE WHEN trim(text) = '' THEN FALSE
+                        ELSE list_contains(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')), 'extra')
+                   END AS has_extra
+            FROM documents WHERE doc_id % 10 = 0
+        ) t
     """,
     "props_json": """
         SELECT event_type,
@@ -1059,4 +1109,5 @@ SQL_QUERIES = {
     "asof_latest_order": q_asof_latest_order,
     "range_join_windows": q_range_join_windows,
     "props_json": q_props_json,
+    "jaccard_verify": q_jaccard_verify,
 }
