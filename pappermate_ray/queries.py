@@ -1057,8 +1057,43 @@ def q_random_sample(sf_dir: str):
     return ds.random_sample(0.1, seed=42)
 
 
+def q_media_frames(sf_dir: str):
+    """Multimodal frame-sample plumbing: resize metadata + per-frame
+    feature rows (explode), payloads never leaving the decode stages."""
+    from .stages.multimodal import FrameSample, MediaResize, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(120))
+    resized = media.map_batches(
+        MediaResize, batch_format="pyarrow", batch_size=32, concurrency=2,
+        fn_constructor_kwargs={"max_side": 128, "fake": True},
+    )
+    frames = resized.map_batches(
+        FrameSample, batch_format="pyarrow", batch_size=32, concurrency=2,
+        fn_constructor_kwargs={"n_frames": 4, "fake": True},
+    )
+    return frames.select_columns(["media_id", "media_type", "frame"])
+
+
+def q_doc_embeddings(sf_dir: str):
+    """Text → deterministic hashed-BoW embedding column (the doc-embedding
+    stage feeding the similarity ops; reuses patternprobe's embedding)."""
+    from .stages.patternprobe import hashed_bow
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def embed(t: pa.Table) -> pa.Table:
+        vecs = [hashed_bow((x or "")[:5000], 64).astype(np.float32).tolist()
+                for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "embedding": pa.array(vecs, pa.list_(pa.float32(), 64))})
+
+    return ds.map_batches(embed, batch_format="pyarrow")
+
+
 NOSQL_QUERIES = {
     "validate": q_validate,
+    "media_frames": q_media_frames,
+    "doc_embeddings": q_doc_embeddings,
     "entity_type_histogram": q_entity_type_histogram,
     "pattern_probe": q_pattern_probe,
     "unique_filenames": q_unique_filenames,

@@ -17,7 +17,6 @@ bytes.
 from __future__ import annotations
 
 import hashlib
-from typing import Optional
 
 import numpy as np
 import pyarrow as pa
@@ -72,6 +71,88 @@ class MediaFeatureExtract:
         out = out.append_column("decode_status", pa.array(oks, pa.string()))
         out = out.append_column("decode_error", pa.array(errs, pa.string()))
         return out
+
+
+class MediaResize:
+    """Actor-pool stage: image resize plumbing (codec STUBBED).
+
+    Real builds decode + resample in ``__call__`` with the codec loaded in
+    ``__init__``; here the geometry math (aspect-preserving fit into
+    ``max_side``) is real and the pixel work is stubbed — with ``fake=True``
+    the payload is passed through and only typed metadata updates.
+    """
+
+    def __init__(self, max_side: int = 256, fake: bool = True):
+        self.max_side = max_side
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError("real resize requires PIL, not present in this container")
+        ws = batch["meta_width"].to_pylist()
+        hs = batch["meta_height"].to_pylist()
+        new_w, new_h = [], []
+        for w, h in zip(ws, hs):
+            if not w or not h:
+                new_w.append(0)
+                new_h.append(0)
+                continue
+            scale = min(1.0, self.max_side / max(w, h))
+            new_w.append(int(w * scale))
+            new_h.append(int(h * scale))
+        out = batch.set_column(
+            batch.schema.get_field_index("meta_width"), "meta_width",
+            pa.array(new_w, pa.int32()),
+        )
+        return out.set_column(
+            out.schema.get_field_index("meta_height"), "meta_height",
+            pa.array(new_h, pa.int32()),
+        )
+
+
+class FrameSample:
+    """Actor-pool stage: sample ``n_frames`` uniformly from video payloads
+    and emit one feature row per frame (flat-map shape: rows explode).
+
+    Decode is stubbed: frame features derive deterministically from
+    (payload md5, frame index). Non-video rows pass through with frame -1.
+    """
+
+    def __init__(self, n_frames: int = 4, fake: bool = True):
+        self.n_frames = n_frames
+        self.fake = fake
+
+    def _frame_feature(self, payload: bytes, idx: int) -> list:
+        if not self.fake:
+            raise NotImplementedError("real frame decode requires ffmpeg")
+        digest = hashlib.md5((payload or b"") + bytes([idx])).digest()
+        return (np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0).tolist()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, types, frames, feats = [], [], [], []
+        for mid, mtype, payload, dur in zip(
+            batch["media_id"].to_pylist(), batch["media_type"].to_pylist(),
+            batch["payload"].to_pylist(), batch["meta_duration_ms"].to_pylist(),
+        ):
+            if mtype != "video":
+                ids.append(mid)
+                types.append(mtype)
+                frames.append(-1)
+                feats.append(self._frame_feature(payload, 0))
+                continue
+            for f in range(self.n_frames):
+                ids.append(mid)
+                types.append(mtype)
+                frames.append(f)
+                feats.append(self._frame_feature(payload, f))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "media_type": pa.array(types, pa.string()),
+                "frame": pa.array(frames, pa.int32()),
+                "features": pa.array(feats, pa.list_(pa.float32(), FEATURE_DIM)),
+            }
+        )
 
 
 def synth_media_table(n: int) -> pa.Table:

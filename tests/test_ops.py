@@ -212,6 +212,37 @@ class TestMultimodal:
         # payload column dropped before any downstream shuffle
         assert "payload" not in out[0]
 
+    def test_resize_and_frame_sample(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.multimodal import FrameSample, MediaResize, synth_media_table
+
+        media = rd.from_arrow(synth_media_table(30))
+        resized = media.map_batches(
+            MediaResize, batch_format="pyarrow", batch_size=16, concurrency=1,
+            fn_constructor_kwargs={"max_side": 128, "fake": True},
+        )
+        rows = resized.take_all()
+        imgs = [r for r in rows if r["media_type"] == "image"]
+        assert all(max(r["meta_width"], r["meta_height"]) <= 128 for r in imgs)
+        # aspect preserved: 640x480 -> 128x96
+        assert imgs[0]["meta_width"] == 128 and imgs[0]["meta_height"] == 96
+
+        frames = resized.map_batches(
+            FrameSample, batch_format="pyarrow", batch_size=16, concurrency=1,
+            fn_constructor_kwargs={"n_frames": 3, "fake": True},
+        ).take_all()
+        vids = [r for r in frames if r["media_type"] == "video"]
+        n_videos = sum(1 for r in rows if r["media_type"] == "video")
+        assert len(vids) == 3 * n_videos  # explode: one row per sampled frame
+        assert sorted({r["frame"] for r in vids}) == [0, 1, 2]
+        # frame features deterministic and distinct per frame
+        by_media = {}
+        for r in vids:
+            by_media.setdefault(r["media_id"], {})[r["frame"]] = tuple(r["features"])
+        fs = next(iter(by_media.values()))
+        assert fs[0] != fs[1]
+
     def test_real_decode_stubbed(self):
         from pappermate_ray.stages.multimodal import MediaFeatureExtract, synth_media_table
 
