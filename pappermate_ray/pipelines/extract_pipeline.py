@@ -122,6 +122,43 @@ def build_extraction_pipeline(
     return ds
 
 
+def build_routed_pipeline(
+    pages: "ray.data.Dataset",
+    *,
+    big_doc_bytes: int = 1 << 20,
+    batch_size: int = 256,
+    big_batch_size: int = 8,
+    big_num_cpus: float = 2.0,
+    big_actors: int = 2,
+) -> "ray.data.Dataset":
+    """Size-routed variant (SURVEY.md §4 skew): rows whose payload exceeds
+    ``big_doc_bytes`` go to a DEDICATED actor pool with more CPUs per
+    actor and tiny batches (each giant row dominates its batch's memory),
+    while the normal-size stream keeps the elastic task path. The two
+    branches union back into one docs Dataset — per-row outputs are
+    identical to the unrouted pipeline (asserted in tests)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _small(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(pc.binary_length(t["html"]), big_doc_bytes))
+
+    def _big(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(pc.binary_length(t["html"]), big_doc_bytes))
+
+    small = pages.map_batches(_small, batch_format="pyarrow").map_batches(
+        fused_task_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+    big = pages.map_batches(_big, batch_format="pyarrow").map_batches(
+        ExtractParseSpans,
+        batch_format="pyarrow",
+        batch_size=big_batch_size,
+        concurrency=big_actors,
+        num_cpus=big_num_cpus,
+    )
+    return small.union(big)
+
+
 def run_extraction(sf_dir: str, **kwargs) -> "ray.data.Dataset":
     """pages-from-documents at ``sf_dir`` → extracted docs Dataset."""
     from ..fixtures import read_pages

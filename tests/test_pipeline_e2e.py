@@ -125,6 +125,30 @@ def test_pipeline_error_rows_survive(ray_session, pages):
     assert len(statuses) == N_ROWS
 
 
+def test_routed_big_docs_same_results(ray_session, pages):
+    """Size-routed pipeline (dedicated big-doc pool) is row-identical to
+    the plain pipeline — routing is a physical-plan choice, not a
+    semantic one."""
+    import ray.data as rd
+
+    from pappermate_ray.pipelines.extract_pipeline import build_routed_pipeline
+
+    threshold = 1500  # ≈ median payload → both branches substantial
+    plain = build_extraction_pipeline(rd.from_arrow(pages), batch_size=64)
+    routed = build_routed_pipeline(rd.from_arrow(pages), big_doc_bytes=threshold, big_actors=1)
+    a = sorted((r["url"], r["text"], r["n_entities"])
+               for r in plain.select_columns(["url", "text", "n_entities"]).take_all())
+    b = sorted((r["url"], r["text"], r["n_entities"])
+               for r in routed.select_columns(["url", "text", "n_entities"]).take_all())
+    assert a == b
+    # the threshold actually split the corpus (both branches non-trivial)
+    import pyarrow.compute as pc
+
+    sizes = pc.binary_length(pages["html"]).to_pylist()
+    n_big = sum(1 for s in sizes if s and s > threshold)
+    assert 0 < n_big < len(sizes)
+
+
 def test_skew_partition_same_results(ray_session, pages):
     import ray.data as rd
 
