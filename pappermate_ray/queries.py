@@ -331,6 +331,31 @@ def q_wordcount_top(sf_dir: str, k: int = 20):
     return agg.sort(["cnt", "token"], descending=[True, False]).limit(k)
 
 
+def q_cumulative_hourly(sf_dir: str):
+    """Running cumulative count/sum per event_type at each hour boundary
+    (ordered incremental semantics). Dataset-expressible: hourly partials
+    via groupby, then per-key ordered cumsum in map_groups. The raw-actor
+    variant (state/streaming.py) is cross-checked against this in tests.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"event_type": t["event_type"], "window_start": w, "value": t["value"]})
+
+    hourly = ds.map_batches(add_window, batch_format="pyarrow").groupby(
+        ["event_type", "window_start"]
+    ).aggregate(Count(alias_name="n"), Sum("value", alias_name="s"))
+
+    def cumsum(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("window_start", kind="mergesort")
+        g["cum_events"] = g["n"].cumsum().astype("int64")
+        g["cum_value"] = g["s"].cumsum().round(2)
+        return g[["event_type", "window_start", "cum_events", "cum_value"]]
+
+    return hourly.groupby("event_type").map_groups(cumsum, batch_format="pandas")
+
+
 def q_jaccard_verify(sf_dir: str):
     """Dedup verification with an exact oracle: word-set Jaccard between
     each planted near-dup pair (doc, doc+' extra') of the dup-bearing
@@ -624,6 +649,18 @@ ORACLE_SQL: Dict[str, str] = {
                MIN(doc_id) AS keep_id,
                COUNT(*) AS dup_count
         FROM documents GROUP BY md5(text)
+    """,
+    "cumulative_hourly": """
+        SELECT event_type, window_start,
+               CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY window_start
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events,
+               ROUND(SUM(s) OVER (PARTITION BY event_type ORDER BY window_start
+                                  ROWS UNBOUNDED PRECEDING), 2) AS cum_value
+        FROM (
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS n, SUM(value) AS s
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ) h
     """,
     "jaccard_verify": """
         SELECT doc_id,
@@ -1145,4 +1182,5 @@ SQL_QUERIES = {
     "range_join_windows": q_range_join_windows,
     "props_json": q_props_json,
     "jaccard_verify": q_jaccard_verify,
+    "cumulative_hourly": q_cumulative_hourly,
 }
