@@ -58,6 +58,30 @@ class TestJoins:
         assert got == [(3, 30, 300), (4, 40, 400), (5, 50, 500)]
 
 
+class TestSalting:
+    def test_salted_equals_plain(self, ray_session):
+        import ray.data as rd
+        from ray.data.aggregate import Count, Sum
+
+        from pappermate_ray.ops.salt import salted_count_sum
+
+        # heavy skew: 90% of rows share one key
+        rows = [{"k": "hot" if i % 10 else f"k{i}", "v": float(i % 7)} for i in range(2000)]
+        ds = rd.from_items(rows)
+        salted = {
+            r["k"]: (r["n"], round(r["total"], 6))
+            for r in salted_count_sum(ds, "k", "v", n_salts=8).take_all()
+        }
+        plain = {
+            r["k"]: (r["n"], round(r["total"], 6))
+            for r in ds.groupby("k").aggregate(
+                Count(alias_name="n"), Sum("v", alias_name="total")
+            ).take_all()
+        }
+        assert salted == plain
+        assert salted["hot"][0] == 1800
+
+
 class TestSample:
     def test_stratified_head(self, ray_session):
         import ray.data as rd
