@@ -868,6 +868,15 @@ def q_minhash_near_dups(sf_dir: str):
     return minhash_lsh_pairs(_docs_with_dups(sf_dir), "doc_id", "text", threshold=0.5)
 
 
+def q_dedup_keep_list(sf_dir: str):
+    """End-to-end near-dup dedup: MinHash-LSH pairs → connected components
+    → one survivor per cluster (the full training-data dedup pipeline)."""
+    from .stages.dedup import cluster_pairs, keep_list, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs_with_dups(sf_dir), "doc_id", "text", threshold=0.5)
+    return keep_list(cluster_pairs(pairs))
+
+
 def q_simhash_near_dups(sf_dir: str):
     from .stages.dedup import simhash_pairs
 
@@ -1148,6 +1157,7 @@ NOSQL_QUERIES = {
     "organize": q_organize,
     "sanitize_names": q_sanitize_names,
     "minhash_near_dups": q_minhash_near_dups,
+    "dedup_keep_list": q_dedup_keep_list,
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_near_dups": q_embedding_near_dups,
     "ivf_knn": q_ivf_knn,

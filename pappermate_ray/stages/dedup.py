@@ -219,6 +219,119 @@ def simhash_pairs(
     return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
 
 
+def cluster_pairs(
+    pairs: "rd.Dataset",
+    max_rounds: int = 10,
+    driver_threshold: int = 100_000,
+) -> "rd.Dataset":
+    """Near-dup pairs → connected components: (doc_id, cluster_id).
+
+    cluster_id = min doc_id reachable through the pair graph. Small pair
+    sets (the common case after LSH pruning — ≤ ``driver_threshold``
+    edges) use driver-side union-find; larger sets run distributed
+    min-label propagation (guide §agg), join-free: each round is one
+    message-passing groupby (per node, forward the min label to all
+    neighbors) plus a tiny min-aggregate, stopping when the label sum is
+    unchanged (labels decrease monotonically) or after ``max_rounds``
+    (≥ graph diameter in practice).
+    """
+
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "cluster_id": pa.array([], pa.int64())})
+        )
+    if n_pairs <= driver_threshold:
+        # union-find on the driver — candidate sets are provably pruned
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+
+        nodes = set()
+        for batch in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
+                nodes.add(a)
+                nodes.add(b)
+                union(a, b)
+        ids = sorted(nodes)
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "cluster_id": pa.array([find(i) for i in ids], pa.int64())})
+        )
+
+    # distributed min-label propagation, join-free: each round is a
+    # message-passing groupby — label rows and edge rows union into one
+    # keyed stream; per node, the group's min label is forwarded to every
+    # neighbor; a second tiny groupby keeps the per-node min.
+    edges = pairs.map_batches(
+        lambda t: pa.concat_tables([
+            pa.table({"node": t["id_a"], "dst": t["id_b"]}),
+            pa.table({"node": t["id_b"], "dst": t["id_a"]}),
+        ]),
+        batch_format="pyarrow",
+    ).materialize()
+    labels = edges.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["node"]}),
+        batch_format="pyarrow",
+    ).groupby("doc_id").aggregate(Min("cluster_id", alias_name="cluster_id")).materialize()
+    prev_sum = labels.sum("cluster_id")
+    NULL = -1
+    for _ in range(max_rounds):
+        label_rows = labels.map_batches(
+            lambda t: pa.table({"node": t["doc_id"],
+                                "dst": pa.array([NULL] * len(t), pa.int64()),
+                                "lbl": t["cluster_id"]}),
+            batch_format="pyarrow",
+        )
+        edge_rows = edges.map_batches(
+            lambda t: pa.table({"node": t["node"], "dst": t["dst"],
+                                "lbl": pa.array([NULL] * len(t), pa.int64())}),
+            batch_format="pyarrow",
+        )
+
+        def propagate(group: pd.DataFrame) -> pd.DataFrame:
+            lbls = group.loc[group["dst"] == NULL, "lbl"]
+            lbl = int(lbls.min()) if len(lbls) else int(group["node"].iloc[0])
+            dsts = group.loc[group["dst"] != NULL, "dst"].tolist()
+            nodes = [int(group["node"].iloc[0])] + [int(d) for d in dsts]
+            return pd.DataFrame({"doc_id": nodes, "cluster_id": [lbl] * len(nodes)}).astype(
+                {"doc_id": "int64", "cluster_id": "int64"}
+            )
+
+        msgs = label_rows.union(edge_rows).groupby("node").map_groups(
+            propagate, batch_format="pandas"
+        )
+        labels = msgs.groupby("doc_id").aggregate(
+            Min("cluster_id", alias_name="cluster_id")
+        ).materialize()
+        # labels decrease monotonically → converged iff the sum is unchanged
+        cur_sum = labels.sum("cluster_id")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def keep_list(clusters: "rd.Dataset") -> "rd.Dataset":
+    """(cluster_id, keep_id, n_members): survivor = min doc_id per cluster."""
+    return clusters.groupby("cluster_id").aggregate(
+        Min("doc_id", alias_name="keep_id"),
+        Count(alias_name="n_members"),
+    )
+
+
 def verify_pairs_ngram_jaccard(
     ds: "rd.Dataset",
     pairs: List[tuple],

@@ -128,6 +128,38 @@ class TestDedup:
         assert (0, 200) in got  # exact dup → hamming 0
         assert all(r["hamming"] <= 10 for r in pairs)
 
+    def test_cluster_pairs_and_keep_list(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.dedup import cluster_pairs, keep_list
+
+        # chain 1-2-3, pair 10-11, singleton edge 20-21
+        pairs = rd.from_items(
+            [{"id_a": 1, "id_b": 2, "est_jaccard": 0.9},
+             {"id_a": 2, "id_b": 3, "est_jaccard": 0.9},
+             {"id_a": 10, "id_b": 11, "est_jaccard": 0.8},
+             {"id_a": 20, "id_b": 21, "est_jaccard": 0.7}]
+        )
+        clusters = {r["doc_id"]: r["cluster_id"] for r in cluster_pairs(pairs).take_all()}
+        assert clusters == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+        keeps = {r["cluster_id"]: (r["keep_id"], r["n_members"])
+                 for r in keep_list(cluster_pairs(pairs)).take_all()}
+        assert keeps == {1: (1, 3), 10: (10, 2), 20: (20, 2)}
+
+    def test_cluster_pairs_distributed_path(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.dedup import cluster_pairs
+
+        # force the min-label-propagation path with a tiny threshold;
+        # chain 0-1-2-...-9 must collapse to cluster 0
+        pairs = rd.from_items(
+            [{"id_a": i, "id_b": i + 1, "est_jaccard": 1.0} for i in range(9)]
+        )
+        out = {r["doc_id"]: r["cluster_id"]
+               for r in cluster_pairs(pairs, max_rounds=12, driver_threshold=0).take_all()}
+        assert out == {i: 0 for i in range(10)}
+
     def test_ngram_verify(self, docs_ds):
         from pappermate_ray.stages.dedup import verify_pairs_ngram_jaccard
 
