@@ -16,11 +16,9 @@ from typing import Any
 
 
 def _quiet_data_context() -> None:
-    from ray.data import DataContext
+    from pappermate_ray.config import tune_context
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    ctx.enable_tensor_extension_casting = False
+    tune_context("default")
 
 
 def entry() -> Any:

@@ -31,11 +31,9 @@ def _init_ray():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
-    from ray.data import DataContext
+    from .config import tune_context
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    ctx.enable_tensor_extension_casting = False
+    tune_context("default")
     return ray
 
 

@@ -138,6 +138,44 @@ class TestDedupMath:
         assert -(2**63) <= h < 2**63
 
 
+class TestLayoutNeverRaises:
+    @given(st.binary(max_size=600))
+    @settings(max_examples=150, deadline=None)
+    def test_arbitrary_payload_soft_fails(self, payload):
+        from pappermate_ray.functions.layout import PDF_MAGIC, extract_pdf_text
+
+        text, blocks, status, err = extract_pdf_text(PDF_MAGIC + payload)
+        assert status in ("converted", "error")
+
+    @given(
+        st.lists(
+            st.fixed_dictionaries(
+                {
+                    "x": st.floats(0, 600, allow_nan=False),
+                    "y": st.floats(0, 790, allow_nan=False),
+                    "w": st.floats(1, 400, allow_nan=False),
+                    "h": st.floats(1, 40, allow_nan=False),
+                    "text": st.text(max_size=40),
+                }
+            ),
+            max_size=25,
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_structured_pages_never_raise(self, lines):
+        import json
+
+        from pappermate_ray.functions.layout import PDF_MAGIC, extract_pdf_text
+
+        payload = PDF_MAGIC + json.dumps(
+            {"pages": [{"width": 612.0, "height": 792.0, "lines": lines}]}
+        ).encode()
+        text, blocks, status, err = extract_pdf_text(payload)
+        assert status in ("converted", "error")
+        # orders strictly increasing when content exists
+        assert [b["order"] for b in blocks] == list(range(len(blocks)))
+
+
 class TestSectionsQuirk:
     @given(st.text(alphabet=string.printable, max_size=1000))
     @settings(max_examples=100, deadline=None)
