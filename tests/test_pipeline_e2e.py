@@ -149,6 +149,24 @@ def test_routed_big_docs_same_results(ray_session, pages):
     assert 0 < n_big < len(sizes)
 
 
+def test_actor_and_staged_modes_same_results(ray_session, pages):
+    """compute='actors' and the staged (fused=False) layout must be
+    row-identical to the default task-mode pipeline."""
+    import ray.data as rd
+
+    def key(ds):
+        return sorted((r["url"], r["text"], r["n_entities"])
+                      for r in ds.select_columns(["url", "text", "n_entities"]).take_all())
+
+    sub = pages.slice(0, 120)
+    base = key(build_extraction_pipeline(rd.from_arrow(sub), batch_size=32))
+    actors = key(build_extraction_pipeline(rd.from_arrow(sub), batch_size=32, compute="actors"))
+    staged = key(build_extraction_pipeline(
+        rd.from_arrow(sub), batch_size=32, fused=False, parse_actors=2, span_actors=2))
+    assert actors == base
+    assert staged == base
+
+
 def test_skew_partition_same_results(ray_session, pages):
     import ray.data as rd
 
