@@ -32,3 +32,23 @@ def stratified_head(
         return group.sort_values(sort_key, kind="mergesort").head(k)
 
     return ds.groupby(strata_list).map_groups(_head, batch_format="pandas")
+
+
+def grouped_topk(
+    ds: "ray.data.Dataset",
+    group_cols: Union[str, List[str]],
+    value_col: str,
+    tiebreak_col: str,
+    k: int,
+) -> "ray.data.Dataset":
+    """Per-group top-k by value desc (tie-break asc) — the grouped analog
+    of T4's global top-k. One hash shuffle on the group key; per-group
+    work is sort+head."""
+    cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def _top(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            [value_col, tiebreak_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    return ds.groupby(cols).map_groups(_top, batch_format="pandas")

@@ -195,6 +195,14 @@ def q_top_docs(sf_dir: str):
     return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
 
 
+def q_grouped_topk(sf_dir: str):
+    """Per-lang top-3 docs by n_chars (grouped top-k; T4's grouped analog)."""
+    from .ops.sample import grouped_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    return grouped_topk(ds, "lang", "n_chars", "doc_id", 3)
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic stratified sample: first 2 per (lang, source) (T6)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"])
@@ -609,6 +617,13 @@ ORACLE_SQL: Dict[str, str] = {
     "top_docs": """
         SELECT doc_id, n_chars FROM documents
         ORDER BY n_chars DESC, doc_id LIMIT 10
+    """,
+    "grouped_topk": """
+        SELECT doc_id, lang, n_chars FROM (
+            SELECT doc_id, lang, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+            FROM documents
+        ) t WHERE rn <= 3
     """,
     "stratified_sample": """
         SELECT doc_id, lang, source FROM (
@@ -1177,6 +1192,7 @@ SQL_QUERIES = {
     "token_counts": q_token_counts,
     "top_docs": q_top_docs,
     "stratified_sample": q_stratified_sample,
+    "grouped_topk": q_grouped_topk,
     "mktsegment_revenue": q_mktsegment_revenue,
     "orderstatus_lineitem": q_orderstatus_lineitem,
     "nation_region": q_nation_region,
