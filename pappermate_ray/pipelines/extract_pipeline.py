@@ -23,6 +23,36 @@ from ..stages.parse import ContractParse
 from ..stages.spans import EntitySpans
 
 
+def _resolve_skip_spans(skip_spans):
+    """Constructor arg overrides the env knob — the reference's
+    PAPPERMATE_SKIP_TABLES pattern (services/pdf_converter.py:66-75)."""
+    import os
+
+    if skip_spans is not None:
+        return skip_spans
+    return os.environ.get("PAPPERMATE_RAY_SKIP_SPANS", "").lower() in ("1", "true", "yes")
+
+
+class ExtractParseOnly:
+    """Fused stage without the span extractor (the skip_spans variant)."""
+
+    def __init__(self):
+        self.parse = ContractParse()
+
+    def __call__(self, batch):
+        return self.parse(extract_pages_batch(add_size_bucket(batch)))
+
+
+_WORKER_PARSE_ONLY = None
+
+
+def parse_only_task_batch(batch):
+    global _WORKER_PARSE_ONLY
+    if _WORKER_PARSE_ONLY is None:
+        _WORKER_PARSE_ONLY = ExtractParseOnly()
+    return _WORKER_PARSE_ONLY(batch)
+
+
 _WORKER_STAGE = None
 
 
@@ -71,6 +101,7 @@ def build_extraction_pipeline(
     skew_partition: bool = False,
     fused: bool = True,
     compute: str = "tasks",
+    skip_spans: Optional[bool] = None,
 ) -> "ray.data.Dataset":
     """Compose the flagship docs pipeline over a ``pages`` Dataset.
 
@@ -93,16 +124,16 @@ def build_extraction_pipeline(
             ds = ds.map_batches(
                 lambda t: t.drop_columns(["size_bucket"]), batch_format="pyarrow"
             )
+        task_fn = parse_only_task_batch if _resolve_skip_spans(skip_spans) else fused_task_batch
         if compute == "tasks":
-            return ds.map_batches(
-                fused_task_batch, batch_format="pyarrow", batch_size=batch_size
-            )
+            return ds.map_batches(task_fn, batch_format="pyarrow", batch_size=batch_size)
         # exact pool size (fixed pools pre-start every actor; autoscaling
         # (1,N) ramps too slowly and serializes short jobs), leaving CPUs
         # of headroom for the stateless read/write tasks
         pool = max(2, (ncpu * 3) // 4)
+        cls = ExtractParseOnly if _resolve_skip_spans(skip_spans) else ExtractParseSpans
         return ds.map_batches(
-            ExtractParseSpans,
+            cls,
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=pool,
@@ -116,9 +147,24 @@ def build_extraction_pipeline(
     ds = ds.map_batches(
         ContractParse, batch_format="pyarrow", batch_size=batch_size, concurrency=parse_actors
     )
-    ds = ds.map_batches(
-        EntitySpans, batch_format="pyarrow", batch_size=batch_size, concurrency=span_actors
-    )
+    if not _resolve_skip_spans(skip_spans):
+        ds = ds.map_batches(
+            EntitySpans, batch_format="pyarrow", batch_size=batch_size, concurrency=span_actors
+        )
+    return ds
+
+
+def compose_pipeline(pages: "ray.data.Dataset", stages) -> "ray.data.Dataset":
+    """User-extension surface (SURVEY.md §2.10): the pipeline is literally
+    a list of stage callables/classes the caller composes or replaces —
+    the Ray analog of Marker's ``processor_list`` injection
+    (services/pdf_converter.py:227-238). Each entry is ``fn`` or
+    ``(fn, map_batches_kwargs)``; classes get an actor pool via their
+    kwargs' ``concurrency``."""
+    ds = pages
+    for entry in stages:
+        fn, kwargs = entry if isinstance(entry, tuple) else (entry, {})
+        ds = ds.map_batches(fn, batch_format="pyarrow", **kwargs)
     return ds
 
 

@@ -149,6 +149,39 @@ def test_routed_big_docs_same_results(ray_session, pages):
     assert 0 < n_big < len(sizes)
 
 
+def test_compose_and_skip_spans(ray_session, pages, monkeypatch):
+    """§2.10 extension surface: user-composed stage lists + the skip_spans
+    env/constructor knob (the PAPPERMATE_SKIP_TABLES pattern)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from pappermate_ray.pipelines.extract_pipeline import compose_pipeline
+    from pappermate_ray.stages.extract import add_size_bucket, extract_pages_batch
+
+    sub = pages.slice(0, 60)
+
+    # custom user stage replacing the span extractor
+    def my_stage(t: pa.Table) -> pa.Table:
+        return t.append_column("my_flag", pa.array([True] * len(t), pa.bool_()))
+
+    ds = compose_pipeline(rd.from_arrow(sub), [add_size_bucket, extract_pages_batch, my_stage])
+    rows = ds.take_all()
+    assert all(r["my_flag"] for r in rows)
+    assert "entities" not in rows[0]
+
+    # skip_spans constructor arg: no entities column
+    skipped = build_extraction_pipeline(rd.from_arrow(sub), batch_size=32, skip_spans=True)
+    assert "entities" not in skipped.take(1)[0]
+
+    # env knob path, constructor overrides
+    monkeypatch.setenv("PAPPERMATE_RAY_SKIP_SPANS", "1")
+    via_env = build_extraction_pipeline(rd.from_arrow(sub), batch_size=32)
+    assert "entities" not in via_env.take(1)[0]
+    forced = build_extraction_pipeline(rd.from_arrow(sub), batch_size=32, skip_spans=False)
+    assert "entities" in forced.take(1)[0]
+
+
 def test_actor_and_staged_modes_same_results(ray_session, pages):
     """compute='actors' and the staged (fused=False) layout must be
     row-identical to the default task-mode pipeline."""
