@@ -177,7 +177,10 @@ def extract_sections(content: str) -> Dict[str, str]:
     current_section: Optional[str] = None
     current_content: List[str] = []
     for line in lines:
-        header_match = PAT_SECTION_HEADER.match(line)
+        # the quirk regex can only match a literal "#{1,2,3}" prefix —
+        # the startswith guard skips the regex machinery per line without
+        # changing semantics (asserted by the frozen goldens)
+        header_match = PAT_SECTION_HEADER.match(line) if line.startswith("#{1,2,3}") else None
         if header_match:
             if current_section and current_content:
                 sections[current_section] = "\n".join(current_content).strip()

@@ -22,6 +22,58 @@ def _run(args, timeout=180):
 
 
 @pytest.mark.slow
+def test_cli_kill_and_resume(tmp_path):
+    """Hard-kill an extraction run mid-flight (SIGKILL, no cleanup), then
+    resume: the atomic-rename partition markers must leave no torn state,
+    the resumed run must skip completed partitions, and the final corpus
+    must equal an uninterrupted run."""
+    import signal
+    import time
+
+    out_kill = str(tmp_path / "killed")
+    out_ref = str(tmp_path / "ref")
+
+    env = dict(os.environ, RAY_GRAFT_CPUS="2")  # slow it down so the kill lands mid-run
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "pappermate_ray", "extract",
+         "--input", "/root/testdata/sf0.001", "--output", out_kill, "--n-parts", "16"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+    # wait until at least one partition is durably committed, then SIGKILL
+    deadline = time.time() + 120
+    committed = 0
+    while time.time() < deadline:
+        if os.path.isdir(out_kill):
+            committed = sum(1 for n in os.listdir(out_kill) if n.startswith("part="))
+            if committed >= 1:
+                break
+        time.sleep(0.2)
+    proc.send_signal(signal.SIGKILL)
+    proc.wait()
+
+    # no torn partitions: every committed dir has data + meta; tmp dirs may
+    # linger (the writer's scratch) but never count as completed
+    for name in os.listdir(out_kill):
+        if name.startswith("part="):
+            files = os.listdir(os.path.join(out_kill, name))
+            assert "data.parquet" in files and "_meta.json" in files
+
+    r = _run(["extract", "--input", "/root/testdata/sf0.001", "--output", out_kill,
+              "--n-parts", "16", "--resume"])
+    ref = _run(["extract", "--input", "/root/testdata/sf0.001", "--output", out_ref,
+                "--n-parts", "16"])
+    assert ref["written_rows"] == 500
+
+    import duckdb
+
+    con = duckdb.connect()
+    q = "SELECT url, status, md5(text) AS h FROM read_parquet('{}/part=*/data.parquet') ORDER BY url"
+    got = con.execute(q.format(out_kill)).fetchall()
+    want = con.execute(q.format(out_ref)).fetchall()
+    assert got == want  # byte-identical corpus despite the kill
+
+
+@pytest.mark.slow
 def test_cli_extract_resume_report(tmp_path):
     out_dir = str(tmp_path / "out")
     dead_dir = str(tmp_path / "dead")
