@@ -103,6 +103,31 @@ class TestExports:
         assert len(tr) < 60
 
 
+class TestSinkRoundTrips:
+    def test_csv_and_jsonl_read_back(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from pappermate_ray.fixtures import build_pages_table
+        from pappermate_ray.io.export import write_csv, write_training_jsonl
+        from pappermate_ray.pipelines.extract_pipeline import build_extraction_pipeline
+
+        docs = build_extraction_pipeline(rd.from_arrow(build_pages_table(60)), batch_size=32)
+        csv_dir = str(tmp_path / "csv")
+        jsonl_dir = str(tmp_path / "jsonl")
+        write_csv(docs, csv_dir)
+        write_training_jsonl(docs, jsonl_dir)
+
+        back_csv = rd.read_csv(csv_dir)
+        assert back_csv.count() == 60
+        assert "contract_number" in back_csv.schema().names
+
+        back_jsonl = rd.read_json(jsonl_dir)
+        n = back_jsonl.count()
+        assert 0 < n < 60  # only converted docs become training rows
+        row = back_jsonl.take(1)[0]
+        assert "labels" in row and "metadata" in row
+
+
 class TestTranslator:
     def test_cache_and_passthrough(self, ray_session):
         import ray.data as rd
