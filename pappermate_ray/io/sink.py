@@ -93,7 +93,17 @@ def _write_partition(group: pa.Table, out_dir: str, key_col: str) -> pa.Table:
         meta["sum_chars"] = int(sum(x or 0 for x in group["n_chars"].to_pylist()))
     with open(os.path.join(tmp, "_meta.json"), "w") as f:
         json.dump(meta, f)
-    os.rename(tmp, final)  # atomic completion marker
+    try:
+        os.rename(tmp, final)  # atomic completion marker
+    except OSError:
+        # a retried/duplicate task lost the rename race — the partition is
+        # already durably committed by the winner; discard our scratch
+        if os.path.isdir(final):
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
     return pa.table(
         {
             "part": pa.array([part], pa.int32()),
@@ -118,6 +128,12 @@ def write_resumable(
     additionally drops completed partitions defensively (idempotent).
     """
     os.makedirs(out_dir, exist_ok=True)
+    # clear scratch left by a killed previous run (never counted as done)
+    for name in os.listdir(out_dir):
+        if name.startswith(TMP_PREFIX):
+            import shutil
+
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
     done = completed_parts(out_dir) if skip_parts is None else skip_parts
     parted = add_partition_column(ds, n_parts, key_col)
     if done:
