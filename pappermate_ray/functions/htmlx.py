@@ -143,6 +143,15 @@ def _scan_segments(html_str: str) -> List[_Segment]:
     need tag NAMES (no attributes, no charref callbacks), so a find-based
     scan with explicit rawtext skipping does the job. Entity unescaping
     applies to text nodes containing '&' (convert_charrefs semantics).
+
+    Matched HTMLParser behaviors (fuzz-verified, tests/test_extract.py):
+    literal '<' before non-tag chars, EOF flush of unterminated tags,
+    tolerant tag names (weird chars extend the NAME), quoted '>' inside
+    attribute values, '<!'/'<?' declarations ending at the first raw '>'.
+    Known divergence (≈0.1% of garbage-random docs, 0 on realistic html):
+    malformed END tags containing '<' or quotes — CPython's bogus-comment
+    recovery differs; this scanner's deterministic output is the engine's
+    spec there.
     """
     from html import unescape
 
@@ -162,54 +171,97 @@ def _scan_segments(html_str: str) -> List[_Segment]:
                 return "table"
         return "paragraph"
 
+    def emit(text: str) -> None:
+        nonlocal current
+        if not text or strip_depth:
+            return
+        if current is None:
+            current = _Segment(kind_of())
+            segments.append(current)
+        if "&" in text:
+            text = unescape(text)
+        current.pieces.append(text)
+        stripped = len(text.strip())
+        current.total_chars += stripped
+        if a_depth:
+            current.link_chars += stripped
+
     i, n = 0, len(html_str)
     while i < n:
         lt = html_str.find("<", i)
         if lt < 0:
-            text = html_str[i:]
-            if text and not strip_depth:
-                if current is None:
-                    current = _Segment(kind_of())
-                    segments.append(current)
-                if "&" in text:
-                    text = unescape(text)
-                current.pieces.append(text)
-                stripped = len(text.strip())
-                current.total_chars += stripped
-                if a_depth:
-                    current.link_chars += stripped
+            emit(html_str[i:])
             break
         if lt > i:
-            text = html_str[i:lt]
-            if not strip_depth:
-                if current is None:
-                    current = _Segment(kind_of())
-                    segments.append(current)
-                if "&" in text:
-                    text = unescape(text)
-                current.pieces.append(text)
-                stripped = len(text.strip())
-                current.total_chars += stripped
-                if a_depth:
-                    current.link_chars += stripped
+            emit(html_str[i:lt])
+        # '<' not followed by a tag-ish char is literal text (HTMLParser
+        # "invalid markup" semantics)
+        nxt = html_str[lt + 1] if lt + 1 < n else ""
+        if not (nxt.isalpha() or (nxt and nxt in "/!?")):
+            emit("<")
+            i = lt + 1
+            continue
         if html_str.startswith("<!--", lt):
             end = html_str.find("-->", lt + 4)
             i = n if end < 0 else end + 3
             continue
+        if nxt in "!?":
+            # declaration / processing instruction: ends at the FIRST '>'
+            # regardless of quotes (HTMLParser bogus-comment semantics);
+            # unterminated at EOF → flushed as text on close
+            end = html_str.find(">", lt + 2)
+            if end < 0:
+                emit(html_str[lt:])
+                break
+            i = end + 1
+            continue
         gt = html_str.find(">", lt + 1)
+        seg_fast = html_str[lt + 1 : gt] if gt >= 0 else ""
+        if gt >= 0 and ('"' in seg_fast or "'" in seg_fast):
+            # a '>' may sit inside a quoted attribute value — rescan
+            # respecting quotes (HTMLParser semantics); an unquoted '<'
+            # does NOT end the tag (it becomes part of the name/attrs)
+            j = lt + 1
+            quote = None
+            gt = -1
+            while j < n:
+                ch = html_str[j]
+                if quote:
+                    if ch == quote:
+                        quote = None
+                elif ch in "\"'":
+                    quote = ch
+                elif ch == ">":
+                    gt = j
+                    break
+                j += 1
         if gt < 0:
-            break  # truncated trailing tag
+            # unterminated tag at EOF: HTMLParser flushes the remainder as
+            # data on close()
+            emit(html_str[lt:])
+            break
         raw = html_str[lt + 1 : gt]
         i = gt + 1
         if not raw:
             continue
         closing = raw.startswith("/")
         name = raw[1:] if closing else raw
-        # tag name = leading alpha run, lowercased
-        end_name = 0
-        while end_name < len(name) and (name[end_name].isalnum()):
-            end_name += 1
-        name = name[:end_name].lower()
+        if closing:
+            # endtag name charset (HTMLParser): [a-zA-Z][-.a-zA-Z0-9:_]*
+            end_name = 0
+            while end_name < len(name) and (
+                name[end_name].isalnum() or name[end_name] in "-.:_"
+            ):
+                end_name += 1
+            name = name[:end_name].lower()
+        else:
+            # starttag name (tagfind_tolerant): everything up to
+            # whitespace, '/', or end — weird chars stay part of the NAME,
+            # so '<P&x>' is a tag named 'p&x', not 'p'
+            end_name = 0
+            while end_name < len(name) and name[end_name] not in " \t\n\r\f/":
+                end_name += 1
+            name = name[:end_name].lower()
         if not name:
             continue
         if closing:

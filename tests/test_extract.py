@@ -116,6 +116,56 @@ def test_scanner_matches_htmlparser():
         assert norm(old_segments(s)) == norm(htmlx._scan_segments(s))
 
 
+def test_scanner_fuzz_divergence_bound():
+    """Random tag-soup fuzz vs HTMLParser: exact match on ≥ 99% of docs
+    (the residue is malformed-endtag recovery, documented in htmlx)."""
+    import random
+    import string
+
+    from pappermate_ray.functions import htmlx
+
+    def old_segments(s):
+        p = htmlx._ContentParser()
+        p.feed(s)
+        p.close()
+        return p.segments
+
+    def norm(segs):
+        return [(s.kind, "".join(s.pieces), s.total_chars, s.link_chars)
+                for s in segs if s.total_chars > 0]
+
+    rng = random.Random(1234)
+    tags = ["p", "div", "a", "td", "h1", "li", "span", "script", "style", "br", "table", "nav"]
+    attrs = ['', ' class="x"', " href='a>b'", ' id="q>r"', ' data-x=1']
+    diverge = tried = 0
+    for _ in range(1500):
+        parts = []
+        for _ in range(rng.randint(1, 12)):
+            r = rng.random()
+            t = rng.choice(tags)
+            if r < 0.35:
+                parts.append(f"<{t}{rng.choice(attrs)}>")
+            elif r < 0.55:
+                parts.append(f"</{t}>")
+            elif r < 0.65:
+                parts.append("<!-- c -->")
+            else:
+                parts.append("".join(
+                    rng.choice(string.ascii_letters + " &;#<>/!?")
+                    for _ in range(rng.randint(3, 30))
+                ))
+        s = "".join(parts)
+        try:
+            a = norm(old_segments(s))
+        except Exception:
+            continue
+        tried += 1
+        if a != norm(htmlx._scan_segments(s)):
+            diverge += 1
+    assert tried > 1000
+    assert diverge / tried < 0.01, f"{diverge}/{tried} divergences"
+
+
 def test_fixture_has_error_and_giant_rows():
     t = build_pages_table(600)
     import pyarrow.compute as pc
