@@ -26,7 +26,6 @@ from __future__ import annotations
 import datetime as _dt
 from typing import Dict, List, Optional
 
-import numpy as np
 import pyarrow as pa
 
 # bump when generated content changes — cached bench corpora key on this

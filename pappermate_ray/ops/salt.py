@@ -11,11 +11,10 @@ test asserts it.
 
 from __future__ import annotations
 
-from typing import List, Union
+
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data.aggregate import Count, Sum

@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Mean, Min, Sum
 
 from .ops.joins import broadcast_anti, broadcast_lookup, broadcast_semi, hash_join
 from .ops.sample import stratified_head

@@ -9,7 +9,7 @@ null contract fields (soft-fail, never raise).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import pyarrow as pa
 

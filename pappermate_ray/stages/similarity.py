@@ -11,7 +11,7 @@
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import numpy as np
 import pandas as pd
@@ -19,7 +19,7 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min
+
 
 
 def _emb_matrix(t: pa.Table, col: str) -> np.ndarray:
