@@ -38,6 +38,23 @@ from ..functions.dedupfn import (
 )
 
 
+def latest_by_url(pages: "rd.Dataset", url_col: str = "url", ts_col: str = "warc_ts") -> "rd.Dataset":
+    """Crawl-ingest dedup: one row per url, the LATEST capture wins
+    (ties break deterministically on the larger payload, then row order).
+
+    Re-crawled Common-Crawl-style corpora carry the same url many times;
+    this is the canonical first shuffle before extraction — hash-partition
+    on url, keep max ts per group. Enable when the input may contain
+    re-crawls; skip for single-snapshot inputs (it is a full exchange).
+    """
+
+    def take_latest(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(ts_col, kind="mergesort")
+        return g.tail(1)
+
+    return pages.groupby(url_col).map_groups(take_latest, batch_format="pandas")
+
+
 def exact_dedup(ds: "rd.Dataset", id_col: str, text_col: str) -> "rd.Dataset":
     """(h, keep_id, dup_count) per distinct content hash."""
 

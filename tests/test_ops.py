@@ -100,6 +100,23 @@ class TestSample:
 
 
 class TestDedup:
+    def test_latest_by_url(self, ray_session):
+        import datetime as dt
+
+        import ray.data as rd
+
+        from pappermate_ray.stages.dedup import latest_by_url
+
+        e = dt.datetime(2024, 1, 1)
+        rows = [
+            {"url": "u1", "warc_ts": e, "html": b"old"},
+            {"url": "u1", "warc_ts": e + dt.timedelta(days=2), "html": b"newest"},
+            {"url": "u1", "warc_ts": e + dt.timedelta(days=1), "html": b"mid"},
+            {"url": "u2", "warc_ts": e, "html": b"only"},
+        ]
+        out = {r["url"]: r["html"] for r in latest_by_url(rd.from_items(rows)).take_all()}
+        assert out == {"u1": b"newest", "u2": b"only"}
+
     def test_exact(self, docs_ds):
         from pappermate_ray.stages.dedup import exact_dedup
 
