@@ -129,6 +129,13 @@ def q_lang_counts(sf_dir: str):
     return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
 
 
+def q_distinct_sources(sf_dir: str):
+    """Corpus-wide distinct via ds.unique (A10's exact-distinct shuffle)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    vals = ds.unique("source")
+    return pa.table({"n_sources": pa.array([len(vals)], pa.int64())})
+
+
 def q_events_hourly(sf_dir: str):
     """Tumbling event-time window as a derived-key groupby (guide §streaming)."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
@@ -592,6 +599,7 @@ ORACLE_SQL: Dict[str, str] = {
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
     "lang_counts": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
+    "distinct_sources": "SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources FROM documents",
     "events_hourly": """
         SELECT event_type,
                date_trunc('hour', ts) AS window_start,
@@ -1186,6 +1194,7 @@ SQL_QUERIES = {
     "event_histogram": q_event_histogram,
     "lineitem_pricing": q_lineitem_pricing,
     "lang_counts": q_lang_counts,
+    "distinct_sources": q_distinct_sources,
     "events_hourly": q_events_hourly,
     "docs_filter_project": q_docs_filter_project,
     "ascii_docs": q_ascii_docs,

@@ -137,6 +137,19 @@ class TestDedup:
         # no cross-template pairs
         assert not any(a % 3 != (b % 3 if b < 100 else b % 100 % 3) for a, b in got if a < 30 and b < 30)
 
+    def test_minhash_estimate_tracks_exact_jaccard(self, docs_ds):
+        """Signature-estimated Jaccard must track exact word-shingle
+        Jaccard within MinHash error bounds (~1/sqrt(64) ≈ 0.125 std)."""
+        from pappermate_ray.functions.dedupfn import jaccard, shingles
+        from pappermate_ray.stages.dedup import minhash_lsh_pairs
+
+        texts = {r["doc_id"]: r["text"] for r in docs_ds.take_all()}
+        pairs = minhash_lsh_pairs(docs_ds, "doc_id", "text", threshold=0.4).take_all()
+        assert pairs
+        for r in pairs:
+            exact = jaccard(shingles(texts[r["id_a"]]), shingles(texts[r["id_b"]]))
+            assert abs(r["est_jaccard"] - exact) < 0.35, (r, exact)
+
     def test_simhash(self, docs_ds):
         from pappermate_ray.stages.dedup import simhash_pairs
 
