@@ -3,8 +3,10 @@
 Usage:
     python bench.py              # $GRAFT_SF_DIR (default /root/testdata/sf0.1),
                                  # $RAY_GRAFT_CPUS (default 32)
-    python bench.py --scaling    # same job at 8 and 32 CPUs in fresh
+    python bench.py --scaling    # same job at N and 4N CPUs in fresh
                                  # processes → throughput + scaling efficiency
+    python bench.py --stats      # headline run + per-stage ds.stats() dump
+                                 # (to stderr; JSON line still on stdout)
 
 Headline: the flagship extraction pipeline (pages synthesized from the
 documents table, replicated ×REPLICATE for a meaningful corpus) consumed by
@@ -93,6 +95,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     flat = docs.drop_columns(["blocks", "entities"])
     flat.write_parquet(out_dir)
     headline = time.perf_counter() - t0
+    if "--stats" in sys.argv:
+        print(flat.stats(), file=sys.stderr)
     import pyarrow.dataset as pads
 
     n_docs = pads.dataset(out_dir).count_rows()
