@@ -804,6 +804,54 @@ def q_extraction_docs(sf_dir: str):
     )
 
 
+def q_extraction_accuracy(sf_dir: str):
+    """Extraction QA: per-document-kind accuracy of the extracted
+    contract_number against the fixture's planted ground truth (derivable
+    from the url's row index — the corpus is a pure function of it).
+    The self-evaluation harness a training-data pipeline runs after every
+    extractor change."""
+    from .fixtures import CTYPES
+    from .pipelines.extract_pipeline import run_extraction
+
+    def score(t: pa.Table) -> pa.Table:
+        kinds, ok = [], []
+        for url, num, status in zip(
+            t["url"].to_pylist(), t["contract_number"].to_pylist(), t["status"].to_pylist()
+        ):
+            kind = url.split("/")[3]
+            i = int(url.rsplit("/", 1)[-1])
+            if kind == "contract":
+                want = f"{CTYPES[i % len(CTYPES)]}-{2020 + (i % 6)}-{i % 1000:03d}"
+            elif kind == "relation":
+                # the reference's first-match-wins cascade hits
+                # "Parent contract REFERENCE: MAIN-..." before the bold
+                # "**Contract Number:**" fallback (contract_parser.py:120-130)
+                # — so the PARENT id is the faithful extraction here
+                want = f"MAIN-{2019 + i % 4}-{(i * 7) % 1000:03d}"
+            elif kind == "pdf":
+                want = f"{CTYPES[i % len(CTYPES)]}-{2020 + (i % 6)}-{i % 1000:03d}"
+            else:
+                continue  # kinds without a planted number
+            kinds.append(kind)
+            ok.append(1 if (status == "converted" and num == want) else 0)
+        return pa.table({"kind": pa.array(kinds, pa.string()),
+                         "correct": pa.array(ok, pa.int64())})
+
+    scored = run_extraction(sf_dir).map_batches(score, batch_format="pyarrow")
+    agg = scored.groupby("kind").aggregate(
+        Count(alias_name="n_docs"), Sum("correct", alias_name="n_correct")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        acc = pc.round(
+            pc.divide(pc.cast(t["n_correct"], pa.float64()), pc.cast(t["n_docs"], pa.float64())),
+            ndigits=4,
+        )
+        return t.append_column("accuracy", acc)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_extraction_status(sf_dir: str):
     from .pipelines.extract_pipeline import run_extraction
     from .pipelines.reports import status_report
@@ -1173,6 +1221,7 @@ NOSQL_QUERIES = {
     "training_rows": q_training_rows,
     "csv_projection": q_csv_projection,
     "extraction_docs": q_extraction_docs,
+    "extraction_accuracy": q_extraction_accuracy,
     "extraction_status": q_extraction_status,
     "contract_type_histogram": q_contract_type_histogram,
     "party_histogram": q_party_histogram,
