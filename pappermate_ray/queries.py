@@ -823,11 +823,13 @@ def q_extraction_accuracy(sf_dir: str):
             if kind == "contract":
                 want = f"{CTYPES[i % len(CTYPES)]}-{2020 + (i % 6)}-{i % 1000:03d}"
             elif kind == "relation":
-                # the reference's first-match-wins cascade hits
-                # "Parent contract REFERENCE: MAIN-..." before the bold
-                # "**Contract Number:**" fallback (contract_parser.py:120-130)
-                # — so the PARENT id is the faithful extraction here
-                want = f"MAIN-{2019 + i % 4}-{(i * 7) % 1000:03d}"
+                # pinned reference quirk (contract_parser.py:120): the
+                # "ref" alternation matches INSIDE "reference" and the
+                # (?i) flag makes the [A-Z0-9...] capture class
+                # case-insensitive, so the cascade extracts the literal
+                # tail "erence" — faithful, absurd, and exactly what this
+                # QA harness exists to surface
+                want = "erence"
             elif kind == "pdf":
                 want = f"{CTYPES[i % len(CTYPES)]}-{2020 + (i % 6)}-{i % 1000:03d}"
             else:
