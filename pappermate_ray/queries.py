@@ -881,16 +881,25 @@ def q_contract_edges(sf_dir: str):
 
     from .pipelines.extract_pipeline import run_extraction
 
-    pat = re.compile(r"Parent contract reference:\s*([A-Z]+-\d{4}-\d{3})")
+    parent_pat = re.compile(r"Parent contract reference:\s*([A-Z]+-\d{4}-\d{3})")
+    # child id from the contract-id span rule (contract_analyzer.py:223-227)
+    # rather than the quirky M1 cascade (which captures 'erence' here —
+    # see q_extraction_accuracy)
+    child_pat = re.compile(r"\b([A-Z]{2,4}-\d{4}-\d{3})\b")
 
     def edges(t: pa.Table) -> pa.Table:
         kids, parents = [], []
-        for num, text in zip(t["contract_number"].to_pylist(), t["text"].to_pylist()):
-            if not num or num == "N/A" or not text:
+        for text in t["text"].to_pylist():
+            if not text:
                 continue
-            for m in pat.finditer(text):
-                kids.append(num)
-                parents.append(m.group(1))
+            pm = parent_pat.search(text)
+            if not pm:
+                continue
+            cm = child_pat.search(text)
+            if not cm:
+                continue
+            kids.append(cm.group(1))
+            parents.append(pm.group(1))
         return pa.table({"child_id": pa.array(kids, pa.string()),
                          "parent_id": pa.array(parents, pa.string())})
 
