@@ -208,3 +208,16 @@ def test_skew_partition_same_results(ray_session, pages):
     a = sorted((r["url"], r["text"]) for r in base.select_columns(["url", "text"]).take_all())
     b = sorted((r["url"], r["text"]) for r in skew.select_columns(["url", "text"]).take_all())
     assert a == b
+
+
+def test_extraction_accuracy_pinned(ray_session):
+    """End-to-end extraction quality against planted ground truth:
+    contract/relation kinds extract perfectly; pdf kind loses exactly the
+    corrupted-payload rows (i%20==13 fixtures) — a drop below these floors
+    means an extractor regression."""
+    from pappermate_ray.queries import q_extraction_accuracy
+
+    rows = {r["kind"]: r for r in q_extraction_accuracy("/root/testdata/sf0.001").take_all()}
+    assert rows["contract"]["accuracy"] == 1.0
+    assert rows["relation"]["accuracy"] == 1.0
+    assert rows["pdf"]["accuracy"] >= 0.90
