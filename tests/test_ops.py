@@ -338,6 +338,28 @@ class TestMultimodal:
         assert "NotImplementedError" not in out["decode_error"][0].as_py()  # message, not traceback
 
 
+class TestHivePartitionedWrite:
+    def test_supplier_partitioned_layout(self, ray_session, tmp_path):
+        """S15: organized output written Hive-partitioned by supplier
+        (the reference's shutil.move-into-supplier-folders, as layout)."""
+        import os
+
+        import ray.data as rd
+
+        from pappermate_ray.fixtures import build_pages_table
+        from pappermate_ray.pipelines.extract_pipeline import build_extraction_pipeline
+        from pappermate_ray.pipelines.organize import organize
+
+        docs = build_extraction_pipeline(rd.from_arrow(build_pages_table(80)), batch_size=64)
+        org = organize(docs).select_columns(["url", "canonical_filename", "supplier_dir"])
+        out = str(tmp_path / "hive")
+        org.write_parquet(out, partition_cols=["supplier_dir"])
+        dirs = [d for d in os.listdir(out) if d.startswith("supplier_dir=")]
+        assert len(dirs) > 1  # multiple supplier partitions
+        back = rd.read_parquet(out)
+        assert back.count() == 80
+
+
 class TestReportsOrganize:
     def test_reports_and_organize(self, ray_session):
         import ray.data as rd
