@@ -58,6 +58,44 @@ _SPAN_RULES: List[Tuple[str, "re.Pattern[str]", float, str]] = [
 _AMOUNT_NORM_STRIP = re.compile(r"[^Vdt .,]+")
 
 
+def load_pattern_pack(jsonl_dir: str) -> Dict[str, List[str]]:
+    """Load extra entity patterns from a directory of JSONL files.
+
+    Reference ST4 (processing/entity_extractor.py:228-260): each line may
+    carry ``{"entities": [{"entity_type":..., "text":...}]}`` or
+    ``{"metadata": {...}}`` whose contract_type/supplier/business_area/
+    service_type values become patterns of the upper-cased key. Malformed
+    lines are skipped (the reference logs-and-continues).
+    """
+    import json
+    import os
+
+    patterns: Dict[str, List[str]] = {}
+    if not os.path.isdir(jsonl_dir):
+        return patterns
+    meta_keys = ("contract_type", "supplier", "business_area", "service_type")
+    for name in sorted(os.listdir(jsonl_dir)):
+        if not name.endswith(".jsonl"):
+            continue
+        with open(os.path.join(jsonl_dir, name), encoding="utf-8") as f:
+            for line in f:
+                try:
+                    data = json.loads(line.strip())
+                except (ValueError, TypeError):
+                    continue
+                if isinstance(data, dict) and "entities" in data:
+                    for ent in data["entities"]:
+                        etype, text = ent.get("entity_type"), ent.get("text")
+                        if etype and text:
+                            patterns.setdefault(etype, []).append(text)
+                elif isinstance(data, dict) and "metadata" in data:
+                    for key, value in data["metadata"].items():
+                        if key in meta_keys and value:
+                            patterns.setdefault(key.upper(), []).append(value)
+    # order-preserving dedup (reference dict.fromkeys)
+    return {k: list(dict.fromkeys(v)) for k, v in patterns.items()}
+
+
 def chunk_text(text: str, max_length: int = 512) -> List[Tuple[int, str]]:
     """≤max_length chunks broken at sentence boundary, with global offsets.
 

@@ -82,11 +82,17 @@ class ExtractParseSpans:
     One pool sized ncpu-2 keeps all per-doc work elastic across the node
     while preserving the pinned-state actor pattern (ST1/ST3): parse caps
     and the span pattern store are built once per actor here.
+
+    ``pattern_pack_dir`` merges JSONL pattern packs into the span store at
+    construction (ST4, functions/spans.load_pattern_pack).
     """
 
-    def __init__(self):
+    def __init__(self, pattern_pack_dir=None):
+        from ..functions.spans import load_pattern_pack
+
+        extra = load_pattern_pack(pattern_pack_dir) if pattern_pack_dir else None
         self.parse = ContractParse()
-        self.spans = EntitySpans()
+        self.spans = EntitySpans(extra_patterns=extra)
 
     def __call__(self, batch):
         return self.spans(self.parse(extract_pages_batch(add_size_bucket(batch))))

@@ -266,3 +266,33 @@ class TestQuality:
     def test_fingerprint_deterministic(self):
         assert fingerprint("Hello  World") == fingerprint("hello world")
         assert fingerprint("a") != fingerprint("b")
+
+
+class TestPatternPack:
+    def test_load_jsonl_pack(self, tmp_path):
+        import json
+
+        from pappermate_ray.functions.spans import extract_spans, load_pattern_pack
+
+        p = tmp_path / "packs"
+        p.mkdir()
+        with open(p / "a.jsonl", "w") as f:
+            f.write(json.dumps({"entities": [
+                {"entity_type": "SERVICE_TYPE", "text": "Quantum Plumbing"},
+                {"entity_type": "SERVICE_TYPE", "text": "Quantum Plumbing"},  # dedup
+            ]}) + "\n")
+            f.write("not json\n")  # skipped, reference logs-and-continues
+            f.write(json.dumps({"metadata": {"supplier": "Acme Corp", "ignored_key": "x"}}) + "\n")
+        pack = load_pattern_pack(str(p))
+        assert pack == {"SERVICE_TYPE": ["Quantum Plumbing"], "SUPPLIER": ["Acme Corp"]}
+
+        # merged pack is found by the span extractor
+        spans = extract_spans("We provide Quantum Plumbing services here.", 
+                              {**pack})
+        assert any(s["entity_type"] == "SERVICE_TYPE" and s["text"] == "Quantum Plumbing"
+                   for s in spans)
+
+    def test_missing_dir(self):
+        from pappermate_ray.functions.spans import load_pattern_pack
+
+        assert load_pattern_pack("/nonexistent/dir") == {}
