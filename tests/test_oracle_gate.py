@@ -1,0 +1,51 @@
+"""In-pytest oracle gate: a fast subset of the Ray-vs-DuckDB battery at
+sf0.001, so `python -m pytest -x -q` alone exercises SQL-equivalence
+(the full 27-query gate is tools/check_oracle.py, run at sf0.01/sf0.1)."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+FAST_QUERIES = [
+    "event_histogram", "lineitem_pricing", "lang_counts", "docs_filter_project",
+    "top_docs", "mktsegment_revenue", "customers_without_orders", "dedup_exact",
+    "stratified_sample", "token_counts", "user_sessions", "grouped_topk",
+    "distinct_sources", "jaccard_verify",
+]
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+@pytest.mark.parametrize("name", FAST_QUERIES)
+def test_query_matches_oracle(ray_session, con, name):
+    import ray.data as rd
+
+    from pappermate_ray.queries import ORACLE_SQL, SQL_QUERIES
+
+    res = SQL_QUERIES[name](SF)
+    if isinstance(res, rd.Dataset):
+        batches = list(res.iter_batches(batch_size=65536, batch_format="pyarrow"))
+        got = pa.concat_tables(batches).to_pandas() if batches else pd.DataFrame()
+    elif isinstance(res, pa.Table):
+        got = res.to_pandas()
+    else:
+        got = res
+    want = con.execute(ORACLE_SQL[name]).df()
+    got, want = _norm(got), _norm(want)
+    assert list(got.columns) == list(want.columns), name
+    assert len(got) == len(want), name
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=0, atol=1e-9)
