@@ -1015,6 +1015,15 @@ def q_text_analysis(sf_dir: str):
     )
 
 
+def q_clean_corpus(sf_dir: str):
+    """The full training-data curation chain (pipelines/curate.py):
+    extract → quality filter → near-dup keep-list → clean survivors."""
+    from .pipelines.curate import clean_corpus
+    from .pipelines.extract_pipeline import run_extraction
+
+    return clean_corpus(run_extraction(sf_dir))
+
+
 def q_translate_names(sf_dir: str):
     """M21/ST5: cached deterministic translation of CJK contract names
     (actor pool holding the per-actor LRU cache)."""
@@ -1247,6 +1256,7 @@ NOSQL_QUERIES = {
     "text_analysis": q_text_analysis,
     "media_features": q_media_features,
     "translate_names": q_translate_names,
+    "clean_corpus": q_clean_corpus,
 }
 
 
