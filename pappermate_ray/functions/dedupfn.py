@@ -41,12 +41,13 @@ def _perm_params(num_perm: int) -> tuple:
 _PERM_CACHE: dict = {}
 
 
-def minhash_signature(sh: Set[int], num_perm: int = 128) -> np.ndarray:
-    """MinHash signature (uint64[num_perm]) of a shingle set."""
+def minhash_signature(sh, num_perm: int = 128) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) of a shingle set (any
+    iterable of uint64 hashes — set or ndarray)."""
     if num_perm not in _PERM_CACHE:
         _PERM_CACHE[num_perm] = _perm_params(num_perm)
     a, b = _PERM_CACHE[num_perm]
-    if not sh:
+    if len(sh) == 0:
         return np.full(num_perm, _MAX_HASH, dtype=np.uint64)
     hv = np.fromiter(sh, dtype=np.uint64, count=len(sh))
     # (a*x + b) mod p, truncated to 32 bits — vectorized over shingles x perms

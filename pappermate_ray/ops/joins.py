@@ -1,24 +1,144 @@
 """Join strategies (SURVEY.md §2.4).
 
-Three scale-appropriate shapes:
+Scale-appropriate shapes:
 
 - ``broadcast_lookup``: small side pinned once in the object store via
   ``ray.put``, read per task — NO shuffle. For dimension tables, vocab,
   blocklists (J1/J4 analog). The big side streams.
-- ``hash_join``: both sides large → Ray's partitioned hash join
-  (``Dataset.join``), an explicit all-to-all exchange on the key.
+- ``hash_join`` / ``semi_join`` / ``anti_join``: both sides large → Ray's
+  partitioned hash join (``Dataset.join``), an explicit all-to-all
+  exchange on the key(s). Partition count defaults to cluster cores.
 - ``broadcast_semi`` / ``broadcast_anti``: key-set broadcast + vectorized
-  ``pc.is_in`` filter inside map_batches (D5 resume anti-join shape).
+  ``pc.is_in`` filter inside map_batches (D5 resume anti-join shape) —
+  for when the key side is provably small (manifest, blocklist).
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
+
+OnCols = Union[str, Sequence[str]]
+
+# ---------------------------------------------------------------------------
+# Join-partition schema armor.
+#
+# Ray 2.49's hash join only learns a side's schema from the shards it
+# receives. The shuffle drops 0-row blocks entirely and broadcasts the
+# schema with the FIRST scheduled block only — so when a side's first
+# block happens to be empty (grouped aggregates and filters emit those
+# routinely) every join partition that draws no real row from that side
+# hands Acero a column-less table and the join dies with "No match or
+# multiple matches for key field reference". Sparse-key semi/anti joins
+# (dedup losers, multi-member LSH buckets) hit this constantly.
+#
+# Fix at this layer: before joining, prepend to each side a tiny "armor"
+# block of sentinel-keyed rows chosen (with Ray's own hash_partition,
+# whose pa.Scalar hashing is process-stable) so that EVERY partition
+# receives at least one schema-bearing row from each side. Sentinel key
+# values are extreme (int64 min side, NUL-prefixed strings) and disjoint
+# between the two sides, so they match nothing: inner/semi results are
+# unchanged, and anti results are post-filtered to drop the surviving
+# left sentinels. Unsupported key types degrade to no armor (original
+# Ray behavior), never to an error.
+# ---------------------------------------------------------------------------
+
+
+class _UnsupportedSentinelType(Exception):
+    pass
+
+
+def _sentinel_value(typ: pa.DataType, k: int):
+    """k-th sentinel of the given type; extreme values real data never uses."""
+    if pa.types.is_signed_integer(typ):
+        bits = typ.bit_width
+        return -(1 << (bits - 1)) + 1 + k
+    if pa.types.is_unsigned_integer(typ):
+        bits = typ.bit_width
+        return (1 << bits) - 2 - k
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return f"\x00\x00pappermate-join-armor-{k}"
+    if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        return f"\x00\x00pappermate-join-armor-{k}".encode("ascii")
+    if pa.types.is_timestamp(typ) or pa.types.is_date(typ) or pa.types.is_time(typ):
+        return -(1 << 61) + k
+    if pa.types.is_floating(typ):
+        return -1.0e308 + k * 1.0e292
+    raise _UnsupportedSentinelType(str(typ))
+
+
+def _sentinels_covering(key_fields: List[pa.Field], num_partitions: int, side: int):
+    """Sentinel key tuples such that every hash partition receives one.
+
+    Uses Ray's own ``hash_partition`` so the driver-side assignment is
+    identical to the shuffle workers' (pa.Scalar hashing is
+    process-stable, unlike Python's salted str hash). ``side`` parity
+    keeps left/right sentinel spaces disjoint.
+    """
+    from ray.data._internal.arrow_ops.transform_pyarrow import hash_partition
+
+    names = [f.name for f in key_fields]
+    chosen: dict = {}
+    k = side
+    tries = 0
+    while len(chosen) < num_partitions and tries < 256 * num_partitions:
+        vals = tuple(
+            _sentinel_value(f.type, k if ci == 0 else side)
+            for ci, f in enumerate(key_fields)
+        )
+        tbl = pa.table({n: pa.array([v], f.type) for n, f, v in zip(names, key_fields, vals)})
+        parts = hash_partition(tbl, hash_cols=names, num_partitions=num_partitions)
+        pid = next(iter(parts))
+        chosen.setdefault(pid, vals)
+        k += 2
+        tries += 1
+    return list(chosen.values())
+
+
+def _armored(ds: "ray.data.Dataset", on_cols: Sequence[str], num_partitions: int, side: int):
+    """Prepend the armor block; returns (dataset, first-key sentinel list).
+
+    Falls back to the unarmored dataset when the schema is unknown or a
+    key type has no sentinel representation.
+    """
+    import ray.data as rd
+
+    try:
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", sch)
+        key_fields = [base.field(c) for c in on_cols]
+        sents = _sentinels_covering(key_fields, num_partitions, side)
+        if not sents:
+            return ds, None
+        cols = {}
+        for field in base:
+            if field.name in on_cols:
+                i = list(on_cols).index(field.name)
+                cols[field.name] = pa.array([v[i] for v in sents], field.type)
+            else:
+                cols[field.name] = pa.nulls(len(sents), field.type)
+        armor = rd.from_arrow(pa.table(cols, schema=base))
+        first = [v[0] for v in sents]
+        return armor.union(ds), (first, key_fields[0].type)
+    except Exception:
+        return ds, None
+
+
+def _on_tuple(on: OnCols) -> Tuple[str, ...]:
+    return (on,) if isinstance(on, str) else tuple(on)
+
+
+def default_num_partitions() -> int:
+    """Partition count for hash exchanges: track total cluster cores
+    (SURVEY.md §4 — at 100 TB the exchange should use every reducer)."""
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 8
 
 
 def broadcast_lookup(
@@ -30,16 +150,22 @@ def broadcast_lookup(
 ) -> "ray.data.Dataset":
     """Map ``key`` through a broadcast dict → append ``out_col``.
 
-    ``small`` is put in the object store ONCE; every task reads the same
-    immutable copy (zero re-shipping per batch).
+    ``small`` is put in the object store ONCE as a pair of Arrow arrays;
+    every task reads the same immutable copy (zero re-shipping per
+    batch). Per-batch work is vectorized ``pc.index_in`` + ``pc.take``
+    (order-preserving, unlike an Acero join).
     """
-    ref = ray.put(small)
+    keys_arr = pa.array(list(small.keys()))
+    vals_arr = pa.array(list(small.values()))
+    ref = ray.put((keys_arr, vals_arr))
 
     def _lookup(batch: pa.Table) -> pa.Table:
-        table = ray.get(ref)
-        keys = batch[key].to_pylist()
-        vals = [table.get(k, default) for k in keys]
-        return batch.append_column(out_col, pa.array(vals))
+        ks, vs = ray.get(ref)
+        idx = pc.index_in(batch[key], value_set=ks)
+        vals = pc.take(vs, idx)
+        if default is not None:
+            vals = pc.fill_null(vals, default)
+        return batch.append_column(out_col, vals)
 
     return ds.map_batches(_lookup, batch_format="pyarrow")
 
@@ -71,20 +197,69 @@ def broadcast_anti(ds: "ray.data.Dataset", keys: List, key_col: str) -> "ray.dat
 def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
-    on: str,
-    right_on: Optional[str] = None,
-    num_partitions: int = 32,
+    on: OnCols,
+    right_on: Optional[OnCols] = None,
+    num_partitions: Optional[int] = None,
     join_type: str = "inner",
+    armor: bool = True,
 ) -> "ray.data.Dataset":
-    """Partitioned hash join of two large Datasets (explicit shuffle on key).
+    """Partitioned hash join of two large Datasets (explicit shuffle on
+    key(s) — single- or multi-column).
 
-    At cluster scale ``num_partitions`` should track total cores; skewed
-    keys should be salted before calling (SURVEY.md §4).
+    ``num_partitions`` defaults to the cluster's core count (the exchange
+    should use every reducer); skewed keys should be salted before
+    calling (SURVEY.md §4). ``armor`` (see module notes) hardens both
+    sides against Ray's schema-less-empty-partition crash; supported for
+    the join types this engine uses (inner / left_semi / left_anti).
     """
-    return left.join(
+    np_ = num_partitions or default_num_partitions()
+    on_t = _on_tuple(on)
+    right_on_t = _on_tuple(right_on) if right_on else on_t
+    left_sent = None
+    if armor and join_type in ("inner", "left_semi", "left_anti"):
+        left, left_sent = _armored(left, on_t, np_, side=0)
+        right, _ = _armored(right, right_on_t, np_, side=1)
+    out = left.join(
         right,
         join_type=join_type,
-        num_partitions=num_partitions,
-        on=(on,),
-        right_on=(right_on,) if right_on else None,
+        num_partitions=np_,
+        on=on_t,
+        right_on=right_on_t if right_on else None,
     )
+    if join_type == "left_anti" and left_sent is not None:
+        vals, typ = left_sent
+        sent_arr = pa.array(vals, typ)
+        col0 = on_t[0]
+        out = out.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(t[col0], value_set=sent_arr))),
+            batch_format="pyarrow",
+        )
+    return out
+
+
+def semi_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: OnCols,
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Distributed semi-join: left rows whose key(s) appear in ``right``.
+
+    The scale-safe replacement for a driver-built key set when the right
+    side is NOT provably small (e.g. multi-member LSH buckets at 100 TB).
+    One hash exchange on the key; no driver materialization.
+    """
+    return hash_join(left, right, on=on, num_partitions=num_partitions,
+                     join_type="left_semi")
+
+
+def anti_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: OnCols,
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Distributed anti-join: left rows whose key(s) do NOT appear in
+    ``right``. The dedup-loser / resume filter shape at corpus scale."""
+    return hash_join(left, right, on=on, num_partitions=num_partitions,
+                     join_type="left_anti")

@@ -14,7 +14,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions.quality import fnv1a64
-from ..stages.dedup import cluster_pairs, keep_list, minhash_lsh_pairs
+from ..ops.joins import anti_join
+from ..stages.dedup import cluster_pairs, keep_list, loser_ids, minhash_lsh_pairs
 from ..stages.quality import analyze_text_batch
 
 
@@ -23,7 +24,14 @@ def clean_corpus(
     quality_min: float = 0.4,
     dup_threshold: float = 0.8,
 ) -> "rd.Dataset":
-    """docs (extraction output) → (url, quality, n_tokens) survivors."""
+    """docs (extraction output) → (url, quality, n_tokens) survivors.
+
+    The loser set (near-dup cluster members that are not their cluster's
+    survivor) is O(duplicated docs) — at 100 TB with 30–50% dup rates
+    that is billions of ids, so it stays a Dataset end-to-end: clusters ⋈
+    keep-list → loser ids → distributed ANTI-JOIN against the corpus
+    (round-1 verdict finding #3; no driver-side id set anywhere).
+    """
     scored = docs.map_batches(analyze_text_batch, batch_format="pyarrow")
 
     def good(t: pa.Table) -> pa.Table:
@@ -42,16 +50,8 @@ def clean_corpus(
     with_ids = clean.map_batches(add_id, batch_format="pyarrow")
     pairs = minhash_lsh_pairs(with_ids, "doc_id", "text", threshold=dup_threshold)
     clusters = cluster_pairs(pairs)
-    keeps = keep_list(clusters)
-    # losers = cluster members that are not the keeper (candidate sets are
-    # LSH-pruned → small; broadcast-filtered out of the stream)
-    losers = {r["doc_id"] for r in clusters.take_all()} - {
-        r["keep_id"] for r in keeps.take_all()
-    }
-    loser_arr = pa.array(sorted(losers), pa.int64())
-
-    def drop_losers(t: pa.Table) -> pa.Table:
-        keep = pc.invert(pc.is_in(t["doc_id"], value_set=loser_arr))
-        return t.filter(keep).select(["url", "quality", "n_tokens"])
-
-    return with_ids.map_batches(drop_losers, batch_format="pyarrow")
+    losers = loser_ids(clusters, keep_list(clusters))
+    survivors = anti_join(with_ids, losers, on="doc_id")
+    return survivors.map_batches(
+        lambda t: t.select(["url", "quality", "n_tokens"]), batch_format="pyarrow"
+    )

@@ -1,0 +1,199 @@
+"""Round-2 scale-shape tests: the near-dup/curation path must run fully
+distributed (no driver-side key sets) and stay correct on a corpus with an
+inflated (≥30%) duplicate rate — the 100 TB failure mode the round-1
+verdict flagged. Assertions use bounded takes on RESULTS only; the
+operators themselves never take_all.
+"""
+
+import datetime as dt
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+def _dup_heavy_corpus(n=300, dup_every=2):
+    """n base docs + a near-dup copy of every ``dup_every``-th → ≥33% dups.
+
+    Texts are word-disjoint across docs so the ONLY near-dup structure is
+    the planted (i, i + 1_000_000) pairs.
+    """
+    ids, texts = [], []
+    for i in range(n):
+        base = f"doc{i} " + " ".join(f"w{i}x{j}" for j in range(30))
+        ids.append(i)
+        texts.append(base)
+        if i % dup_every == 0:
+            ids.append(i + 1_000_000)
+            texts.append(base + " extra")
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+
+
+class TestExactVerifiedMinhash:
+    def test_planted_pairs_found_exactly(self, ray_session):
+        from pappermate_ray.stages.dedup import minhash_pairs_exact_verified
+
+        ds = _dup_heavy_corpus(n=120)
+        pairs = minhash_pairs_exact_verified(ds, "doc_id", "text", threshold=0.8).take_all()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        want = {(i, i + 1_000_000) for i in range(0, 120, 2)}
+        assert got == want
+        # verified jaccard is the exact word-set value: 31 shared / 32 union
+        for r in pairs:
+            assert r["jaccard"] == pytest.approx(31 / 32, abs=1e-9)
+
+    def test_empty_and_whitespace_docs_excluded(self, ray_session):
+        from pappermate_ray.stages.dedup import minhash_pairs_exact_verified
+
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                      "text": pa.array(["", "   ", "alpha beta gamma", "alpha beta gamma delta"],
+                                        pa.string())})
+        )
+        pairs = minhash_pairs_exact_verified(ds, "doc_id", "text", threshold=0.7).take_all()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert got == {(3, 4)}  # empties never pair, 3/4 jaccard = 0.75
+
+
+class TestCurateHighDupRate:
+    def test_clean_corpus_at_33pct_dups(self, ray_session):
+        """clean_corpus on a ≥33% dup-rate corpus: one survivor per planted
+        cluster, no driver materialization anywhere in the operator chain."""
+        from pappermate_ray.pipelines.curate import clean_corpus
+
+        n = 240
+        rows = []
+        for i in range(n):
+            base = (
+                f"Document number {i}. " +
+                " ".join(f"token{i}word{j} meaning{j}." for j in range(40))
+            )
+            rows.append({"url": f"https://h/{i}", "text": base, "status": "converted"})
+            if i % 2 == 0:
+                rows.append({"url": f"https://h/{i}-copy", "text": base + " extra",
+                             "status": "converted"})
+        docs = rd.from_items(rows)
+        out = clean_corpus(docs, quality_min=0.0, dup_threshold=0.8)
+        survivors = out.take(batch_size := n * 2)  # bounded take on the result
+        urls = {r["url"] for r in survivors}
+        assert len(survivors) == len(urls)
+        # exactly one survivor per planted (i, i-copy) cluster
+        for i in range(0, n, 2):
+            assert (f"https://h/{i}" in urls) ^ (f"https://h/{i}-copy" in urls)
+        # odd docs are singletons and all survive
+        for i in range(1, n, 2):
+            assert f"https://h/{i}" in urls
+        assert len(urls) == n
+
+
+class TestLatestByUrlFast:
+    def _corpus(self):
+        e = dt.datetime(2024, 1, 1)
+        rows = []
+        for i in range(200):
+            url = f"https://site/{i}"
+            rows.append({"url": url, "warc_ts": e + dt.timedelta(seconds=i),
+                         "html": f"v0-{i}".encode()})
+            if i % 3 == 0:
+                rows.append({"url": url, "warc_ts": e + dt.timedelta(seconds=i, hours=1),
+                             "html": f"v1-{i}".encode()})
+            if i % 7 == 0:
+                rows.append({"url": url, "warc_ts": e + dt.timedelta(seconds=i) - dt.timedelta(minutes=5),
+                             "html": f"old-{i}".encode()})
+        return rows
+
+    def test_aggregate_matches_groups_strategy(self, ray_session):
+        from pappermate_ray.stages.dedup import latest_by_url
+
+        rows = self._corpus()
+        fast = latest_by_url(rd.from_items(rows)).take_all()
+        slow = latest_by_url(rd.from_items(rows), strategy="groups").take_all()
+        key = lambda rs: sorted((r["url"], r["warc_ts"], r["html"]) for r in rs)
+        assert key(fast) == key(slow)
+        assert len(fast) == 200
+
+    def test_payload_tiebreak(self, ray_session):
+        from pappermate_ray.stages.dedup import latest_by_url
+
+        e = dt.datetime(2024, 1, 1)
+        rows = [
+            {"url": "u", "warc_ts": e, "html": b"short"},
+            {"url": "u", "warc_ts": e, "html": b"the-longer-payload"},
+        ]
+        out = latest_by_url(rd.from_items(rows)).take_all()
+        assert len(out) == 1 and out[0]["html"] == b"the-longer-payload"
+
+
+class TestSimhashTables:
+    def test_rotated_tables_recall_not_worse(self, ray_session):
+        from pappermate_ray.stages.dedup import simhash_pairs
+
+        ds = _dup_heavy_corpus(n=100)
+        planted = {(i, i + 1_000_000) for i in range(0, 100, 2)}
+        one = {(r["id_a"], r["id_b"])
+               for r in simhash_pairs(ds, "doc_id", "text", max_hamming=6).take_all()}
+        four = {(r["id_a"], r["id_b"])
+                for r in simhash_pairs(ds, "doc_id", "text", max_hamming=6,
+                                       n_tables=4).take_all()}
+        assert one <= four  # rotated tables only ADD recall
+        assert len(four & planted) >= len(one & planted)
+
+    def test_identical_docs_always_found(self, ray_session):
+        from pappermate_ray.stages.dedup import simhash_pairs
+
+        ids = list(range(40)) + [i + 1_000_000 for i in range(0, 40, 2)]
+        texts = [f"t{i} " + " ".join(f"q{i}z{j}" for j in range(20)) for i in range(40)]
+        texts += [texts[i] for i in range(0, 40, 2)]  # verbatim copies
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                     "text": pa.array(texts, pa.string())}))
+        got = {(r["id_a"], r["id_b"])
+               for r in simhash_pairs(ds, "doc_id", "text", max_hamming=0).take_all()}
+        assert got == {(i, i + 1_000_000) for i in range(0, 40, 2)}
+
+
+class TestArmoredJoins:
+    """Ray 2.49 joins crash on sparse keys when a side's first block is
+    empty (schema never broadcast). The armor layer in ops/joins.py must
+    keep semi/anti/inner correct in exactly those shapes."""
+
+    def _agg_side(self, ray_session):
+        from ray.data.aggregate import Count
+
+        t = pa.table({"k": pa.array(["a", "b"], pa.string()),
+                      "v": pa.array([1, 2], pa.int64())})
+        # grouped aggregate output: emits schema-less empty blocks
+        return rd.from_arrow(t).groupby("k").aggregate(Count(alias_name="n"))
+
+    def test_semi_sparse_partitions(self, ray_session):
+        from pappermate_ray.ops.joins import semi_join
+
+        left = rd.from_items([{"k": c, "x": i} for i, c in enumerate("abcdef")])
+        out = semi_join(left, self._agg_side(ray_session).select_columns(["k"]),
+                        on="k", num_partitions=13)
+        assert sorted(r["k"] for r in out.take_all()) == ["a", "b"]
+
+    def test_anti_empty_right(self, ray_session):
+        import pyarrow.compute as pc
+
+        from pappermate_ray.ops.joins import anti_join
+
+        left = rd.from_items([{"k": c, "x": i} for i, c in enumerate("abc")])
+        empty = self._agg_side(ray_session).map_batches(
+            lambda t: t.filter(pc.equal(t["k"], "zzz")).select(["k"]),
+            batch_format="pyarrow",
+        )
+        out = anti_join(left, empty, on="k", num_partitions=13)
+        assert sorted(r["k"] for r in out.take_all()) == ["a", "b", "c"]
+
+    def test_inner_sparse_partitions(self, ray_session):
+        from pappermate_ray.ops.joins import hash_join
+
+        left = self._agg_side(ray_session)
+        right = rd.from_items([{"k": "a", "y": 10}, {"k": "z", "y": 99}])
+        out = hash_join(left, right, on="k", num_partitions=13)
+        rows = out.take_all()
+        assert len(rows) == 1 and rows[0]["k"] == "a" and rows[0]["y"] == 10
