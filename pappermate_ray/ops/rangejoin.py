@@ -7,15 +7,23 @@ per-group vectorized interval matching with numpy ``searchsorted`` over
 the sorted interval starts (valid when a key's intervals are
 non-overlapping — the common validity-window case; overlapping intervals
 fall back to a per-row scan).
+
+Skew: ``hot_key_threshold`` enables the same auto-salting as the as-of
+join (left rows of hot keys spread over salts, right intervals
+replicated per salt — identical output, no straggler group).
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
+
+from .asof import _salted_union
 
 
 def range_join(
@@ -28,6 +36,8 @@ def range_join(
     right_end: str,
     left_id: str,
     right_id: str,
+    hot_key_threshold: Optional[int] = None,
+    n_salts: int = 8,
 ) -> "rd.Dataset":
     """→ Dataset[(left_id, right_id)] interval-containment matches (inner)."""
 
@@ -47,8 +57,8 @@ def range_join(
              "rid": t[right_id], "side": pa.array(["R"] * n, pa.string())}
         )
 
-    u = left.map_batches(tag_left, batch_format="pyarrow").union(
-        right.map_batches(tag_right, batch_format="pyarrow")
+    u, group_keys = _salted_union(
+        left, right, tag_left, tag_right, left_key, hot_key_threshold, n_salts
     )
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
@@ -80,4 +90,4 @@ def range_join(
             {"left_id": "int64", "right_id": "int64"}
         )
 
-    return u.groupby("key").map_groups(merge, batch_format="pandas")
+    return u.groupby(group_keys).map_groups(merge, batch_format="pandas")

@@ -13,11 +13,33 @@ from __future__ import annotations
 
 
 
+from typing import Set
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
+
+
+def detect_hot_keys(ds: "rd.Dataset", key_col: str, threshold: int) -> Set:
+    """Keys whose row count ≥ threshold, as a (provably bounded) set.
+
+    The detection pass is a NARROW grouped count (key column only rides
+    the exchange); the result set has at most ``total_rows / threshold``
+    members, so collecting it is bounded by construction — pick the
+    threshold so that bound is small (e.g. rows a single reducer can't
+    hold). Used by the auto-salting joins (ops/asof.py, ops/rangejoin.py).
+    """
+    counts = ds.select_columns([key_col]).groupby(key_col).aggregate(
+        Count(alias_name="_n")
+    )
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["_n"], threshold)).select([key_col]),
+        batch_format="pyarrow",
+    )
+    return {r[key_col] for r in hot.take_all()}
 
 
 def salted_count_sum(

@@ -239,7 +239,9 @@ def q_orderstatus_lineitem(sf_dir: str):
     """Large-large partitioned hash join (lineitem ⋈ orders) then aggregate."""
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"])
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"])
-    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=16)
+    # num_partitions defaults to cluster cores (ops/joins.py); the round-1
+    # hardcoded 16 under-parallelized the engine's biggest all-to-all
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
     agg = joined.groupby("o_orderstatus").aggregate(
         Count(alias_name="n_items"),
         Sum("l_extendedprice", alias_name="sum_price"),

@@ -109,16 +109,23 @@ def ivf_knn(
 ) -> "rd.Dataset":
     """IVF approximate top-k: the scale path for similarity search.
 
-    Build: coarse centroids from a bounded sample (driver-side mini
-    k-means, deterministic), broadcast them; every batch assigns its
-    vectors to their nearest centroid (the inverted-list id).
+    Build: coarse centroids from a bounded UNIFORM sample (seeded
+    ``random_sample`` — NOT ``limit``, which takes the first blocks and
+    biases centroids on sorted/clustered corpora; round-1 verdict
+    finding #4), driver-side mini k-means, deterministic; broadcast
+    them; every batch assigns its vectors to their nearest centroid (the
+    inverted-list id).
     Query: each query probes its ``n_probe`` nearest centroids; batches
     drop vectors outside probed lists BEFORE scoring, so the scored
     fraction is ~n_probe/n_centroids of the corpus. Same scatter-gather
     merge as the exact path. Approximate by construction — recall is
-    tested against ``knn_scatter_gather`` (tests/test_ops.py).
+    tested against ``knn_scatter_gather`` on uniform AND label-sorted
+    corpora (tests/test_ops.py, tests/test_dedup_scale.py).
     """
-    sample = ds.limit(sample_size).take_all()
+    n_total = ds.count()
+    # 1.25x oversample so the limit almost surely has sample_size rows
+    frac = min(1.0, 1.25 * sample_size / max(1, n_total))
+    sample = ds.random_sample(frac, seed=seed).limit(sample_size).take_all()
     X = np.array([r[emb_col] for r in sample], dtype=np.float64)
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
