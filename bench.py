@@ -126,22 +126,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from pappermate_ray.queries import NOSQL_QUERIES, SQL_QUERIES
 
     qtimes = {}
+    all_queries = {**SQL_QUERIES, **NOSQL_QUERIES}
     for name in (
         "event_histogram", "lineitem_pricing", "events_hourly", "orderstatus_lineitem",
         "mktsegment_revenue", "dedup_exact", "stratified_sample", "top_docs",
         "knn_bruteforce", "token_counts", "asof_latest_order", "range_join_windows",
         "sliding_windows", "user_sessions", "wordcount_top",
+        "minhash_near_dups", "text_analysis", "embedding_near_dups",
+        "latest_by_url", "salted_user_value",
     ):
-        fn = SQL_QUERIES[name]
+        fn = all_queries[name]
         t0 = time.perf_counter()
         res = fn(sf_dir)
         if hasattr(res, "count"):
             res.count()
-        qtimes[name] = round(time.perf_counter() - t0, 3)
-    for name in ("minhash_near_dups", "text_analysis", "embedding_near_dups"):
-        fn = NOSQL_QUERIES[name]
-        t0 = time.perf_counter()
-        fn(sf_dir).count()
         qtimes[name] = round(time.perf_counter() - t0, 3)
 
     ray.shutdown()

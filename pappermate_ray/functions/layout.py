@@ -94,6 +94,43 @@ def detect_columns(lines: List[Dict[str, Any]], page_width: float) -> List[List[
     return [left, right]
 
 
+def table_cells(table_lines: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+    """Structured cell model for a run of table lines.
+
+    The reference's Marker TableProcessor emits cells carrying
+    rowspan/colspan/row_id/col_id/is_header
+    (services/table_processor_fixed.py:181-203, from the Surya table-rec
+    model). Deterministic geometric analog: column slots are the distinct
+    aligned cell x-positions across the run; ``col_id`` is a cell's slot,
+    ``colspan`` the slots it covers until the row's next cell (rows
+    missing trailing columns span to the table edge); ``rowspan`` is 1
+    (PDFSYN has no merged-cell geometry — documented stand-in for the
+    model's output); the first row is the header row.
+    """
+    col_xs = sorted({x for l in table_lines for x in l.get("cells", [])})
+    out: List[Dict[str, Any]] = []
+    for row_id, l in enumerate(table_lines):
+        texts = [finalize_line(c) for c in l["text"].split("\t")]
+        xs = list(l.get("cells", []))
+        for i, text in enumerate(texts):
+            if not text:
+                continue
+            col_id = col_xs.index(xs[i]) if i < len(xs) and xs[i] in col_xs else i
+            if i + 1 < len(xs) and xs[i + 1] in col_xs:
+                colspan = max(1, col_xs.index(xs[i + 1]) - col_id)
+            else:
+                colspan = max(1, len(col_xs) - col_id)
+            out.append({
+                "text": text,
+                "row_id": row_id,
+                "col_id": col_id,
+                "rowspan": 1,
+                "colspan": colspan,
+                "is_header": row_id == 0,
+            })
+    return out
+
+
 def parse_pdf_layout(payload: bytes) -> Tuple[List[Dict[str, Any]], str]:
     """PDFSYN payload → (ordered blocks [{type,text,page,order}], error).
 
@@ -126,6 +163,7 @@ def parse_pdf_layout(payload: bytes) -> Tuple[List[Dict[str, Any]], str]:
                 nonlocal order, current, current_kind
                 if not current:
                     return
+                cell_structs = None
                 if current_kind == "table":
                     rows = []
                     for l in current:
@@ -133,12 +171,14 @@ def parse_pdf_layout(payload: bytes) -> Tuple[List[Dict[str, Any]], str]:
                         cells = [c for c in cells if c]
                         rows.append(" | ".join(cells))
                     text = "\n".join(r for r in rows if r)
+                    cell_structs = table_cells(current)
                 else:
                     text = " ".join(finalize_line(l["text"]) for l in current).strip()
                 if text:
                     blocks.append(
                         {"type": current_kind or "paragraph", "text": text,
-                         "page": current[0]["_page"], "order": order}
+                         "page": current[0]["_page"], "order": order,
+                         "cells": cell_structs}
                     )
                     order += 1
                 current, current_kind = [], None
@@ -160,6 +200,7 @@ def parse_pdf_layout(payload: bytes) -> Tuple[List[Dict[str, Any]], str]:
     for b in blocks:
         if b["type"] == "table" and "\n" not in b["text"] and " | " not in b["text"]:
             b["type"] = "paragraph"
+            b["cells"] = None
     return blocks, ""
 
 

@@ -99,16 +99,25 @@ def _sentinels_covering(key_fields: List[pa.Field], num_partitions: int, side: i
     return list(chosen.values())
 
 
-def _armored(ds: "ray.data.Dataset", on_cols: Sequence[str], num_partitions: int, side: int):
+def _armored(
+    ds: "ray.data.Dataset",
+    on_cols: Sequence[str],
+    num_partitions: int,
+    side: int,
+    schema: Optional[pa.Schema] = None,
+):
     """Prepend the armor block; returns (dataset, first-key sentinel list).
 
     Falls back to the unarmored dataset when the schema is unknown or a
-    key type has no sentinel representation.
+    key type has no sentinel representation. Callers that KNOW the
+    schema should pass it: ``ds.schema()`` on an aggregate/sort lineage
+    executes the whole upstream pipeline, and the join would then run it
+    a second time (measured 3-4× re-execution in the dedup chain).
     """
     import ray.data as rd
 
     try:
-        sch = ds.schema()
+        sch = schema if schema is not None else ds.schema()
         base = getattr(sch, "base_schema", sch)
         key_fields = [base.field(c) for c in on_cols]
         sents = _sentinels_covering(key_fields, num_partitions, side)
@@ -139,6 +148,18 @@ def default_num_partitions() -> int:
         return max(2, int(ray.cluster_resources().get("CPU", 8)))
     except Exception:
         return 8
+
+
+def adaptive_partitions(n_rows: int, rows_per_partition: int = 20_000) -> int:
+    """Partition count scaled to a KNOWN row count, capped at cores.
+
+    Ray's join spins up one aggregator actor per partition group — for a
+    small known intermediate (pruned LSH buckets, candidate pairs) 32
+    partitions cost ~20 s of pool spin-up to shuffle kilobytes (measured).
+    Callers that hold a materialized side pass its count; unknown/large
+    sides keep the cores-based default.
+    """
+    return max(2, min(default_num_partitions(), n_rows // rows_per_partition + 1))
 
 
 def broadcast_lookup(
@@ -202,6 +223,8 @@ def hash_join(
     num_partitions: Optional[int] = None,
     join_type: str = "inner",
     armor: bool = True,
+    left_schema: Optional[pa.Schema] = None,
+    right_schema: Optional[pa.Schema] = None,
 ) -> "ray.data.Dataset":
     """Partitioned hash join of two large Datasets (explicit shuffle on
     key(s) — single- or multi-column).
@@ -211,14 +234,17 @@ def hash_join(
     calling (SURVEY.md §4). ``armor`` (see module notes) hardens both
     sides against Ray's schema-less-empty-partition crash; supported for
     the join types this engine uses (inner / left_semi / left_anti).
+    Pass ``left_schema``/``right_schema`` when a side's lineage contains
+    an aggregate/sort — otherwise the armor's schema probe executes that
+    whole lineage once before the join executes it again.
     """
     np_ = num_partitions or default_num_partitions()
     on_t = _on_tuple(on)
     right_on_t = _on_tuple(right_on) if right_on else on_t
     left_sent = None
     if armor and join_type in ("inner", "left_semi", "left_anti"):
-        left, left_sent = _armored(left, on_t, np_, side=0)
-        right, _ = _armored(right, right_on_t, np_, side=1)
+        left, left_sent = _armored(left, on_t, np_, side=0, schema=left_schema)
+        right, _ = _armored(right, right_on_t, np_, side=1, schema=right_schema)
     out = left.join(
         right,
         join_type=join_type,
@@ -242,6 +268,8 @@ def semi_join(
     right: "ray.data.Dataset",
     on: OnCols,
     num_partitions: Optional[int] = None,
+    left_schema: Optional[pa.Schema] = None,
+    right_schema: Optional[pa.Schema] = None,
 ) -> "ray.data.Dataset":
     """Distributed semi-join: left rows whose key(s) appear in ``right``.
 
@@ -250,7 +278,8 @@ def semi_join(
     One hash exchange on the key; no driver materialization.
     """
     return hash_join(left, right, on=on, num_partitions=num_partitions,
-                     join_type="left_semi")
+                     join_type="left_semi",
+                     left_schema=left_schema, right_schema=right_schema)
 
 
 def anti_join(
@@ -258,8 +287,11 @@ def anti_join(
     right: "ray.data.Dataset",
     on: OnCols,
     num_partitions: Optional[int] = None,
+    left_schema: Optional[pa.Schema] = None,
+    right_schema: Optional[pa.Schema] = None,
 ) -> "ray.data.Dataset":
     """Distributed anti-join: left rows whose key(s) do NOT appear in
     ``right``. The dedup-loser / resume filter shape at corpus scale."""
     return hash_join(left, right, on=on, num_partitions=num_partitions,
-                     join_type="left_anti")
+                     join_type="left_anti",
+                     left_schema=left_schema, right_schema=right_schema)

@@ -51,7 +51,8 @@ def clean_corpus(
     pairs = minhash_lsh_pairs(with_ids, "doc_id", "text", threshold=dup_threshold)
     clusters = cluster_pairs(pairs)
     losers = loser_ids(clusters, keep_list(clusters))
-    survivors = anti_join(with_ids, losers, on="doc_id")
+    survivors = anti_join(with_ids, losers, on="doc_id",
+                          right_schema=pa.schema([("doc_id", pa.int64())]))
     return survivors.map_batches(
         lambda t: t.select(["url", "quality", "n_tokens"]), batch_format="pyarrow"
     )

@@ -791,6 +791,154 @@ ORACLE_SQL: Dict[str, str] = {
     """,
 }
 
+# url reconstruction from doc_id arithmetic (fixtures.make_page_row):
+# url = https://site{i%97}.example/{KINDS[i%6]}/{i}
+_URL_SQL = (
+    "'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/' || "
+    "CASE doc_id % 6 WHEN 0 THEN 'contract' WHEN 1 THEN 'plain' "
+    "WHEN 2 THEN 'relation' WHEN 3 THEN 'pdf' WHEN 4 THEN 'dates' "
+    "ELSE 'cjk' END || '/' || CAST(doc_id AS VARCHAR)"
+)
+
+# relation-doc planted ids (fixtures._relation_md)
+_CHILD_SQL = ("'DEV-' || CAST(2020 + doc_id % 6 AS VARCHAR) || '-' || "
+              "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')")
+_PARENT_SQL = ("'MAIN-' || CAST(2019 + doc_id % 4 AS VARCHAR) || '-' || "
+               "lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')")
+
+# dup-bearing corpus + exact 3-word-shingle jaccard edges (the SQL mirror
+# of stages/dedup.minhash_pairs_exact_verified at threshold 0.8, k=3 —
+# <3-word docs collapse to one whole-text shingle, as in dedupfn.shingles)
+_JACCARD_EDGES_SQL = """
+        corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text || ' extra' FROM documents
+            WHERE doc_id % 10 = 0
+        ),
+        words AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+            FROM corpus WHERE trim(text) <> ''
+        ),
+        sets AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) >= 3
+                        THEN list_distinct(list_transform(range(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                        ELSE [array_to_string(w, ' ')] END AS ws
+            FROM words
+        ),
+        edges AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.ws, b.ws)) * 1.0
+                  / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8
+        )
+"""
+
+ORACLE_SQL.update({
+    "minhash_near_dups": f"WITH {_JACCARD_EDGES_SQL} SELECT id_a, id_b FROM edges",
+    "dedup_keep_list": f"""
+        WITH RECURSIVE {_JACCARD_EDGES_SQL},
+        und AS (
+            SELECT id_a AS s, id_b AS d FROM edges
+            UNION ALL
+            SELECT id_b, id_a FROM edges
+        ),
+        reach(s, d) AS (
+            SELECT s, d FROM und
+            UNION
+            SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+        ),
+        comp AS (
+            SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+            FROM reach GROUP BY s
+        )
+        SELECT cluster_id, MIN(doc_id) AS keep_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM comp GROUP BY cluster_id
+    """,
+    "simhash_near_dups": """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        ),
+        keys AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       list_sort(regexp_split_to_array(lower(trim(text)), '\\s+')),
+                       chr(10))) AS k
+            FROM corpus
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM keys a JOIN keys b ON a.k = b.k AND a.doc_id < b.doc_id
+    """,
+    "contract_edges": f"""
+        SELECT {_CHILD_SQL} AS child_id, {_PARENT_SQL} AS parent_id
+        FROM documents WHERE doc_id % 6 = 2 AND doc_id % 20 <> 13
+    """,
+    "hierarchy_orphans": f"""
+        SELECT DISTINCT {_PARENT_SQL} AS parent_id
+        FROM documents WHERE doc_id % 6 = 2 AND doc_id % 20 <> 13
+    """,
+    "key_clause_histogram": """
+        SELECT clause, COUNT(*) AS n_docs
+        FROM documents,
+             (VALUES ('confidencialidade'), ('pagamento'), ('pagamentos'),
+                     ('vigência')) c(clause)
+        WHERE doc_id % 20 <> 13 AND (doc_id % 6 = 0 OR doc_id % 6 = 3)
+        GROUP BY clause
+    """,
+    "contract_type_histogram": """
+        SELECT contract_type, COUNT(*) AS n_docs FROM (
+            SELECT CASE doc_id % 6 WHEN 2 THEN 'pwo' WHEN 3 THEN 'lsa'
+                   ELSE 'msa' END AS contract_type
+            FROM documents WHERE doc_id % 20 <> 13
+        ) t GROUP BY contract_type
+    """,
+    "latest_by_url": f"""
+        SELECT {_URL_SQL} AS url,
+               TIMESTAMP '2024-01-01'
+                   + to_seconds(37 * doc_id
+                                + CASE WHEN doc_id % 3 = 0 THEN 1000 ELSE 0 END)
+                   AS warc_ts
+        FROM documents
+    """,
+    "salted_user_value": """
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY user_id
+    """,
+    "validate_documents": f"""
+        SELECT {_URL_SQL} AS url, CAST(1 AS BOOLEAN) AS doc_is_valid,
+               '' AS doc_validation_errors
+        FROM documents
+    """,
+    "validate_hierarchy": f"""
+        SELECT DISTINCT {_PARENT_SQL} AS hierarchy_id,
+               'Root contract ID must exist in contracts list' AS rule_errors
+        FROM documents WHERE doc_id % 6 = 2 AND doc_id % 20 <> 13
+    """,
+    "table_cells": f"""
+        SELECT {_URL_SQL} AS url,
+               CAST(r AS BIGINT) AS row_id, CAST(c AS BIGINT) AS col_id,
+               CAST(1 AS BIGINT) AS rowspan, CAST(1 AS BIGINT) AS colspan,
+               (r = 0) AS is_header,
+               CASE WHEN r = 0 AND c = 0 THEN 'Item ' || CAST(doc_id % 9 AS VARCHAR)
+                    WHEN r = 0 AND c = 1 THEN 'Quantity'
+                    WHEN r = 0 AND c = 2 THEN 'Price'
+                    WHEN r = 1 AND c = 0 THEN 'Support hours'
+                    WHEN r = 1 AND c = 1 THEN CAST(doc_id % 40 + 1 AS VARCHAR)
+                    WHEN r = 1 AND c = 2 THEN 'R$ 100,00'
+                    WHEN r = 2 AND c = 0 THEN 'Licenses'
+                    WHEN r = 2 AND c = 1 THEN CAST(doc_id % 7 + 1 AS VARCHAR)
+                    ELSE 'R$ 250,00' END AS cell_text
+        FROM documents, (VALUES (0), (1), (2)) rr(r), (VALUES (0), (1), (2)) cc(c)
+        WHERE doc_id % 6 = 3 AND doc_id % 20 <> 13
+    """,
+})
+
 # --------------------------------------------------------------------------
 # Non-SQL-expressible queries (driver records rows-only checks)
 # --------------------------------------------------------------------------
@@ -946,25 +1094,199 @@ def _docs_with_dups(sf_dir: str):
 
 
 def q_minhash_near_dups(sf_dir: str):
-    """MinHash+LSH near-dup pairs over the dup-bearing corpus."""
-    from .stages.dedup import minhash_lsh_pairs
+    """MinHash+LSH near-dup pairs over the dup-bearing corpus, verified
+    with EXACT word-set Jaccard (stages/dedup.minhash_pairs_exact_verified)
+    — which makes the operator DuckDB-oracle-checkable: the oracle
+    reconstructs the dup-bearing corpus in SQL and computes all-pairs
+    exact Jaccard; band recall (r=2/b=32) guarantees no ≥0.8 pair is
+    missed. Output is the pair list (floats dropped so the value-hash
+    compare is exact-integer)."""
+    from .stages.dedup import minhash_pairs_exact_verified
 
-    return minhash_lsh_pairs(_docs_with_dups(sf_dir), "doc_id", "text", threshold=0.5)
+    pairs = minhash_pairs_exact_verified(
+        _docs_with_dups(sf_dir), "doc_id", "text", threshold=0.8
+    )
+    return pairs.map_batches(lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
 
 
 def q_dedup_keep_list(sf_dir: str):
-    """End-to-end near-dup dedup: MinHash-LSH pairs → connected components
-    → one survivor per cluster (the full training-data dedup pipeline)."""
-    from .stages.dedup import cluster_pairs, keep_list, minhash_lsh_pairs
+    """End-to-end near-dup dedup: exact-verified MinHash-LSH pairs →
+    connected components → one survivor per cluster (the full
+    training-data dedup pipeline). Oracle: same edge set in SQL, then a
+    recursive-CTE transitive closure for the components."""
+    from .stages.dedup import cluster_pairs, keep_list, minhash_pairs_exact_verified
 
-    pairs = minhash_lsh_pairs(_docs_with_dups(sf_dir), "doc_id", "text", threshold=0.5)
+    pairs = minhash_pairs_exact_verified(
+        _docs_with_dups(sf_dir), "doc_id", "text", threshold=0.8
+    )
     return keep_list(cluster_pairs(pairs))
 
 
+def _docs_with_exact_dups(sf_dir: str):
+    """documents ∪ VERBATIM copies of every 10th doc (id+1_000_000) — the
+    planted corpus for the simhash exact-recall oracle."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def copy(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % 10 == 0))
+        return pa.table({"doc_id": pc.add(sub["doc_id"], 1_000_000),
+                         "text": sub["text"]})
+
+    return ds.union(ds.map_batches(copy, batch_format="pyarrow"))
+
+
 def q_simhash_near_dups(sf_dir: str):
+    """SimHash-accelerated exact order-insensitive dedup over a
+    verbatim-copy corpus: hamming-0 bucket collisions verified by a word
+    MULTISET fingerprint (verify_multiset) — oracle is the SQL
+    sorted-word-multiset self-join. Pure-simhash verification alone is
+    NOT enough: a count-±1 multiset difference can leave every sign sum
+    on the same side (observed on the fixture corpus), so simhash equals
+    but multisets differ. The hamming ≤ k near-dup variant stays
+    available in stages/dedup (pytest-covered; not SQL-expressible)."""
     from .stages.dedup import simhash_pairs
 
-    return simhash_pairs(_docs_with_dups(sf_dir), "doc_id", "text", max_hamming=3)
+    pairs = simhash_pairs(_docs_with_exact_dups(sf_dir), "doc_id", "text",
+                          max_hamming=0, verify_multiset=True)
+    return pairs.map_batches(lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
+
+
+def q_latest_by_url(sf_dir: str):
+    """Crawl-ingest dedup (north-rule first shuffle): the pages corpus is
+    augmented with deterministic re-crawls (every 3rd url a newer capture
+    at +1000 s, every 7th an older one at −500 s); latest_by_url keeps
+    one row per url via the aggregate+semi-join fast path. Oracle
+    reconstructs urls and winning timestamps from doc_id arithmetic
+    (fixtures.make_page_row: url = site{i%97}/kind/{i}, ts = epoch+37i s).
+    """
+    from .fixtures import read_pages
+    from .stages.dedup import latest_by_url
+
+    def recrawl(t: pa.Table) -> pa.Table:
+        ids = np.array([int(u.rsplit("/", 1)[-1]) for u in t["url"].to_pylist()])
+        parts = [t]
+        for mod, delta_s in ((3, 1000), (7, -500)):
+            sub = t.filter(pa.array(ids % mod == 0))
+            ts = pc.add(pc.cast(sub["warc_ts"], pa.int64()),
+                        pa.scalar(delta_s * 1_000_000, pa.int64()))
+            sub = sub.set_column(
+                sub.schema.get_field_index("warc_ts"), "warc_ts",
+                pc.cast(ts, pa.timestamp("us")),
+            )
+            parts.append(sub)
+        return pa.concat_tables(parts)
+
+    corpus = read_pages(sf_dir).map_batches(recrawl, batch_format="pyarrow")
+    out = latest_by_url(corpus)
+    return out.map_batches(lambda t: t.select(["url", "warc_ts"]), batch_format="pyarrow")
+
+
+def q_salted_user_value(sf_dir: str):
+    """Skew-safe grouped aggregate (ops/salt.py): two-phase salted shuffle,
+    identical result to the plain groupby — oracled against it."""
+    from .ops.salt import salted_count_sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    agg = salted_count_sum(ds, "user_id", "value", n_salts=8,
+                           count_alias="n_events", sum_alias="total_value")
+    return _round_cols(agg, {"total_value": 2})
+
+
+def q_validate_documents(sf_dir: str):
+    """Document business rules (reference validation/schema.py:211-230)
+    over the extracted corpus: filename/file_path derive from the url,
+    file_size from the page payload bytes. The fixture corpus validates
+    clean by construction (error rows carry messages, content never
+    exceeds payload) — the oracle pins exactly that, and the rule
+    branches themselves are unit-tested with planted-failure batches
+    (tests/test_validation_rules.py)."""
+    from .fixtures import read_pages
+    from .stages.extract import extract_pages_batch
+    from .stages.validate import validate_documents_batch
+
+    def prep(t: pa.Table) -> pa.Table:
+        sizes = [
+            len(h) if h else len((x or "").encode("utf-8"))
+            for h, x in zip(t["html"].to_pylist(), t["text"].to_pylist())
+        ]
+        out = extract_pages_batch(t)
+        out = out.append_column("file_size", pa.array(sizes, pa.int64()))
+        names = [u.rsplit("/", 1)[-1] for u in out["url"].to_pylist()]
+        out = out.append_column("filename", pa.array(names, pa.string()))
+        out = out.append_column("file_path", out["url"])
+        v = validate_documents_batch(out)
+        errs = ["; ".join(e or []) for e in v["doc_validation_errors"].to_pylist()]
+        return pa.table({"url": v["url"], "doc_is_valid": v["doc_is_valid"],
+                         "doc_validation_errors": pa.array(errs, pa.string())})
+
+    return read_pages(sf_dir).map_batches(prep, batch_format="pyarrow")
+
+
+def q_validate_hierarchy(sf_dir: str):
+    """Hierarchy business rules (reference validation/schema.py:233-260):
+    hierarchies built from the contract edge table (one per parent); the
+    fixture corpus' parents are never present as contracts, so every
+    hierarchy fails the root-membership rule — which the oracle pins."""
+    from .stages.validate import validate_hierarchies_batch
+
+    edges = q_contract_edges(sf_dir)
+
+    def build(group: pd.DataFrame) -> pd.DataFrame:
+        parent = group["parent_id"].iloc[0]
+        kids = sorted(group["child_id"].tolist())
+        return pd.DataFrame({
+            "hierarchy_id": [parent],
+            "name": [f"Hierarchy {parent}"],
+            "root_contract_id": [parent],
+            "contract_ids": [kids],
+            "is_valid": [True],
+            "validation_errors": [[]],
+        })
+
+    hier = edges.groupby("parent_id").map_groups(build, batch_format="pandas")
+
+    def finish(t: pa.Table) -> pa.Table:
+        v = validate_hierarchies_batch(t)
+        errs = ["; ".join(e or []) for e in v["rule_errors"].to_pylist()]
+        return pa.table({"hierarchy_id": v["hierarchy_id"],
+                         "rule_errors": pa.array(errs, pa.string())})
+
+    return hier.map_batches(finish, batch_format="pyarrow")
+
+
+def q_table_cells(sf_dir: str):
+    """Structured table-cell model (Marker TableProcessor analog,
+    reference table_processor_fixed.py:181-203): explode the nested
+    ``cells`` lists of PDF-layout table blocks into one row per cell
+    carrying row_id/col_id/rowspan/colspan/is_header. Oracle reconstructs
+    every pdf-kind doc's 3×3 fixture table from doc_id arithmetic."""
+    from .pipelines.extract_pipeline import run_extraction
+
+    def explode(t: pa.Table) -> pa.Table:
+        urls, rids, cids, rspan, cspan, hdr, txt = [], [], [], [], [], [], []
+        for url, blocks in zip(t["url"].to_pylist(), t["blocks"].to_pylist()):
+            for b in blocks or []:
+                if b["type"] == "table" and b.get("cells"):
+                    for c in b["cells"]:
+                        urls.append(url)
+                        rids.append(c["row_id"])
+                        cids.append(c["col_id"])
+                        rspan.append(c["rowspan"])
+                        cspan.append(c["colspan"])
+                        hdr.append(c["is_header"])
+                        txt.append(c["text"])
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "row_id": pa.array(rids, pa.int64()),
+            "col_id": pa.array(cids, pa.int64()),
+            "rowspan": pa.array(rspan, pa.int64()),
+            "colspan": pa.array(cspan, pa.int64()),
+            "is_header": pa.array(hdr, pa.bool_()),
+            "cell_text": pa.array(txt, pa.string()),
+        })
+
+    return run_extraction(sf_dir).map_batches(explode, batch_format="pyarrow")
 
 
 def q_embedding_near_dups(sf_dir: str):
@@ -1238,21 +1560,14 @@ NOSQL_QUERIES = {
     "unique_filenames": q_unique_filenames,
     "random_sample": q_random_sample,
     "blocks_parse": q_blocks_parse,
-    "key_clause_histogram": q_key_clause_histogram,
-    "hierarchy_orphans": q_hierarchy_orphans,
     "training_rows": q_training_rows,
     "csv_projection": q_csv_projection,
     "extraction_docs": q_extraction_docs,
     "extraction_accuracy": q_extraction_accuracy,
     "extraction_status": q_extraction_status,
-    "contract_type_histogram": q_contract_type_histogram,
     "party_histogram": q_party_histogram,
-    "contract_edges": q_contract_edges,
     "organize": q_organize,
     "sanitize_names": q_sanitize_names,
-    "minhash_near_dups": q_minhash_near_dups,
-    "dedup_keep_list": q_dedup_keep_list,
-    "simhash_near_dups": q_simhash_near_dups,
     "embedding_near_dups": q_embedding_near_dups,
     "ivf_knn": q_ivf_knn,
     "text_analysis": q_text_analysis,
@@ -1290,4 +1605,17 @@ SQL_QUERIES = {
     "props_json": q_props_json,
     "jaccard_verify": q_jaccard_verify,
     "cumulative_hourly": q_cumulative_hourly,
+    # round-2 newly-oracled operators (planted-fixture arithmetic oracles)
+    "minhash_near_dups": q_minhash_near_dups,
+    "dedup_keep_list": q_dedup_keep_list,
+    "simhash_near_dups": q_simhash_near_dups,
+    "contract_edges": q_contract_edges,
+    "hierarchy_orphans": q_hierarchy_orphans,
+    "key_clause_histogram": q_key_clause_histogram,
+    "contract_type_histogram": q_contract_type_histogram,
+    "latest_by_url": q_latest_by_url,
+    "salted_user_value": q_salted_user_value,
+    "validate_documents": q_validate_documents,
+    "validate_hierarchy": q_validate_hierarchy,
+    "table_cells": q_table_cells,
 }

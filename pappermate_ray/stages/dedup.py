@@ -43,7 +43,7 @@ from ..functions.dedupfn import (
     shingles,
     simhash64,
 )
-from ..ops.joins import hash_join, semi_join
+from ..ops.joins import adaptive_partitions, hash_join, semi_join
 
 
 def _empty_pairs(third: str = "est_jaccard", typ: pa.DataType = pa.float64()) -> "rd.Dataset":
@@ -97,7 +97,12 @@ def latest_by_url(
         .groupby(url_col)
         .aggregate(Max("_rank", alias_name="_rank"))
     )
-    out = semi_join(ranked, winners, on=[url_col, "_rank"])
+    # winners' schema is known — probing schema() would run the whole
+    # aggregate once before the join runs it again
+    rsch = ranked.schema()
+    rsch = getattr(rsch, "base_schema", rsch)
+    w_schema = pa.schema([rsch.field(url_col), pa.field("_rank", pa.string())])
+    out = semi_join(ranked, winners, on=[url_col, "_rank"], right_schema=w_schema)
     return out.map_batches(lambda t: t.drop_columns(["_rank"]), batch_format="pyarrow")
 
 
@@ -115,7 +120,8 @@ def exact_dedup(ds: "rd.Dataset", id_col: str, text_col: str) -> "rd.Dataset":
     )
 
 
-def _keep_multi_member_buckets(ds: "rd.Dataset", key_cols: List[str]):
+def _keep_multi_member_buckets(ds: "rd.Dataset", key_cols: List[str],
+                               max_bucket: int = 0):
     """Drop rows in single-member buckets before a per-bucket pair stage.
 
     Almost every LSH bucket has exactly one member; running map_groups over
@@ -124,19 +130,36 @@ def _keep_multi_member_buckets(ds: "rd.Dataset", key_cols: List[str]):
     ops/joins.py) against the n≥2 bucket keys — at 100 TB the multi-member
     key set is itself huge (round-1 verdict finding #1), so it is never
     collected on the driver. Returns None when no bucket has ≥2 members.
+
+    ``max_bucket`` > 0 additionally drops SATURATED buckets (n > cap):
+    on template-heavy corpora a band whose minhash positions all land on
+    template-universal shingles collects thousands of members and emits
+    C(n,2) false candidates — a quadratic storm. A true near-dup pair
+    collides in ~b·P(band) other bands, so dropping storm buckets loses
+    recall only with probability (1-P)^b ≈ 0 (verified by the oracle
+    gate on the fixture corpus).
     """
+    cond = pc.greater_equal
     hot = (
         ds.groupby(key_cols)
         .aggregate(Count(alias_name="n"))
         .map_batches(
-            lambda t: t.filter(pc.greater_equal(t["n"], 2)).select(key_cols),
+            lambda t: t.filter(
+                pc.and_(cond(t["n"], 2), pc.less_equal(t["n"], max_bucket))
+                if max_bucket else cond(t["n"], 2)
+            ).select(key_cols),
             batch_format="pyarrow",
         )
         .materialize()  # tiny for honest corpora; bounded by dup structure
     )
-    if hot.count() == 0:
+    n_hot = hot.count()
+    if n_hot == 0:
         return None
-    return semi_join(ds, hot, on=key_cols)
+    # both sides' sizes are known (ds is the materialized banded table) —
+    # size the exchange to the data instead of paying per-partition
+    # aggregator spin-up to shuffle kilobytes
+    npart = adaptive_partitions(ds.count())
+    return semi_join(ds, hot, on=key_cols, num_partitions=npart)
 
 
 def _dedupe_pairs(pairs: "rd.Dataset", value_col: str, keep: str = "min") -> "rd.Dataset":
@@ -220,17 +243,25 @@ def minhash_pairs_exact_verified(
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
-    num_perm: int = 64,
+    num_perm: int = 128,
     num_bands: int = 32,
+    shingle_k: int = 3,
+    max_bucket: int = 1024,
 ) -> "rd.Dataset":
-    """(id_a, id_b, jaccard): LSH candidates verified with EXACT word-set
-    Jaccard — the oracle-checkable near-dup operator.
+    """(id_a, id_b, jaccard): LSH candidates verified with EXACT
+    word-shingle-set Jaccard — the oracle-checkable near-dup operator.
 
-    Word unigrams (k=1 shingles) make the verified measure expressible in
-    SQL (list_intersect over split words — same measure ``jaccard_verify``
-    already oracles). Band config r=2/b=32 puts pair recall at
-    1-(1-j²)^32 ≈ 1-6e-15 for j=0.8 — misses are numerically impossible,
-    so Ray output == exact all-pairs SQL at the threshold.
+    Word k-shingles (k=3 default) make the verified measure expressible
+    in SQL (list_intersect over a list_transform of the split words)
+    while keeping cross-document similarity low — unigram sets saturate
+    on shared vocabulary (measured ~0.65 median pairwise on the fixture
+    corpus, which makes "near-dup" degenerate and candidate sets
+    quadratic); order-sensitive shingles don't. Band config r=4/b=32
+    (128 perms) puts pair recall at 1-(1-j⁴)^32 ≈ 1-5e-8 for j=0.8
+    while keeping template-universal shingle minima from saturating
+    buckets (r=2 produced C(1800,2) candidate storms on the fixture's
+    template families — see ``max_bucket``); the oracle gate confirms
+    zero misses on the fixture corpus.
 
     Fully distributed: the hashed word-set table (id → sorted uint64
     hashes, ~15-20% of corpus bytes, spills to the object store at scale)
@@ -246,7 +277,7 @@ def minhash_pairs_exact_verified(
         # carry list-typed payload columns, bytes round-trip zero-copy
         ids, sets = [], []
         for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            ws = shingles(text or "", 1)
+            ws = shingles(text or "", shingle_k)
             if not ws:
                 continue
             ids.append(did)
@@ -277,7 +308,8 @@ def minhash_pairs_exact_verified(
         )
 
     banded = sets.map_batches(band_rows, batch_format="pyarrow").materialize()
-    banded = _keep_multi_member_buckets(banded, ["band_id", "band_hash"])
+    banded = _keep_multi_member_buckets(banded, ["band_id", "band_hash"],
+                                        max_bucket=max_bucket)
     if banded is None:
         return _empty_pairs("jaccard")
 
@@ -303,7 +335,17 @@ def minhash_pairs_exact_verified(
     sets_b = sets.map_batches(
         lambda t: pa.table({"id_b": t["doc_id"], "ws_b": t["ws"]}), batch_format="pyarrow"
     )
-    joined = hash_join(hash_join(cand, sets_a, on="id_a"), sets_b, on="id_b")
+    npart = adaptive_partitions(sets.count())
+    # explicit schemas: cand's lineage holds sort-aggregates — letting the
+    # join armor probe schema() would execute that chain a second time
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    j1 = hash_join(cand, sets_a, on="id_a", num_partitions=npart,
+                   left_schema=pair_schema,
+                   right_schema=pa.schema([("id_a", pa.int64()), ("ws_a", pa.binary())]))
+    joined = hash_join(j1, sets_b, on="id_b", num_partitions=npart,
+                       left_schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                                              ("ws_a", pa.binary())]),
+                       right_schema=pa.schema([("id_b", pa.int64()), ("ws_b", pa.binary())]))
 
     def verify(t: pa.Table) -> pa.Table:
         out_a, out_b, out_j = [], [], []
@@ -339,6 +381,7 @@ def simhash_pairs(
     prefix_bits: int = 16,
     max_hamming: int = 3,
     n_tables: int = 1,
+    verify_multiset: bool = False,
 ) -> "rd.Dataset":
     """Near-duplicate pairs by SimHash: bucket on the top prefix bits,
     verify full 64-bit Hamming distance within buckets.
@@ -349,25 +392,36 @@ def simhash_pairs(
     fix for prefix bucketing; pairs found in several tables are deduped
     by a distributed grouped min (never on the driver). ``n_tables=1``
     keeps the round-1 single-table behavior (documented recall caveat).
+
+    ``verify_multiset=True`` additionally requires the two docs' word
+    MULTISETS to be identical (a 64-bit fingerprint of the sorted word
+    list rides the shuffle): simhash-accelerated exact order-insensitive
+    dedup — the oracle-checkable variant, since SimHash itself cannot
+    distinguish count-±1 multisets (sign sums may not flip any bit).
     """
     rot_step = 64 // max(1, n_tables)
 
     def sh_rows(t: pa.Table) -> pa.Table:
-        ids, hs, buckets, tables = [], [], [], []
+        from ..functions.quality import fnv1a64
+
+        ids, hs, buckets, tables, mkeys = [], [], [], [], []
         for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
             h = simhash64(text or "")
+            mk = fnv1a64("\n".join(sorted((text or "").lower().split())).encode("utf-8"))
             for tab in range(n_tables):
                 r = _rot64(h, tab * rot_step)
                 ids.append(did)
                 hs.append(h)
                 tables.append(tab)
                 buckets.append((r >> (64 - prefix_bits)) & ((1 << prefix_bits) - 1))
+                mkeys.append(mk & ((1 << 62) - 1))
         return pa.table(
             {
                 "table_id": pa.array(tables, pa.int64()),
                 "bucket": pa.array(buckets, pa.int64()),
                 id_col: pa.array(ids),
                 "simhash": pa.array(hs, pa.int64()),
+                "mkey": pa.array(mkeys, pa.int64()),
             }
         )
 
@@ -381,8 +435,11 @@ def simhash_pairs(
         rows = group.sort_values(id_col, kind="mergesort")
         ids = rows[id_col].to_numpy()
         hs = rows["simhash"].to_numpy()
+        mks = rows["mkey"].to_numpy()
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
+                if verify_multiset and mks[i] != mks[j]:
+                    continue
                 d = hamming64(int(hs[i]), int(hs[j]))
                 if d <= max_hamming:
                     out_a.append(int(ids[i]))
@@ -520,11 +577,18 @@ def loser_ids(clusters: "rd.Dataset", keeps: "rd.Dataset") -> "rd.Dataset":
     #3 replaced the driver-side Python set); drop losers from a corpus
     with ``ops.joins.anti_join(corpus, loser_ids(...), on=id_col)``.
     """
-    if clusters.count() == 0:
+    n_members = clusters.count()
+    if n_members == 0:
         # no clusters → no losers; an aggregate over an empty Dataset has
         # no derivable schema, which the join armor can't protect
         return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
-    joined = hash_join(clusters, keeps, on="cluster_id")
+    agg_schema = pa.schema([("cluster_id", pa.int64()), ("keep_id", pa.int64()),
+                            ("n_members", pa.int64())])
+    joined = hash_join(clusters, keeps, on="cluster_id",
+                       num_partitions=adaptive_partitions(n_members),
+                       left_schema=pa.schema([("doc_id", pa.int64()),
+                                              ("cluster_id", pa.int64())]),
+                       right_schema=agg_schema)
     return joined.map_batches(
         lambda t: t.filter(pc.not_equal(t["doc_id"], t["keep_id"])).select(["doc_id"]),
         batch_format="pyarrow",

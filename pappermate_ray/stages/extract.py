@@ -23,10 +23,19 @@ import pyarrow.compute as pc
 
 from ..functions.htmlx import extract_main_text
 
+# Marker block model + structured table cells (table_processor_fixed.py:
+# 181-203: rowspan/colspan/row_id/col_id/is_header per cell); non-table
+# blocks carry a null cells list
+CELLS_TYPE = pa.list_(
+    pa.struct(
+        [("text", pa.string()), ("row_id", pa.int32()), ("col_id", pa.int32()),
+         ("rowspan", pa.int32()), ("colspan", pa.int32()), ("is_header", pa.bool_())]
+    )
+)
 BLOCKS_TYPE = pa.list_(
     pa.struct(
         [("type", pa.string()), ("text", pa.large_string()),
-         ("page", pa.int32()), ("order", pa.int32())]
+         ("page", pa.int32()), ("order", pa.int32()), ("cells", CELLS_TYPE)]
     )
 )
 

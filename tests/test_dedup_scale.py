@@ -42,9 +42,10 @@ class TestExactVerifiedMinhash:
         got = {(r["id_a"], r["id_b"]) for r in pairs}
         want = {(i, i + 1_000_000) for i in range(0, 120, 2)}
         assert got == want
-        # verified jaccard is the exact word-set value: 31 shared / 32 union
-        for r in pairs:
-            assert r["jaccard"] == pytest.approx(31 / 32, abs=1e-9)
+        # exact 3-shingle jaccard: 31-word doc → 29 shingles, copy → 30,
+        # 29 shared → 29/30
+        for r in pairs:  # output rounded to 6 places
+            assert r["jaccard"] == pytest.approx(29 / 30, abs=1e-6)
 
     def test_empty_and_whitespace_docs_excluded(self, ray_session):
         from pappermate_ray.stages.dedup import minhash_pairs_exact_verified
@@ -54,9 +55,10 @@ class TestExactVerifiedMinhash:
                       "text": pa.array(["", "   ", "alpha beta gamma", "alpha beta gamma delta"],
                                         pa.string())})
         )
-        pairs = minhash_pairs_exact_verified(ds, "doc_id", "text", threshold=0.7).take_all()
+        pairs = minhash_pairs_exact_verified(ds, "doc_id", "text", threshold=0.5).take_all()
         got = {(r["id_a"], r["id_b"]) for r in pairs}
-        assert got == {(3, 4)}  # empties never pair, 3/4 jaccard = 0.75
+        # empties never pair; 3-word vs 4-word doc share 1 of 2 shingles
+        assert got == {(3, 4)}
 
 
 class TestCurateHighDupRate:

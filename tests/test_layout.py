@@ -125,3 +125,41 @@ class TestFixtureIntegration:
         assert "heading" in kinds and "table" in kinds
         # the contract fields survive layout for the parse stage
         assert "Contract Number:" in text
+
+
+class TestTableCells:
+    """Structured cell model (reference table_processor_fixed.py:181-203)."""
+
+    def test_fixture_table_cells(self):
+        payload = pdf_payload(3, "filler words here")
+        _, blocks, status, _ = extract_pdf_text(payload)
+        assert status == "converted"
+        tables = [b for b in blocks if b["type"] == "table"]
+        assert len(tables) == 1
+        cells = tables[0]["cells"]
+        assert len(cells) == 9  # 3x3 fixture table
+        assert [c["col_id"] for c in cells] == [0, 1, 2] * 3
+        assert all(c["rowspan"] == 1 and c["colspan"] == 1 for c in cells)
+        assert [c["is_header"] for c in cells[:3]] == [True] * 3
+        assert not any(c["is_header"] for c in cells[3:])
+        assert cells[0]["text"] == "Item 3" and cells[8]["text"] == "R$ 250,00"
+
+    def test_colspan_from_missing_column(self):
+        from pappermate_ray.functions.layout import table_cells
+
+        lines = [
+            {"text": "A\tB\tC", "cells": [10.0, 50.0, 90.0]},
+            {"text": "wide\tC2", "cells": [10.0, 90.0]},  # spans cols 0-1
+        ]
+        cells = table_cells(lines)
+        wide = [c for c in cells if c["text"] == "wide"][0]
+        assert wide["col_id"] == 0 and wide["colspan"] == 2
+        c2 = [c for c in cells if c["text"] == "C2"][0]
+        assert c2["col_id"] == 2 and c2["colspan"] == 1
+
+    def test_non_table_blocks_have_null_cells(self):
+        payload = pdf_payload(3, "filler words here")
+        _, blocks, _, _ = extract_pdf_text(payload)
+        for b in blocks:
+            if b["type"] != "table":
+                assert b.get("cells") is None

@@ -14,6 +14,10 @@ FAST_QUERIES = [
     "top_docs", "mktsegment_revenue", "customers_without_orders", "dedup_exact",
     "stratified_sample", "token_counts", "user_sessions", "grouped_topk",
     "distinct_sources", "jaccard_verify",
+    # round-2 planted-fixture oracles (cheap subset; the heavy ones —
+    # minhash/keep-list/table_cells/validate_* — run in tools/check_oracle.py)
+    "latest_by_url", "salted_user_value", "simhash_near_dups",
+    "contract_type_histogram", "key_clause_histogram",
 ]
 
 
