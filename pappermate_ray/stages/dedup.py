@@ -59,6 +59,7 @@ def latest_by_url(
     ts_col: str = "warc_ts",
     payload_col: str = "html",
     strategy: str = "aggregate",
+    num_partitions: int = None,
 ) -> "rd.Dataset":
     """Crawl-ingest dedup: one row per url, the LATEST capture wins
     (ties break deterministically on the larger payload, then payload
@@ -102,7 +103,11 @@ def latest_by_url(
     rsch = ranked.schema()
     rsch = getattr(rsch, "base_schema", rsch)
     w_schema = pa.schema([rsch.field(url_col), pa.field("_rank", pa.string())])
-    out = semi_join(ranked, winners, on=[url_col, "_rank"], right_schema=w_schema)
+    # num_partitions: cores by default (right at cluster scale); on one
+    # box payload-heavy exchanges peak at fewer partitions (1M-url bench:
+    # 23.5 s @8 vs 31.8 s @32 — see BASELINE.md)
+    out = semi_join(ranked, winners, on=[url_col, "_rank"],
+                    num_partitions=num_partitions, right_schema=w_schema)
     return out.map_batches(lambda t: t.drop_columns(["_rank"]), batch_format="pyarrow")
 
 

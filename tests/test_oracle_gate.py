@@ -53,3 +53,11 @@ def test_query_matches_oracle(ray_session, con, name):
     assert list(got.columns) == list(want.columns), name
     assert len(got) == len(want), name
     pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=0, atol=1e-9)
+
+
+def test_query_oracle_dict_consistency():
+    """Every SQL query has an oracle and vice versa; no name overlaps."""
+    from pappermate_ray.queries import NOSQL_QUERIES, ORACLE_SQL, SQL_QUERIES
+
+    assert set(SQL_QUERIES) == set(ORACLE_SQL)
+    assert not (set(SQL_QUERIES) & set(NOSQL_QUERIES))
