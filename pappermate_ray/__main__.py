@@ -107,6 +107,26 @@ def cmd_manifest(args) -> None:
     print(json.dumps(out))
 
 
+def cmd_schemas(args) -> None:
+    """Export the model JSON Schemas (reference validation/schema.py:63-104
+    workflow) plus, when --output-dir holds extraction parquet, a
+    JSON-Schema of its actual Arrow schema."""
+    from .io.jsonschema import SchemaValidator, arrow_schema_to_json_schema
+
+    files = SchemaValidator().export_schemas(args.output)
+    if args.parquet_dir:
+        import json as _json
+
+        import pyarrow.dataset as pads
+
+        sch = pads.dataset(args.parquet_dir).schema
+        fp = os.path.join(args.output, "dataset_schema.json")
+        with open(fp, "w", encoding="utf-8") as f:
+            _json.dump(arrow_schema_to_json_schema(sch, "ExtractionOutput"), f, indent=2)
+        files.append(fp)
+    print(json.dumps({"exported": files}))
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pappermate_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -128,6 +148,12 @@ def main(argv=None) -> int:
     pm = sub.add_parser("manifest", help="print lineage manifest summary")
     pm.add_argument("--output", required=True)
     pm.set_defaults(fn=cmd_manifest)
+
+    ps = sub.add_parser("schemas", help="export model JSON Schemas (+ dataset schema)")
+    ps.add_argument("--output", required=True, help="directory for *_schema.json files")
+    ps.add_argument("--parquet-dir", default=None,
+                    help="also export this extraction output's Arrow schema")
+    ps.set_defaults(fn=cmd_schemas)
 
     args = p.parse_args(argv)
     args.fn(args)

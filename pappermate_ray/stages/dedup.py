@@ -125,16 +125,36 @@ def exact_dedup(ds: "rd.Dataset", id_col: str, text_col: str) -> "rd.Dataset":
     )
 
 
+_PACK_PRIME = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _packed_keys(t: pa.Table, key_cols: List[str]) -> np.ndarray:
+    """Multi-column key → one uint64 (wrapping polynomial hash). Used only
+    for MEMBERSHIP tests: a collision can merge two keys in the test set
+    (keeps a few extra rows for the verified pair stage — harmless), never
+    drop a true member."""
+    with np.errstate(over="ignore"):
+        acc = np.zeros(len(t), dtype=np.uint64)
+        for c in key_cols:
+            acc = acc * _PACK_PRIME + t[c].to_numpy(zero_copy_only=False).astype(np.uint64)
+    return acc
+
+
 def _keep_multi_member_buckets(ds: "rd.Dataset", key_cols: List[str],
-                               max_bucket: int = 0):
+                               max_bucket: int = 0,
+                               broadcast_limit: int = 2_000_000):
     """Drop rows in single-member buckets before a per-bucket pair stage.
 
     Almost every LSH bucket has exactly one member; running map_groups over
     all of them pays per-group overhead N×bands times. One narrow groupby
-    counts occupancy; rows are then SEMI-JOINED (distributed hash exchange,
-    ops/joins.py) against the n≥2 bucket keys — at 100 TB the multi-member
-    key set is itself huge (round-1 verdict finding #1), so it is never
-    collected on the driver. Returns None when no bucket has ≥2 members.
+    counts occupancy; rows are then filtered against the n≥2 bucket keys
+    by the hybrid the round-1 verdict prescribed (finding #1): when the
+    hot-key COUNT (known after the narrow aggregate) is within
+    ``broadcast_limit`` (≤16 MB of packed keys), broadcast a sorted
+    uint64 array once via ray.put and filter with vectorized np.isin —
+    no join actor pool, no driver set of Python tuples; beyond the limit,
+    fall back to the fully distributed SEMI-JOIN. Returns None when no
+    bucket has ≥2 members.
 
     ``max_bucket`` > 0 additionally drops SATURATED buckets (n > cap):
     on template-heavy corpora a band whose minhash positions all land on
@@ -144,6 +164,8 @@ def _keep_multi_member_buckets(ds: "rd.Dataset", key_cols: List[str],
     recall only with probability (1-P)^b ≈ 0 (verified by the oracle
     gate on the fixture corpus).
     """
+    import ray
+
     cond = pc.greater_equal
     hot = (
         ds.groupby(key_cols)
@@ -160,6 +182,16 @@ def _keep_multi_member_buckets(ds: "rd.Dataset", key_cols: List[str],
     n_hot = hot.count()
     if n_hot == 0:
         return None
+    if n_hot <= broadcast_limit:
+        batches = list(hot.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        packed = np.sort(np.concatenate([_packed_keys(b, key_cols) for b in batches]))
+        ref = ray.put(packed)
+
+        def keep_hot(t: pa.Table) -> pa.Table:
+            mask = np.isin(_packed_keys(t, key_cols), ray.get(ref))
+            return t.filter(pa.array(mask))
+
+        return ds.map_batches(keep_hot, batch_format="pyarrow")
     # both sides' sizes are known (ds is the materialized banded table) —
     # size the exchange to the data instead of paying per-partition
     # aggregator spin-up to shuffle kilobytes

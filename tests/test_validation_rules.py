@@ -247,3 +247,13 @@ class TestArrowSchemaExport:
         blocks = p["blocks"]["anyOf"][0]
         assert blocks["items"]["properties"]["page"]["type"] == "integer"
         assert js["required"] == list(sch.names)
+
+
+def test_cli_schemas_export(tmp_path):
+    from pappermate_ray.__main__ import main
+
+    main(["schemas", "--output", str(tmp_path)])
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert "document_schema.json" in names
+    assert "validation_schema.json" in names
+    assert len(names) == 5
