@@ -1551,6 +1551,164 @@ def q_doc_embeddings(sf_dir: str):
     return ds.map_batches(embed, batch_format="pyarrow")
 
 
+# --------------------------------------------------------------------------
+# Web-corpus curation family (stages/webclean.py): corpus-level paragraph
+# dedup, Gopher repetition counters, benchmark decontamination. Each query
+# synthesizes its deterministic fixture corpus from the documents table and
+# has an exact DuckDB oracle that reconstructs the same corpus in SQL.
+# --------------------------------------------------------------------------
+
+_BP1 = "subscribe to our newsletter accept cookies to continue all rights reserved"
+_BP2 = "share this story follow us on social media terms of service apply"
+_PARA_WORDS = 12
+
+
+def _docs_with_boilerplate(sf_dir: str):
+    """documents → paragraph-structured corpus: each doc's words chunked
+    into 12-word paragraphs joined by '\\n', with planted boilerplate
+    (doc_id%7 → nav-bar para prepended, doc_id%13 → share-footer para
+    appended) so corpus-level paragraph frequency has known hot rows."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        outs = []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            w = (text or "").split(" ")
+            chunks = [" ".join(w[i:i + _PARA_WORDS]) for i in range(0, len(w), _PARA_WORDS)]
+            paras = (([_BP1] if did % 7 == 0 else [])
+                     + chunks
+                     + ([_BP2] if did % 13 == 0 else []))
+            outs.append("\n".join(paras))
+        return pa.table({"doc_id": t["doc_id"], "text": pa.array(outs, pa.string())})
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """RefinedWeb-style corpus-level repeated-paragraph removal: any
+    paragraph present in ≥2 distinct docs (planted boilerplate + natural
+    chunk collisions) is dropped from every doc; survivors are rejoined
+    in order. Only 8-byte paragraph keys shuffle (stages/webclean.py)."""
+    from .stages.webclean import paragraph_dedup
+
+    return paragraph_dedup(
+        _docs_with_boilerplate(sf_dir), "doc_id", "text", sep="\n", min_docs=2
+    )
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style within-doc repetition counters (exact integers —
+    callers derive dup fractions downstream; integer output keeps the
+    oracle hash immune to float-rounding-mode ties)."""
+    from .stages.webclean import repetition_stats_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats_batch, batch_format="pyarrow")
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark n-gram contamination scan: every 97th doc stands in for
+    the held-out eval suite (its leading 6-gram is the contaminating
+    n-gram); every 31st non-bench doc gets one planted. The gram list is
+    the broadcast small side; the corpus streams (stages/webclean.py)."""
+    from .stages.webclean import decontaminate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def bench_only(t: pa.Table) -> pa.Table:
+        mask = (t["doc_id"].to_numpy() % 97) == 0
+        return t.filter(pa.array(mask))
+
+    # the benchmark side is a fixed external artifact (eval suites don't
+    # grow with the corpus) — driver-collecting it IS the broadcast-small
+    # pattern, synthesized here from every 97th doc for determinism
+    bench = sorted(
+        ds.map_batches(bench_only, batch_format="pyarrow").take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    grams_by_rank = [" ".join((r["text"] or "").split(" ")[:6]) for r in bench]
+    n_bench = len(grams_by_rank)
+    if n_bench == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_hits": pa.array([], pa.int64())})
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids, outs = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if did % 97 == 0:
+                continue  # bench docs are not scan targets
+            text = text or ""
+            if did % 31 == 0:
+                text = text + " " + grams_by_rank[(did // 31) % n_bench]
+            ids.append(did)
+            outs.append(text)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(outs, pa.string())})
+
+    corpus = ds.map_batches(plant, batch_format="pyarrow")
+    return decontaminate(corpus, grams_by_rank)
+
+
+ORACLE_SQL.update({
+    "paragraph_dedup": f"""
+        WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        paras AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 7 = 0 THEN ['{_BP1}'] ELSE [] END)
+            || list_transform(range(CAST(ceil(len(w) / 12.0) AS BIGINT)),
+                              j -> array_to_string(list_slice(w, j*12 + 1, j*12 + 12), ' '))
+            || (CASE WHEN doc_id % 13 = 0 THEN ['{_BP2}'] ELSE [] END) AS ps
+          FROM base),
+        ex AS (SELECT doc_id, unnest(ps) AS para, unnest(range(len(ps))) AS idx FROM paras),
+        hot AS (SELECT para FROM ex GROUP BY para HAVING COUNT(DISTINCT doc_id) >= 2),
+        kept AS (SELECT e.* FROM ex e LEFT JOIN hot h USING (para) WHERE h.para IS NULL)
+        SELECT p.doc_id,
+               CAST(len(p.ps) AS BIGINT) AS n_paras,
+               CAST(len(p.ps) - COUNT(k.para) AS BIGINT) AS n_removed,
+               COALESCE(string_agg(k.para, chr(10) ORDER BY k.idx), '') AS clean_text
+        FROM paras p LEFT JOIN kept k USING (doc_id)
+        GROUP BY p.doc_id, len(p.ps)
+    """,
+    "repetition_stats": """
+        WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        lines AS (SELECT doc_id,
+            list_transform(range(CAST(ceil(len(w)/8.0) AS BIGINT)),
+                           j -> array_to_string(list_slice(w, j*8+1, j*8+8), ' ')) AS ls
+          FROM base),
+        topw AS (SELECT doc_id, MAX(c) AS mc FROM
+           (SELECT doc_id, word, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(w) AS word FROM base) GROUP BY doc_id, word)
+          GROUP BY doc_id)
+        SELECT b.doc_id,
+          CAST(len(b.w) AS BIGINT) AS n_words,
+          CAST(len(list_distinct(b.w)) AS BIGINT) AS n_distinct_words,
+          CAST(len(l.ls) AS BIGINT) AS n_lines,
+          CAST(len(list_distinct(l.ls)) AS BIGINT) AS n_distinct_lines,
+          CAST(t.mc AS BIGINT) AS top_word_n
+        FROM base b JOIN lines l USING (doc_id) JOIN topw t USING (doc_id)
+    """,
+    "decontaminate": """
+        WITH bench AS (
+          SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rk,
+                 array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') AS gram
+          FROM documents WHERE doc_id % 97 = 0),
+        nb AS (SELECT COUNT(*) AS n FROM bench),
+        corpus AS (
+          SELECT d.doc_id,
+                 CASE WHEN d.doc_id % 31 = 0
+                      THEN d.text || ' ' ||
+                           (SELECT gram FROM bench b
+                            WHERE b.rk = (d.doc_id // 31) % (SELECT n FROM nb))
+                      ELSE d.text END AS text
+          FROM documents d WHERE d.doc_id % 97 <> 0),
+        grams AS (SELECT DISTINCT gram FROM bench)
+        SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM corpus c JOIN grams g ON contains(c.text, g.gram)
+        GROUP BY c.doc_id
+    """,
+})
+
+
 NOSQL_QUERIES = {
     "validate": q_validate,
     "media_frames": q_media_frames,
@@ -1618,4 +1776,8 @@ SQL_QUERIES = {
     "validate_documents": q_validate_documents,
     "validate_hierarchy": q_validate_hierarchy,
     "table_cells": q_table_cells,
+    # round-2 web-corpus curation family (stages/webclean.py)
+    "paragraph_dedup": q_paragraph_dedup,
+    "repetition_stats": q_repetition_stats,
+    "decontaminate": q_decontaminate,
 }

@@ -1,0 +1,299 @@
+"""Web-corpus curation operators beyond the reference's surface: the
+standard LLM-training-data cleaning passes over Common-Crawl-style text.
+
+- ``paragraph_dedup``: corpus-level repeated-paragraph removal (the
+  RefinedWeb/C4 "exact substring at paragraph granularity" pass) — a
+  paragraph occurring in ≥ ``min_docs`` distinct documents is boilerplate
+  (nav bars, cookie banners, share footers) and is dropped from every
+  document; each doc's surviving paragraphs are rejoined in order.
+- ``repetition_stats``: Gopher-style within-document repetition counters
+  (Rae et al. 2021 §A1.1 quality rules) — duplicate-word, duplicate-line
+  and top-word mass, emitted as exact integers so thresholds stay
+  oracle-checkable without float-rounding hazards.
+- ``decontaminate``: benchmark n-gram contamination scan — the held-out
+  suite's n-grams are broadcast once (``ray.put``) and every document is
+  substring-scanned against them; docs that contain any contaminating
+  n-gram are flagged with their hit count.
+
+Scale notes (100 TB design point):
+- paragraph_dedup shuffles ONLY 8-byte paragraph keys (md5/64 prefix),
+  never paragraph text; the hot-key set is applied by the same hybrid the
+  LSH bucket prune uses (bounded broadcast + np.isin fast path, fully
+  distributed semi-join + rebuild-join fallback beyond the bound).
+  A 64-bit key collision could mark a cold paragraph hot (removing a
+  unique paragraph); at 2^-64 per pair this is negligible, and the
+  production escape hatch is widening the key to the full 16-byte digest
+  in the distributed path.
+- decontaminate's small side is an external, fixed-size artifact (eval
+  suites), so broadcasting it is the correct join shape — the corpus
+  side streams and is never shuffled.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count
+
+from ..ops.joins import adaptive_partitions, anti_join, hash_join, semi_join
+
+
+def _para_keys(paras: List[str]) -> np.ndarray:
+    """64-bit content keys (md5 prefix, SIGNED view) — membership
+    currency; text never enters a shuffle. int64 rather than uint64
+    because Ray's groupby shuffle round-trips key values through Python
+    ints and re-encodes as int64 (uint64 > 2^63 would fall back to
+    pickled-object columns)."""
+    return np.array(
+        [int.from_bytes(hashlib.md5(p.encode("utf-8")).digest()[:8], "little", signed=True)
+         for p in paras],
+        dtype=np.int64,
+    )
+
+
+def paragraph_dedup(
+    ds: "rd.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 2,
+    broadcast_limit: int = 2_000_000,
+) -> "rd.Dataset":
+    """Remove paragraphs that occur in ≥ ``min_docs`` distinct documents.
+
+    Output: one row per input doc — (id_col, n_paras, n_removed,
+    clean_text) with clean_text = surviving paragraphs joined by ``sep``
+    in original order ('' when everything was boilerplate).
+
+    Two passes over the corpus (the narrow key pass, then the rebuild
+    pass); the exchange between them carries 8-byte keys only:
+
+      pass 1: per-batch explode → per-doc-DISTINCT (key) rows
+              → groupby(key).count()  ≡ distinct-doc frequency
+              → hot keys (n ≥ min_docs)
+      pass 2: hot-set application — broadcast sorted int64 + np.isin
+              when the hot count fits ``broadcast_limit`` (boilerplate
+              vocabularies are small even on big corpora), else a fully
+              distributed (id, idx, key) semi-join + per-doc removal
+              lists + armored rebuild join (no driver materialization).
+    """
+
+    def distinct_key_rows(t: pa.Table) -> pa.Table:
+        out = []
+        for text in t[text_col].to_pylist():
+            ks = _para_keys((text or "").split(sep))
+            out.append(np.unique(ks))  # distinct-within-doc → count ≡ doc freq
+        keys = np.concatenate(out) if out else np.array([], dtype=np.int64)
+        return pa.table({"para_key": pa.array(keys, pa.int64())})
+
+    hot = (
+        ds.map_batches(distinct_key_rows, batch_format="pyarrow")
+        .groupby("para_key")
+        .aggregate(Count(alias_name="n_docs"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n_docs"], min_docs)).select(["para_key"]),
+            batch_format="pyarrow",
+        )
+        .materialize()  # narrow: one int64 key per boilerplate paragraph
+    )
+    n_hot = hot.count()
+
+    def rebuild_with(membership):
+        """Second scan: drop member paragraphs, rejoin the rest."""
+
+        def rebuild(t: pa.Table) -> pa.Table:
+            ids, n_paras, n_removed, cleans = [], [], [], []
+            for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+                paras = (text or "").split(sep)
+                mask = membership(_para_keys(paras))
+                ids.append(did)
+                n_paras.append(len(paras))
+                n_removed.append(int(mask.sum()))
+                cleans.append(sep.join(p for p, m in zip(paras, mask) if not m))
+            return pa.table({
+                id_col: pa.array(ids, t[id_col].type),
+                "n_paras": pa.array(n_paras, pa.int64()),
+                "n_removed": pa.array(n_removed, pa.int64()),
+                "clean_text": pa.array(cleans, pa.string()),
+            })
+
+        return rebuild
+
+    if n_hot == 0:
+        return ds.map_batches(rebuild_with(lambda ks: np.zeros(len(ks), bool)),
+                              batch_format="pyarrow")
+
+    if n_hot <= broadcast_limit:
+        packed = np.sort(
+            np.concatenate([
+                b["para_key"].to_numpy(zero_copy_only=False)
+                for b in hot.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            ]).astype(np.int64)
+        )
+        ref = ray.put(packed)
+        return ds.map_batches(
+            rebuild_with(lambda ks: np.isin(ks, ray.get(ref))),
+            batch_format="pyarrow",
+        )
+
+    # ---- fully distributed fallback (hot set too big to broadcast) ----
+    def indexed_key_rows(t: pa.Table) -> pa.Table:
+        ids, idxs, keys = [], [], []
+        for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            ks = _para_keys((text or "").split(sep))
+            ids.extend([did] * len(ks))
+            idxs.extend(range(len(ks)))
+            keys.append(ks)
+        allk = np.concatenate(keys) if keys else np.array([], dtype=np.int64)
+        return pa.table({
+            id_col: pa.array(ids, t[id_col].type),
+            "para_idx": pa.array(idxs, pa.int32()),
+            "para_key": pa.array(allk, pa.int64()),
+        })
+
+    exploded = ds.map_batches(indexed_key_rows, batch_format="pyarrow")
+    exp_schema = pa.schema([
+        pa.field(id_col, ds.schema().base_schema.field(id_col).type),
+        pa.field("para_idx", pa.int32()),
+        pa.field("para_key", pa.int64()),
+    ])
+    hot_schema = pa.schema([pa.field("para_key", pa.int64())])
+    removals = semi_join(
+        exploded, hot, on="para_key",
+        num_partitions=adaptive_partitions(max(n_hot, 1) * 4),
+        left_schema=exp_schema, right_schema=hot_schema,
+    )
+
+    import pandas as pd
+
+    def collect_idx(group: pd.DataFrame) -> pd.DataFrame:
+        # comma-packed string, not list<int>: Acero rejects list-typed
+        # non-key columns in a join
+        idx = np.sort(group["para_idx"].to_numpy())
+        return pd.DataFrame({
+            id_col: [group[id_col].iloc[0]],
+            "removed_idx": [",".join(map(str, idx))],
+        })
+
+    # consumed by BOTH the rebuild join and the passthrough anti-join —
+    # one shared object-store materialization (bounded: one row per doc
+    # that contains boilerplate, no text) instead of re-running the
+    # explode+semi-join lineage twice
+    removal_lists = removals.groupby(id_col).map_groups(
+        collect_idx, batch_format="pandas"
+    ).materialize()
+
+    doc_schema = pa.schema([
+        pa.field(id_col, exp_schema.field(id_col).type),
+        pa.field(text_col, pa.string()),
+    ])
+    docs = ds.map_batches(lambda t: t.select([id_col, text_col]), batch_format="pyarrow")
+    rem_schema = pa.schema([
+        pa.field(id_col, exp_schema.field(id_col).type),
+        pa.field("removed_idx", pa.string()),
+    ])
+    touched = hash_join(docs, removal_lists, on=id_col,
+                        left_schema=doc_schema, right_schema=rem_schema)
+
+    def rebuild_joined(t: pa.Table) -> pa.Table:
+        ids, n_paras, n_removed, cleans = [], [], [], []
+        for did, text, rem in zip(
+            t[id_col].to_pylist(), t[text_col].to_pylist(), t["removed_idx"].to_pylist()
+        ):
+            paras = (text or "").split(sep)
+            drop = set(int(x) for x in rem.split(",")) if rem else set()
+            ids.append(did)
+            n_paras.append(len(paras))
+            n_removed.append(len(drop))
+            cleans.append(sep.join(p for i, p in enumerate(paras) if i not in drop))
+        return pa.table({
+            id_col: pa.array(ids, t[id_col].type),
+            "n_paras": pa.array(n_paras, pa.int64()),
+            "n_removed": pa.array(n_removed, pa.int64()),
+            "clean_text": pa.array(cleans, pa.string()),
+        })
+
+    untouched = anti_join(docs, removal_lists, on=id_col,
+                          left_schema=doc_schema, right_schema=rem_schema)
+    passthrough = untouched.map_batches(
+        rebuild_with(lambda ks: np.zeros(len(ks), bool)), batch_format="pyarrow"
+    )
+    return touched.map_batches(rebuild_joined, batch_format="pyarrow").union(passthrough)
+
+
+def repetition_stats_batch(batch: pa.Table, id_col: str = "doc_id",
+                           text_col: str = "text", line_words: int = 8) -> pa.Table:
+    """Gopher-repetition counters per doc, as exact integers.
+
+    Words are whitespace tokens; "lines" are fixed ``line_words``-word
+    chunks (web text arrives pre-flattened here; the production splitter
+    would use '\\n'). Integer outputs (counts, not fractions) keep the
+    operator exactly comparable against a SQL oracle — the caller
+    thresholds e.g. ``1 - n_distinct_lines/n_lines > 0.3`` downstream.
+    """
+    from collections import Counter
+
+    ids = batch[id_col].to_pylist()
+    nw, ndw, nl, ndl, topn = [], [], [], [], []
+    for text in batch[text_col].to_pylist():
+        words = (text or "").split(" ")
+        lines = [" ".join(words[i:i + line_words]) for i in range(0, len(words), line_words)]
+        counts = Counter(words)
+        nw.append(len(words))
+        ndw.append(len(counts))
+        nl.append(len(lines))
+        ndl.append(len(set(lines)))
+        topn.append(max(counts.values()) if counts else 0)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_words": pa.array(nw, pa.int64()),
+        "n_distinct_words": pa.array(ndw, pa.int64()),
+        "n_lines": pa.array(nl, pa.int64()),
+        "n_distinct_lines": pa.array(ndl, pa.int64()),
+        "top_word_n": pa.array(topn, pa.int64()),
+    })
+
+
+def decontaminate(
+    ds: "rd.Dataset",
+    grams: List[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """Benchmark-contamination scan: count how many of the broadcast
+    ``grams`` (distinct benchmark n-grams, e.g. every eval question's
+    leading 6-gram) appear as substrings of each document; emit only
+    contaminated docs (n_hits ≥ 1).
+
+    The gram list is an external fixed-size artifact (eval suites don't
+    grow with the corpus), so it is ``ray.put`` ONCE and read per task —
+    the correct broadcast-join shape; the corpus streams unshuffled.
+    Python's substring scan is C-level (two-way/Crochemore-Perrin); a
+    production variant with 10^5+ grams would swap in Aho-Corasick
+    inside the same batch function.
+    """
+    gram_list = sorted(set(grams))
+    ref = ray.put(gram_list)
+
+    def scan(t: pa.Table) -> pa.Table:
+        gs = ray.get(ref)
+        ids, hits = [], []
+        for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            text = text or ""
+            n = sum(1 for g in gs if g in text)
+            if n:
+                ids.append(did)
+                hits.append(n)
+        return pa.table({
+            id_col: pa.array(ids, t[id_col].type),
+            "n_hits": pa.array(hits, pa.int64()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")

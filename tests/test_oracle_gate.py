@@ -18,6 +18,8 @@ FAST_QUERIES = [
     # minhash/keep-list/table_cells/validate_* — run in tools/check_oracle.py)
     "latest_by_url", "salted_user_value", "simhash_near_dups",
     "contract_type_histogram", "key_clause_histogram",
+    # round-2 web-corpus curation family (stages/webclean.py)
+    "paragraph_dedup", "repetition_stats", "decontaminate",
 ]
 
 

@@ -1,0 +1,119 @@
+"""Web-corpus curation operators (stages/webclean.py): corpus-level
+paragraph dedup, Gopher repetition counters, benchmark decontamination."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _collect(ds):
+    tbs = list(ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    return pa.concat_tables(tbs).to_pandas() if tbs else pd.DataFrame()
+
+
+def _corpus():
+    """30 docs; docs 0/3/6/... share a boilerplate header, docs 0/5/10...
+    share a footer; body paragraphs are unique per doc."""
+    import ray.data as rd
+
+    ids, texts = [], []
+    for i in range(30):
+        paras = []
+        if i % 3 == 0:
+            paras.append("subscribe to our newsletter")
+        paras.append(f"unique body paragraph number {i} alpha")
+        paras.append(f"second unique paragraph {i} beta")
+        if i % 5 == 0:
+            paras.append("all rights reserved footer")
+        ids.append(i)
+        texts.append("\n".join(paras))
+    return rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                   "text": pa.array(texts, pa.string())})), texts
+
+
+def test_paragraph_dedup_removes_boilerplate(ray_session):
+    from pappermate_ray.stages.webclean import paragraph_dedup
+
+    ds, _ = _corpus()
+    out = _collect(paragraph_dedup(ds, "doc_id", "text", sep="\n", min_docs=2))
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 30
+    for _, r in out.iterrows():
+        i = r["doc_id"]
+        expect_removed = (1 if i % 3 == 0 else 0) + (1 if i % 5 == 0 else 0)
+        assert r["n_removed"] == expect_removed, i
+        # survivors: exactly the two unique body paragraphs, in order
+        assert r["clean_text"] == (
+            f"unique body paragraph number {i} alpha\nsecond unique paragraph {i} beta"
+        )
+        assert r["n_paras"] == 2 + expect_removed
+
+
+def test_paragraph_dedup_distributed_path_identical(ray_session):
+    """broadcast_limit=0 forces the semi-join + rebuild-join fallback;
+    output must be byte-identical to the broadcast fast path."""
+    from pappermate_ray.stages.webclean import paragraph_dedup
+
+    ds, _ = _corpus()
+    fast = _collect(paragraph_dedup(ds, "doc_id", "text", sep="\n", min_docs=2))
+    ds2, _ = _corpus()
+    dist = _collect(paragraph_dedup(ds2, "doc_id", "text", sep="\n", min_docs=2,
+                                    broadcast_limit=0))
+    fast = fast.sort_values("doc_id").reset_index(drop=True)
+    dist = dist.sort_values("doc_id").reset_index(drop=True)[fast.columns]
+    pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_paragraph_dedup_no_hot_paragraphs(ray_session):
+    """All-unique corpus: nothing removed, clean_text == text."""
+    import ray.data as rd
+
+    from pappermate_ray.stages.webclean import paragraph_dedup
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["only one para here", "and a different one"], pa.string()),
+    }))
+    out = _collect(paragraph_dedup(ds, "doc_id", "text")).sort_values("doc_id")
+    assert out["n_removed"].tolist() == [0, 0]
+    assert out["clean_text"].tolist() == ["only one para here", "and a different one"]
+
+
+def test_repetition_stats_exact():
+    from pappermate_ray.stages.webclean import repetition_stats_batch
+
+    batch = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        # doc 1: 16 words, 'a' ×8; two 8-word lines, identical
+        "text": pa.array(["a b a c a b a c a b a c a b a c",
+                          "x y z"], pa.string()),
+    })
+    out = repetition_stats_batch(batch).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_words"] == 16
+    assert out.loc[1, "n_distinct_words"] == 3
+    assert out.loc[1, "n_lines"] == 2
+    assert out.loc[1, "n_distinct_lines"] == 1  # both 8-word chunks equal
+    assert out.loc[1, "top_word_n"] == 8
+    assert out.loc[2, "n_words"] == 3
+    assert out.loc[2, "n_distinct_words"] == 3
+    assert out.loc[2, "n_lines"] == 1
+    assert out.loc[2, "top_word_n"] == 1
+
+
+def test_decontaminate_planted(ray_session):
+    import ray.data as rd
+
+    from pappermate_ray.stages.webclean import decontaminate
+
+    grams = ["the quick brown fox", "lorem ipsum dolor sit"]
+    texts = [
+        "clean document with nothing shared",          # no hit
+        "prefix the quick brown fox suffix",           # 1 hit
+        "lorem ipsum dolor sit and the quick brown fox",  # 2 hits
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([10, 11, 12], pa.int64()),
+                                 "text": pa.array(texts, pa.string())}))
+    out = _collect(decontaminate(ds, grams)).sort_values("doc_id")
+    assert out["doc_id"].tolist() == [11, 12]
+    assert out["n_hits"].tolist() == [1, 2]
