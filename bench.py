@@ -134,7 +134,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "sliding_windows", "user_sessions", "wordcount_top",
         "minhash_near_dups", "text_analysis", "embedding_near_dups",
         "latest_by_url", "salted_user_value",
-        "paragraph_dedup", "decontaminate",
+        "paragraph_dedup", "decontaminate", "pii_scrub",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

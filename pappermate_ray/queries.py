@@ -1649,7 +1649,53 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(corpus, grams_by_rank)
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (email/phone/IP → tokens + counts), planted
+    deterministically per doc_id; Arrow RE2 kernels column-wide, zero
+    Python loops (stages/webclean.pii_scrub_batch)."""
+    from .stages.webclean import pii_scrub_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        outs = []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            text = text or ""
+            if did % 5 == 0:
+                text += f" contact user{did}@example.com now"
+            if did % 9 == 0:
+                text += f" call 555-{did % 900 + 100:03d}-4567 today"
+            if did % 11 == 0:
+                text += f" from 10.0.{did % 256}.{did % 200 + 1} logged"
+            outs.append(text)
+        return pa.table({"doc_id": t["doc_id"], "text": pa.array(outs, pa.string())})
+
+    return ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        pii_scrub_batch, batch_format="pyarrow"
+    )
+
+
 ORACLE_SQL.update({
+    "pii_scrub": r"""
+        WITH corpus AS (
+          SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+            || CASE WHEN doc_id % 9 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-4567 today' ELSE '' END
+            || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 200 + 1 AS VARCHAR) || ' logged' ELSE '' END
+            AS text
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+          CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+              '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS clean_text
+        FROM corpus
+    """,
     "paragraph_dedup": f"""
         WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         paras AS (
@@ -1780,4 +1826,5 @@ SQL_QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
+    "pii_scrub": q_pii_scrub,
 }

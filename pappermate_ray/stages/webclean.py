@@ -261,6 +261,38 @@ def repetition_stats_batch(batch: pa.Table, id_col: str = "doc_id",
     })
 
 
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub_batch(batch: pa.Table, id_col: str = "doc_id",
+                    text_col: str = "text") -> pa.Table:
+    """PII redaction pass: emails → [EMAIL], phones → [PHONE], dotted-quad
+    IPs → [IP], with per-doc match counts (counted on the ORIGINAL text,
+    before any replacement, in fixed email→phone→ip order).
+
+    Fully vectorized — Arrow RE2 kernels (count_substring_regex /
+    replace_substring_regex) over the whole column, no Python loop.
+    DuckDB's regexp functions are RE2 too, so the oracle reproduces the
+    semantics exactly.
+    """
+    col = pc.fill_null(batch[text_col], "")
+    n_emails = pc.count_substring_regex(col, PII_EMAIL)
+    n_phones = pc.count_substring_regex(col, PII_PHONE)
+    n_ips = pc.count_substring_regex(col, PII_IP)
+    clean = pc.replace_substring_regex(col, PII_EMAIL, "[EMAIL]")
+    clean = pc.replace_substring_regex(clean, PII_PHONE, "[PHONE]")
+    clean = pc.replace_substring_regex(clean, PII_IP, "[IP]")
+    return pa.table({
+        id_col: batch[id_col],
+        "n_emails": pc.cast(n_emails, pa.int64()),
+        "n_phones": pc.cast(n_phones, pa.int64()),
+        "n_ips": pc.cast(n_ips, pa.int64()),
+        "clean_text": clean,
+    })
+
+
 def decontaminate(
     ds: "rd.Dataset",
     grams: List[str],

@@ -19,7 +19,7 @@ FAST_QUERIES = [
     "latest_by_url", "salted_user_value", "simhash_near_dups",
     "contract_type_histogram", "key_clause_histogram",
     # round-2 web-corpus curation family (stages/webclean.py)
-    "paragraph_dedup", "repetition_stats", "decontaminate",
+    "paragraph_dedup", "repetition_stats", "decontaminate", "pii_scrub",
 ]
 
 

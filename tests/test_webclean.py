@@ -101,6 +101,26 @@ def test_repetition_stats_exact():
     assert out.loc[2, "top_word_n"] == 1
 
 
+def test_pii_scrub_exact():
+    from pappermate_ray.stages.webclean import pii_scrub_batch
+
+    batch = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([
+            "mail a@b.co or c.d+x@e-f.org call 555-123-4567 from 10.0.0.1 end",
+            "nothing sensitive here",
+        ], pa.string()),
+    })
+    out = pii_scrub_batch(batch).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_emails"] == 2
+    assert out.loc[1, "n_phones"] == 1
+    assert out.loc[1, "n_ips"] == 1
+    assert out.loc[1, "clean_text"] == \
+        "mail [EMAIL] or [EMAIL] call [PHONE] from [IP] end"
+    assert out.loc[2, "clean_text"] == "nothing sensitive here"
+    assert out.loc[2, ["n_emails", "n_phones", "n_ips"]].tolist() == [0, 0, 0]
+
+
 def test_decontaminate_planted(ray_session):
     import ray.data as rd
 
