@@ -23,6 +23,8 @@ def clean_corpus(
     docs: "rd.Dataset",
     quality_min: float = 0.4,
     dup_threshold: float = 0.8,
+    strip_boilerplate: bool = False,
+    boilerplate_min_docs: int = 2,
 ) -> "rd.Dataset":
     """docs (extraction output) → (url, quality, n_tokens) survivors.
 
@@ -31,7 +33,44 @@ def clean_corpus(
     that is billions of ids, so it stays a Dataset end-to-end: clusters ⋈
     keep-list → loser ids → distributed ANTI-JOIN against the corpus
     (round-1 verdict finding #3; no driver-side id set anywhere).
+
+    ``strip_boilerplate=True`` prepends the corpus-level
+    repeated-paragraph removal pass (stages/webclean.paragraph_dedup):
+    paragraphs shared by ≥ ``boilerplate_min_docs`` docs (nav/footer
+    furniture that survived per-page extraction) are dropped BEFORE
+    quality scoring and near-dup detection — the RefinedWeb ordering,
+    since boilerplate both inflates quality-token counts and creates
+    false near-dup pairs. Default off (the extraction-output chain the
+    driver row-checks is unchanged).
     """
+    if strip_boilerplate:
+        from ..stages.webclean import paragraph_dedup
+
+        def keyed(t: pa.Table) -> pa.Table:
+            ids = [fnv1a64(u.encode()) & ((1 << 62) - 1) for u in t["url"].to_pylist()]
+            return pa.table({"pid": pa.array(ids, pa.int64()),
+                             "url": t["url"], "status": t["status"],
+                             "text": t["text"]})
+
+        base = docs.map_batches(keyed, batch_format="pyarrow")
+        stripped = paragraph_dedup(base, "pid", "text", sep="\n",
+                                   min_docs=boilerplate_min_docs)
+        meta = base.map_batches(lambda t: t.select(["pid", "url", "status"]),
+                                batch_format="pyarrow")
+        from ..ops.joins import hash_join
+
+        docs = hash_join(
+            meta, stripped, on="pid",
+            left_schema=pa.schema([("pid", pa.int64()), ("url", pa.string()),
+                                   ("status", pa.string())]),
+            right_schema=pa.schema([("pid", pa.int64()), ("n_paras", pa.int64()),
+                                    ("n_removed", pa.int64()),
+                                    ("clean_text", pa.string())]),
+        ).map_batches(
+            lambda t: pa.table({"url": t["url"], "status": t["status"],
+                                "text": t["clean_text"]}),
+            batch_format="pyarrow",
+        )
     scored = docs.map_batches(analyze_text_batch, batch_format="pyarrow")
 
     def good(t: pa.Table) -> pa.Table:
