@@ -1649,6 +1649,46 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(corpus, grams_by_rank)
 
 
+def q_decontaminate_ngrams(sf_dir: str):
+    """Scale-path decontamination: token-aligned rolling-hash windows
+    (O(tokens) per doc independent of benchmark size) over the same
+    planted fixture as q_decontaminate; the oracle enumerates the
+    6-token windows in SQL (exact token semantics, not substring)."""
+    from .stages.webclean import decontaminate_ngrams
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def bench_only(t: pa.Table) -> pa.Table:
+        mask = (t["doc_id"].to_numpy() % 97) == 0
+        return t.filter(pa.array(mask))
+
+    bench = sorted(
+        ds.map_batches(bench_only, batch_format="pyarrow").take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    grams_by_rank = [" ".join((r["text"] or "").split(" ")[:6]) for r in bench]
+    n_bench = len(grams_by_rank)
+    if n_bench == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_hits": pa.array([], pa.int64())})
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids, outs = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if did % 97 == 0:
+                continue
+            text = text or ""
+            if did % 31 == 0:
+                text = text + " " + grams_by_rank[(did // 31) % n_bench]
+            ids.append(did)
+            outs.append(text)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(outs, pa.string())})
+
+    corpus = ds.map_batches(plant, batch_format="pyarrow")
+    return decontaminate_ngrams(corpus, grams_by_rank, n=6)
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (email/phone/IP → tokens + counts), planted
     deterministically per doc_id; Arrow RE2 kernels column-wide, zero
@@ -1732,6 +1772,30 @@ ORACLE_SQL.update({
           CAST(len(list_distinct(l.ls)) AS BIGINT) AS n_distinct_lines,
           CAST(t.mc AS BIGINT) AS top_word_n
         FROM base b JOIN lines l USING (doc_id) JOIN topw t USING (doc_id)
+    """,
+    "decontaminate_ngrams": """
+        WITH bench AS (
+          SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rk,
+                 array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') AS gram
+          FROM documents WHERE doc_id % 97 = 0),
+        nb AS (SELECT COUNT(*) AS n FROM bench),
+        corpus AS (
+          SELECT d.doc_id,
+                 CASE WHEN d.doc_id % 31 = 0
+                      THEN d.text || ' ' ||
+                           (SELECT gram FROM bench b
+                            WHERE b.rk = (d.doc_id // 31) % (SELECT n FROM nb))
+                      ELSE d.text END AS text
+          FROM documents d WHERE d.doc_id % 97 <> 0),
+        wins AS (
+          SELECT doc_id,
+                 list_transform(range(GREATEST(len(string_split(text,' ')) - 5, 0)),
+                                j -> array_to_string(list_slice(string_split(text,' '), j+1, j+6), ' ')) AS ws
+          FROM corpus),
+        grams AS (SELECT DISTINCT gram FROM bench WHERE len(string_split(gram,' ')) = 6)
+        SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM wins w JOIN grams g ON list_contains(w.ws, g.gram)
+        GROUP BY w.doc_id
     """,
     "decontaminate": """
         WITH bench AS (
@@ -1826,5 +1890,6 @@ SQL_QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
+    "decontaminate_ngrams": q_decontaminate_ngrams,
     "pii_scrub": q_pii_scrub,
 }

@@ -293,6 +293,82 @@ def pii_scrub_batch(batch: pa.Table, id_col: str = "doc_id",
     })
 
 
+_NGRAM_PRIME = np.uint64(1099511628211)  # FNV prime, reused as poly base
+
+
+def _token_hashes(tokens: List[str]) -> np.ndarray:
+    from ..functions.quality import fnv1a64
+
+    return np.array([fnv1a64(t.encode("utf-8")) for t in tokens], dtype=np.uint64)
+
+
+def _window_hashes(tok_h: np.ndarray, n: int) -> np.ndarray:
+    """Polynomial hash of every n-token window, vectorized: n shifted
+    views of the token-hash array combined with precomputed powers
+    (wrapping uint64 arithmetic)."""
+    if len(tok_h) < n:
+        return np.array([], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        pows = np.empty(n, dtype=np.uint64)
+        pows[n - 1] = np.uint64(1)
+        for j in range(n - 2, -1, -1):
+            pows[j] = pows[j + 1] * _NGRAM_PRIME
+        out = np.zeros(len(tok_h) - n + 1, dtype=np.uint64)
+        for j in range(n):
+            out += tok_h[j: len(tok_h) - n + 1 + j] * pows[j]
+    return out
+
+
+def decontaminate_ngrams(
+    ds: "rd.Dataset",
+    grams: List[str],
+    n: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """Token-aligned contamination scan — the scale path for large
+    benchmark suites.
+
+    Unlike ``decontaminate`` (raw substring semantics, O(|grams|) C-level
+    scans per doc), this matches whole-token n-gram WINDOWS: each doc's
+    whitespace tokens are hashed once, every n-window gets a vectorized
+    polynomial rolling hash, and membership is a single ``np.isin``
+    against the broadcast sorted gram-hash array — per-doc cost is
+    O(tokens), independent of benchmark size (10^5+ eval grams cost the
+    same as 10). Stricter than substring: a gram can't match across a
+    token boundary ("he fast key" never matches "the fast key"). 64-bit
+    hash collisions can only ADD a false hit at ~2^-64 per window-gram
+    pair — negligible; widen to two independent hashes if that ever
+    matters.
+
+    Emits (id_col, n_hits): docs containing ≥1 of the distinct grams,
+    with the count of DISTINCT grams matched (same output contract as
+    ``decontaminate``).
+    """
+    gram_hashes = np.sort(np.unique(np.array(
+        [_window_hashes(_token_hashes(g.split()), n)[0]
+         for g in set(grams) if len(g.split()) == n],
+        dtype=np.uint64,
+    )))
+    ref = ray.put(gram_hashes)
+
+    def scan(t: pa.Table) -> pa.Table:
+        gh = ray.get(ref)
+        ids, hits = [], []
+        for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            wh = _window_hashes(_token_hashes((text or "").split()), n)
+            k = int(np.isin(gh, wh).sum())  # distinct grams present
+            if k:
+                ids.append(did)
+                hits.append(k)
+        return pa.table({
+            id_col: pa.array(ids, t[id_col].type),
+            "n_hits": pa.array(hits, pa.int64()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
 def decontaminate(
     ds: "rd.Dataset",
     grams: List[str],

@@ -137,3 +137,55 @@ def test_decontaminate_planted(ray_session):
     out = _collect(decontaminate(ds, grams)).sort_values("doc_id")
     assert out["doc_id"].tolist() == [11, 12]
     assert out["n_hits"].tolist() == [1, 2]
+
+
+def test_decontaminate_ngrams_token_aligned(ray_session):
+    import ray.data as rd
+
+    from pappermate_ray.stages.webclean import decontaminate, decontaminate_ngrams
+
+    grams = ["the quick brown fox jumps high", "lorem ipsum dolor sit amet now"]
+    texts = [
+        "clean document with nothing shared at all here",
+        "prefix the quick brown fox jumps high suffix",            # exact window
+        "lorem ipsum dolor sit amet now the quick brown fox jumps high",  # both
+        # substring-only match: token mode must NOT hit ('xthe' != 'the')
+        "prefixthe quick brown fox jumps high suffix",
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                                 "text": pa.array(texts, pa.string())}))
+    tok = _collect(decontaminate_ngrams(ds, grams, n=6)).sort_values("doc_id")
+    assert tok["doc_id"].tolist() == [2, 3]
+    assert tok["n_hits"].tolist() == [1, 2]
+    # the substring mode DOES hit doc 4 — the semantic difference is real
+    sub = _collect(decontaminate(ds, grams)).sort_values("doc_id")
+    assert sub["doc_id"].tolist() == [2, 3, 4]
+
+
+def test_decontaminate_ngrams_agrees_on_aligned_fixture(ray_session):
+    """On the planted sf fixture (grams appended token-aligned with
+    spaces) both modes must agree exactly."""
+    from pappermate_ray.queries import q_decontaminate
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from pappermate_ray.stages.webclean import decontaminate_ngrams
+
+    SF = "/root/testdata/sf0.001"
+    sub = _collect(q_decontaminate(SF)).sort_values("doc_id").reset_index(drop=True)
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pylist()
+    bench = sorted((d for d in docs if d["doc_id"] % 97 == 0), key=lambda d: d["doc_id"])
+    grams = [" ".join((d["text"] or "").split(" ")[:6]) for d in bench]
+    nb = len(grams)
+    planted = []
+    for d in docs:
+        if d["doc_id"] % 97 == 0:
+            continue
+        text = d["text"] or ""
+        if d["doc_id"] % 31 == 0:
+            text = text + " " + grams[(d["doc_id"] // 31) % nb]
+        planted.append({"doc_id": d["doc_id"], "text": text})
+    ds = rd.from_items(planted)
+    tok = _collect(decontaminate_ngrams(ds, grams, n=6)).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(sub, tok, check_dtype=False)
