@@ -32,7 +32,7 @@ Scale notes (100 TB design point):
 from __future__ import annotations
 
 import hashlib
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import pyarrow as pa
@@ -302,6 +302,27 @@ def _token_hashes(tokens: List[str]) -> np.ndarray:
     return np.array([fnv1a64(t.encode("utf-8")) for t in tokens], dtype=np.uint64)
 
 
+def _token_hashes_bulk(token_lists: List[List[str]]) -> List[np.ndarray]:
+    """Hash many docs' tokens at once: np.unique dictionary-encodes the
+    batch's token stream so FNV runs once per DISTINCT token (natural
+    text repeats its vocabulary heavily), then the inverse index fans the
+    hashes back out. Identical values to per-token ``_token_hashes``."""
+    from ..functions.quality import fnv1a64
+
+    lens = [len(tl) for tl in token_lists]
+    if sum(lens) == 0:
+        return [np.array([], dtype=np.uint64) for _ in token_lists]
+    flat = np.array([t for tl in token_lists for t in tl], dtype=object)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    uh = np.array([fnv1a64(u.encode("utf-8")) for u in uniq], dtype=np.uint64)
+    flat_h = uh[inv]
+    out, pos = [], 0
+    for ln in lens:
+        out.append(flat_h[pos:pos + ln])
+        pos += ln
+    return out
+
+
 def _window_hashes(tok_h: np.ndarray, n: int) -> np.ndarray:
     """Polynomial hash of every n-token window, vectorized: n shifted
     views of the token-hash array combined with precomputed powers
@@ -354,10 +375,18 @@ def decontaminate_ngrams(
 
     def scan(t: pa.Table) -> pa.Table:
         gh = ray.get(ref)
+        texts = t[text_col].to_pylist()
+        tok_hashes = _token_hashes_bulk([(x or "").split() for x in texts])
         ids, hits = [], []
-        for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            wh = _window_hashes(_token_hashes((text or "").split()), n)
-            k = int(np.isin(gh, wh).sum())  # distinct grams present
+        for did, th in zip(t[id_col].to_pylist(), tok_hashes):
+            wh = np.unique(_window_hashes(th, n))
+            if len(wh) == 0 or len(gh) == 0:
+                continue
+            # binary-search the doc's DISTINCT window hashes into the sorted
+            # gram array — O(windows·log|grams|) per doc; np.isin over the
+            # gram array would be O(|grams|) per doc and dominates at 10^5+
+            idx = np.minimum(np.searchsorted(gh, wh), len(gh) - 1)
+            k = int((gh[idx] == wh).sum())  # distinct grams present
             if k:
                 ids.append(did)
                 hits.append(k)

@@ -182,3 +182,68 @@ class TestSectionsQuirk:
     def test_sections_never_raise(self, s):
         sections = extract_sections(s)
         assert all(isinstance(k, str) and isinstance(v, str) for k, v in sections.items())
+
+
+class TestWebcleanProperties:
+    """Pure webclean helpers (stages/webclean.py) under arbitrary input."""
+
+    @given(st.lists(st.text(alphabet=string.ascii_lowercase + " ", min_size=0,
+                            max_size=40), max_size=30),
+           st.integers(min_value=1, max_value=8))
+    @settings(max_examples=60, deadline=None)
+    def test_window_hashes_match_bruteforce(self, tokens, n):
+        import numpy as np
+
+        from pappermate_ray.stages.webclean import _token_hashes, _window_hashes
+
+        th = _token_hashes(tokens)
+        wh = _window_hashes(th, n)
+        if len(tokens) < n:
+            assert len(wh) == 0
+            return
+        assert len(wh) == len(tokens) - n + 1
+        # windows of equal token content hash equal; a rolling hash must be
+        # a pure function of the window tokens
+        seen = {}
+        for i in range(len(wh)):
+            key = tuple(tokens[i:i + n])
+            if key in seen:
+                assert wh[i] == seen[key]
+            seen[key] = wh[i]
+
+    @given(st.text(max_size=500))
+    @settings(max_examples=60, deadline=None)
+    def test_repetition_stats_invariants(self, s):
+        import pyarrow as pa
+
+        from pappermate_ray.stages.webclean import repetition_stats_batch
+
+        out = repetition_stats_batch(
+            pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array([s], pa.string())})
+        ).to_pylist()[0]
+        assert 1 <= out["n_distinct_words"] <= out["n_words"]
+        assert 1 <= out["n_distinct_lines"] <= out["n_lines"]
+        assert 1 <= out["top_word_n"] <= out["n_words"]
+        # lines are 8-word chunks of the word stream
+        assert out["n_lines"] == (out["n_words"] + 7) // 8
+
+    @given(st.text(max_size=400))
+    @settings(max_examples=60, deadline=None)
+    def test_pii_scrub_leaves_no_matches(self, s):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pappermate_ray.stages.webclean import (
+            PII_EMAIL, PII_IP, PII_PHONE, pii_scrub_batch)
+
+        out = pii_scrub_batch(
+            pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array([s], pa.string())})
+        )
+        clean = out["clean_text"]
+        # redaction is complete: no PII pattern survives in clean_text
+        # ([PHONE]/[EMAIL]/[IP] tokens cannot themselves match any pattern)
+        assert pc.count_substring_regex(clean, PII_EMAIL)[0].as_py() == 0
+        assert pc.count_substring_regex(clean, PII_PHONE)[0].as_py() == 0
+        assert pc.count_substring_regex(clean, PII_IP)[0].as_py() == 0
