@@ -1362,13 +1362,13 @@ def q_translate_names(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal plumbing: synthetic media table → actor-pool feature stage."""
+    """Multimodal feature extraction — REAL codecs (BMP/WAV/RVID decode,
+    functions/media.py) over the deterministic synthetic media table."""
     from .stages.multimodal import MediaFeatureExtract, synth_media_table
 
     media = rd.from_arrow(synth_media_table(200))
     ds = media.map_batches(
         MediaFeatureExtract, batch_format="pyarrow", batch_size=32, concurrency=(1, 4),
-        fn_constructor_kwargs={"fake": True},
     )
     return ds.select_columns(["media_id", "media_type", "decode_status", "features"])
 
@@ -1526,11 +1526,11 @@ def q_media_frames(sf_dir: str):
     media = rd.from_arrow(synth_media_table(120))
     resized = media.map_batches(
         MediaResize, batch_format="pyarrow", batch_size=32, concurrency=2,
-        fn_constructor_kwargs={"max_side": 128, "fake": True},
+        fn_constructor_kwargs={"max_side": 128},
     )
     frames = resized.map_batches(
         FrameSample, batch_format="pyarrow", batch_size=32, concurrency=2,
-        fn_constructor_kwargs={"n_frames": 4, "fake": True},
+        fn_constructor_kwargs={"n_frames": 4},
     )
     return frames.select_columns(["media_id", "media_type", "frame"])
 

@@ -1,12 +1,22 @@
-"""Multimodal column plumbing (beyond-reference, driver brief).
+"""Multimodal columns (beyond-reference, driver brief): images/audio/video
+as opaque ``binary`` columns with typed metadata, processed by actor-pool
+``map_batches`` stages.
 
-Images/audio/video are opaque ``binary`` columns with typed metadata
-(media_type, width/height/duration). The Ray-side plumbing — schema,
-actor-pool signature, batch sizing, output layout — is real and tested;
-the actual codec work is STUBBED: decode raises ``NotImplementedError``
-unless ``fake=True``, in which case a deterministic fake "decoder"
-produces byte-derived features (the decode libs are not in this
-container by design).
+Codec work is REAL where the environment allows it (functions/media.py,
+stdlib+numpy only — the public BMP and WAV formats, and a seekable
+length-prefixed frame container whose per-frame codec is BMP):
+
+- ``MediaFeatureExtract`` decodes each payload (BMP image / WAV audio /
+  RVID video) and emits a 16-float feature vector; malformed payloads
+  soft-fail per row into (decode_status='error', decode_error).
+- ``MediaResize`` decodes, nearest-neighbor-resamples into ``max_side``
+  (aspect preserved), re-encodes, and updates payload + metadata.
+- ``FrameSample`` samples ``n_frames`` uniformly and SEEK-decodes only
+  those frames from the container (what a real container gives you —
+  sampled-frame cost, not whole-video cost), one output row per frame.
+
+``fake=True`` on each stage swaps in the deterministic byte-hash path
+(no codec touched) for hermetic plumbing tests.
 
 At scale: binary payloads are MB-sized → small ``batch_size`` (8-64),
 actor pools with ``num_cpus`` sized for the codec, and the blob column
@@ -21,6 +31,20 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from ..functions.media import (
+    FEATURE_DIM,
+    audio_features,
+    decode_bmp,
+    decode_rvid_frame,
+    decode_wav,
+    encode_bmp,
+    encode_rvid,
+    encode_wav,
+    image_features,
+    resize_nearest,
+    rvid_frame_count,
+)
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -32,28 +56,36 @@ MEDIA_SCHEMA = pa.schema(
     ]
 )
 
-FEATURE_DIM = 16
+
+def _fake_feature(payload: bytes, salt: int = 0) -> np.ndarray:
+    digest = hashlib.md5((payload or b"") + (bytes([salt]) if salt else b"")).digest()
+    return np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
 
 
 class MediaFeatureExtract:
     """Actor-pool stage: decode + feature-extract media payloads.
 
-    ``__init__`` is where a real build would load the codec / model once
-    per actor (the ST1 pattern); ``fake=True`` swaps in a deterministic
-    byte-hash feature so the plumbing is testable hermetically.
+    ``__init__`` is the once-per-actor setup point (ST1 pattern — a model
+    build would pin weights here); ``__call__`` decodes per batch.
     """
 
-    def __init__(self, fake: bool = True):
+    def __init__(self, fake: bool = False):
         self.fake = fake
 
     def _decode(self, payload: bytes, media_type: str) -> np.ndarray:
-        if not self.fake:
-            raise NotImplementedError(
-                "real media decode requires PIL/ffmpeg, not present in this container"
-            )
-        # deterministic fake: 16 float features from the md5 of the payload
-        digest = hashlib.md5(payload or b"").digest()
-        return np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
+        if self.fake:
+            return _fake_feature(payload)
+        if media_type == "image":
+            return image_features(decode_bmp(payload))
+        if media_type == "audio":
+            return audio_features(*decode_wav(payload))
+        if media_type == "video":
+            # representative frame (first) + container-level duration signal
+            feat = image_features(decode_rvid_frame(payload, 0))
+            feat = feat.copy()
+            feat[15] = rvid_frame_count(payload) / 1024.0
+            return feat
+        raise ValueError(f"unknown media_type {media_type!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, oks, errs = [], [], []
@@ -74,77 +106,117 @@ class MediaFeatureExtract:
 
 
 class MediaResize:
-    """Actor-pool stage: image resize plumbing (codec STUBBED).
+    """Actor-pool stage: aspect-preserving image resize into ``max_side``.
 
-    Real builds decode + resample in ``__call__`` with the codec loaded in
-    ``__init__``; here the geometry math (aspect-preserving fit into
-    ``max_side``) is real and the pixel work is stubbed — with ``fake=True``
-    the payload is passed through and only typed metadata updates.
+    Real path: BMP decode → nearest-neighbor resample → BMP re-encode,
+    payload AND metadata updated. ``fake=True`` updates metadata only
+    (geometry math identical). Non-image rows pass through untouched;
+    undecodable images pass through with original payload/metadata.
     """
 
-    def __init__(self, max_side: int = 256, fake: bool = True):
+    def __init__(self, max_side: int = 256, fake: bool = False):
         self.max_side = max_side
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError("real resize requires PIL, not present in this container")
+        types = batch["media_type"].to_pylist()
+        payloads = batch["payload"].to_pylist()
         ws = batch["meta_width"].to_pylist()
         hs = batch["meta_height"].to_pylist()
-        new_w, new_h = [], []
-        for w, h in zip(ws, hs):
-            if not w or not h:
-                new_w.append(0)
-                new_h.append(0)
+        new_p, new_w, new_h = [], [], []
+        for mtype, payload, w, h in zip(types, payloads, ws, hs):
+            if mtype != "image":
+                new_p.append(payload)
+                new_w.append(w or 0)
+                new_h.append(h or 0)
                 continue
-            scale = min(1.0, self.max_side / max(w, h))
-            new_w.append(int(w * scale))
-            new_h.append(int(h * scale))
-        out = batch.set_column(
-            batch.schema.get_field_index("meta_width"), "meta_width",
-            pa.array(new_w, pa.int32()),
-        )
-        return out.set_column(
-            out.schema.get_field_index("meta_height"), "meta_height",
-            pa.array(new_h, pa.int32()),
-        )
+            if self.fake:
+                if not w or not h:
+                    new_p.append(payload); new_w.append(0); new_h.append(0)
+                    continue
+                scale = min(1.0, self.max_side / max(w, h))
+                new_p.append(payload)
+                new_w.append(int(w * scale))
+                new_h.append(int(h * scale))
+                continue
+            try:
+                img = decode_bmp(payload)
+                ih, iw = img.shape[:2]
+                scale = min(1.0, self.max_side / max(iw, ih))
+                tw, th = max(int(iw * scale), 1), max(int(ih * scale), 1)
+                out = img if (tw, th) == (iw, ih) else resize_nearest(img, tw, th)
+                new_p.append(encode_bmp(out))
+                new_w.append(tw)
+                new_h.append(th)
+            except Exception:
+                new_p.append(payload)
+                new_w.append(w or 0)
+                new_h.append(h or 0)
+        out = batch.set_column(batch.schema.get_field_index("payload"), "payload",
+                               pa.array(new_p, pa.large_binary()))
+        out = out.set_column(out.schema.get_field_index("meta_width"), "meta_width",
+                             pa.array(new_w, pa.int32()))
+        return out.set_column(out.schema.get_field_index("meta_height"), "meta_height",
+                              pa.array(new_h, pa.int32()))
 
 
 class FrameSample:
-    """Actor-pool stage: sample ``n_frames`` uniformly from video payloads
-    and emit one feature row per frame (flat-map shape: rows explode).
+    """Actor-pool stage: sample ``n_frames`` uniformly per video and emit
+    one feature row per frame (flat-map shape: rows explode).
 
-    Decode is stubbed: frame features derive deterministically from
-    (payload md5, frame index). Non-video rows pass through with frame -1.
+    Real path seek-decodes ONLY the sampled frames from the RVID
+    container; non-video rows emit a single frame=-1 row with their own
+    modality's features.
     """
 
-    def __init__(self, n_frames: int = 4, fake: bool = True):
+    def __init__(self, n_frames: int = 4, fake: bool = False):
         self.n_frames = n_frames
         self.fake = fake
 
-    def _frame_feature(self, payload: bytes, idx: int) -> list:
-        if not self.fake:
-            raise NotImplementedError("real frame decode requires ffmpeg")
-        digest = hashlib.md5((payload or b"") + bytes([idx])).digest()
-        return (np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0).tolist()
+    def _row_feature(self, payload: bytes, mtype: str) -> list:
+        if self.fake:
+            return _fake_feature(payload).tolist()
+        if mtype == "image":
+            return image_features(decode_bmp(payload)).tolist()
+        if mtype == "audio":
+            return audio_features(*decode_wav(payload)).tolist()
+        return [0.0] * FEATURE_DIM
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, types, frames, feats = [], [], [], []
-        for mid, mtype, payload, dur in zip(
+        for mid, mtype, payload in zip(
             batch["media_id"].to_pylist(), batch["media_type"].to_pylist(),
-            batch["payload"].to_pylist(), batch["meta_duration_ms"].to_pylist(),
+            batch["payload"].to_pylist(),
         ):
             if mtype != "video":
                 ids.append(mid)
                 types.append(mtype)
                 frames.append(-1)
-                feats.append(self._frame_feature(payload, 0))
+                try:
+                    feats.append(self._row_feature(payload, mtype))
+                except Exception:
+                    feats.append([0.0] * FEATURE_DIM)
                 continue
-            for f in range(self.n_frames):
+            if self.fake:
+                for f in range(self.n_frames):
+                    ids.append(mid); types.append(mtype); frames.append(f)
+                    feats.append(_fake_feature(payload, f + 1).tolist())
+                continue
+            try:
+                total = rvid_frame_count(payload)
+            except Exception:
+                total = 0
+            k = min(self.n_frames, total)
+            # uniform deterministic sample over the container's frames
+            picks = [(j * total) // max(k, 1) for j in range(k)]
+            for f in picks:
                 ids.append(mid)
                 types.append(mtype)
                 frames.append(f)
-                feats.append(self._frame_feature(payload, f))
+                try:
+                    feats.append(image_features(decode_rvid_frame(payload, f)).tolist())
+                except Exception:
+                    feats.append([0.0] * FEATURE_DIM)
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
@@ -155,20 +227,47 @@ class FrameSample:
         )
 
 
+def _synth_image(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic gradient-plus-checker test image."""
+    ys = np.arange(h, dtype=np.float32)[:, None]
+    xs = np.arange(w, dtype=np.float32)[None, :]
+    r = (((ys + i * 3) % h) * 255 / max(h - 1, 1)).repeat(w, axis=1)
+    g = (((xs + i * 5) % w) * 255 / max(w - 1, 1)).repeat(h, axis=0)
+    b = (((ys // 4 + xs // 4 + i) % 2) * 255).astype(np.float32)
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
 def synth_media_table(n: int) -> pa.Table:
-    """Deterministic fake media rows for tests (payload = f(row index))."""
+    """Deterministic REAL media rows: BMP images, WAV audio, RVID video —
+    all pure functions of the row index."""
     rows = []
     for i in range(n):
         mtype = ["image", "audio", "video"][i % 3]
-        payload = (f"media-{i}-" * (8 + i % 17)).encode()
+        if mtype == "image":
+            w, h = 48 + (i % 13) * 8, 32 + (i % 7) * 8
+            payload = encode_bmp(_synth_image(i, w, h))
+            meta = (w, h, 0)
+        elif mtype == "audio":
+            rate = 8000
+            dur_ms = 100 + (i % 10) * 50
+            t = np.arange(int(rate * dur_ms / 1000), dtype=np.float32)
+            freq = 220.0 + (i % 12) * 55.0
+            samples = (np.sin(2 * np.pi * freq * t / rate) * 12000).astype(np.int16)
+            payload = encode_wav(samples, rate)
+            meta = (0, 0, dur_ms)
+        else:
+            n_frames = 4 + i % 5
+            frames = [_synth_image(i * 31 + f, 40, 24) for f in range(n_frames)]
+            payload = encode_rvid(frames)
+            meta = (40, 24, n_frames * 40)
         rows.append(
             {
                 "media_id": i,
                 "media_type": mtype,
                 "payload": payload,
-                "meta_width": 640 if mtype == "image" else 0,
-                "meta_height": 480 if mtype == "image" else 0,
-                "meta_duration_ms": 0 if mtype == "image" else 1000 + i,
+                "meta_width": meta[0],
+                "meta_height": meta[1],
+                "meta_duration_ms": meta[2],
             }
         )
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)

@@ -1,0 +1,90 @@
+"""Real media codecs (functions/media.py): BMP/WAV/RVID round-trips and
+feature extractors — all stdlib+numpy, no imaging libraries."""
+
+import numpy as np
+import pytest
+
+from pappermate_ray.functions.media import (
+    FEATURE_DIM,
+    audio_features,
+    decode_bmp,
+    decode_rvid_frame,
+    decode_wav,
+    encode_bmp,
+    encode_rvid,
+    encode_wav,
+    image_features,
+    resize_nearest,
+    rvid_frame_count,
+)
+
+
+def _img(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+class TestBMP:
+    @pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (4, 4), (17, 9), (64, 48)])
+    def test_roundtrip_exact(self, w, h):
+        img = _img(w, h, seed=w * 100 + h)
+        out = decode_bmp(encode_bmp(img))
+        assert out.shape == (h, w, 3)
+        assert np.array_equal(out, img)  # lossless format → byte-exact
+
+    def test_rejects_garbage(self):
+        with pytest.raises(ValueError):
+            decode_bmp(b"not a bitmap at all")
+        with pytest.raises(ValueError):
+            decode_bmp(encode_bmp(_img(8, 8))[:30])  # truncated
+
+    def test_resize_nearest_shapes_and_determinism(self):
+        img = _img(64, 48, seed=7)
+        small = resize_nearest(img, 16, 12)
+        assert small.shape == (12, 16, 3)
+        assert np.array_equal(small, resize_nearest(img, 16, 12))
+        # nearest-neighbor only ever copies source pixels
+        assert set(np.unique(small)) <= set(np.unique(img))
+
+
+class TestWAV:
+    def test_roundtrip_exact(self):
+        t = np.arange(800, dtype=np.float32)
+        samples = (np.sin(2 * np.pi * 440 * t / 8000) * 10000).astype(np.int16)
+        out, rate = decode_wav(encode_wav(samples, 8000))
+        assert rate == 8000
+        assert np.array_equal(out, samples)
+
+    def test_rejects_garbage(self):
+        with pytest.raises(Exception):
+            decode_wav(b"RIFFgarbage")
+
+
+class TestRVID:
+    def test_frame_seek_decode(self):
+        frames = [_img(10, 6, seed=i) for i in range(5)]
+        blob = encode_rvid(frames)
+        assert rvid_frame_count(blob) == 5
+        for i in (0, 2, 4):
+            assert np.array_equal(decode_rvid_frame(blob, i), frames[i])
+        with pytest.raises(ValueError):
+            decode_rvid_frame(blob, 5)
+        with pytest.raises(ValueError):
+            rvid_frame_count(b"XXXX")
+
+
+class TestFeatures:
+    def test_image_features_contract(self):
+        f = image_features(_img(32, 16, seed=3))
+        assert f.shape == (FEATURE_DIM,)
+        assert f.dtype == np.float32
+        assert np.array_equal(f, image_features(_img(32, 16, seed=3)))  # deterministic
+        # dims encoded
+        assert f[0] == np.float32(32 / 4096) and f[1] == np.float32(16 / 4096)
+
+    def test_audio_features_contract(self):
+        samples = (np.sin(np.linspace(0, 60, 1600)) * 20000).astype(np.int16)
+        f = audio_features(samples, 8000)
+        assert f.shape == (FEATURE_DIM,)
+        assert abs(f[0] - 0.2) < 1e-5  # 1600/8000 s
+        assert f[2] > 0  # rms of a sine is positive
