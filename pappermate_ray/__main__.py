@@ -107,6 +107,38 @@ def cmd_manifest(args) -> None:
     print(json.dumps(out))
 
 
+def cmd_curate(args) -> None:
+    """The training-corpus curation chain over raw pages: extract →
+    [corpus-level boilerplate strip] → quality filter → near-dup
+    keep-list → survivors written as partitioned parquet."""
+    ray = _init_ray()
+    import ray.data as rd
+
+    from .fixtures import read_pages
+    from .io.sink import write_resumable
+    from .pipelines.curate import clean_corpus
+    from .pipelines.extract_pipeline import build_extraction_pipeline
+
+    t0 = time.perf_counter()
+    if os.path.isfile(os.path.join(args.input, "documents.parquet")):
+        pages = read_pages(args.input)
+    else:
+        pages = rd.read_parquet(args.input)
+    docs = build_extraction_pipeline(pages)
+    survivors = clean_corpus(
+        docs, quality_min=args.quality_min, dup_threshold=args.dup_threshold,
+        strip_boilerplate=args.strip_boilerplate,
+    )
+    manifest = write_resumable(survivors, args.output, n_parts=args.n_parts)
+    print(json.dumps({
+        "survivor_rows": sum(manifest["n_rows"].to_pylist()),
+        "written_partitions": manifest.num_rows,
+        "sec": round(time.perf_counter() - t0, 2),
+        "output": args.output,
+    }))
+    ray.shutdown()
+
+
 def cmd_schemas(args) -> None:
     """Export the model JSON Schemas (reference validation/schema.py:63-104
     workflow) plus, when --output-dir holds extraction parquet, a
@@ -148,6 +180,16 @@ def main(argv=None) -> int:
     pm = sub.add_parser("manifest", help="print lineage manifest summary")
     pm.add_argument("--output", required=True)
     pm.set_defaults(fn=cmd_manifest)
+
+    pc_ = sub.add_parser("curate", help="extract + quality filter + near-dup dedup → survivor parquet")
+    pc_.add_argument("--input", required=True, help="pages parquet dir, or an sf_dir with documents.parquet")
+    pc_.add_argument("--output", required=True)
+    pc_.add_argument("--n-parts", type=int, default=64)
+    pc_.add_argument("--quality-min", type=float, default=0.4)
+    pc_.add_argument("--dup-threshold", type=float, default=0.8)
+    pc_.add_argument("--strip-boilerplate", action="store_true",
+                     help="corpus-level repeated-paragraph removal before scoring")
+    pc_.set_defaults(fn=cmd_curate)
 
     ps = sub.add_parser("schemas", help="export model JSON Schemas (+ dataset schema)")
     ps.add_argument("--output", required=True, help="directory for *_schema.json files")

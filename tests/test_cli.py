@@ -92,3 +92,19 @@ def test_cli_extract_resume_report(tmp_path):
 
     rep = _run(["report", "--output", out_dir])
     assert rep["status"]["converted"] + rep["status"]["error"] == 500
+
+
+def test_cli_curate(tmp_path):
+    """curate subcommand: extract → quality → near-dup survivors,
+    partitioned parquet out."""
+    out_dir = str(tmp_path / "curated")
+    res = _run(["curate", "--input", "/root/testdata/sf0.001",
+                "--output", out_dir, "--n-parts", "8"], timeout=300)
+    assert res["written_partitions"] == 8
+    # error rows + quality losers are dropped, most of the corpus survives
+    assert 400 <= res["survivor_rows"] < 500
+    import pyarrow.dataset as pads
+
+    tb = pads.dataset(out_dir, partitioning="hive").to_table()
+    assert set(tb.column_names) >= {"url", "quality", "n_tokens"}
+    assert tb.num_rows == res["survivor_rows"]
