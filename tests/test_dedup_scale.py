@@ -199,3 +199,54 @@ class TestArmoredJoins:
         out = hash_join(left, right, on="k", num_partitions=13)
         rows = out.take_all()
         assert len(rows) == 1 and rows[0]["k"] == "a" and rows[0]["y"] == 10
+
+
+class TestParagraphDedupScale:
+    def test_distributed_path_multiblock_heavy_boilerplate(self, ray_session):
+        """4k docs across many blocks, ~2 boilerplate paras per doc
+        (~40% of paragraph mass shared): the forced-distributed path
+        (broadcast_limit=0 → semi-join + removal-list join) must match a
+        brute-force Python reference exactly."""
+        from collections import Counter
+
+        from pappermate_ray.stages.webclean import paragraph_dedup
+
+        def make(t: pa.Table) -> pa.Table:
+            ids = t["id"].to_pylist()
+            texts = []
+            for i in ids:
+                paras = [f"shared nav bar variant {i % 7}",
+                         f"unique body {i} " + " ".join(f"u{i}x{j}" for j in range(6)),
+                         f"shared footer block {i % 11}"]
+                if i % 3 == 0:
+                    paras.insert(1, f"shared promo banner {i % 5}")
+                texts.append("\n".join(paras))
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts, pa.string())})
+
+        ds = rd.range(4000, override_num_blocks=16).map_batches(
+            make, batch_format="pyarrow")
+
+        # brute-force reference
+        ref_tb = pa.concat_tables(list(
+            ds.iter_batches(batch_size=65536, batch_format="pyarrow")))
+        freq = Counter()
+        paras_by = {}
+        for did, text in zip(ref_tb["doc_id"].to_pylist(), ref_tb["text"].to_pylist()):
+            ps = text.split("\n")
+            paras_by[did] = ps
+            for p in set(ps):
+                freq[p] += 1
+        hot = {p for p, n in freq.items() if n >= 2}
+        expect = {did: "\n".join(p for p in ps if p not in hot)
+                  for did, ps in paras_by.items()}
+
+        out = paragraph_dedup(ds, "doc_id", "text", sep="\n", min_docs=2,
+                              broadcast_limit=0)
+        got_tb = pa.concat_tables(list(
+            out.iter_batches(batch_size=65536, batch_format="pyarrow")))
+        assert got_tb.num_rows == 4000
+        got = dict(zip(got_tb["doc_id"].to_pylist(), got_tb["clean_text"].to_pylist()))
+        assert got == expect
+        # every doc kept exactly its unique body line
+        assert all(v.startswith("unique body ") for v in got.values())
