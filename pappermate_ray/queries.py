@@ -1689,6 +1689,32 @@ def q_decontaminate_ngrams(sf_dir: str):
     return decontaminate_ngrams(corpus, grams_by_rank, n=6)
 
 
+def q_cosine_pairs_exact(sf_dir: str):
+    """All-pairs exact cosine near-dup baseline over the embeddings table
+    ∪ perturbed copies of every 10th vector (the planted near-identical
+    pairs; natural max cosine on this table is ~0.51, threshold 0.9 —
+    enormous margin, so float32-vs-float64 math can't flip a pair).
+    Oracle: SQL self-join with list_cosine_similarity."""
+    from .stages.similarity import cosine_pairs_exact
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def perturb(t: pa.Table) -> pa.Table:
+        ids, vecs = [], []
+        for vid, vec in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()):
+            if vid % 10 != 0:
+                continue
+            ids.append(vid + 1_000_000)
+            # 1-based component index to match DuckDB's list_transform lambda
+            vecs.append([x * (1 + 0.002 * (((vid + i + 1) % 5) - 2))
+                         for i, x in enumerate(vec)])
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "embedding": pa.array(vecs, pa.list_(pa.float32()))})
+
+    corpus = ds.union(ds.map_batches(perturb, batch_format="pyarrow"))
+    return cosine_pairs_exact(corpus, "vec_id", "embedding", threshold=0.9)
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (email/phone/IP → tokens + counts), planted
     deterministically per doc_id; Arrow RE2 kernels column-wide, zero
@@ -1716,6 +1742,18 @@ def q_pii_scrub(sf_dir: str):
 
 
 ORACLE_SQL.update({
+    "cosine_pairs_exact": """
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+                 list_transform(embedding,
+                                (x, i) -> x * (1 + 0.002 * (((vec_id + i) % 5) - 2)))
+          FROM embeddings WHERE vec_id % 10 = 0)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+    """,
     "pii_scrub": r"""
         WITH corpus AS (
           SELECT doc_id,
@@ -1892,4 +1930,5 @@ SQL_QUERIES = {
     "decontaminate": q_decontaminate,
     "decontaminate_ngrams": q_decontaminate_ngrams,
     "pii_scrub": q_pii_scrub,
+    "cosine_pairs_exact": q_cosine_pairs_exact,
 }

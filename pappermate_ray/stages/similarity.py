@@ -226,3 +226,52 @@ def lsh_bucketed_cosine_pairs(
         )
 
     return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
+def cosine_pairs_exact(
+    ds: "rd.Dataset",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.9,
+    max_broadcast: int = 1_000_000,
+) -> "rd.Dataset":
+    """ALL-PAIRS exact cosine ≥ threshold → (id_a, id_b), id_a < id_b.
+
+    The brute-force verification BASELINE for the similarity family
+    (oracle-checkable against a SQL self-join): the normalized corpus
+    matrix is pinned in the object store once and every batch matmuls
+    against it — the same blockwise pattern as ``knn_scatter_gather``
+    with the corpus itself as the broadcast side. That broadcast is the
+    baseline's inherent O(N·d) footprint (guarded by ``max_broadcast``);
+    the SCALE path for near-dup discovery is
+    ``embedding_cosine_near_dups``'s sign-LSH bucketing, which this
+    operator exists to validate on planted fixtures.
+    """
+    ids_chunks, mat_chunks = [], []
+    for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ids_chunks.append(np.asarray(b[id_col].to_pylist(), dtype=np.int64))
+        mat_chunks.append(_emb_matrix(b, emb_col))
+    all_ids = np.concatenate(ids_chunks) if ids_chunks else np.array([], dtype=np.int64)
+    if len(all_ids) > max_broadcast:
+        raise ValueError(
+            f"cosine_pairs_exact is the brute-force baseline (N={len(all_ids)} "
+            f"> max_broadcast={max_broadcast}); use embedding_cosine_near_dups")
+    mat = np.vstack(mat_chunks) if mat_chunks else np.zeros((0, 1))
+    ref = ray.put((all_ids, mat))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        gids, gmat = ray.get(ref)
+        xn = _emb_matrix(t, emb_col)
+        bids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        sims = xn @ gmat.T                      # (batch, N)
+        hit = sims >= threshold
+        # ordered pairs only: batch id < corpus id (each unordered pair
+        # surfaces exactly once across all batches)
+        hit &= bids[:, None] < gids[None, :]
+        bi, gj = np.nonzero(hit)
+        return pa.table({
+            "id_a": pa.array(bids[bi], pa.int64()),
+            "id_b": pa.array(gids[gj], pa.int64()),
+        })
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
