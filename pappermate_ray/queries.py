@@ -1329,6 +1329,26 @@ def q_ivf_knn(sf_dir: str):
     return ivf_knn(ds, Q, qids, k=5).select_columns(["query_id", "neighbor_id"])
 
 
+def q_ivf_knn_fullprobe(sf_dir: str):
+    """IVF with n_probe == n_centroids probes EVERY inverted list, so the
+    approximate path degenerates to exact brute force — which makes the
+    whole IVF machinery (sampled centroid build, assignment, probe
+    filter, scatter-gather merge) checkable against the same DuckDB
+    exact-kNN oracle as knn_bruteforce. Any pruning bug that drops a
+    vector from its list surfaces as a missing neighbor here."""
+    import pyarrow.parquet as pq
+
+    from .stages.similarity import ivf_knn
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtab = qt.filter(pc.is_in(qt["vec_id"], value_set=pa.array([0, 1, 2])))
+    Q = np.array(qtab["embedding"].to_pylist(), dtype=np.float64)
+    qids = np.array(qtab["vec_id"].to_pylist(), dtype=np.int64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = ivf_knn(ds, Q, qids, k=5, n_centroids=16, n_probe=16)
+    return out.select_columns(["query_id", "neighbor_id"])
+
+
 def q_text_analysis(sf_dir: str):
     """Fused language-ID / quality / token / fingerprint pass."""
     from .stages.quality import analyze_text_batch
@@ -1742,6 +1762,17 @@ def q_pii_scrub(sf_dir: str):
 
 
 ORACLE_SQL.update({
+    # full-probe IVF degenerates to exact knn — same oracle shape as
+    # knn_bruteforce
+    "ivf_knn_fullprobe": """
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < 3 AND b.vec_id <> a.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY a.vec_id
+            ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
+        ) <= 5
+    """,
     "cosine_pairs_exact": """
         WITH corpus AS (
           SELECT vec_id, embedding FROM embeddings
@@ -1931,4 +1962,5 @@ SQL_QUERIES = {
     "decontaminate_ngrams": q_decontaminate_ngrams,
     "pii_scrub": q_pii_scrub,
     "cosine_pairs_exact": q_cosine_pairs_exact,
+    "ivf_knn_fullprobe": q_ivf_knn_fullprobe,
 }

@@ -20,7 +20,7 @@ FAST_QUERIES = [
     "contract_type_histogram", "key_clause_histogram",
     # round-2 web-corpus curation family (stages/webclean.py)
     "paragraph_dedup", "repetition_stats", "decontaminate", "pii_scrub",
-    "decontaminate_ngrams", "cosine_pairs_exact",
+    "decontaminate_ngrams", "cosine_pairs_exact", "ivf_knn_fullprobe",
 ]
 
 
