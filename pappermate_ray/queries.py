@@ -1735,6 +1735,47 @@ def q_cosine_pairs_exact(sf_dir: str):
     return cosine_pairs_exact(corpus, "vec_id", "embedding", threshold=0.9)
 
 
+def q_heavy_hitters_words(sf_dir: str):
+    """Count-Min + candidate-union heavy hitters over the corpus word
+    stream (stages/sketch.py) — the sketch-based scale path for
+    wordcount_top: per-block fixed-size sketches merge in O(blocks),
+    no all-to-all word shuffle. Oracle: exact SQL top-20. The sketch
+    output EQUALS exact counts here deterministically: the fixed hash
+    family maps this corpus's vocabulary collision-free in all 4 CM
+    rows (verified at every sf), and every heavy hitter is in some
+    block's local top — so the gate checks the sketch end-to-end."""
+    from .stages.sketch import heavy_hitters
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def words(t: pa.Table):
+        return [w for x in t["text"].to_pylist() for w in (x or "").split()]
+
+    return heavy_hitters(ds, words, k=20)
+
+
+def q_hll_distinct_bigrams(sf_dir: str):
+    """HyperLogLog distinct count of word bigrams (stages/sketch.py):
+    per-block 16 KiB register rows merged by max — replaces the exact
+    distinct's all-to-all shuffle at 100 TB. Approximate by design
+    (±0.8% at p=14, accuracy pinned in tests/test_sketch.py), so
+    rows-only checked: no SQL oracle can reproduce the estimator."""
+    from .stages.sketch import hll_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def bigrams(t: pa.Table):
+        out = []
+        for x in t["text"].to_pylist():
+            w = (x or "").split()
+            out.extend(f"{a} {b}" for a, b in zip(w, w[1:]))
+        return out
+
+    est, n_sketches = hll_distinct(ds, bigrams)
+    return pa.table({"est_distinct": pa.array([round(est, 1)], pa.float64()),
+                     "n_block_sketches": pa.array([n_sketches], pa.int64())})
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (email/phone/IP → tokens + counts), planted
     deterministically per doc_id; Arrow RE2 kernels column-wide, zero
@@ -1762,6 +1803,13 @@ def q_pii_scrub(sf_dir: str):
 
 
 ORACLE_SQL.update({
+    "heavy_hitters_words": r"""
+        SELECT word AS value, COUNT(*) AS est_count
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+              FROM documents)
+        WHERE word <> ''
+        GROUP BY word ORDER BY est_count DESC, value LIMIT 20
+    """,
     # full-probe IVF degenerates to exact knn — same oracle shape as
     # knn_bruteforce
     "ivf_knn_fullprobe": """
@@ -1911,6 +1959,7 @@ NOSQL_QUERIES = {
     "media_features": q_media_features,
     "translate_names": q_translate_names,
     "clean_corpus": q_clean_corpus,
+    "hll_distinct_bigrams": q_hll_distinct_bigrams,
 }
 
 
@@ -1963,4 +2012,5 @@ SQL_QUERIES = {
     "pii_scrub": q_pii_scrub,
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "ivf_knn_fullprobe": q_ivf_knn_fullprobe,
+    "heavy_hitters_words": q_heavy_hitters_words,
 }

@@ -1,0 +1,176 @@
+"""Sketch operators (beyond-reference, driver brief "novel sketch"):
+approximate distinct counting and heavy hitters at 100 TB scale, where
+the exact versions (``ds.unique`` / full wordcount) are all-to-all
+shuffles over every distinct value.
+
+- ``hll_distinct``: HyperLogLog (Flajolet et al. 2007, with the standard
+  small-range linear-counting correction). Each batch folds its values
+  into ONE 2^p-register row; the per-block sketches (16 KiB at p=14) are
+  merged by register-wise max. The merge input is O(blocks × 2^p) — a
+  function of the block count, never the data — so collecting it is the
+  sketch's whole point, not a driver materialization of the dataset.
+- ``heavy_hitters``: Count-Min (Cormode & Muthukrishnan 2005) +
+  per-batch candidate top lists. Frequencies come from the merged CM
+  (never under-estimates truth by construction, overestimates bounded by
+  εN); candidates from the union of per-batch local tops — a value
+  missing from every batch's local top can't be a global heavy hitter at
+  the chosen ratio (standard candidate-set argument; validated against
+  the exact top-k in tests).
+
+Both are deterministic: hashing is md5/FNV-derived, no RNG, no clock —
+the same corpus always yields the same estimate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+from typing import Iterable, List, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+_HLL_P = 14
+_HLL_M = 1 << _HLL_P
+
+
+def _hash64(values: Iterable[str]) -> np.ndarray:
+    return np.array(
+        [int.from_bytes(hashlib.md5(v.encode("utf-8")).digest()[:8], "little")
+         for v in values],
+        dtype=np.uint64,
+    )
+
+
+def hll_registers(values: List[str], p: int = _HLL_P) -> np.ndarray:
+    """One HLL register array (uint8, 2^p) for a value list — vectorized:
+    bucket = top p bits, rank = leading-zeros-in-remainder + 1 via log2."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if not values:
+        return regs
+    h = _hash64(values)
+    bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad tail with 1s
+    # exact vectorized count-leading-zeros: unpack each value's bytes
+    # big-endian and argmax the first set bit (float log2 would round
+    # 2^k-1 up to 2^k for k > 53 and skew the rank)
+    be = rest.view(np.uint8).reshape(-1, 8)[:, ::-1]
+    bits = np.unpackbits(be, axis=1)
+    lz = np.argmax(bits, axis=1)
+    rank = (lz + 1).astype(np.uint8)
+    np.maximum.at(regs, bucket, rank)
+    return regs
+
+
+def hll_merge(sketches: Iterable[np.ndarray]) -> np.ndarray:
+    out = np.zeros(_HLL_M, dtype=np.uint8)
+    for s in sketches:
+        np.maximum(out, s, out=out)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting for the small range
+    return float(est)
+
+
+def hll_distinct(ds: "rd.Dataset", values_fn, p: int = _HLL_P) -> Tuple[float, int]:
+    """Approximate distinct count of ``values_fn(batch) -> list[str]``.
+
+    Returns (estimate, n_block_sketches). One streaming pass; the shuffle
+    is replaced by collecting O(blocks) fixed-size register rows.
+    """
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        regs = hll_registers(values_fn(t), p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    rows = ds.map_batches(sketch_batch, batch_format="pyarrow").take_all()
+    merged = hll_merge(np.frombuffer(r["regs"], dtype=np.uint8) for r in rows)
+    return hll_estimate(merged), len(rows)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min heavy hitters
+# ---------------------------------------------------------------------------
+
+_CM_D = 4
+_CM_W = 1 << 14
+_CM_SEEDS = (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F)
+
+
+def _cm_rows(values: np.ndarray) -> np.ndarray:
+    """(d, n) row indices for hashed values (independent seeded mixes)."""
+    idx = np.empty((_CM_D, len(values)), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for d, seed in enumerate(_CM_SEEDS):
+            mixed = (values ^ np.uint64(seed)) * np.uint64(0xFF51AFD7ED558CCD)
+            mixed ^= mixed >> np.uint64(33)
+            idx[d] = (mixed % np.uint64(_CM_W)).astype(np.int64)
+    return idx
+
+
+def heavy_hitters(
+    ds: "rd.Dataset",
+    values_fn,
+    k: int = 20,
+    candidates_per_block: int = 200,
+) -> pa.Table:
+    """Top-k values by frequency via Count-Min + per-block candidates.
+
+    Per batch: local exact Counter → top ``candidates_per_block``
+    candidates AND a (d × w) count matrix of ALL the batch's values.
+    Merge: CM matrices sum (linearity), candidate sets union — both
+    O(blocks × sketch), independent of corpus size. Estimates are
+    ``min_d CM[d, h_d(v)]`` (classic CM upper-bound-of-truth estimate).
+    Output: (value, est_count) top-k, count-desc then value-asc.
+    """
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        vals = values_fn(t)
+        counts = Counter(vals)
+        cm = np.zeros((_CM_D, _CM_W), dtype=np.int64)
+        if counts:
+            uniq = list(counts.keys())
+            freq = np.array([counts[u] for u in uniq], dtype=np.int64)
+            idx = _cm_rows(_hash64(uniq))
+            for d in range(_CM_D):
+                np.add.at(cm[d], idx[d], freq)
+        cands = [v for v, _ in counts.most_common(candidates_per_block)]
+        return pa.table({
+            "cm": pa.array([cm.tobytes()], pa.binary()),
+            "cands": pa.array(["\x00".join(cands)], pa.string()),
+        })
+
+    rows = ds.map_batches(sketch_batch, batch_format="pyarrow").take_all()
+    cm = np.zeros((_CM_D, _CM_W), dtype=np.int64)
+    cands: set = set()
+    for r in rows:
+        cm += np.frombuffer(r["cm"], dtype=np.int64).reshape(_CM_D, _CM_W)
+        if r["cands"]:
+            cands.update(r["cands"].split("\x00"))
+    if not cands:
+        return pa.table({"value": pa.array([], pa.string()),
+                         "est_count": pa.array([], pa.int64())})
+    cand_list = sorted(cands)
+    idx = _cm_rows(_hash64(cand_list))
+    ests = np.min(
+        np.stack([cm[d, idx[d]] for d in range(_CM_D)]), axis=0
+    )
+    order = sorted(range(len(cand_list)), key=lambda i: (-int(ests[i]), cand_list[i]))[:k]
+    return pa.table({
+        "value": pa.array([cand_list[i] for i in order], pa.string()),
+        "est_count": pa.array([int(ests[i]) for i in order], pa.int64()),
+    })

@@ -1,0 +1,101 @@
+"""Sketch operators (stages/sketch.py): HyperLogLog distinct counting and
+Count-Min heavy hitters — accuracy vs exact, determinism, merge laws."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pappermate_ray.stages.sketch import (
+    heavy_hitters,
+    hll_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def _values(n, start=0):
+    return [f"value-{i}" for i in range(start, start + n)]
+
+
+class TestHLLPure:
+    @pytest.mark.parametrize("n", [0, 1, 50, 1_000, 20_000, 200_000])
+    def test_accuracy(self, n):
+        est = hll_estimate(hll_registers(_values(n)))
+        if n == 0:
+            assert est == 0
+        else:
+            assert abs(est - n) / n < 0.02, (n, est)  # p=14 → σ ≈ 0.8%
+
+    def test_duplicates_dont_inflate(self):
+        once = hll_registers(_values(5_000))
+        thrice = hll_registers(_values(5_000) * 3)
+        assert np.array_equal(once, thrice)
+
+    def test_merge_equals_union(self):
+        a = hll_registers(_values(10_000, start=0))
+        b = hll_registers(_values(10_000, start=5_000))  # 5k overlap
+        est = hll_estimate(hll_merge([a, b]))
+        assert abs(est - 15_000) / 15_000 < 0.02
+        # merge is order-insensitive
+        assert np.array_equal(hll_merge([a, b]), hll_merge([b, a]))
+
+
+class TestHLLDataset:
+    def test_distributed_matches_exact(self, ray_session):
+        import ray.data as rd
+
+        def make(t: pa.Table) -> pa.Table:
+            ids = t["id"].to_pylist()
+            # ~3 values per row, heavy overlap across rows → distinct = 3000
+            vals = [f"tok-{(i * 7 + j) % 3000}" for i in ids for j in range(3)]
+            return pa.table({"v": pa.array(vals, pa.string())})
+
+        ds = rd.range(20_000, override_num_blocks=8).map_batches(make, batch_format="pyarrow")
+        est, n_sketches = hll_distinct(ds, lambda t: t["v"].to_pylist())
+        assert n_sketches >= 2  # actually merged across blocks
+        assert abs(est - 3000) / 3000 < 0.03
+        # deterministic across runs
+        ds2 = rd.range(20_000, override_num_blocks=8).map_batches(make, batch_format="pyarrow")
+        est2, _ = hll_distinct(ds2, lambda t: t["v"].to_pylist())
+        assert est == est2
+
+
+class TestHeavyHitters:
+    def test_matches_exact_topk_on_skewed_data(self, ray_session):
+        import ray.data as rd
+        from collections import Counter
+
+        def make(t: pa.Table) -> pa.Table:
+            vals = []
+            for i in t["id"].to_pylist():
+                # zipf-ish: value-j appears ~ N/(j+1) times
+                j = 0
+                r = i
+                while r % 2 == 1 and j < 12:
+                    j += 1
+                    r //= 2
+                vals.append(f"hot-{j}")
+            return pa.table({"v": pa.array(vals, pa.string())})
+
+        ds = rd.range(40_000, override_num_blocks=8).map_batches(make, batch_format="pyarrow")
+        got = heavy_hitters(ds, lambda t: t["v"].to_pylist(), k=5)
+
+        exact = Counter()
+        for b in rd.range(40_000, override_num_blocks=8).map_batches(
+                make, batch_format="pyarrow").iter_batches(
+                batch_size=65536, batch_format="pyarrow"):
+            exact.update(b["v"].to_pylist())
+        want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert got["value"].to_pylist() == [v for v, _ in want]
+        # CM never underestimates; with few distinct values it is exact here
+        for v, est in zip(got["value"].to_pylist(), got["est_count"].to_pylist()):
+            assert est >= exact[v]
+            assert est <= exact[v] * 1.01 + 5
+
+    def test_empty(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table({"v": pa.array([], pa.string())}))
+        out = heavy_hitters(ds, lambda t: t["v"].to_pylist(), k=3)
+        assert out.num_rows == 0
