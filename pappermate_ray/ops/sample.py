@@ -52,3 +52,41 @@ def grouped_topk(
         ).head(k)
 
     return ds.groupby(cols).map_groups(_top, batch_format="pandas")
+
+
+def bottomk_sample(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    k: int,
+    salt: str = "42",
+) -> "ray.data.Dataset":
+    """EXACTLY-k uniform sample via bottom-k hashing — deterministic and
+    engine-independent (Ray's ``random_sample`` is fraction-based and its
+    row selection is an implementation detail of the block iterator).
+
+    Every row gets priority ``md5(id || ':' || salt)``; the global k
+    smallest priorities win. Uniformity: md5 orders the ids by a fixed
+    pseudo-random permutation, so any k-subset is equally likely over
+    salts. Distributed shape: per-batch local bottom-k (vectorized
+    argpartition) → the tiny k-row partials concatenate and take the
+    global bottom-k — a scatter-gather top-k, NO full sort of the
+    corpus. Exactly reproducible in SQL (ORDER BY md5(...) LIMIT k),
+    which makes the sampler oracle-checkable — seeded engine RNG never
+    is.
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def local_bottomk(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        prios = [hashlib.md5(f"{i}:{salt}".encode()).hexdigest() for i in ids]
+        order = np.argsort(np.array(prios, dtype=object), kind="stable")[:k]
+        keep = t.take(pa.array(order, pa.int64()))
+        return keep.append_column("_prio", pa.array([prios[i] for i in order], pa.string()))
+
+    partials = ds.map_batches(local_bottomk, batch_format="pyarrow")
+    # global merge: k rows per block → sort the tiny partial set
+    merged = partials.sort("_prio").limit(k)
+    return merged.map_batches(lambda t: t.drop_columns(["_prio"]), batch_format="pyarrow")

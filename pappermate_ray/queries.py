@@ -1735,6 +1735,17 @@ def q_cosine_pairs_exact(sf_dir: str):
     return cosine_pairs_exact(corpus, "vec_id", "embedding", threshold=0.9)
 
 
+def q_bottomk_sample(sf_dir: str):
+    """Exactly-k deterministic uniform sample (bottom-k hashing,
+    ops/sample.bottomk_sample): scatter-gather local bottom-k, no full
+    sort. Unlike seeded engine RNG (q:random_sample, rows-only), the
+    hash-priority sampler is exactly reproducible in SQL."""
+    from .ops.sample import bottomk_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return bottomk_sample(ds, "doc_id", k=40)
+
+
 def q_heavy_hitters_words(sf_dir: str):
     """Count-Min + candidate-union heavy hitters over the corpus word
     stream (stages/sketch.py) — the sketch-based scale path for
@@ -1803,6 +1814,10 @@ def q_pii_scrub(sf_dir: str):
 
 
 ORACLE_SQL.update({
+    "bottomk_sample": """
+        SELECT doc_id, lang FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42') LIMIT 40
+    """,
     "heavy_hitters_words": r"""
         SELECT word AS value, COUNT(*) AS est_count
         FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
@@ -2013,4 +2028,5 @@ SQL_QUERIES = {
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "ivf_knn_fullprobe": q_ivf_knn_fullprobe,
     "heavy_hitters_words": q_heavy_hitters_words,
+    "bottomk_sample": q_bottomk_sample,
 }
