@@ -1,0 +1,78 @@
+"""Grouped exact quantiles over a numeric column (SURVEY.md §2.6 family).
+
+The curation counterpart of the reference's per-corpus summary stats
+(scripts/openai_contract_explorer.py report section): length/score
+distributions per stratum drive filter thresholds ("drop the bottom
+quartile of docs per language").
+
+Scale shape — value-count compression, NOT a per-group sort of rows:
+
+1. per-block partial: ``(group, value) -> n`` via an Arrow ``group_by``
+   (vectorized, no Python loop);
+2. one hash shuffle of the *distinct* (group, value) pairs with
+   ``Sum(n)`` — at 100 TB a length column has ~10^5 distinct values per
+   language, so the exchange is KBs per group no matter how many rows;
+3. per-group finish: sort the tiny value-count list, cumulative-sum,
+   and read each requested quantile off the CDF.
+
+Quantile rule is DISCRETE (a value actually present in the data), with
+index ``max(0, ceil(q*n) - 1)`` into the sorted multiset — verified
+empirically to equal DuckDB's ``quantile_disc`` on int columns, which
+is what makes the operator SQL-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data.aggregate import Sum
+
+
+def grouped_quantiles(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    qs: Sequence[float],
+    out_names: Optional[List[str]] = None,
+) -> "ray.data.Dataset":
+    """Exact per-group discrete quantiles of ``value_col``.
+
+    ``out_names`` names the output columns (default ``p25``-style from
+    the q values); output has one row per group: ``group_col, *out_names``.
+    """
+    names = out_names or [f"p{int(round(q * 100)):02d}" for q in qs]
+    if len(names) != len(qs):
+        raise ValueError("out_names must match qs length")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([group_col, value_col])
+            .group_by([group_col, value_col])
+            .aggregate([(value_col, "count")])
+        )
+        return g.rename_columns([group_col, value_col, "n_part"])
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby([group_col, value_col])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+    def _finish(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(value_col, kind="mergesort")
+        vals = group[value_col].to_numpy()
+        cum = group["n"].to_numpy().cumsum()
+        n = int(cum[-1])
+        row = {group_col: group[group_col].iloc[0]}
+        for q, name in zip(qs, names):
+            idx = max(0, math.ceil(q * n) - 1)
+            row[name] = vals[int(np.searchsorted(cum, idx + 1))]
+        return pd.DataFrame([row])
+
+    return counts.groupby(group_col).map_groups(_finish, batch_format="pandas")

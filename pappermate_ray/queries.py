@@ -1813,7 +1813,26 @@ def q_pii_scrub(sf_dir: str):
     )
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """Exact per-language length quantiles (ops/quantiles.py): the
+    threshold-setting stat for curation filters. Value-count compression
+    keeps the shuffle at distinct-(lang, n_chars) pairs, never rows;
+    discrete-quantile rule pinned to DuckDB's quantile_disc."""
+    from .ops.quantiles import grouped_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    return grouped_quantiles(ds, "lang", "n_chars", [0.25, 0.5, 0.75, 0.95])
+
+
 ORACLE_SQL.update({
+    "grouped_quantiles": """
+        SELECT lang,
+               quantile_disc(n_chars, 0.25) AS p25,
+               quantile_disc(n_chars, 0.50) AS p50,
+               quantile_disc(n_chars, 0.75) AS p75,
+               quantile_disc(n_chars, 0.95) AS p95
+        FROM documents GROUP BY lang
+    """,
     "bottomk_sample": """
         SELECT doc_id, lang FROM documents
         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42') LIMIT 40
@@ -2029,4 +2048,5 @@ SQL_QUERIES = {
     "ivf_knn_fullprobe": q_ivf_knn_fullprobe,
     "heavy_hitters_words": q_heavy_hitters_words,
     "bottomk_sample": q_bottomk_sample,
+    "grouped_quantiles": q_grouped_quantiles,
 }

@@ -98,6 +98,28 @@ class TestSample:
         assert sorted(by_g["x"]) == [0, 1, 2]
         assert sorted(by_g["y"]) == [0, 1, 2]
 
+    def test_grouped_quantiles_discrete_rule(self, ray_session):
+        """idx = max(0, ceil(q*n) - 1) into the sorted multiset, incl.
+        ties and uneven group sizes — checked against a hand CDF."""
+        import ray.data as rd
+
+        from pappermate_ray.ops.quantiles import grouped_quantiles
+
+        rows = [{"g": "a", "v": v} for v in [5, 1, 3, 3, 9]]  # sorted: 1,3,3,5,9
+        rows += [{"g": "b", "v": v} for v in [10, 20, 30, 40]]
+        # >1 block so the partial-count + shuffle path is exercised
+        ds = rd.from_items(rows, override_num_blocks=3)
+        out = {
+            r["g"]: r
+            for r in grouped_quantiles(
+                ds, "g", "v", [0.25, 0.5, 0.75], ["q1", "q2", "q3"]
+            ).take_all()
+        }
+        # n=5: idx(0.25)=ceil(1.25)-1=1 -> 3; idx(0.5)=2 -> 3; idx(0.75)=3 -> 5
+        assert (out["a"]["q1"], out["a"]["q2"], out["a"]["q3"]) == (3, 3, 5)
+        # n=4: idx(0.25)=0 -> 10; idx(0.5)=1 -> 20; idx(0.75)=2 -> 30
+        assert (out["b"]["q1"], out["b"]["q2"], out["b"]["q3"]) == (10, 20, 30)
+
 
 class TestDedup:
     def test_latest_by_url(self, ray_session):

@@ -21,7 +21,7 @@ FAST_QUERIES = [
     # round-2 web-corpus curation family (stages/webclean.py)
     "paragraph_dedup", "repetition_stats", "decontaminate", "pii_scrub",
     "decontaminate_ngrams", "cosine_pairs_exact", "ivf_knn_fullprobe",
-    "heavy_hitters_words", "bottomk_sample",
+    "heavy_hitters_words", "bottomk_sample", "grouped_quantiles",
 ]
 
 
