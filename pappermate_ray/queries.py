@@ -1813,6 +1813,23 @@ def q_pii_scrub(sf_dir: str):
     )
 
 
+def q_lm_perplexity(sf_dir: str):
+    """CCNet-style LM quality scoring (stages/lm.py): train an
+    add-0.5-smoothed bigram LM on the held-in 2/3 of the corpus
+    (doc_id % 3 != 0), score EVERY doc's perplexity — held-out docs
+    exercise the OOV/smoothing path. Model counts shuffle as distinct
+    grams only; scoring is two searchsorted passes per batch."""
+    from .stages.lm import perplexity_score, train_bigram_lm
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def held_in(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(np.asarray(t["doc_id"]) % 3 != 0))
+
+    model = train_bigram_lm(ds.map_batches(held_in, batch_format="pyarrow"))
+    return perplexity_score(ds, model)
+
+
 def q_grouped_quantiles(sf_dir: str):
     """Exact per-language length quantiles (ops/quantiles.py): the
     threshold-setting stat for curation filters. Value-count compression
@@ -1825,6 +1842,32 @@ def q_grouped_quantiles(sf_dir: str):
 
 
 ORACLE_SQL.update({
+    "lm_perplexity": r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE trim(text) <> ''),
+        tr AS (SELECT * FROM toks WHERE doc_id % 3 <> 0),
+        ucnt AS (SELECT g, COUNT(*) AS c
+                 FROM (SELECT unnest(w) AS g FROM tr) GROUP BY g),
+        vv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM ucnt),
+        tb AS (SELECT unnest(list_transform(range(len(w)-1),
+                        j -> {'w1': w[j+1], 'w2': w[j+2]})) AS bg FROM tr),
+        bcnt AS (SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS c
+                 FROM tb GROUP BY 1, 2),
+        sb AS (SELECT doc_id, unnest(list_transform(range(len(w)-1),
+                        j -> {'w1': w[j+1], 'w2': w[j+2]})) AS bg FROM toks),
+        scored AS (
+          SELECT s.doc_id, COUNT(*) AS n_bigrams,
+                 SUM(ln(COALESCE(bc.c, 0) + 0.5)
+                     - ln(COALESCE(uc.c, 0) + 0.5 * (SELECT v FROM vv))) AS lp
+          FROM sb s
+          LEFT JOIN bcnt bc ON bc.w1 = s.bg.w1 AND bc.w2 = s.bg.w2
+          LEFT JOIN ucnt uc ON uc.g = s.bg.w1
+          GROUP BY s.doc_id)
+        SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+               ROUND(EXP(-lp / n_bigrams), 2) AS ppl
+        FROM scored
+    """,
     "grouped_quantiles": """
         SELECT lang,
                quantile_disc(n_chars, 0.25) AS p25,
@@ -2049,4 +2092,5 @@ SQL_QUERIES = {
     "heavy_hitters_words": q_heavy_hitters_words,
     "bottomk_sample": q_bottomk_sample,
     "grouped_quantiles": q_grouped_quantiles,
+    "lm_perplexity": q_lm_perplexity,
 }
