@@ -1813,6 +1813,18 @@ def q_pii_scrub(sf_dir: str):
     )
 
 
+def q_bm25_topk(sf_dir: str):
+    """Lexical retrieval (stages/search.py): Okapi BM25 top-10 for a
+    fixed 3-term query over inverted postings — postings pruned to
+    query terms before any shuffle, idf table driver-bounded by |query|,
+    scatter-gather top-k. Scores rounded to 4 decimals pre-ranking on
+    both sides."""
+    from .stages.search import bm25_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_topk(ds, ["vector", "hash", "stream"], k=10)
+
+
 def q_lm_perplexity(sf_dir: str):
     """CCNet-style LM quality scoring (stages/lm.py): train an
     add-0.5-smoothed bigram LM on the held-in 2/3 of the corpus
@@ -1842,6 +1854,25 @@ def q_grouped_quantiles(sf_dir: str):
 
 
 ORACLE_SQL.update({
+    "bm25_topk": r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE trim(text) <> ''),
+        stats AS (SELECT COUNT(*) AS n, AVG(len(w)) AS avgdl FROM toks),
+        tf AS (SELECT doc_id, g AS term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+               FROM (SELECT doc_id, unnest(w) AS g, len(w) AS dl FROM toks)
+               GROUP BY doc_id, g),
+        q AS (SELECT unnest(['vector', 'hash', 'stream']) AS term),
+        df AS (SELECT term, COUNT(*) AS df FROM tf JOIN q USING (term) GROUP BY term),
+        sc AS (SELECT t.doc_id,
+                 SUM(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                     * t.tf * (1.2 + 1)
+                     / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl))) AS s
+               FROM tf t JOIN df d USING (term) CROSS JOIN stats s
+               GROUP BY t.doc_id)
+        SELECT doc_id, ROUND(s, 4) AS score FROM sc
+        QUALIFY row_number() OVER (ORDER BY ROUND(s, 4) DESC, doc_id) <= 10
+    """,
     "lm_perplexity": r"""
         WITH toks AS (
           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
@@ -2093,4 +2124,5 @@ SQL_QUERIES = {
     "bottomk_sample": q_bottomk_sample,
     "grouped_quantiles": q_grouped_quantiles,
     "lm_perplexity": q_lm_perplexity,
+    "bm25_topk": q_bm25_topk,
 }

@@ -1,0 +1,137 @@
+"""Full-text retrieval over the corpus: inverted postings + BM25 top-k.
+
+The lexical sibling of ``stages/similarity.py``'s embedding kNN — the
+retrieval op a training-data pipeline uses for "find documents about X"
+(targeted curation, eval-set mining, seed expansion). Okapi BM25
+(Robertson/Sparck Jones):
+
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(d, q) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+Distributed shape (100 TB design point):
+
+- postings carry their own length norm: each row is
+  ``(term, doc_id, tf, dl)`` — the standard store-the-norm-in-the-posting
+  layout, so scoring never joins back to a per-doc table;
+- the query is the broadcast small side: postings are pruned to query
+  terms with a vectorized ``pc.is_in`` BEFORE anything shuffles, so the
+  ``df`` aggregate and the per-doc score sum exchange only matched rows;
+- per-term ``df``/idf collect to the driver bounded by |query terms|
+  (a handful of rows by construction), then ship back via closure;
+- the final top-k is scatter-gather (per-block local top-k, tiny global
+  merge), NOT a full sort of all matching docs.
+
+Scores round to 4 decimals before ranking on BOTH the engine and oracle
+sides, so cross-engine 1e-12 float-sum noise cannot reorder the cut.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def build_postings(
+    ds: "rd.Dataset", id_col: str = "doc_id", text_col: str = "text"
+) -> "rd.Dataset":
+    """Tokenize → one ``(term, doc_id, tf, dl)`` row per distinct term
+    per doc. Docs with no tokens emit nothing."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        terms, dids, tfs, dls = [], [], [], []
+        for did, x in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            w = (x or "").split()
+            if not w:
+                continue
+            for term, n in Counter(w).items():
+                terms.append(term)
+                dids.append(did)
+                tfs.append(n)
+                dls.append(len(w))
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            id_col: pa.array(dids, t[id_col].type),
+            "tf": pa.array(tfs, pa.int64()),
+            "dl": pa.array(dls, pa.int64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def bm25_topk(
+    ds: "rd.Dataset",
+    query_terms: List[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "rd.Dataset":
+    """Top-k docs for ``query_terms`` with rounded BM25 scores.
+
+    Returns ``(id_col, score)`` ordered by (score desc, id asc).
+    """
+    postings = build_postings(ds, id_col, text_col)
+
+    # corpus scalars (N, avgdl) straight off the doc table: two numbers
+    # per block, summed on the driver
+    def dl_partial(t: pa.Table) -> pa.Table:
+        dls = [len((x or "").split()) for x in t[text_col].to_pylist()]
+        dls = [d for d in dls if d]
+        return pa.table({
+            "n_docs": pa.array([len(dls)], pa.int64()),
+            "sum_dl": pa.array([sum(dls)], pa.int64()),
+        })
+
+    parts = ds.map_batches(dl_partial, batch_format="pyarrow").take_all()
+    n_docs = sum(p["n_docs"] for p in parts)
+    avgdl = sum(p["sum_dl"] for p in parts) / n_docs if n_docs else 0.0
+
+    qset = pa.array(sorted(set(query_terms)), pa.string())
+    # prune to query terms BEFORE any shuffle; materialize the pruned
+    # postings (object-store blocks, spillable — never the driver) so the
+    # df aggregate and the scoring pass don't re-run tokenization
+    matched = postings.map_batches(
+        lambda t: t.filter(pc.is_in(t["term"], value_set=qset)),
+        batch_format="pyarrow",
+    ).materialize()
+    # df per query term: bounded by |query| rows — a legitimate driver
+    # collect (the idf table IS the broadcast artifact)
+    dfs = {
+        r["term"]: r["df"]
+        for r in matched.groupby("term").aggregate(Count(alias_name="df")).take_all()
+    }
+    idf = {t: float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+           for t, df in dfs.items()}
+
+    def score(t: pa.Table) -> pa.Table:
+        w = np.array([idf[x] for x in t["term"].to_pylist()], np.float64)
+        tf = np.asarray(t["tf"], np.float64)
+        dl = np.asarray(t["dl"], np.float64)
+        s = w * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        return pa.table({id_col: t[id_col], "s_part": pa.array(s, pa.float64())})
+
+    per_doc = (
+        matched.map_batches(score, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("s_part", alias_name="s"))
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        s = np.round(np.asarray(t["s"], np.float64), 4)
+        ids = np.asarray(t[id_col])
+        order = np.lexsort((ids, -s))[:k]
+        return pa.table({
+            id_col: pa.array(ids[order], t[id_col].type),
+            "score": pa.array(s[order], pa.float64()),
+        })
+
+    partials = per_doc.map_batches(local_topk, batch_format="pyarrow")
+    return partials.sort(["score", id_col], descending=[True, False]).limit(k)

@@ -1,0 +1,49 @@
+"""BM25 retrieval (stages/search.py) — hand-computed scores on a tiny
+corpus, posting layout, and ranking cut."""
+
+import math
+
+import pytest
+
+
+class TestBM25:
+    @pytest.fixture()
+    def corpus(self, ray_session):
+        import ray.data as rd
+
+        return rd.from_items(
+            [
+                {"doc_id": 1, "text": "x x y"},
+                {"doc_id": 2, "text": "x z"},
+                {"doc_id": 3, "text": "z z z z"},
+            ],
+            override_num_blocks=2,
+        )
+
+    def test_postings_layout(self, corpus):
+        from pappermate_ray.stages.search import build_postings
+
+        rows = {(r["term"], r["doc_id"]): (r["tf"], r["dl"])
+                for r in build_postings(corpus).take_all()}
+        assert rows[("x", 1)] == (2, 3)
+        assert rows[("y", 1)] == (1, 3)
+        assert rows[("x", 2)] == (1, 2)
+        assert rows[("z", 3)] == (4, 4)
+
+    def test_scores_hand_computed(self, corpus):
+        from pappermate_ray.stages.search import bm25_topk
+
+        out = bm25_topk(corpus, ["x"], k=2).take_all()
+        # N=3 avgdl=3 df(x)=2 -> idf = ln(1 + 1.5/2.5)
+        idf = math.log(1.6)
+        s1 = idf * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3 / 3))
+        s2 = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2 / 3))
+        assert [r["doc_id"] for r in out] == [1, 2]
+        assert out[0]["score"] == round(s1, 4)
+        assert out[1]["score"] == round(s2, 4)
+
+    def test_k_cut_and_no_match(self, corpus):
+        from pappermate_ray.stages.search import bm25_topk
+
+        assert len(bm25_topk(corpus, ["x", "z"], k=1).take_all()) == 1
+        assert bm25_topk(corpus, ["missingterm"], k=5).take_all() == []
