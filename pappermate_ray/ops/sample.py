@@ -90,3 +90,51 @@ def bottomk_sample(
     # global merge: k rows per block → sort the tiny partial set
     merged = partials.sort("_prio").limit(k)
     return merged.map_batches(lambda t: t.drop_columns(["_prio"]), batch_format="pyarrow")
+
+
+def grouped_bottomk_sample(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "42",
+) -> "ray.data.Dataset":
+    """EXACTLY-k-per-group deterministic uniform sample — the stratified
+    form of ``bottomk_sample`` ("k docs per language" over 100 TB).
+
+    Same md5 hash-priority currency; the local prune keeps at most k
+    rows per group PER BLOCK (vectorized lexsort + group-boundary
+    slicing), so the one hash shuffle on the group key carries
+    ``k × blocks`` rows per group, never the corpus; the per-group
+    finish is a tiny sort+head. SQL-reproducible via
+    ``row_number() OVER (PARTITION BY g ORDER BY md5(...)) <= k``.
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def local(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        prios = np.array(
+            [hashlib.md5(f"{i}:{salt}".encode()).hexdigest() for i in ids],
+            dtype=object,
+        )
+        groups = np.array(t[group_col].to_pylist(), dtype=object)
+        order = np.lexsort((prios, groups))
+        sorted_groups = groups[order]
+        _, starts = np.unique(sorted_groups, return_index=True)
+        bounds = np.append(starts, len(order))
+        keep = np.concatenate(
+            [order[s:min(s + k, e)] for s, e in zip(bounds[:-1], bounds[1:])]
+        ) if len(order) else np.array([], np.int64)
+        out = t.take(pa.array(keep, pa.int64()))
+        return out.append_column(
+            "_prio", pa.array([prios[i] for i in keep], pa.string())
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("_prio", kind="mergesort").head(k).drop(columns=["_prio"])
+
+    partials = ds.map_batches(local, batch_format="pyarrow")
+    return partials.groupby(group_col).map_groups(finish, batch_format="pandas")

@@ -1813,6 +1813,16 @@ def q_pii_scrub(sf_dir: str):
     )
 
 
+def q_grouped_bottomk_sample(sf_dir: str):
+    """Exactly-8-per-language deterministic sample
+    (ops/sample.grouped_bottomk_sample): per-block per-group bottom-k
+    prune, then one group-key shuffle of k×blocks rows."""
+    from .ops.sample import grouped_bottomk_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return grouped_bottomk_sample(ds, "lang", "doc_id", k=8)
+
+
 def q_bm25_topk(sf_dir: str):
     """Lexical retrieval (stages/search.py): Okapi BM25 top-10 for a
     fixed 3-term query over inverted postings — postings pruned to
@@ -1854,6 +1864,13 @@ def q_grouped_quantiles(sf_dir: str):
 
 
 ORACLE_SQL.update({
+    "grouped_bottomk_sample": """
+        SELECT doc_id, lang FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42')
+        ) <= 8
+    """,
     "bm25_topk": r"""
         WITH toks AS (
           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
@@ -2125,4 +2142,5 @@ SQL_QUERIES = {
     "grouped_quantiles": q_grouped_quantiles,
     "lm_perplexity": q_lm_perplexity,
     "bm25_topk": q_bm25_topk,
+    "grouped_bottomk_sample": q_grouped_bottomk_sample,
 }

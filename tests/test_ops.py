@@ -120,6 +120,26 @@ class TestSample:
         # n=4: idx(0.25)=0 -> 10; idx(0.5)=1 -> 20; idx(0.75)=2 -> 30
         assert (out["b"]["q1"], out["b"]["q2"], out["b"]["q3"]) == (10, 20, 30)
 
+    def test_grouped_bottomk_exact_k_and_deterministic(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.ops.sample import grouped_bottomk_sample
+
+        rows = [{"g": g, "id": i} for g in ("x", "y") for i in range(20)]
+        rows += [{"g": "tiny", "id": 99}]  # group smaller than k
+        ds = rd.from_items(rows, override_num_blocks=4)
+        out = grouped_bottomk_sample(ds, "g", "id", k=3).take_all()
+        by_g = {}
+        for r in out:
+            by_g.setdefault(r["g"], set()).add(r["id"])
+        assert len(by_g["x"]) == 3 and len(by_g["y"]) == 3
+        assert by_g["tiny"] == {99}
+        # block layout must not change the selection
+        out2 = grouped_bottomk_sample(
+            rd.from_items(rows, override_num_blocks=1), "g", "id", k=3
+        ).take_all()
+        assert {(r["g"], r["id"]) for r in out2} == {(r["g"], r["id"]) for r in out}
+
 
 class TestDedup:
     def test_latest_by_url(self, ray_session):

@@ -22,7 +22,7 @@ FAST_QUERIES = [
     "paragraph_dedup", "repetition_stats", "decontaminate", "pii_scrub",
     "decontaminate_ngrams", "cosine_pairs_exact", "ivf_knn_fullprobe",
     "heavy_hitters_words", "bottomk_sample", "grouped_quantiles",
-    "lm_perplexity", "bm25_topk",
+    "lm_perplexity", "bm25_topk", "grouped_bottomk_sample",
 ]
 
 
