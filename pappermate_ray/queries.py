@@ -1813,6 +1813,44 @@ def q_pii_scrub(sf_dir: str):
     )
 
 
+def q_pagerank(sf_dir: str):
+    """Distributed PageRank (ops/pagerank.py), 5 synchronous rounds at
+    d=0.85 over a deterministic 3-out-link graph planted on doc_ids
+    (targets (7i+1)%N, (11i+3)%N, (13i+5)%N — ids are contiguous
+    0..N-1 so every target is a node). Each round = one src-key hash
+    join + one dst-key groupby-sum; oracle unrolls the rounds into
+    chained SQL CTEs."""
+    from .ops.pagerank import pagerank
+
+    nodes = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = nodes.count()
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        i = np.asarray(t["doc_id"], np.int64)
+        src = np.concatenate([i, i, i])
+        dst = np.concatenate([(i * 7 + 1) % n, (i * 11 + 3) % n, (i * 13 + 5) % n])
+        return pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+        })
+
+    edges = nodes.map_batches(mk_edges, batch_format="pyarrow")
+    return pagerank(nodes, edges, node_col="doc_id", iters=5, round_to=8)
+
+
+_PR_ROUNDS = "".join(
+    f""",
+        r{i} AS (SELECT d.doc_id AS node,
+                   0.15/(SELECT n FROM nn)
+                   + 0.85*COALESCE(SUM(r{i-1}.r/ew.od), 0) AS r
+                 FROM documents d
+                 LEFT JOIN ew ON ew.dst = d.doc_id
+                 LEFT JOIN r{i-1} ON r{i-1}.node = ew.src
+                 GROUP BY d.doc_id)"""
+    for i in range(1, 6)
+)
+
+
 def q_grouped_bottomk_sample(sf_dir: str):
     """Exactly-8-per-language deterministic sample
     (ops/sample.grouped_bottomk_sample): per-block per-group bottom-k
@@ -1864,6 +1902,20 @@ def q_grouped_quantiles(sf_dir: str):
 
 
 ORACLE_SQL.update({
+    "pagerank": f"""
+        WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        edges AS (
+          SELECT doc_id AS src, (doc_id*7+1) % (SELECT n FROM nn) AS dst FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id*11+3) % (SELECT n FROM nn) FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id*13+5) % (SELECT n FROM nn) FROM documents),
+        od AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+        ew AS (SELECT e.src, e.dst, od.od FROM edges e JOIN od USING (src)),
+        r0 AS (SELECT doc_id AS node, 1.0/(SELECT n FROM nn) AS r FROM documents)
+        {_PR_ROUNDS}
+        SELECT node AS doc_id, ROUND(r, 8) AS pagerank FROM r5
+    """,
     "grouped_bottomk_sample": """
         SELECT doc_id, lang FROM documents
         QUALIFY row_number() OVER (
@@ -2143,4 +2195,5 @@ SQL_QUERIES = {
     "lm_perplexity": q_lm_perplexity,
     "bm25_topk": q_bm25_topk,
     "grouped_bottomk_sample": q_grouped_bottomk_sample,
+    "pagerank": q_pagerank,
 }

@@ -1,0 +1,46 @@
+"""PageRank (ops/pagerank.py) — hand-computed one-round values incl. a
+node with no in-links (teleport-only via the zero-union path), and rank
+conservation over multiple rounds."""
+
+import pytest
+
+
+@pytest.fixture()
+def graph(ray_session):
+    import ray.data as rd
+
+    nodes = rd.from_items([{"node": i} for i in (1, 2, 3, 4)], override_num_blocks=2)
+    edges = rd.from_items(
+        [
+            {"src": 1, "dst": 2},
+            {"src": 1, "dst": 3},
+            {"src": 2, "dst": 3},
+            {"src": 3, "dst": 1},
+            {"src": 4, "dst": 1},
+        ],
+        override_num_blocks=2,
+    )
+    return nodes, edges
+
+
+def test_one_round_hand_computed(graph):
+    from pappermate_ray.ops.pagerank import pagerank
+
+    nodes, edges = graph
+    out = {r["node"]: r["pagerank"]
+           for r in pagerank(nodes, edges, iters=1, round_to=8).take_all()}
+    # n=4, r0=0.25, base=0.0375; outdeg: 1->2, 2->1, 3->1, 4->1
+    assert out[1] == pytest.approx(0.0375 + 0.85 * (0.25 + 0.25), abs=1e-9)
+    assert out[2] == pytest.approx(0.0375 + 0.85 * 0.125, abs=1e-9)
+    assert out[3] == pytest.approx(0.0375 + 0.85 * (0.125 + 0.25), abs=1e-9)
+    assert out[4] == pytest.approx(0.0375, abs=1e-9)  # no in-links
+
+
+def test_rank_mass_conserved(graph):
+    # with no dangling nodes (every node has out-links), total rank
+    # stays 1 every round
+    from pappermate_ray.ops.pagerank import pagerank
+
+    nodes, edges = graph
+    out = pagerank(nodes, edges, iters=3).take_all()
+    assert sum(r["pagerank"] for r in out) == pytest.approx(1.0, abs=1e-9)
