@@ -1813,6 +1813,22 @@ def q_pii_scrub(sf_dir: str):
     )
 
 
+def q_approx_quantiles(sf_dir: str):
+    """HDR-histogram quantile sketch (stages/sketch.approx_quantiles):
+    fixed 4096-slot per-block histograms merged by vector add — the
+    mergeable scale path for quantiles. Integer-exact monotone
+    bucketing makes even the approximation bit-exact against a SQL
+    quantile_disc over bucket lower edges."""
+    from .stages.sketch import approx_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    edges, _ = approx_quantiles(ds, "n_chars", [0.25, 0.5, 0.75, 0.95])
+    return pa.table({
+        name: pa.array([v], pa.int64())
+        for name, v in zip(["p25", "p50", "p75", "p95"], edges)
+    })
+
+
 def q_pagerank(sf_dir: str):
     """Distributed PageRank (ops/pagerank.py), 5 synchronous rounds at
     d=0.85 over a deterministic 3-out-link graph planted on doc_ids
@@ -1902,6 +1918,18 @@ def q_grouped_quantiles(sf_dir: str):
 
 
 ORACLE_SQL.update({
+    "approx_quantiles": """
+        WITH e AS (
+          SELECT CASE WHEN n_chars < 64 THEN n_chars
+                 ELSE ((64 | ((n_chars >> (length(printf('%b', n_chars)) - 7)) & 63))
+                       << (length(printf('%b', n_chars)) - 7)) END AS edge
+          FROM documents)
+        SELECT quantile_disc(edge, 0.25) AS p25,
+               quantile_disc(edge, 0.50) AS p50,
+               quantile_disc(edge, 0.75) AS p75,
+               quantile_disc(edge, 0.95) AS p95
+        FROM e
+    """,
     "pagerank": f"""
         WITH nn AS (SELECT COUNT(*) AS n FROM documents),
         edges AS (
@@ -2196,4 +2224,5 @@ SQL_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "grouped_bottomk_sample": q_grouped_bottomk_sample,
     "pagerank": q_pagerank,
+    "approx_quantiles": q_approx_quantiles,
 }

@@ -174,3 +174,74 @@ def heavy_hitters(
         "value": pa.array([cand_list[i] for i in order], pa.string()),
         "est_count": pa.array([int(ests[i]) for i in order], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram approximate quantiles
+# ---------------------------------------------------------------------------
+#
+# The mergeable scale path for quantiles when the exact operator's
+# value-count compression (ops/quantiles.py) stops compressing — huge or
+# continuous value domains. Buckets are HDR-style (Gray/Tene): values
+# < 64 are exact; above that, a bucket is (msb, next-6-bits), giving
+# ≤ 1/64 ≈ 1.6% relative width across the whole int64 range in a FIXED
+# 4096-slot histogram. Per-block histograms are 32 KiB and merge by
+# vector addition — O(blocks), order-independent, deterministic.
+#
+# The bucket map is integer-exact and monotone, so the sketch's answer
+# is EXACTLY quantile_disc over bucket lower edges — which makes this
+# approximate operator bit-for-bit SQL-oracle-checkable, and bounds its
+# error against the true quantile by one bucket width by construction.
+
+_HDR_SUB_BITS = 6
+_HDR_SLOTS = 64 << _HDR_SUB_BITS  # msb < 64 → key < 4096
+
+
+def hdr_keys(v: np.ndarray) -> np.ndarray:
+    """Bucket keys for non-negative int64 values (< 2^53 — the float64
+    mantissa bound frexp relies on; crawl-scale counters fit easily)."""
+    v = v.astype(np.int64)
+    keys = v.copy()
+    big = v >= (1 << _HDR_SUB_BITS)
+    if big.any():
+        vb = v[big]
+        _, exp = np.frexp(vb.astype(np.float64))  # exact: v < 2^53
+        m = exp - 1
+        sub = (vb >> (m - _HDR_SUB_BITS)) & ((1 << _HDR_SUB_BITS) - 1)
+        keys[big] = (m << _HDR_SUB_BITS) | sub
+    return keys
+
+
+def hdr_edge(key: int) -> int:
+    """Lower edge of a bucket key (the sketch's reported value)."""
+    if key < (1 << _HDR_SUB_BITS):
+        return key
+    m, sub = key >> _HDR_SUB_BITS, key & ((1 << _HDR_SUB_BITS) - 1)
+    return ((1 << _HDR_SUB_BITS) | sub) << (m - _HDR_SUB_BITS)
+
+
+def approx_quantiles(
+    ds: "rd.Dataset", value_col: str, qs: List[float]
+) -> Tuple[List[int], int]:
+    """Approximate discrete quantiles of an int column via merged HDR
+    histograms. Returns (edges per q, n_block_sketches). Same ceil-rank
+    rule as the exact operator: idx = max(0, ceil(q*n) - 1)."""
+    import math
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        keys = hdr_keys(np.asarray(t[value_col], np.int64))
+        counts = np.bincount(keys, minlength=_HDR_SLOTS).astype(np.int64)
+        return pa.table({"h": pa.array([counts.tobytes()], pa.binary())})
+
+    rows = ds.map_batches(sketch_batch, batch_format="pyarrow").take_all()
+    hist = np.zeros(_HDR_SLOTS, dtype=np.int64)
+    for r in rows:
+        hist += np.frombuffer(r["h"], dtype=np.int64)
+    cum = np.cumsum(hist)
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        idx = max(0, math.ceil(q * n) - 1)
+        key = int(np.searchsorted(cum, idx + 1))
+        out.append(hdr_edge(key))
+    return out, len(rows)

@@ -99,3 +99,42 @@ class TestHeavyHitters:
         ds = rd.from_arrow(pa.table({"v": pa.array([], pa.string())}))
         out = heavy_hitters(ds, lambda t: t["v"].to_pylist(), k=3)
         assert out.num_rows == 0
+
+
+class TestHDRQuantiles:
+    def test_bucket_math(self):
+        import numpy as np
+
+        from pappermate_ray.stages.sketch import hdr_edge, hdr_keys
+
+        v = np.array([0, 1, 63, 64, 65, 127, 128, 1000, 2**40 + 12345], np.int64)
+        keys = hdr_keys(v)
+        # small values exact
+        assert list(keys[:3]) == [0, 1, 63]
+        # edges are lower bounds within 1/64 relative width, monotone
+        edges = np.array([hdr_edge(int(k)) for k in keys], np.int64)
+        assert (edges <= v).all()
+        assert (v < edges + np.maximum(edges >> 6, 1)).all()
+        assert (np.diff(edges) >= 0).all()
+        assert hdr_edge(int(hdr_keys(np.array([64], np.int64))[0])) == 64
+
+    def test_accuracy_vs_exact(self, ray_session):
+        import numpy as np
+
+        import ray.data as rd
+
+        from pappermate_ray.stages.sketch import approx_quantiles
+
+        # deterministic skewed values over several orders of magnitude
+        vals = [(i * i * 7919) % 1_000_003 + 1 for i in range(20_000)]
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+        ds = ds.repartition(8)
+        qs = [0.1, 0.5, 0.9, 0.99]
+        est, n_sk = approx_quantiles(ds, "v", qs)
+        assert n_sk >= 2  # merge path exercised
+        s = np.sort(np.array(vals))
+        for q, e in zip(qs, est):
+            import math
+            true = int(s[max(0, math.ceil(q * len(s)) - 1)])
+            assert e <= true
+            assert true - e <= max(true // 64, 1)  # one bucket width
