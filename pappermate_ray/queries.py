@@ -1813,6 +1813,46 @@ def q_pii_scrub(sf_dir: str):
     )
 
 
+def q_sequence_pack(sf_dir: str):
+    """Token-stream sequence packing manifest (GPT-style concat-and-
+    split training shards): each doc's global token offset via the
+    distributed prefix scan (ops/prefix.py), then its first/last
+    2048-token training sequence. All-integer output; oracle is a SQL
+    window cumsum."""
+    from .ops.prefix import prefix_sum_by_int_key
+
+    L = 2048
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def toklen(t: pa.Table) -> pa.Table:
+        ids, ns = [], []
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            n = len((x or "").split())
+            if n:
+                ids.append(did)
+                ns.append(n)
+        return pa.table({"doc_id": pa.array(ids, t["doc_id"].type),
+                         "n_tokens": pa.array(ns, pa.int64())})
+
+    with_off = prefix_sum_by_int_key(
+        ds.map_batches(toklen, batch_format="pyarrow"),
+        "doc_id", "n_tokens", out_col="start_offset",
+    )
+
+    def seqs(t: pa.Table) -> pa.Table:
+        start = np.asarray(t["start_offset"], np.int64)
+        n = np.asarray(t["n_tokens"], np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": t["n_tokens"],
+            "start_offset": t["start_offset"],
+            "first_seq": pa.array(start // L, pa.int64()),
+            "last_seq": pa.array((start + n - 1) // L, pa.int64()),
+        })
+
+    return with_off.map_batches(seqs, batch_format="pyarrow")
+
+
 def q_approx_quantiles(sf_dir: str):
     """HDR-histogram quantile sketch (stages/sketch.approx_quantiles):
     fixed 4096-slot per-block histograms merged by vector add — the
@@ -1918,6 +1958,23 @@ def q_grouped_quantiles(sf_dir: str):
 
 
 ORACLE_SQL.update({
+    "sequence_pack": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents WHERE trim(text) <> ''),
+        o AS (
+          SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS start_offset
+          FROM t)
+        SELECT doc_id, n_tokens, start_offset,
+               CAST(start_offset // 2048 AS BIGINT) AS first_seq,
+               CAST((start_offset + n_tokens - 1) // 2048 AS BIGINT) AS last_seq
+        FROM o
+    """,
     "approx_quantiles": """
         WITH e AS (
           SELECT CASE WHEN n_chars < 64 THEN n_chars
@@ -2225,4 +2282,5 @@ SQL_QUERIES = {
     "grouped_bottomk_sample": q_grouped_bottomk_sample,
     "pagerank": q_pagerank,
     "approx_quantiles": q_approx_quantiles,
+    "sequence_pack": q_sequence_pack,
 }

@@ -141,6 +141,26 @@ class TestSample:
         assert {(r["g"], r["id"]) for r in out2} == {(r["g"], r["id"]) for r in out}
 
 
+class TestPrefixSum:
+    def test_matches_serial_scan_across_buckets(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.ops.prefix import prefix_sum_by_int_key
+
+        # keys out of order across blocks, values vary; bucket_size=4
+        # forces multiple buckets and exercises the base-offset scan
+        vals = {k: (k * 13) % 7 + 1 for k in range(37)}
+        items = [{"k": k, "v": v} for k, v in vals.items()]
+        items = items[::2] + items[1::2]  # interleave so blocks aren't sorted
+        ds = rd.from_items(items, override_num_blocks=5)
+        out = prefix_sum_by_int_key(ds, "k", "v", bucket_size=4).take_all()
+        expect, acc = {}, 0
+        for k in sorted(vals):
+            expect[k] = acc
+            acc += vals[k]
+        assert {r["k"]: r["offset"] for r in out} == expect
+
+
 class TestDedup:
     def test_latest_by_url(self, ray_session):
         import datetime as dt
