@@ -135,6 +135,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "minhash_near_dups", "text_analysis", "embedding_near_dups",
         "latest_by_url", "salted_user_value",
         "paragraph_dedup", "decontaminate", "pii_scrub",
+        "lm_perplexity", "bm25_topk", "pagerank", "sequence_pack",
+        "grouped_quantiles",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

@@ -33,7 +33,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
-from .joins import hash_join
+from .joins import adaptive_partitions, hash_join
 
 
 def pagerank(
@@ -46,13 +46,31 @@ def pagerank(
     iters: int = 5,
     round_to: Optional[int] = None,
     num_partitions: Optional[int] = None,
+    dense_ids: bool = False,
+    dense_bound: int = 2_000_000,
 ) -> "rd.Dataset":
     """Ranks after ``iters`` synchronous rounds: ``(node_col, pagerank)``.
 
     ``nodes`` must hold every vertex once; ``edges`` rows are directed
     src→dst (parallel edges count multiply, like repeated hyperlinks).
+
+    ``dense_ids=True`` asserts node ids are contiguous ints 0..N-1; when
+    N ≤ ``dense_bound`` that unlocks the broadcast fast path (same
+    hybrid rule as webclean's bounded bucket prune): the rank vector is
+    the ``ray.put`` small side, each round is ONE streaming pass over
+    edges emitting a per-block dense inflow vector, and vectors merge
+    by addition O(blocks × N) — zero joins, zero shuffles. Beyond the
+    bound (or with arbitrary ids) the join path below is the 100 TB
+    shape. Both paths are asserted equal in tests.
     """
     n = nodes.count()
+    if dense_ids and n <= dense_bound:
+        return _pagerank_dense(
+            nodes, edges, node_col, src_col, dst_col, damping, iters, round_to, n
+        )
+    # every round pays aggregator spin-up per join partition; size the
+    # exchange to the graph (node count), not blindly to cluster cores
+    num_partitions = num_partitions or adaptive_partitions(n)
     base = (1.0 - damping) / n
     sch = nodes.schema()  # Ray Schema wrapper: parallel names/types lists
     key_t = dict(zip(sch.names, sch.types))[node_col]
@@ -114,3 +132,45 @@ def pagerank(
         return pa.table({node_col: t[node_col], "pagerank": pa.array(r, pa.float64())})
 
     return ranks.map_batches(final, batch_format="pyarrow")
+
+
+def _pagerank_dense(
+    nodes, edges, node_col, src_col, dst_col, damping, iters, round_to, n
+):
+    import ray
+
+    # out-degree vector: per-block bincounts merged by addition
+    def od_part(t: pa.Table) -> pa.Table:
+        v = np.bincount(np.asarray(t[src_col], np.int64), minlength=n)
+        return pa.table({"v": pa.array([v.astype(np.int64).tobytes()], pa.binary())})
+
+    od = np.zeros(n, dtype=np.int64)
+    for r in edges.map_batches(od_part, batch_format="pyarrow").take_all():
+        od += np.frombuffer(r["v"], dtype=np.int64)
+
+    base = (1.0 - damping) / n
+    ranks = np.full(n, 1.0 / n)
+    oref = ray.put(od)
+    for _ in range(iters):
+        rref = ray.put(ranks)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            r, o = ray.get(rref), ray.get(oref)
+            src = np.asarray(t[src_col], np.int64)
+            dst = np.asarray(t[dst_col], np.int64)
+            vec = np.zeros(n)
+            np.add.at(vec, dst, r[src] / o[src])
+            return pa.table({"v": pa.array([vec.tobytes()], pa.binary())})
+
+        inflow = np.zeros(n)
+        for r in edges.map_batches(contrib, batch_format="pyarrow").take_all():
+            inflow += np.frombuffer(r["v"], dtype=np.float64)
+        ranks = base + damping * inflow
+
+    fref = ray.put(np.round(ranks, round_to) if round_to is not None else ranks)
+
+    def emit(t: pa.Table) -> pa.Table:
+        r = ray.get(fref)[np.asarray(t[node_col], np.int64)]
+        return pa.table({node_col: t[node_col], "pagerank": pa.array(r, pa.float64())})
+
+    return nodes.map_batches(emit, batch_format="pyarrow")

@@ -1891,7 +1891,10 @@ def q_pagerank(sf_dir: str):
         })
 
     edges = nodes.map_batches(mk_edges, batch_format="pyarrow")
-    return pagerank(nodes, edges, node_col="doc_id", iters=5, round_to=8)
+    # ids are contiguous 0..N-1 → dense broadcast fast path (the join
+    # path is the >2M-node shape; both are asserted equal in tests)
+    return pagerank(nodes, edges, node_col="doc_id", iters=5, round_to=8,
+                    dense_ids=True)
 
 
 _PR_ROUNDS = "".join(

@@ -36,6 +36,26 @@ def test_one_round_hand_computed(graph):
     assert out[4] == pytest.approx(0.0375, abs=1e-9)  # no in-links
 
 
+def test_dense_path_equals_join_path(ray_session):
+    import ray.data as rd
+
+    from pappermate_ray.ops.pagerank import pagerank
+
+    nodes = rd.from_items([{"node": i} for i in range(6)], override_num_blocks=2)
+    edges = rd.from_items(
+        [{"src": i, "dst": (i * 5 + 1) % 6} for i in range(6)]
+        + [{"src": i, "dst": (i * 3 + 2) % 6} for i in range(6)],
+        override_num_blocks=3,
+    )
+    join_out = {r["node"]: r["pagerank"]
+                for r in pagerank(nodes, edges, iters=4).take_all()}
+    dense_out = {r["node"]: r["pagerank"]
+                 for r in pagerank(nodes, edges, iters=4, dense_ids=True).take_all()}
+    assert set(join_out) == set(dense_out)
+    for k in join_out:
+        assert dense_out[k] == pytest.approx(join_out[k], abs=1e-12)
+
+
 def test_rank_mass_conserved(graph):
     # with no dangling nodes (every node has out-links), total rank
     # stays 1 every round
