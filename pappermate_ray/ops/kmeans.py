@@ -1,0 +1,136 @@
+"""Distributed Lloyd's k-means over an embedding Dataset — the
+clustering primitive a 100 TB curation pipeline runs before
+cluster-local work (SemDeDup-style semantic dedup, Abbas et al. 2023;
+cluster-balanced mixture sampling; IVF coarse quantizers).
+
+Scale shape (classic mini-batch-free Lloyd, map-reduce form):
+
+- centroids are the TINY side (k × d float64) — ``ray.put`` once per
+  round, read by every task; the corpus is never shuffled at all;
+- each round is ONE streaming pass over the vectors: every batch
+  assigns its rows to the nearest centroid (vectorized per-cluster
+  squared-L2, k small) and emits a single packed partial row
+  (per-cluster component sums + counts as raw float64/int64 bytes);
+- partials merge by addition on the driver — O(blocks × k × d),
+  bounded and corpus-size-independent, the same bounded-reduce rule as
+  the sketch operators (stages/sketch.py) and dense PageRank;
+- iterating re-executes the pruned parquet read per round (O(iters)
+  scans) instead of pinning the corpus in the object store — at 100 TB
+  re-reading beats materializing.
+
+Determinism and oracle-checkability: initial centroids are the k
+vectors with the SMALLEST ids (engine-independent, unlike k-means++
+RNG); distances are rounded to ``round_to`` decimals BEFORE the argmin
+(ties break to the lowest cluster index) and updated centroid means
+are rounded the same way — so the float64 math agrees with a SQL
+re-derivation to far below the rounding grid, and the whole fixed
+-iteration computation unrolls into chained CTEs (see queries.py
+``kmeans_clusters``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _mat(t: pa.Table, vec_col: str) -> np.ndarray:
+    """(n, d) float64 matrix from a list<float> column, zero-copy flatten."""
+    col = t[vec_col].combine_chunks()
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    n = len(t)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _dist2(x: np.ndarray, cents: np.ndarray, round_to: int) -> np.ndarray:
+    """(n, k) rounded squared L2 — direct (x-c)² per cluster, NOT the
+    ‖x‖²-2x·c+‖c‖² expansion, so the error profile matches a SQL
+    per-component sum and stays ~1e-13 relative (≪ the 1e-round_to
+    grid)."""
+    n = x.shape[0]
+    d2 = np.empty((n, cents.shape[0]), dtype=np.float64)
+    for c in range(cents.shape[0]):
+        diff = x - cents[c]
+        d2[:, c] = np.einsum("ij,ij->i", diff, diff)
+    return np.round(d2, round_to)
+
+
+def kmeans_assign(
+    ds: "rd.Dataset",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    round_to: int = 6,
+    keep_vec: bool = False,
+) -> "rd.Dataset":
+    """``iters`` assignment rounds / ``iters - 1`` centroid updates;
+    returns ``(id_col, cluster, dist)`` — every row's final cluster and
+    its rounded squared distance under the final centroids.
+    ``keep_vec=True`` carries the embedding column through the final
+    pass too (for cluster-local consumers like semantic dedup — saves
+    them a join back onto the corpus).
+
+    Empty clusters keep their previous centroid (matches the oracle's
+    COALESCE); ``k`` must not exceed the corpus size.
+    """
+    # seed centroids: vectors of the k smallest ids — local bottom-k per
+    # batch, then a bounded k×blocks driver merge (no global sort)
+    def local_bottomk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col], np.int64)
+        order = np.argsort(ids, kind="stable")[:k]
+        return t.select([id_col, vec_col]).take(pa.array(order, pa.int64()))
+
+    seed_rows = ds.map_batches(local_bottomk, batch_format="pyarrow").take_all()
+    if len(seed_rows) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(seed_rows)}")
+    seed_rows.sort(key=lambda r: r[id_col])
+    cents = np.array([r[vec_col] for r in seed_rows[:k]], dtype=np.float64)
+    d = cents.shape[1]
+
+    for it in range(iters - 1):
+        cref = ray.put(cents)
+
+        def partial(t: pa.Table, _cref=cref) -> pa.Table:
+            c = ray.get(_cref)
+            x = _mat(t, vec_col)
+            assign = np.argmin(_dist2(x, c, round_to), axis=1)
+            sums = np.zeros((k, d), dtype=np.float64)
+            np.add.at(sums, assign, x)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            return pa.table({
+                "sums": pa.array([sums.tobytes()], pa.binary()),
+                "counts": pa.array([counts.tobytes()], pa.binary()),
+            })
+
+        sums = np.zeros((k, d), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+            sums += np.frombuffer(row["sums"], np.float64).reshape(k, d)
+            counts += np.frombuffer(row["counts"], np.int64)
+        nonempty = counts > 0
+        new = cents.copy()
+        new[nonempty] = np.round(
+            sums[nonempty] / counts[nonempty, None], round_to)
+        cents = new
+
+    fref = ray.put(cents)
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        c = ray.get(fref)
+        x = _mat(t, vec_col)
+        d2 = _dist2(x, c, round_to)
+        assign = np.argmin(d2, axis=1)
+        cols = {
+            id_col: t[id_col],
+            "cluster": pa.array(assign.astype(np.int64), pa.int64()),
+            "dist": pa.array(d2[np.arange(len(assign)), assign], pa.float64()),
+        }
+        if keep_vec:
+            cols[vec_col] = t[vec_col]
+        return pa.table(cols)
+
+    return ds.map_batches(final_assign, batch_format="pyarrow")
