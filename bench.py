@@ -136,7 +136,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "latest_by_url", "salted_user_value",
         "paragraph_dedup", "decontaminate", "pii_scrub",
         "lm_perplexity", "bm25_topk", "pagerank", "sequence_pack",
-        "grouped_quantiles",
+        "grouped_quantiles", "kmeans_clusters", "semantic_dedup", "mixture_sample",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

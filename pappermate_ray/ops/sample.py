@@ -138,3 +138,46 @@ def grouped_bottomk_sample(
 
     partials = ds.map_batches(local, batch_format="pyarrow")
     return partials.groupby(group_col).map_groups(finish, batch_format="pandas")
+
+
+def weighted_mixture_sample(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    id_col: str,
+    weights: dict,
+    salt: str = "mix42",
+    default_weight: float = 0.0,
+) -> "ray.data.Dataset":
+    """Per-group Bernoulli sampling at deterministic hash rates — the
+    domain-REWEIGHTING primitive of mixture construction (fixed source
+    weights à la The Pile / DoReMi-style static mixtures): a row of
+    group ``g`` survives iff ``md5(id:salt)``'s first 8 hex digits,
+    read as a uniform in [0,1), fall below ``weights[g]``.
+
+    Zero shuffles, zero state: one streaming filter pass, stable under
+    re-partitioning and retries (the hash IS the coin), and exactly
+    reproducible in SQL — fixed-width lowercase-hex string comparison
+    equals numeric comparison, so the threshold ships as a hex literal
+    (``'gggggggg'`` > every hex digit encodes weight ≥ 1 = keep-all).
+    Groups absent from ``weights`` default to ``default_weight``.
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def thr(w: float) -> str:
+        return "gggggggg" if w >= 1.0 else format(int(w * 16**8), "08x")
+
+    thresholds = {g: thr(w) for g, w in weights.items()}
+    default_thr = thr(default_weight)
+
+    def keep(t: pa.Table) -> pa.Table:
+        prios = np.array(
+            [hashlib.md5(f"{i}:{salt}".encode()).hexdigest()[:8]
+             for i in t[id_col].to_pylist()], dtype=object)
+        ts = np.array([thresholds.get(g, default_thr)
+                       for g in t[group_col].to_pylist()], dtype=object)
+        return t.filter(pa.array(prios < ts))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

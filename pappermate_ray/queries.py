@@ -1960,7 +1960,151 @@ def q_grouped_quantiles(sf_dir: str):
     return grouped_quantiles(ds, "lang", "n_chars", [0.25, 0.5, 0.75, 0.95])
 
 
+_KM_K, _KM_ITERS, _KM_R = 8, 3, 6
+
+
+def q_mixture_sample(sf_dir: str):
+    """Deterministic domain-reweighted mixture (ops/sample.
+    weighted_mixture_sample): source srcN keeps rows at rate
+    ((N%4)+1)/4 via md5 hash coins — one streaming filter, no shuffle,
+    no RNG state; hex-literal thresholds make it SQL-reproducible."""
+    from .ops.sample import weighted_mixture_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    weights = {f"src{i}": ((i % 4) + 1) / 4 for i in range(20)}
+    return weighted_mixture_sample(ds, "source", "doc_id", weights)
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd's k-means (ops/kmeans.py): k=8, 3 assignment
+    rounds over the embeddings table. Centroids broadcast per round,
+    corpus never shuffled; partial sums merge in a bounded
+    O(blocks·k·d) reduce. Seeding (k smallest ids), pre-argmin distance
+    rounding and mean rounding make the fixed-iteration computation
+    bit-reproducible in SQL — the oracle unrolls the rounds into
+    chained CTEs (the PageRank pattern) with QUALIFY-row_number argmin
+    and an unnest-regroup centroid mean."""
+    from .ops.kmeans import kmeans_assign
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return kmeans_assign(ds, "vec_id", "embedding",
+                         k=_KM_K, iters=_KM_ITERS, round_to=_KM_R)
+
+
+def _km_rounds_sql() -> str:
+    """Unrolled a1/c1/…/a{iters} CTE chain for the k-means oracle."""
+    parts = []
+    for i in range(1, _KM_ITERS + 1):
+        parts.append(f"""
+        a{i} AS (
+          SELECT e.vec_id, c.cluster,
+                 ROUND(list_sum(list_transform(e.v,
+                       (x, j) -> (x - c.cent[j]) * (x - c.cent[j]))), {_KM_R}) AS d2
+          FROM e CROSS JOIN c{i-1} c
+          QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                     ORDER BY d2, c.cluster) = 1)""")
+        if i < _KM_ITERS:
+            parts.append(f"""
+        c{i} AS (
+          SELECT p.cluster, COALESCE(n.cent, p.cent) AS cent
+          FROM c{i-1} p LEFT JOIN (
+            SELECT cluster, list(mu ORDER BY dim) AS cent
+            FROM (
+              SELECT cluster, dim, ROUND(AVG(x), {_KM_R}) AS mu
+              FROM (
+                SELECT a{i}.cluster AS cluster, unnest(e.v) AS x,
+                       unnest(range(1, len(e.v) + 1)) AS dim
+                FROM a{i} JOIN e USING (vec_id))
+              GROUP BY cluster, dim)
+            GROUP BY cluster) n ON n.cluster = p.cluster)""")
+    return ",".join(parts)
+
+
+def _km_prelude(corpus_sql: str = "SELECT vec_id, embedding FROM embeddings") -> str:
+    """WITH-chain for the k-means oracle over an arbitrary corpus SQL."""
+    return f"""
+        WITH corpus AS ({corpus_sql}),
+        e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM corpus),
+        c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+                 v AS cent
+          FROM e ORDER BY vec_id LIMIT {_KM_K}),{_km_rounds_sql()}"""
+
+
+_KM_PRELUDE = _km_prelude()
+
+# the planted near-identical corpus for semantic dedup, ALL-float64:
+# the perturbation arithmetic must be bit-identical between numpy and
+# DuckDB (k-means distances are exact-compared on the 1e-6 grid), so
+# the python side never round-trips through float32 storage
+_SEMDEDUP_CORPUS_SQL = """
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_transform(embedding,
+                                  (x, i) -> x * (1 + 0.002 * (((vec_id + i) % 5) - 2)))
+            FROM embeddings WHERE vec_id % 10 = 0"""
+
+
+def _emb_with_near_dups_f64(sf_dir: str):
+    """embeddings ∪ perturbed copies of every 10th vector, float64 lists
+    (python mirror of _SEMDEDUP_CORPUS_SQL)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        ids, base, pert = t["vec_id"].to_pylist(), [], []
+        pids = []
+        for vid, vec in zip(ids, t["embedding"].to_pylist()):
+            base.append([float(x) for x in vec])
+            if vid % 10 == 0:
+                pids.append(vid + 1_000_000)
+                pert.append([float(x) * (1 + 0.002 * (((vid + i + 1) % 5) - 2))
+                             for i, x in enumerate(vec)])
+        return pa.table({
+            "vec_id": pa.array(ids + pids, pa.int64()),
+            "embedding": pa.array(base + pert, pa.list_(pa.float64())),
+        })
+
+    return ds.map_batches(widen, batch_format="pyarrow")
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (stages/similarity.semantic_dedup): k-means the planted
+    near-dup corpus, then smallest-id-wins cosine dedup WITHIN each
+    cluster — one cluster-key shuffle instead of all-pairs O(N²).
+    Oracle: the k-means CTE chain over the same union corpus + a
+    NOT EXISTS smaller-similar-neighbor probe per row."""
+    from .stages.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _emb_with_near_dups_f64(sf_dir),
+        k=_KM_K, iters=_KM_ITERS, threshold=0.9, round_to=_KM_R)
+
+
 ORACLE_SQL.update({
+    "kmeans_clusters": _KM_PRELUDE + f"""
+        SELECT vec_id, cluster, d2 AS dist FROM a{_KM_ITERS}
+    """,
+    "mixture_sample": """
+        SELECT doc_id, source FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':mix42'), 1, 8) <
+              CASE (CAST(substr(source, 4) AS INT) % 4)
+                WHEN 0 THEN '40000000'
+                WHEN 1 THEN '80000000'
+                WHEN 2 THEN 'c0000000'
+                ELSE 'gggggggg' END
+    """,
+    "semantic_dedup": _km_prelude(_SEMDEDUP_CORPUS_SQL) + f"""
+        SELECT a.vec_id, a.cluster,
+               NOT EXISTS (
+                 SELECT 1 FROM a{_KM_ITERS} b JOIN e eb ON eb.vec_id = b.vec_id
+                 WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+                   AND ROUND(list_cosine_similarity(ea.v, eb.v), {_KM_R}) >= 0.9
+               ) AS keep
+        FROM a{_KM_ITERS} a JOIN e ea ON ea.vec_id = a.vec_id
+    """,
     "sequence_pack": r"""
         WITH t AS (
           SELECT doc_id,
@@ -2286,4 +2430,7 @@ SQL_QUERIES = {
     "pagerank": q_pagerank,
     "approx_quantiles": q_approx_quantiles,
     "sequence_pack": q_sequence_pack,
+    "kmeans_clusters": q_kmeans_clusters,
+    "semantic_dedup": q_semantic_dedup,
+    "mixture_sample": q_mixture_sample,
 }

@@ -275,3 +275,53 @@ def cosine_pairs_exact(
         })
 
     return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def semantic_dedup(
+    ds: "rd.Dataset",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.9,
+    round_to: int = 6,
+) -> "rd.Dataset":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, then compare pairs ONLY within a cluster — the
+    scale answer to ``cosine_pairs_exact``'s all-pairs O(N²): k-means
+    never shuffles the corpus (ops/kmeans.py), and the single shuffle
+    here is one hash exchange on the cluster key, after which each
+    group's pairwise cosine is a local (m, d) matmul.
+
+    Returns ``(id_col, cluster, keep)`` for every input row: a row is
+    dropped when a SMALLER-id row in the same cluster has cosine
+    ≥ threshold (similarity rounded to ``round_to`` first) — the same
+    smallest-id-wins rule as the exact-dedup family, which makes the
+    whole computation (k-means rounds included) SQL-reproducible.
+
+    Partitioning assumption: one cluster's rows fit a group (size k to
+    the corpus / raise it for finer clusters). Near-dup pairs split
+    across clusters are missed by design — SemDeDup's documented
+    recall trade; the planted-pair tests pin actual recall.
+    """
+    from ..ops.kmeans import kmeans_assign
+
+    assigned = kmeans_assign(
+        ds, id_col, emb_col, k=k, iters=iters, round_to=round_to, keep_vec=True)
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        x = np.array(g[emb_col].to_list(), dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        xn = x / norms
+        sims = np.round(xn @ xn.T, round_to)
+        # strictly-lower-triangle hits = "a smaller id is ≥ threshold"
+        hit = np.tril(sims >= threshold, k=-1).any(axis=1)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "cluster": g["cluster"].to_numpy(),
+            "keep": ~hit,
+        })
+
+    return assigned.groupby("cluster").map_groups(dedup_group, batch_format="pandas")

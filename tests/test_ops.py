@@ -469,3 +469,33 @@ class TestReportsOrganize:
         org = organize(docs).take_all()
         assert all(r["canonical_filename"].endswith(".pdf") for r in org)
         assert any(r["supplier_dir"] == "Unknown" for r in org)
+
+
+def test_weighted_mixture_sample_rates_and_default(ray_session):
+    """Hash-coin mixture: observed rates track weights; unknown groups
+    fall back to default_weight (0 = dropped entirely); w>=1 keeps all."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from pappermate_ray.ops.sample import weighted_mixture_sample
+
+    n = 4000
+    t = pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "g": pa.array(["a", "b", "c", "zz"][0:1] * 0 +
+                      [["a", "b", "c", "zz"][i % 4] for i in range(n)], pa.string()),
+    })
+    out = weighted_mixture_sample(
+        rd.from_arrow(t), "g", "id", {"a": 0.25, "b": 1.0, "c": 0.5},
+    ).to_pandas()
+    counts = out.g.value_counts()
+    assert "zz" not in counts                  # default_weight=0
+    assert counts["b"] == n // 4               # w>=1 keeps every row
+    assert abs(counts["a"] / (n // 4) - 0.25) < 0.06
+    assert abs(counts["c"] / (n // 4) - 0.50) < 0.06
+    # deterministic: same call → same rows
+    again = weighted_mixture_sample(
+        rd.from_arrow(t), "g", "id", {"a": 0.25, "b": 1.0, "c": 0.5},
+    ).to_pandas()
+    assert sorted(out.id) == sorted(again.id)

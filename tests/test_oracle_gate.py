@@ -23,7 +23,8 @@ FAST_QUERIES = [
     "decontaminate_ngrams", "cosine_pairs_exact", "ivf_knn_fullprobe",
     "heavy_hitters_words", "bottomk_sample", "grouped_quantiles",
     "lm_perplexity", "bm25_topk", "grouped_bottomk_sample",
-    "approx_quantiles", "sequence_pack",
+    "approx_quantiles", "sequence_pack", "kmeans_clusters", "semantic_dedup",
+    "mixture_sample",
 ]
 
 
