@@ -1963,6 +1963,18 @@ def q_grouped_quantiles(sf_dir: str):
 _KM_K, _KM_ITERS, _KM_R = 8, 3, 6
 
 
+def q_grouped_zscore(sf_dir: str):
+    """Per-language z-score of document length (ops/normalize.py):
+    narrow count/sum/sumsq aggregate → O(groups) broadcast → streaming
+    normalize; integer sums keep the mean/var derivation bit-exact vs
+    the SQL oracle's identical expression."""
+    from .ops.normalize import grouped_zscore
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    return grouped_zscore(ds, "lang", "n_chars")
+
+
 def q_mixture_sample(sf_dir: str):
     """Deterministic domain-reweighted mixture (ops/sample.
     weighted_mixture_sample): source srcN keeps rows at rate
@@ -2086,6 +2098,22 @@ def q_semantic_dedup(sf_dir: str):
 ORACLE_SQL.update({
     "kmeans_clusters": _KM_PRELUDE + f"""
         SELECT vec_id, cluster, d2 AS dist FROM a{_KM_ITERS}
+    """,
+    "grouped_zscore": """
+        WITH s AS (
+          SELECT lang, COUNT(*) AS n,
+                 CAST(SUM(n_chars) AS BIGINT) AS sm,
+                 CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+          FROM documents GROUP BY lang)
+        SELECT d.doc_id, d.lang, d.n_chars,
+               CASE WHEN (CAST(ss AS DOUBLE)/n
+                          - (CAST(sm AS DOUBLE)/n) * (CAST(sm AS DOUBLE)/n)) <= 0
+                    THEN 0.0
+                    ELSE ROUND((d.n_chars - CAST(sm AS DOUBLE)/n)
+                               / sqrt(CAST(ss AS DOUBLE)/n
+                                      - (CAST(sm AS DOUBLE)/n) * (CAST(sm AS DOUBLE)/n)),
+                               6) END AS z
+        FROM documents d JOIN s USING (lang)
     """,
     "mixture_sample": """
         SELECT doc_id, source FROM documents
@@ -2433,4 +2461,5 @@ SQL_QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup": q_semantic_dedup,
     "mixture_sample": q_mixture_sample,
+    "grouped_zscore": q_grouped_zscore,
 }

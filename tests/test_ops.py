@@ -499,3 +499,22 @@ def test_weighted_mixture_sample_rates_and_default(ray_session):
         rd.from_arrow(t), "g", "id", {"a": 0.25, "b": 1.0, "c": 0.5},
     ).to_pandas()
     assert sorted(out.id) == sorted(again.id)
+
+
+def test_grouped_zscore_semantics(ray_session):
+    """Per-group mean-0 (within rounding), all-equal group -> z=0."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from pappermate_ray.ops.normalize import grouped_zscore
+
+    t = pa.table({
+        "g": pa.array(["a"] * 6 + ["flat"] * 4),
+        "v": pa.array([1, 2, 3, 4, 5, 6] + [7, 7, 7, 7], pa.int64()),
+    })
+    out = grouped_zscore(rd.from_arrow(t), "g", "v").to_pandas()
+    assert (out[out.g == "flat"].z == 0.0).all()
+    za = out[out.g == "a"].z
+    assert abs(za.mean()) < 1e-6 and abs(za.std(ddof=0) - 1.0) < 1e-6

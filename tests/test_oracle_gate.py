@@ -24,7 +24,7 @@ FAST_QUERIES = [
     "heavy_hitters_words", "bottomk_sample", "grouped_quantiles",
     "lm_perplexity", "bm25_topk", "grouped_bottomk_sample",
     "approx_quantiles", "sequence_pack", "kmeans_clusters", "semantic_dedup",
-    "mixture_sample",
+    "mixture_sample", "grouped_zscore",
 ]
 
 
