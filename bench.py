@@ -134,7 +134,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "sliding_windows", "user_sessions", "wordcount_top",
         "minhash_near_dups", "text_analysis", "embedding_near_dups",
         "latest_by_url", "salted_user_value",
-        "paragraph_dedup", "decontaminate", "pii_scrub",
+        "paragraph_dedup", "decontaminate", "pii_scrub", "substring_dedup",
         "lm_perplexity", "bm25_topk", "pagerank", "sequence_pack",
         "grouped_quantiles", "kmeans_clusters", "semantic_dedup", "mixture_sample",
     ):

@@ -1616,6 +1616,37 @@ def q_paragraph_dedup(sf_dir: str):
     )
 
 
+_DUP_SLOGAN = " ".join(f"dup{i}" for i in range(12))
+
+
+def q_substring_dedup(sf_dir: str):
+    """Exact duplicated-substring removal at 8-token-window granularity
+    (Lee et al. 2021 semantics, stages/webclean.substring_dedup): every
+    5th doc carries a shared 12-token slogan (cross-doc duplicate — the
+    globally first occurrence keeps it, every later one loses all 12
+    tokens as the 5 dup windows merge into one span); every 11th doc
+    repeats its own first 8 tokens at the end (intra-doc duplicate).
+    Pass 1 shuffles 16 bytes per window; the oracle keys on exact window
+    text, so a 64-bit window-hash collision would surface as a mismatch."""
+    from .stages.webclean import substring_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        outs = []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            text = text or ""
+            head8 = " ".join(text.split(" ")[:8])
+            if did % 5 == 0:
+                text = text + " " + _DUP_SLOGAN
+            if did % 11 == 0:
+                text = text + " " + head8
+            outs.append(text)
+        return pa.table({"doc_id": t["doc_id"], "text": pa.array(outs, pa.string())})
+
+    return substring_dedup(ds.map_batches(plant, batch_format="pyarrow"), n=8)
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style within-doc repetition counters (exact integers —
     callers derive dup fractions downstream; integer output keeps the
@@ -2327,6 +2358,40 @@ ORACLE_SQL.update({
           CAST(t.mc AS BIGINT) AS top_word_n
         FROM base b JOIN lines l USING (doc_id) JOIN topw t USING (doc_id)
     """,
+    "substring_dedup": f"""
+        WITH corpus AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 5 = 0 THEN ' {_DUP_SLOGAN}' ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0
+                         THEN ' ' || array_to_string(
+                                list_slice(string_split(text, ' '), 1, 8), ' ')
+                         ELSE '' END AS text
+          FROM documents),
+        base AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        wins AS (
+          SELECT doc_id,
+                 unnest(range(GREATEST(len(w) - 7, 0))) AS pos,
+                 unnest(list_transform(range(GREATEST(len(w) - 7, 0)),
+                        j -> array_to_string(list_slice(w, j + 1, j + 8), ' '))) AS win
+          FROM base),
+        dup_occ AS (
+          SELECT DISTINCT w1.doc_id, w1.pos
+          FROM wins w1 JOIN wins w2 ON w1.win = w2.win
+           AND (w2.doc_id < w1.doc_id
+                OR (w2.doc_id = w1.doc_id AND w2.pos < w1.pos))),
+        rem AS (SELECT DISTINCT doc_id, ti FROM
+                (SELECT doc_id, pos + unnest(range(8)) AS ti FROM dup_occ)),
+        toks AS (SELECT doc_id, unnest(w) AS tok, unnest(range(len(w))) AS ti FROM base),
+        kept AS (SELECT t.doc_id, t.tok, t.ti FROM toks t LEFT JOIN rem r
+                 ON t.doc_id = r.doc_id AND t.ti = r.ti WHERE r.ti IS NULL)
+        SELECT b.doc_id,
+               CAST(len(b.w) AS BIGINT) AS n_tokens,
+               CAST(len(b.w) - COUNT(k.ti) AS BIGINT) AS n_removed_tokens,
+               COALESCE(string_agg(k.tok, ' ' ORDER BY k.ti), '') AS clean_text
+        FROM base b LEFT JOIN kept k USING (doc_id)
+        GROUP BY b.doc_id, len(b.w)
+    """,
     "decontaminate_ngrams": """
         WITH bench AS (
           SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rk,
@@ -2445,6 +2510,7 @@ SQL_QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
+    "substring_dedup": q_substring_dedup,
     "decontaminate_ngrams": q_decontaminate_ngrams,
     "pii_scrub": q_pii_scrub,
     "cosine_pairs_exact": q_cosine_pairs_exact,

@@ -398,6 +398,216 @@ def decontaminate_ngrams(
     return ds.map_batches(scan, batch_format="pyarrow")
 
 
+def substring_dedup(
+    ds: "rd.Dataset",
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_limit: int = 2_000_000,
+    max_pos: int = 1 << 23,
+) -> "rd.Dataset":
+    """Exact duplicated-substring removal at token-window granularity —
+    the Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499) pass, re-expressed window-wise so
+    it distributes: any ``n``-token window whose exact content occurs
+    anywhere else in the corpus (another document, or EARLIER in the same
+    document) is removed from every occurrence except the globally first
+    one (smallest ``(doc_id, pos)``). Overlapping removed windows merge
+    into spans; each doc's surviving tokens are rejoined in order.
+
+    Output: one row per input doc — (id_col, n_tokens, n_removed_tokens,
+    clean_text).
+
+    Scale shape (the suffix-array of the paper is a single-machine
+    artifact; this is the distributed equivalent used in practice):
+
+      pass 1: per-batch tokenize → vectorized polynomial rolling hash of
+              every n-window → (win_key int64, packed int64) rows, where
+              packed = doc_id·max_pos + pos encodes the global occurrence
+              order. ONE narrow groupby carries 16 bytes/window:
+              ``groupby(win_key).aggregate(Count, Min(packed))`` → the
+              duplicated-window table (count ≥ 2) with its first-
+              occurrence id.
+      pass 2: hot-table application — broadcast two sorted arrays
+              (win_key, min_packed) + per-batch searchsorted when the
+              duplicated-window count fits ``broadcast_limit``; else a
+              fully distributed explode → hash_join on win_key →
+              per-doc removal-interval strings → armored rebuild join
+              (+ anti-join passthrough), mirroring ``paragraph_dedup``'s
+              fallback — no driver materialization on that path.
+
+    Window hashes are 64-bit; a collision merges two distinct windows at
+    ~2^-64 per pair (could remove a unique window). The SQL oracle keys
+    on exact window TEXT, so any fixture-scale collision would surface as
+    a mismatch; production widens to 128-bit keys in the same shape.
+    Docs longer than ``max_pos`` tokens (8M default) would break the
+    packed encoding and raise.
+    """
+
+    def window_rows(t: pa.Table) -> pa.Table:
+        tok_hashes = _token_hashes_bulk(
+            [(x or "").split(" ") for x in t[text_col].to_pylist()])
+        keys, packed = [], []
+        for did, th in zip(t[id_col].to_pylist(), tok_hashes):
+            wh = _window_hashes(th, n)
+            if len(wh) == 0:
+                continue
+            if len(wh) > max_pos:
+                raise ValueError(f"doc {did}: {len(wh)} windows > max_pos={max_pos}")
+            keys.append(wh.view(np.int64))
+            packed.append(np.int64(did) * np.int64(max_pos)
+                          + np.arange(len(wh), dtype=np.int64))
+        if not keys:
+            return pa.table({"win_key": pa.array([], pa.int64()),
+                             "packed": pa.array([], pa.int64())})
+        return pa.table({"win_key": pa.array(np.concatenate(keys), pa.int64()),
+                         "packed": pa.array(np.concatenate(packed), pa.int64())})
+
+    from ray.data.aggregate import Min
+
+    hot = (
+        ds.map_batches(window_rows, batch_format="pyarrow")
+        .groupby("win_key")
+        .aggregate(Count(alias_name="n_occ"), Min("packed", alias_name="first_packed"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n_occ"], 2))
+                       .select(["win_key", "first_packed"]),
+            batch_format="pyarrow",
+        )
+        .materialize()  # narrow: 16 bytes per DISTINCT duplicated window
+    )
+    n_hot = hot.count()
+
+    def rebuild_batch(t: pa.Table, removed_for) -> pa.Table:
+        """removed_for(did, win_hashes) -> bool mask of removed window starts."""
+        ids, n_toks, n_rem, cleans = [], [], [], []
+        tok_lists = [(x or "").split(" ") for x in t[text_col].to_pylist()]
+        tok_hashes = _token_hashes_bulk(tok_lists)
+        for did, toks, th in zip(t[id_col].to_pylist(), tok_lists, tok_hashes):
+            wh = _window_hashes(th, n)
+            starts = np.flatnonzero(removed_for(did, wh)) if len(wh) else np.array([], np.int64)
+            # interval painting: +1 at each removed start, -1 past its end
+            diff = np.zeros(len(toks) + 1, dtype=np.int64)
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, starts + n, -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            ids.append(did)
+            n_toks.append(len(toks))
+            n_rem.append(int(covered.sum()))
+            cleans.append(" ".join(tk for tk, c in zip(toks, covered) if not c))
+        return pa.table({
+            id_col: pa.array(ids, t[id_col].type),
+            "n_tokens": pa.array(n_toks, pa.int64()),
+            "n_removed_tokens": pa.array(n_rem, pa.int64()),
+            "clean_text": pa.array(cleans, pa.string()),
+        })
+
+    if n_hot == 0:
+        return ds.map_batches(
+            lambda t: rebuild_batch(t, lambda d, wh: np.zeros(len(wh), bool)),
+            batch_format="pyarrow")
+
+    if n_hot <= broadcast_limit:
+        tbl = pa.concat_tables(
+            hot.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        keys = tbl["win_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        firsts = tbl["first_packed"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(keys)
+        ref = ray.put((keys[order], firsts[order]))
+
+        def removed_for(did, wh):
+            keys_s, firsts_s = ray.get(ref)
+            wk = wh.view(np.int64)
+            idx = np.minimum(np.searchsorted(keys_s, wk), len(keys_s) - 1)
+            member = keys_s[idx] == wk
+            packed = np.int64(did) * np.int64(max_pos) + np.arange(len(wk), dtype=np.int64)
+            return member & (firsts_s[idx] != packed)
+
+        return ds.map_batches(lambda t: rebuild_batch(t, removed_for),
+                              batch_format="pyarrow")
+
+    # ---- fully distributed fallback (duplicated-window table too big) ----
+    def indexed_window_rows(t: pa.Table) -> pa.Table:
+        tok_hashes = _token_hashes_bulk(
+            [(x or "").split(" ") for x in t[text_col].to_pylist()])
+        ids, poss, keys = [], [], []
+        for did, th in zip(t[id_col].to_pylist(), tok_hashes):
+            wh = _window_hashes(th, n)
+            ids.extend([did] * len(wh))
+            poss.extend(range(len(wh)))
+            keys.append(wh.view(np.int64))
+        allk = (np.concatenate(keys) if keys else np.array([], dtype=np.int64))
+        return pa.table({
+            id_col: pa.array(ids, t[id_col].type),
+            "pos": pa.array(poss, pa.int64()),
+            "win_key": pa.array(allk, pa.int64()),
+        })
+
+    id_type = ds.schema().base_schema.field(id_col).type
+    exp_schema = pa.schema([pa.field(id_col, id_type), pa.field("pos", pa.int64()),
+                            pa.field("win_key", pa.int64())])
+    hot_schema = pa.schema([pa.field("win_key", pa.int64()),
+                            pa.field("first_packed", pa.int64())])
+    exploded = ds.map_batches(indexed_window_rows, batch_format="pyarrow")
+    marked = hash_join(exploded, hot, on="win_key",
+                       num_partitions=adaptive_partitions(max(n_hot, 1) * 4),
+                       left_schema=exp_schema, right_schema=hot_schema)
+
+    def non_first(t: pa.Table) -> pa.Table:
+        packed = pc.add(pc.multiply(pc.cast(t[id_col], pa.int64()),
+                                    pa.scalar(max_pos, pa.int64())), t["pos"])
+        return t.filter(pc.not_equal(packed, t["first_packed"])).select([id_col, "pos"])
+
+    removals = marked.map_batches(non_first, batch_format="pyarrow")
+
+    import pandas as pd
+
+    def collect_spans(group: pd.DataFrame) -> pd.DataFrame:
+        idx = np.sort(group["pos"].to_numpy())
+        return pd.DataFrame({
+            id_col: [group[id_col].iloc[0]],
+            "removed_pos": [",".join(map(str, idx))],
+        })
+
+    removal_lists = removals.groupby(id_col).map_groups(
+        collect_spans, batch_format="pandas").materialize()
+
+    doc_schema = pa.schema([pa.field(id_col, id_type), pa.field(text_col, pa.string())])
+    rem_schema = pa.schema([pa.field(id_col, id_type), pa.field("removed_pos", pa.string())])
+    docs = ds.map_batches(lambda t: t.select([id_col, text_col]), batch_format="pyarrow")
+    touched = hash_join(docs, removal_lists, on=id_col,
+                        left_schema=doc_schema, right_schema=rem_schema)
+
+    def rebuild_joined(t: pa.Table) -> pa.Table:
+        ids, n_toks, n_rem, cleans = [], [], [], []
+        for did, text, rem in zip(t[id_col].to_pylist(), t[text_col].to_pylist(),
+                                  t["removed_pos"].to_pylist()):
+            toks = (text or "").split(" ")
+            starts = (np.array([int(x) for x in rem.split(",")], dtype=np.int64)
+                      if rem else np.array([], dtype=np.int64))
+            diff = np.zeros(len(toks) + 1, dtype=np.int64)
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, starts + n, -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            ids.append(did)
+            n_toks.append(len(toks))
+            n_rem.append(int(covered.sum()))
+            cleans.append(" ".join(tk for tk, c in zip(toks, covered) if not c))
+        return pa.table({
+            id_col: pa.array(ids, t[id_col].type),
+            "n_tokens": pa.array(n_toks, pa.int64()),
+            "n_removed_tokens": pa.array(n_rem, pa.int64()),
+            "clean_text": pa.array(cleans, pa.string()),
+        })
+
+    untouched = anti_join(docs, removal_lists, on=id_col,
+                          left_schema=doc_schema, right_schema=rem_schema)
+    passthrough = untouched.map_batches(
+        lambda t: rebuild_batch(t, lambda d, wh: np.zeros(len(wh), bool)),
+        batch_format="pyarrow")
+    return touched.map_batches(rebuild_joined, batch_format="pyarrow").union(passthrough)
+
+
 def decontaminate(
     ds: "rd.Dataset",
     grams: List[str],

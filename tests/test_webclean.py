@@ -189,3 +189,63 @@ def test_decontaminate_ngrams_agrees_on_aligned_fixture(ray_session):
     ds = rd.from_items(planted)
     tok = _collect(decontaminate_ngrams(ds, grams, n=6)).sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(sub, tok, check_dtype=False)
+
+
+def _substr_corpus():
+    """60 docs of 20 unique tokens each; every 3rd doc carries a shared
+    10-token slogan (cross-doc dup), every 7th repeats its own first 8
+    tokens at the end (intra-doc dup)."""
+    import ray.data as rd
+
+    slogan = " ".join(f"s{i}" for i in range(10))
+    rows = []
+    for d in range(60):
+        t = " ".join(f"w{d}_{i}" for i in range(20))
+        if d % 3 == 0:
+            t += " " + slogan
+        if d % 7 == 0:
+            t += " " + " ".join(f"w{d}_{i}" for i in range(8))
+        rows.append({"doc_id": d, "text": t})
+    return rd.from_items(rows).repartition(6), slogan
+
+
+def test_substring_dedup_first_occurrence_wins(ray_session):
+    from pappermate_ray.stages.webclean import substring_dedup
+
+    ds, slogan = _substr_corpus()
+    out = _collect(substring_dedup(ds, n=8)).sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 60
+    r0 = out[out.doc_id == 0].iloc[0]
+    r3 = out[out.doc_id == 3].iloc[0]
+    # globally first occurrence (doc 0) keeps the slogan; doc 3 loses all 10
+    # tokens (3 overlapping dup windows merge into one span)
+    assert slogan in r0.clean_text
+    assert "s0" not in r3.clean_text and r3.n_removed_tokens == 10
+    # intra-doc repeat: doc 7's trailing 8-token copy of its head is removed
+    r7 = out[out.doc_id == 7].iloc[0]
+    assert r7.n_removed_tokens == 8 and r7.clean_text.split(" ").count("w7_0") == 1
+    # untouched doc: nothing removed, text round-trips
+    r1 = out[out.doc_id == 1].iloc[0]
+    assert r1.n_removed_tokens == 0 and r1.clean_text == " ".join(f"w1_{i}" for i in range(20))
+
+
+def test_substring_dedup_distributed_path_identical(ray_session):
+    """broadcast_limit=0 forces the explode→hash_join→rebuild fallback;
+    output must be bit-identical to the broadcast fast path."""
+    from pappermate_ray.stages.webclean import substring_dedup
+
+    ds, _ = _substr_corpus()
+    fast = _collect(substring_dedup(ds, n=8)).sort_values("doc_id").reset_index(drop=True)
+    dist = _collect(substring_dedup(ds, n=8, broadcast_limit=0)).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_substring_dedup_no_duplicates_passthrough(ray_session):
+    import ray.data as rd
+    from pappermate_ray.stages.webclean import substring_dedup
+
+    ds = rd.from_items([{"doc_id": i, "text": " ".join(f"u{i}_{j}" for j in range(12))}
+                        for i in range(10)])
+    out = _collect(substring_dedup(ds, n=8)).sort_values("doc_id").reset_index(drop=True)
+    assert out.n_removed_tokens.sum() == 0
+    assert (out.n_tokens == 12).all()
