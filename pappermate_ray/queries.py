@@ -1647,6 +1647,66 @@ def q_substring_dedup(sf_dir: str):
     return substring_dedup(ds.map_batches(plant, batch_format="pyarrow"), n=8)
 
 
+def _warc_fixture(sf_dir: str) -> str:
+    """Deterministic WARC corpus derived from documents.parquet (one
+    response record per doc, url http://{source}/doc/{doc_id}), written
+    once per (fixtures-version, sf) under /tmp via the distributed
+    ``write_warc`` sink. Re-runs are byte-identical (content-hash
+    filenames, gzip mtime 0)."""
+    import os
+
+    from .fixtures import FIXTURES_VERSION
+    from .io.warc import write_warc
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"/tmp/warc_fixture_v{FIXTURES_VERSION}_{tag}"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+
+        def to_records(t: pa.Table) -> pa.Table:
+            urls = [f"http://{s}/doc/{d}" for s, d in
+                    zip(t["source"].to_pylist(), t["doc_id"].to_pylist())]
+            payloads = [(x or "").encode("utf-8") for x in t["text"].to_pylist()]
+            return pa.table({"url": pa.array(urls, pa.string()),
+                             "payload": pa.array(payloads, pa.binary())})
+
+        write_warc(docs.map_batches(to_records, batch_format="pyarrow"), out
+                   ).materialize()
+        with open(marker, "w"):
+            pass
+    return out
+
+
+def q_warc_roundtrip(sf_dir: str):
+    """WARC ingestion end-to-end (io/warc.py): documents → distributed
+    ``write_warc`` sink (per-record gzip members, HTTP envelope) →
+    streaming ``read_warc`` source (one task per archive, bounded
+    blocks, envelope stripped) → per-doc integrity row. The oracle
+    recomputes url/byte-length/md5 from the parquet table, so any header
+    mis-parse, payload truncation, or encoding drift hash-mismatches.
+    Scale: parallelism = archive-file count; payload bytes live in Arrow
+    binary arrays end to end, never Python rows on the driver."""
+    from .io.warc import read_warc
+
+    warc_dir = _warc_fixture(sf_dir)
+    ds = read_warc(warc_dir, records_per_block=64)
+
+    def integrity(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array([int(u.rsplit("/", 1)[1]) for u in urls], pa.int64()),
+            "url": t["url"],
+            "payload_length": t["payload_length"],
+            "payload_md5": pa.array(
+                [hashlib.md5(p or b"").hexdigest() for p in payloads], pa.string()),
+        })
+
+    return ds.map_batches(integrity, batch_format="pyarrow")
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style within-doc repetition counters (exact integers —
     callers derive dup fractions downstream; integer output keeps the
@@ -2358,6 +2418,13 @@ ORACLE_SQL.update({
           CAST(t.mc AS BIGINT) AS top_word_n
         FROM base b JOIN lines l USING (doc_id) JOIN topw t USING (doc_id)
     """,
+    "warc_roundtrip": """
+        SELECT doc_id,
+               'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+               CAST(strlen(text) AS BIGINT) AS payload_length,
+               md5(text) AS payload_md5
+        FROM documents
+    """,
     "substring_dedup": f"""
         WITH corpus AS (
           SELECT doc_id,
@@ -2511,6 +2578,7 @@ SQL_QUERIES = {
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
     "substring_dedup": q_substring_dedup,
+    "warc_roundtrip": q_warc_roundtrip,
     "decontaminate_ngrams": q_decontaminate_ngrams,
     "pii_scrub": q_pii_scrub,
     "cosine_pairs_exact": q_cosine_pairs_exact,
