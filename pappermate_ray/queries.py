@@ -2505,6 +2505,200 @@ ORACLE_SQL.update({
 })
 
 
+# --------------------------------------------------------------------------
+# URL/domain curation family (stages/urls.py) — messy-URL fixture derived
+# from doc_id arithmetic; oracles REPARSE the same constructed string with
+# DuckDB's own RE2 + list kernels (independent implementation, not replay).
+# --------------------------------------------------------------------------
+
+def _messy_url(i: int) -> str:
+    """Deterministic Common-Crawl-messy URL for doc_id ``i``: mixed-case
+    scheme/host, multi-level public suffixes, explicit default and
+    non-default ports, tracking params, unsorted params, fragments,
+    empty paths — every branch the canonicalizer must handle."""
+    scheme = ("HTTP", "https", "Https", "http", "https")[i % 5]
+    m4 = i % 4
+    if m4 == 0:
+        host = f"WWW.Site{i % 53}.Example.COM"
+    elif m4 == 1:
+        host = f"sub{i % 7}.site{i % 53}.co.uk"
+    elif m4 == 2:
+        host = f"site{i % 53}.com.br"
+    else:
+        host = f"Site{i % 53}.ORG"
+    port = ":443" if i % 11 == 0 else (":8080" if i % 13 == 0 else (":80" if i % 17 == 0 else ""))
+    path = "" if i % 19 == 0 else f"/p{i % 6}/page{i}"
+    params = []
+    if i % 2 == 0:
+        params.append("utm_source=feed")
+    if i % 9 != 0:
+        params.append(f"id={i}")
+    if i % 3 == 0:
+        params.append("ref=tw")
+    if i % 4 == 0:
+        params.append(f"b={i % 7}")
+    if i % 5 == 0:
+        params.append("a=1")
+    q = "&".join(params)
+    frag = f"#sec{i % 4}" if i % 6 == 0 else ""
+    return f"{scheme}://{host}{port}{path}" + (f"?{q}" if q else "") + frag
+
+
+def _messy_url_ds(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        urls = [_messy_url(int(x)) for x in t["doc_id"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "url": pa.array(urls, pa.string())})
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def q_url_parse(sf_dir: str):
+    """Vectorized URL decomposition (stages/urls.py parse_urls): one RE2
+    pass per column, absent port encoded -1, eTLD+1 via the
+    public-suffix-lite alternation. No shuffle."""
+    from .stages.urls import parse_urls
+
+    out = parse_urls(_messy_url_ds(sf_dir))
+    return out.select_columns(
+        ["doc_id", "scheme", "host", "port", "path", "query", "fragment",
+         "registered_domain"]
+    )
+
+
+def q_url_canonicalize(sf_dir: str):
+    """Crawl-frontier canonicalization (stages/urls.py
+    canonicalize_urls): lowercase scheme/host, default-port strip,
+    tracking-param removal, param sort, fragment drop."""
+    from .stages.urls import canonicalize_urls
+
+    out = canonicalize_urls(_messy_url_ds(sf_dir))
+    return out.select_columns(["doc_id", "canonical_url"])
+
+
+def q_domain_cap(sf_dir: str):
+    """Per-registered-domain quota (stages/urls.py domain_cap): ≤3 docs
+    per eTLD+1, lowest doc_id wins. The fixture plants one hot domain
+    (every 4th page is a subdomain of example.com) — the cap bounds it
+    like any other."""
+    from .stages.urls import domain_cap, parse_urls
+
+    parsed = parse_urls(_messy_url_ds(sf_dir))
+    capped = domain_cap(parsed, k=3, priority_col="doc_id")
+    return capped.select_columns(["doc_id", "registered_domain"])
+
+
+_URL_BLOCKED = ("example.com", "site7.co.uk")
+
+
+def q_url_blocklist(sf_dir: str):
+    """Domain blocklist (stages/urls.py blocklist_filter): drops a host
+    equal to OR under any blocked domain via one broadcast RE2
+    alternation — no shuffle, no join."""
+    from .stages.urls import blocklist_filter, parse_urls
+
+    parsed = parse_urls(_messy_url_ds(sf_dir))
+    out = blocklist_filter(parsed, list(_URL_BLOCKED), host_col="host")
+    return out.select_columns(["doc_id", "host"])
+
+
+# CTE reconstructing _messy_url in SQL, then reparsing it with DuckDB's
+# RE2 — field expressions are DuckDB-native, not transliterations of the
+# pyarrow kernels.
+_MESSY_URL_CTE = """
+    WITH uq AS (
+      SELECT doc_id,
+             array_to_string([
+               CASE WHEN doc_id % 2 = 0 THEN 'utm_source=feed' END,
+               CASE WHEN doc_id % 9 <> 0 THEN 'id=' || CAST(doc_id AS VARCHAR) END,
+               CASE WHEN doc_id % 3 = 0 THEN 'ref=tw' END,
+               CASE WHEN doc_id % 4 = 0 THEN 'b=' || CAST(doc_id % 7 AS VARCHAR) END,
+               CASE WHEN doc_id % 5 = 0 THEN 'a=1' END], '&') AS q
+      FROM documents),
+    u AS (
+      SELECT doc_id,
+        CASE doc_id % 5 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+             WHEN 2 THEN 'Https' WHEN 3 THEN 'http' ELSE 'https' END
+        || '://'
+        || CASE doc_id % 4
+             WHEN 0 THEN 'WWW.Site' || CAST(doc_id % 53 AS VARCHAR) || '.Example.COM'
+             WHEN 1 THEN 'sub' || CAST(doc_id % 7 AS VARCHAR) || '.site'
+                        || CAST(doc_id % 53 AS VARCHAR) || '.co.uk'
+             WHEN 2 THEN 'site' || CAST(doc_id % 53 AS VARCHAR) || '.com.br'
+             ELSE 'Site' || CAST(doc_id % 53 AS VARCHAR) || '.ORG' END
+        || CASE WHEN doc_id % 11 = 0 THEN ':443'
+                WHEN doc_id % 13 = 0 THEN ':8080'
+                WHEN doc_id % 17 = 0 THEN ':80' ELSE '' END
+        || CASE WHEN doc_id % 19 = 0 THEN ''
+                ELSE '/p' || CAST(doc_id % 6 AS VARCHAR) || '/page'
+                     || CAST(doc_id AS VARCHAR) END
+        || CASE WHEN q = '' THEN '' ELSE '?' || q END
+        || CASE WHEN doc_id % 6 = 0 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR)
+                ELSE '' END AS url
+      FROM uq),
+    p AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        regexp_extract(url, '\\?([^#]*)', 1) AS query,
+        regexp_extract(url, '#(.*)$', 1) AS fragment
+      FROM u),
+    h AS (
+      SELECT *,
+        lower(regexp_replace(hostport, ':[0-9]+$', '')) AS host,
+        COALESCE(TRY_CAST(regexp_extract(hostport, ':([0-9]+)$', 1) AS BIGINT),
+                 -1) AS port
+      FROM p),
+    hd AS (
+      SELECT *,
+        COALESCE(NULLIF(regexp_extract(host,
+          '([^.]+\\.(?:co\\.uk|org\\.uk|ac\\.uk|gov\\.uk|com\\.br|net\\.br|com\\.au|co\\.jp|co\\.in|com\\.cn)$|[^.]+\\.[^.]+$)',
+          1), ''), host) AS registered_domain
+      FROM h)
+"""
+
+ORACLE_SQL.update({
+    "url_parse": _MESSY_URL_CTE + """
+        SELECT doc_id, scheme, host, port, path, query, fragment,
+               registered_domain
+        FROM hd
+    """,
+    "url_canonicalize": _MESSY_URL_CTE + """
+        , qq AS (
+          SELECT doc_id, scheme, host, port, path,
+            COALESCE(array_to_string(list_sort(list_filter(
+              string_split(query, '&'),
+              x -> x <> ''
+                   AND NOT starts_with(split_part(x, '=', 1), 'utm_')
+                   AND NOT list_contains(['fbclid','gclid','msclkid','ref'],
+                                         split_part(x, '=', 1)))), '&'),
+              '') AS q2
+          FROM hd)
+        SELECT doc_id,
+          scheme || '://' || host
+          || CASE WHEN port = -1 OR (scheme = 'http' AND port = 80)
+                       OR (scheme = 'https' AND port = 443) THEN ''
+                  ELSE ':' || CAST(port AS VARCHAR) END
+          || CASE WHEN path = '' THEN '/' ELSE path END
+          || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canonical_url
+        FROM qq
+    """,
+    "domain_cap": _MESSY_URL_CTE + """
+        SELECT doc_id, registered_domain FROM hd
+        QUALIFY row_number() OVER (PARTITION BY registered_domain
+                                   ORDER BY doc_id) <= 3
+    """,
+    "url_blocklist": _MESSY_URL_CTE + """
+        SELECT doc_id, host FROM hd
+        WHERE NOT EXISTS (
+          SELECT 1 FROM (VALUES ('example.com'), ('site7.co.uk')) b(d)
+          WHERE host = d OR host LIKE '%.' || d)
+    """,
+})
+
+
 NOSQL_QUERIES = {
     "validate": q_validate,
     "media_frames": q_media_frames,
@@ -2596,4 +2790,9 @@ SQL_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "mixture_sample": q_mixture_sample,
     "grouped_zscore": q_grouped_zscore,
+    # URL/domain curation family (stages/urls.py)
+    "url_parse": q_url_parse,
+    "url_canonicalize": q_url_canonicalize,
+    "domain_cap": q_domain_cap,
+    "url_blocklist": q_url_blocklist,
 }

@@ -1,0 +1,232 @@
+"""URL/domain operators for web-corpus curation.
+
+The reference stores documents under sanitized filesystem names
+(reference/src/pappermate/services/file_organizer.py — sanitize/move by
+contract metadata); at web scale the analogous organizing key is the URL.
+This module supplies the standard crawl-curation URL passes every
+training-data pipeline needs (CCNet / RefinedWeb-style host-level
+curation):
+
+- ``parse_url_batch`` / ``parse_urls``: single-RE2-pass vectorized URL
+  decomposition (scheme, host, port, path, query, fragment) plus a
+  public-suffix-lite registered domain (eTLD+1).
+- ``canonicalize_batch`` / ``canonicalize_urls``: crawl-frontier URL
+  canonicalization — lowercase scheme/host, drop the fragment, strip
+  default ports, remove tracking parameters (``utm_*``, click ids),
+  sort surviving query params.
+- ``domain_cap``: keep at most ``k`` documents per registered domain
+  (deterministic priority order) — the per-host quota pass used to stop
+  mega-hosts from dominating a training mix.
+- ``blocklist_filter``: drop documents whose host matches a blocked
+  domain or any of its subdomains.
+
+Scale notes (100 TB design point):
+- parse/canonicalize are embarrassingly parallel ``map_batches`` stages:
+  one compiled RE2 pass per column (pyarrow ``extract_regex``), no
+  shuffle, no Python row loop. Query-param sorting uses the
+  explode → global-sort → stable-regroup trick on a pandas Series, so
+  the per-row work is C-level too.
+- ``domain_cap`` is the only shuffle (one hash exchange on the domain);
+  per-group work is a tiny sort+head. Hot domains are exactly what the
+  cap bounds, so group size is capped by the pre-cap crawl dup rate —
+  salting is unnecessary because output per group is ≤ k.
+- ``blocklist_filter`` broadcasts the blocklist as ONE compiled RE2
+  alternation inside the batch fn (blocklists are external fixed-size
+  artifacts, ≤ a few MB — same shape as decontaminate's small side).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Sequence
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# RFC-3986-lite splitter. All groups named (pyarrow extract_regex requires
+# it); optional groups yield '' for matched rows, the whole struct is null
+# for rows that are not absolute URLs.
+URL_RE = (
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<hostport>[^/?#]*)"
+    r"(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#(?P<fragment>.*))?$"
+)
+
+# Public-suffix-lite: the handful of two-level suffixes the fixture and
+# tests exercise. Production swaps in the full publicsuffix.org list —
+# the regex shape (alternation tried before the generic two-label tail,
+# RE2 leftmost-first) is unchanged.
+MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.br", "net.br",
+    "com.au", "co.jp", "co.in", "com.cn",
+)
+REG_DOMAIN_RE = (
+    "(?P<rd>[^.]+\\.(?:"
+    + "|".join(s.replace(".", "\\.") for s in MULTI_SUFFIXES)
+    + ")$|[^.]+\\.[^.]+$)"
+)
+
+# Tracking params dropped by canonicalization: any utm_* plus these names.
+TRACKING_EXACT = ("fbclid", "gclid", "msclkid", "ref")
+TRACKING_PREFIX = "utm_"
+
+_PORT_RE = r":(?P<port>[0-9]+)$"
+DEFAULT_PORTS = {"http": 80, "https": 443}
+
+
+def _decompose(urls: pa.ChunkedArray | pa.Array):
+    """Shared single-pass split → (scheme, host, port[int64,-1], path,
+    query, fragment). Lowercases scheme and host (case-insensitive per
+    RFC 3986 §3.1/§3.2.2); everything else byte-preserved."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    parts = pc.extract_regex(urls, pattern=URL_RE)
+    scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
+    hostport = pc.struct_field(parts, "hostport")
+    host = pc.utf8_lower(pc.replace_substring_regex(hostport, _PORT_RE, ""))
+    port_m = pc.extract_regex(hostport, pattern=_PORT_RE)
+    port = pc.fill_null(
+        pc.cast(pc.struct_field(port_m, "port"), pa.int64()), -1
+    )
+    # rows whose hostport had no port still need -1, and null-struct rows
+    # (non-URLs) must stay null like the other fields
+    port = pc.if_else(pc.is_null(hostport), pa.scalar(None, pa.int64()), port)
+    path = pc.struct_field(parts, "path")
+    query = pc.struct_field(parts, "query")
+    fragment = pc.struct_field(parts, "fragment")
+    return scheme, host, port, path, query, fragment
+
+
+def registered_domain(host: pa.Array) -> pa.Array:
+    """eTLD+1 via one anchored RE2 alternation (multi-level suffixes
+    first; leftmost-first semantics pick the longest registrable tail).
+    Dotless hosts (``localhost``) fall back to the host itself."""
+    m = pc.extract_regex(host, pattern=REG_DOMAIN_RE)
+    return pc.coalesce(pc.struct_field(m, "rd"), host)
+
+
+def parse_url_batch(t: pa.Table, url_col: str = "url") -> pa.Table:
+    """Append scheme/host/port/path/query/fragment/registered_domain.
+    Absent ports are encoded as -1 so the column stays non-null int64."""
+    scheme, host, port, path, query, fragment = _decompose(t[url_col])
+    return (
+        t.append_column("scheme", scheme)
+        .append_column("host", host)
+        .append_column("port", port)
+        .append_column("path", path)
+        .append_column("query", query)
+        .append_column("fragment", fragment)
+        .append_column("registered_domain", registered_domain(host))
+    )
+
+
+def parse_urls(ds, url_col: str = "url"):
+    return ds.map_batches(
+        parse_url_batch, batch_format="pyarrow", fn_kwargs={"url_col": url_col}
+    )
+
+
+def _sorted_clean_query(query: pa.Array) -> pa.Array:
+    """Drop tracking params, sort the rest. Explode → filter → global
+    value sort → stable regroup: every step is a vectorized pandas/C
+    kernel, no per-row Python in the loop body."""
+    q = query.to_pandas()
+    idx = pd.RangeIndex(len(q))
+    q.index = idx
+    ex = q.str.split("&").explode()
+    names = ex.str.split("=", n=1).str[0]
+    keep = (
+        ex.notna()
+        & ex.ne("")
+        & ~names.str.startswith(TRACKING_PREFIX, na=False)
+        & ~names.isin(TRACKING_EXACT)
+    )
+    ex = ex[keep]
+    # global sort by value; mergesort keeps index groups stable, so after
+    # regrouping by row each row's params come out ascending
+    ex = ex.sort_values(kind="mergesort")
+    joined = ex.groupby(level=0, sort=True).agg("&".join)
+    out = joined.reindex(idx, fill_value="")
+    # preserve nulls from non-URL rows
+    out[q.isna()] = None
+    return pa.array(out, pa.string())
+
+
+def canonicalize_batch(
+    t: pa.Table, url_col: str = "url", out_col: str = "canonical_url"
+) -> pa.Table:
+    """Crawl-frontier canonical form: lowercase scheme+host, default-port
+    strip, empty path → '/', tracking params removed, remaining params
+    sorted, fragment dropped."""
+    scheme, host, port, path, query, _ = _decompose(t[url_col])
+    is_default = pc.or_(
+        pc.equal(port, -1),
+        pc.or_(
+            pc.and_(pc.equal(scheme, "http"), pc.equal(port, 80)),
+            pc.and_(pc.equal(scheme, "https"), pc.equal(port, 443)),
+        ),
+    )
+    port_str = pc.if_else(
+        pc.fill_null(is_default, True),
+        "",
+        pc.binary_join_element_wise(":", pc.cast(port, pa.string()), ""),
+    )
+    path = pc.if_else(pc.equal(path, ""), "/", path)
+    q2 = _sorted_clean_query(query)
+    q_str = pc.if_else(
+        pc.equal(q2, ""), "", pc.binary_join_element_wise("?", q2, "")
+    )
+    canon = pc.binary_join_element_wise(
+        scheme, "://", host, port_str, path, q_str, ""
+    )
+    return t.append_column(out_col, canon)
+
+
+def canonicalize_urls(ds, url_col: str = "url", out_col: str = "canonical_url"):
+    return ds.map_batches(
+        canonicalize_batch,
+        batch_format="pyarrow",
+        fn_kwargs={"url_col": url_col, "out_col": out_col},
+    )
+
+
+def domain_cap(
+    ds,
+    k: int,
+    priority_col: str,
+    domain_col: str = "registered_domain",
+):
+    """Keep at most ``k`` rows per registered domain, lowest
+    ``priority_col`` first (deterministic). One hash shuffle on the
+    domain; emits ≤ k rows per group so the output is skew-free by
+    construction."""
+    from ..ops.sample import stratified_head
+
+    return stratified_head(ds, domain_col, priority_col, k)
+
+
+def blocklist_regex(blocked: Sequence[str]) -> str:
+    """Host matcher: the domain itself or any subdomain of it."""
+    return "(?:^|\\.)(?:" + "|".join(re.escape(d) for d in sorted(blocked)) + ")$"
+
+
+def blocklist_filter(
+    ds,
+    blocked: Sequence[str],
+    url_col: str = "url",
+    host_col: Optional[str] = None,
+):
+    """Drop rows whose host is (a subdomain of) a blocked domain. The
+    blocklist compiles to one RE2 alternation evaluated per batch — the
+    broadcast-small-side join shape, no shuffle."""
+    pattern = blocklist_regex(blocked)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        if host_col is not None:
+            host = pc.utf8_lower(pc.cast(t[host_col], pa.string()))
+        else:
+            _, host, *_ = _decompose(t[url_col])
+        hit = pc.fill_null(pc.match_substring_regex(host, pattern), False)
+        return t.filter(pc.invert(hit))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

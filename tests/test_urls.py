@@ -1,0 +1,121 @@
+"""URL/domain curation operators (stages/urls.py): parse, canonicalize,
+registered domain, per-domain cap, blocklist."""
+
+import pyarrow as pa
+import pandas as pd
+import pytest
+
+from pappermate_ray.stages.urls import (
+    blocklist_filter,
+    blocklist_regex,
+    canonicalize_batch,
+    canonicalize_urls,
+    domain_cap,
+    parse_url_batch,
+    parse_urls,
+)
+
+
+def _t(urls):
+    return pa.table({"url": pa.array(urls, pa.string())})
+
+
+def test_parse_fields():
+    t = parse_url_batch(_t([
+        "HTTP://WWW.Example.COM:8080/a/b?x=1&y=2#frag",
+        "https://sub.example.co.uk/path",
+        "http://example.com",
+        "https://localhost:9000/",
+    ]))
+    assert t["scheme"].to_pylist() == ["http", "https", "http", "https"]
+    assert t["host"].to_pylist() == [
+        "www.example.com", "sub.example.co.uk", "example.com", "localhost"]
+    assert t["port"].to_pylist() == [8080, -1, -1, 9000]
+    assert t["path"].to_pylist() == ["/a/b", "/path", "", "/"]
+    assert t["query"].to_pylist() == ["x=1&y=2", "", "", ""]
+    assert t["fragment"].to_pylist() == ["frag", "", "", ""]
+    assert t["registered_domain"].to_pylist() == [
+        "example.com", "example.co.uk", "example.com", "localhost"]
+
+
+def test_parse_non_url_rows_are_null():
+    t = parse_url_batch(_t(["not a url", "ftp-ish:nope", "https://ok.example.org/x"]))
+    assert t["scheme"].to_pylist() == [None, None, "https"]
+    assert t["port"].to_pylist() == [None, None, -1]
+    assert t["registered_domain"].to_pylist() == [None, None, "example.org"]
+
+
+@pytest.mark.parametrize("url,canon", [
+    # default-port strip is scheme-aware; non-default kept
+    ("https://Ex.COM:443/a", "https://ex.com/a"),
+    ("http://ex.com:443/a", "http://ex.com:443/a"),
+    ("http://ex.com:80/a", "http://ex.com/a"),
+    # empty path -> '/', fragment dropped
+    ("https://ex.com#top", "https://ex.com/"),
+    # tracking params removed, remainder sorted; '?' dropped when empty
+    ("https://ex.com/p?utm_source=x&b=2&a=1", "https://ex.com/p?a=1&b=2"),
+    ("https://ex.com/p?utm_campaign=x&ref=tw&fbclid=1", "https://ex.com/p"),
+    # bare param names and values with '=' survive intact
+    ("https://ex.com/p?flag&z=a=b", "https://ex.com/p?flag&z=a=b"),
+])
+def test_canonical_forms(url, canon):
+    t = canonicalize_batch(_t([url]))
+    assert t["canonical_url"].to_pylist() == [canon]
+
+
+def test_canonicalize_null_passthrough():
+    t = canonicalize_batch(_t(["nope", "https://a.example.com/x?id=1"]))
+    assert t["canonical_url"].to_pylist() == [None, "https://a.example.com/x?id=1"]
+
+
+def test_blocklist_regex_subdomain_semantics():
+    import re
+
+    pat = re.compile(blocklist_regex(["bad.com", "evil.co.uk"]))
+    assert pat.search("bad.com")
+    assert pat.search("a.bad.com")
+    assert pat.search("deep.a.bad.com")
+    assert not pat.search("notbad.com")       # no substring false-positive
+    assert not pat.search("bad.com.br")       # suffix-anchored
+    assert pat.search("x.evil.co.uk")
+
+
+def test_blocklist_filter_url_col(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([
+        {"url": "https://keep.example.org/1"},
+        {"url": "https://sub.bad.com/2"},
+        {"url": "https://bad.com/3"},
+        {"url": "https://alsokeep.io/4"},
+    ])
+    out = blocklist_filter(ds, ["bad.com"]).take_all()
+    assert sorted(r["url"] for r in out) == [
+        "https://alsokeep.io/4", "https://keep.example.org/1"]
+
+
+def test_domain_cap_deterministic(ray_session):
+    import ray.data as rd
+
+    rows = [{"url": f"https://h{i % 2}.example.com/{i}", "prio": i}
+            for i in range(10)]
+    rows += [{"url": f"https://only.example.org/{i}", "prio": i} for i in range(2)]
+    ds = parse_urls(rd.from_items(rows).repartition(3))
+    out = domain_cap(ds, k=4, priority_col="prio").take_all()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["registered_domain"], []).append(r["prio"])
+    # example.com had 10 rows -> capped at the 4 lowest priorities
+    assert sorted(by_dom["example.com"]) == [0, 1, 2, 3]
+    # under-cap domain unaffected
+    assert sorted(by_dom["example.org"]) == [0, 1]
+
+
+def test_parse_and_canonicalize_dataset_wrappers(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([{"url": "HTTP://A.ExAmple.COM:80/x?utm_a=1&q=2"}])
+    p = parse_urls(ds).take_all()[0]
+    assert p["host"] == "a.example.com" and p["port"] == 80
+    c = canonicalize_urls(ds).take_all()[0]
+    assert c["canonical_url"] == "http://a.example.com/x?q=2"
