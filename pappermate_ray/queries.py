@@ -2078,6 +2078,19 @@ def q_mixture_sample(sf_dir: str):
     return weighted_mixture_sample(ds, "source", "doc_id", weights)
 
 
+def q_shard_shuffle(sf_dir: str):
+    """Deterministic global shuffle → training-shard manifest
+    (ops/shard.py): shard_id = md5 hash-assign (streaming, ZERO
+    shuffle), shard_pos = within-shard md5-priority rank (ONE hash
+    exchange on shard_id, per-shard local sort). Replaces the 100 TB
+    global sort with num_shards independent small sorts; exactly
+    SQL-reproducible, unlike engine-RNG random_shuffle."""
+    from .ops.shard import shard_positions
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return shard_positions(ds, "doc_id", num_shards=8)
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means (ops/kmeans.py): k=8, 3 assignment
     rounds over the embeddings table. Centroids broadcast per round,
@@ -2214,6 +2227,19 @@ ORACLE_SQL.update({
                 WHEN 1 THEN '80000000'
                 WHEN 2 THEN 'c0000000'
                 ELSE 'gggggggg' END
+    """,
+    "shard_shuffle": """
+        WITH h AS (
+          SELECT doc_id,
+                 md5(CAST(doc_id AS VARCHAR) || ':shard42') AS prio,
+                 CAST(concat('0x',
+                   substr(md5(CAST(doc_id AS VARCHAR) || ':shard42'), 1, 8))
+                   AS BIGINT) % 8 AS shard_id
+          FROM documents)
+        SELECT doc_id, shard_id,
+               row_number() OVER (PARTITION BY shard_id
+                                  ORDER BY prio, doc_id) - 1 AS shard_pos
+        FROM h
     """,
     "semantic_dedup": _km_prelude(_SEMDEDUP_CORPUS_SQL) + f"""
         SELECT a.vec_id, a.cluster,
@@ -2789,6 +2815,7 @@ SQL_QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup": q_semantic_dedup,
     "mixture_sample": q_mixture_sample,
+    "shard_shuffle": q_shard_shuffle,
     "grouped_zscore": q_grouped_zscore,
     # URL/domain curation family (stages/urls.py)
     "url_parse": q_url_parse,
