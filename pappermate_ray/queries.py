@@ -2091,6 +2091,58 @@ def q_shard_shuffle(sf_dir: str):
     return shard_positions(ds, "doc_id", num_shards=8)
 
 
+_BPE_MERGES = 6
+
+
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE merge learning (stages/bpe.py, Sennrich 2016):
+    ONE corpus scan → Heaps-compressed vocab table; each merge round
+    shuffles only distinct (pair, count) partials and applies the merge
+    as a streaming string replace. Canonical wrapped-symbol state makes
+    Python str.replace and SQL replace() the identical merge operator,
+    so the whole training run oracles as unrolled CTE rounds."""
+    from .stages.bpe import learn_bpe, word_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    merges, _ = learn_bpe(word_counts(ds), num_merges=_BPE_MERGES)
+    return merges
+
+
+def _bpe_rounds_sql(num_merges: int) -> str:
+    """Unrolled words/v0/p{r}/b{r}/v{r} CTE chain for the BPE oracle."""
+    parts = [r"""WITH words AS (
+          SELECT token AS word, CAST(SUM(1) AS BIGINT) AS cnt FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents WHERE trim(text) <> ''
+          ) t GROUP BY token),
+        v0 AS (
+          SELECT word, cnt,
+                 array_to_string(list_transform(range(1, length(word) + 1),
+                   p -> chr(31) || substr(word, p, 1) || chr(31)), ' ') AS s
+          FROM words)"""]
+    for r in range(1, num_merges + 1):
+        parts.append(f""",
+        p{r} AS (
+          SELECT pair, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+            SELECT cnt,
+                   unnest(list_transform(syms, (x, i) -> x || ' ' || syms[i + 1])) AS pair
+            FROM (SELECT cnt, string_split(s, ' ') AS syms FROM v{r - 1})
+          ) WHERE pair IS NOT NULL GROUP BY pair),
+        b{r} AS (SELECT pair, c FROM p{r} ORDER BY c DESC, pair LIMIT 1),
+        v{r} AS (
+          SELECT word, cnt,
+                 replace(s, (SELECT pair FROM b{r}),
+                         replace((SELECT pair FROM b{r}), chr(31) || ' ' || chr(31), '')) AS s
+          FROM v{r - 1})""")
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank,"
+        f" replace(split_part(pair, ' ', 1), chr(31), '') AS left_sym,"
+        f" replace(split_part(pair, ' ', 2), chr(31), '') AS right_sym,"
+        f" c AS pair_count FROM b{r}"
+        for r in range(1, num_merges + 1))
+    return "".join(parts) + "\n        " + sel
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means (ops/kmeans.py): k=8, 3 assignment
     rounds over the embeddings table. Centroids broadcast per round,
@@ -2228,6 +2280,7 @@ ORACLE_SQL.update({
                 WHEN 2 THEN 'c0000000'
                 ELSE 'gggggggg' END
     """,
+    "bpe_merges": _bpe_rounds_sql(_BPE_MERGES),
     "shard_shuffle": """
         WITH h AS (
           SELECT doc_id,
@@ -2816,6 +2869,7 @@ SQL_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "mixture_sample": q_mixture_sample,
     "shard_shuffle": q_shard_shuffle,
+    "bpe_merges": q_bpe_merges,
     "grouped_zscore": q_grouped_zscore,
     # URL/domain curation family (stages/urls.py)
     "url_parse": q_url_parse,

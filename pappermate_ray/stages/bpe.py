@@ -1,0 +1,142 @@
+"""Distributed BPE merge learning (tokenizer training).
+
+The tokenizer is the first artifact a training-data pipeline produces
+from a curated corpus; BPE merge learning (Sennrich et al. 2016,
+arXiv:1508.07909) is its standard algorithm and — done naively — an
+O(merges × corpus) scan. The scale shape implemented here is the one
+SentencePiece/HF trainers use, distributed:
+
+1. ``word_counts`` — ONE corpus scan: per-block partial word counts
+   (dict combine inside ``map_batches``) → one ``groupby(word).sum``.
+   Everything after operates on the distinct-word table, which is
+   Heaps-law compressed (|vocab| ≪ corpus tokens and sublinear in it):
+   at 100 TB the corpus never participates in a merge round.
+2. ``learn_bpe`` — per merge round over the vocab table:
+   pair counting is a vectorized explode/shift pass emitting per-block
+   PARTIAL (pair, weighted-count) rows, so the round's one shuffle
+   carries distinct pairs, never symbol instances; the best pair is a
+   top-1 scatter-gather (max count, lexicographically smallest pair on
+   ties); the merge applies as a streaming string replace over the
+   vocab. State is re-materialized per round (small intermediate, same
+   bounded-lineage pattern as ops/kmeans.py — without it round r
+   re-executes rounds 1..r-1).
+
+Canonical word state: symbols wrapped in a chr(31) sentinel and joined
+by spaces (``\\x1fl\\x1fo\\x1fw\\x1f`` → ``"\\x1fl\\x1f \\x1fo\\x1f ..."``),
+so that merging pair (a, b) is EXACTLY ``str.replace(wrapped_pair,
+merged)`` — non-overlapping left-to-right, the BPE greedy order — and
+the same ``replace`` call exists verbatim in SQL, which makes the whole
+training run DuckDB-oracle-checkable (rounds unrolled into CTEs).
+The sentinel keeps a symbol from matching inside a neighbor ("xa b"
+must not match pair (a, b)); corpus text is whitespace-tokenized ASCII
+(fixture invariant), so chr(31) cannot occur in a symbol.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data.aggregate import Sum
+
+SENT = "\x1f"
+
+
+def word_counts(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    """Whitespace word counts: per-block partial combine → one narrow
+    groupby-sum. Output columns: ``word``, ``cnt``."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for text in t[text_col].to_pylist():
+            for w in (text or "").split():
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {"word": pa.array(list(counts.keys()), pa.string()),
+             "c": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("c", alias_name="cnt"))
+    )
+
+
+def wrap_word(word: str) -> str:
+    return " ".join(SENT + ch + SENT for ch in word)
+
+
+def merged_symbol(pair: str) -> str:
+    """``"\\x1fa\\x1f \\x1fb\\x1f"`` → ``"\\x1fab\\x1f"`` (same expression
+    as the oracle's ``replace(pair, chr(31)||' '||chr(31), '')``)."""
+    return pair.replace(SENT + " " + SENT, "")
+
+
+def _pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-block weighted pair counts, fully vectorized: explode the
+    symbol lists, shift within each word, weight by the word count."""
+    df = df.reset_index(drop=True)
+    ex = df["s"].str.split(" ").explode()
+    nxt = ex.groupby(level=0).shift(-1)
+    pairs = (ex + " " + nxt).dropna()
+    if pairs.empty:
+        return pd.DataFrame({"pair": pd.Series([], dtype=str),
+                             "c": pd.Series([], dtype="int64")})
+    out = pd.DataFrame(
+        {"pair": pairs.values, "c": df["cnt"].loc[pairs.index].values}
+    )
+    return out.groupby("pair", sort=False, as_index=False)["c"].sum()
+
+
+def learn_bpe(
+    vocab: "ray.data.Dataset",
+    num_merges: int,
+) -> Tuple[pa.Table, "ray.data.Dataset"]:
+    """Learn ``num_merges`` BPE merges over a (word, cnt) vocab Dataset.
+
+    Returns (merges table with columns merge_rank/left_sym/right_sym/
+    pair_count, final vocab state Dataset with the wrapped symbol
+    string ``s``). Stops early if no pair remains.
+    """
+
+    def init(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "s", pa.array([wrap_word(w) for w in t["word"].to_pylist()],
+                          pa.string())
+        )
+
+    state = vocab.map_batches(init, batch_format="pyarrow").materialize()
+    merges: List[Tuple[int, str, str, int]] = []
+    for r in range(1, num_merges + 1):
+        best = (
+            state.map_batches(_pair_partials, batch_format="pandas")
+            .groupby("pair")
+            .aggregate(Sum("c", alias_name="c"))
+            .sort(["c", "pair"], descending=[True, False])
+            .limit(1)
+            .take_all()
+        )
+        if not best:
+            break
+        pair, count = best[0]["pair"], int(best[0]["c"])
+        left, right = (p.replace(SENT, "") for p in pair.split(" "))
+        merges.append((r, left, right, count))
+        repl = merged_symbol(pair)
+
+        def apply(df: pd.DataFrame, _pat=pair, _repl=repl) -> pd.DataFrame:
+            df["s"] = df["s"].str.replace(_pat, _repl, regex=False)
+            return df
+
+        state = state.map_batches(apply, batch_format="pandas").materialize()
+
+    table = pa.table({
+        "merge_rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left_sym": pa.array([m[1] for m in merges], pa.string()),
+        "right_sym": pa.array([m[2] for m in merges], pa.string()),
+        "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+    })
+    return table, state

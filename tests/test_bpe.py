@@ -1,0 +1,68 @@
+"""Distributed BPE merge learning (stages/bpe.py)."""
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from pappermate_ray.stages.bpe import (
+    SENT,
+    learn_bpe,
+    merged_symbol,
+    word_counts,
+    wrap_word,
+)
+
+
+def _docs(texts, parts=3):
+    return rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())})).repartition(parts)
+
+
+def test_wrap_and_merge_symbol():
+    assert wrap_word("ab") == f"{SENT}a{SENT} {SENT}b{SENT}"
+    assert merged_symbol(f"{SENT}a{SENT} {SENT}b{SENT}") == f"{SENT}ab{SENT}"
+
+
+def test_word_counts():
+    wc = word_counts(_docs(["a b b", "b c"])).to_pandas()
+    assert dict(zip(wc["word"], wc["cnt"])) == {"a": 1, "b": 3, "c": 1}
+
+
+def test_learn_bpe_matches_handcomputed():
+    # classic Sennrich example shape: 'lo' dominates, then 'low', then 'e r'.
+    texts = ["low lower lowest low low", "new newer newest new", "wide wider low newer"]
+    merges, state = learn_bpe(word_counts(_docs(texts)), num_merges=5)
+    got = list(zip(merges["merge_rank"].to_pylist(),
+                   merges["left_sym"].to_pylist(),
+                   merges["right_sym"].to_pylist(),
+                   merges["pair_count"].to_pylist()))
+    assert got == [
+        (1, "l", "o", 6),
+        (2, "lo", "w", 6),
+        (3, "e", "w", 5),
+        (4, "n", "ew", 5),
+        (5, "e", "r", 4),
+    ]
+    # final state: 'low' is fully merged into one symbol
+    st = state.to_pandas().set_index("word")["s"]
+    assert st["low"] == f"{SENT}low{SENT}"
+    assert st["lower"] == f"{SENT}low{SENT} {SENT}er{SENT}"
+
+
+def test_greedy_left_to_right_merge():
+    # "a a a" merges left-to-right: (a,a) pairs count 2, merge yields "aa a"
+    merges, state = learn_bpe(word_counts(_docs(["aaa aaa"])), num_merges=1)
+    assert merges["left_sym"].to_pylist() == ["a"]
+    st = state.to_pandas().set_index("word")["s"]
+    assert st["aaa"] == f"{SENT}aa{SENT} {SENT}a{SENT}"
+
+
+def test_early_stop_when_no_pairs():
+    merges, _ = learn_bpe(word_counts(_docs(["a b c a"])), num_merges=4)
+    assert merges.num_rows == 0
+
+
+def test_deterministic_across_partitionings():
+    texts = ["low lower lowest low low", "new newer newest new", "wide wider low newer"]
+    a, _ = learn_bpe(word_counts(_docs(texts, parts=1)), num_merges=4)
+    b, _ = learn_bpe(word_counts(_docs(texts, parts=5)), num_merges=4)
+    assert a.equals(b)
