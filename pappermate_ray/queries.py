@@ -2108,6 +2108,21 @@ def q_bpe_merges(sf_dir: str):
     return merges
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """BPE encoding pass (stages/bpe.py): learn _BPE_MERGES merges, then
+    ONE streaming encode pass over the corpus with the final
+    word→symbol-count vocab broadcast via ray.put (vocab ≪ corpus —
+    the small-side-lookup shape, no join shuffle). Returns per-doc
+    whitespace-token and BPE-token counts — the sizing stat every
+    sequence-packing/budgeting step needs."""
+    from .stages.bpe import bpe_token_counts, learn_bpe, word_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    _, state = learn_bpe(word_counts(ds), num_merges=_BPE_MERGES)
+    return bpe_token_counts(ds, state)
+
+
 def _bpe_rounds_sql(num_merges: int) -> str:
     """Unrolled words/v0/p{r}/b{r}/v{r} CTE chain for the BPE oracle."""
     parts = [r"""WITH words AS (
@@ -2134,13 +2149,30 @@ def _bpe_rounds_sql(num_merges: int) -> str:
                  replace(s, (SELECT pair FROM b{r}),
                          replace((SELECT pair FROM b{r}), chr(31) || ' ' || chr(31), '')) AS s
           FROM v{r - 1})""")
+    return "".join(parts)
+
+
+def _bpe_merges_sql(num_merges: int) -> str:
     sel = " UNION ALL ".join(
         f"SELECT {r} AS merge_rank,"
         f" replace(split_part(pair, ' ', 1), chr(31), '') AS left_sym,"
         f" replace(split_part(pair, ' ', 2), chr(31), '') AS right_sym,"
         f" c AS pair_count FROM b{r}"
         for r in range(1, num_merges + 1))
-    return "".join(parts) + "\n        " + sel
+    return _bpe_rounds_sql(num_merges) + "\n        " + sel
+
+
+def _bpe_token_counts_sql(num_merges: int) -> str:
+    return _bpe_rounds_sql(num_merges) + f""",
+        d AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+          FROM documents WHERE trim(text) <> '')
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(len(string_split(v.s, ' '))) AS BIGINT) AS n_bpe_tokens
+        FROM d JOIN v{num_merges} v USING (word)
+        GROUP BY doc_id"""
 
 
 def q_kmeans_clusters(sf_dir: str):
@@ -2280,7 +2312,8 @@ ORACLE_SQL.update({
                 WHEN 2 THEN 'c0000000'
                 ELSE 'gggggggg' END
     """,
-    "bpe_merges": _bpe_rounds_sql(_BPE_MERGES),
+    "bpe_merges": _bpe_merges_sql(_BPE_MERGES),
+    "bpe_token_counts": _bpe_token_counts_sql(_BPE_MERGES),
     "shard_shuffle": """
         WITH h AS (
           SELECT doc_id,
@@ -2870,6 +2903,7 @@ SQL_QUERIES = {
     "mixture_sample": q_mixture_sample,
     "shard_shuffle": q_shard_shuffle,
     "bpe_merges": q_bpe_merges,
+    "bpe_token_counts": q_bpe_token_counts,
     "grouped_zscore": q_grouped_zscore,
     # URL/domain curation family (stages/urls.py)
     "url_parse": q_url_parse,

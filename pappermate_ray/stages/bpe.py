@@ -140,3 +140,41 @@ def learn_bpe(
         "pair_count": pa.array([m[3] for m in merges], pa.int64()),
     })
     return table, state
+
+
+def bpe_token_counts(
+    ds: "ray.data.Dataset",
+    state: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Encode the corpus with a learned vocab: per-doc whitespace-token
+    and BPE-token counts (the sizing stat sequence packing / token
+    budgeting needs). The final word → symbol-count vocab is tiny
+    (Heaps' law), so it broadcasts once via ``ray.put`` and each batch
+    does dict lookups — the small-side-lookup shape, no join shuffle,
+    one streaming corpus pass. Docs with no tokens are dropped (the
+    oracle's ``trim(text) <> ''`` gate)."""
+    vocab_df = state.to_pandas()
+    counts = {
+        w: s.count(" ") + 1 for w, s in zip(vocab_df["word"], vocab_df["s"])
+    }
+    ref = ray.put(counts)
+
+    def encode(t: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        ids, n_tok, n_bpe = [], [], []
+        for i, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            words = (text or "").split()
+            if not words:
+                continue
+            ids.append(i)
+            n_tok.append(len(words))
+            n_bpe.append(sum(lut[w] for w in words))
+        return pa.table({
+            id_col: pa.array(ids, t[id_col].type),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")

@@ -6,6 +6,7 @@ import ray.data as rd
 
 from pappermate_ray.stages.bpe import (
     SENT,
+    bpe_token_counts,
     learn_bpe,
     merged_symbol,
     word_counts,
@@ -59,6 +60,22 @@ def test_greedy_left_to_right_merge():
 def test_early_stop_when_no_pairs():
     merges, _ = learn_bpe(word_counts(_docs(["a b c a"])), num_merges=4)
     assert merges.num_rows == 0
+
+
+def test_token_counts_encode():
+    texts = ["low lower lowest low low", "new newer newest new", "wide wider low newer", ""]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    _, state = learn_bpe(word_counts(docs), num_merges=5)
+    got = bpe_token_counts(docs, state).to_pandas().set_index("doc_id")
+    # after 5 merges: low=1 sym; lower=low+er=2; lowest=low+e,s,t=4;
+    # new=n+ew=2... hand-check doc 0: low(1)+lower(2)+lowest(4)+low(1)+low(1)=9
+    assert got.loc[0, "n_tokens"] == 5
+    assert got.loc[0, "n_bpe_tokens"] == 9
+    # empty doc dropped (oracle's trim(text) <> '' gate)
+    assert 3 not in got.index
 
 
 def test_deterministic_across_partitionings():
