@@ -2656,12 +2656,16 @@ def _messy_url(i: int) -> str:
     return f"{scheme}://{host}{port}{path}" + (f"?{q}" if q else "") + frag
 
 
-def _messy_url_ds(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+def _messy_url_ds(sf_dir: str, extra_cols: tuple = ()):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", *extra_cols])
 
     def build(t: pa.Table) -> pa.Table:
         urls = [_messy_url(int(x)) for x in t["doc_id"].to_pylist()]
-        return pa.table({"doc_id": t["doc_id"], "url": pa.array(urls, pa.string())})
+        cols = {"doc_id": t["doc_id"], "url": pa.array(urls, pa.string())}
+        for c in extra_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
 
     return ds.map_batches(build, batch_format="pyarrow")
 
@@ -2699,6 +2703,21 @@ def q_domain_cap(sf_dir: str):
     parsed = parse_urls(_messy_url_ds(sf_dir))
     capped = domain_cap(parsed, k=3, priority_col="doc_id")
     return capped.select_columns(["doc_id", "registered_domain"])
+
+
+def q_host_quality(sf_dir: str):
+    """CCNet-style host-level curation (stages/urls.py
+    host_quality_filter): keep docs whose registered domain averages
+    ≥300 chars over ≥2 docs. One narrow count+sum groupby on the
+    domain, passing-domain keyset applied by distributed semi-join —
+    no driver key set; integer cross-multiplication mean test keeps it
+    bit-exact vs SQL."""
+    from .stages.urls import host_quality_filter, parse_urls
+
+    parsed = parse_urls(_messy_url_ds(sf_dir, extra_cols=("n_chars",)))
+    kept = host_quality_filter(parsed, "n_chars", threshold=300, min_docs=2,
+                               num_partitions=8)
+    return kept.select_columns(["doc_id", "registered_domain", "n_chars"])
 
 
 _URL_BLOCKED = ("example.com", "site7.co.uk")
@@ -2808,6 +2827,17 @@ ORACLE_SQL.update({
           SELECT 1 FROM (VALUES ('example.com'), ('site7.co.uk')) b(d)
           WHERE host = d OR host LIKE '%.' || d)
     """,
+    "host_quality": _MESSY_URL_CTE + """
+        , dd AS (
+          SELECT hd.doc_id, hd.registered_domain, d.n_chars
+          FROM hd JOIN documents d USING (doc_id)),
+        g AS (
+          SELECT registered_domain FROM dd GROUP BY registered_domain
+          HAVING CAST(SUM(n_chars) AS BIGINT) >= 300 * COUNT(*)
+             AND COUNT(*) >= 2)
+        SELECT doc_id, registered_domain, n_chars FROM dd
+        WHERE registered_domain IN (SELECT registered_domain FROM g)
+    """,
 })
 
 
@@ -2910,4 +2940,5 @@ SQL_QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "domain_cap": q_domain_cap,
     "url_blocklist": q_url_blocklist,
+    "host_quality": q_host_quality,
 }

@@ -205,6 +205,55 @@ def domain_cap(
     return stratified_head(ds, domain_col, priority_col, k)
 
 
+def host_quality_filter(
+    ds,
+    metric_col: str,
+    threshold: int,
+    min_docs: int = 1,
+    domain_col: str = "registered_domain",
+    num_partitions: Optional[int] = None,
+):
+    """CCNet-style host-level curation: keep documents whose registered
+    domain's MEAN ``metric_col`` clears ``threshold`` (and the domain
+    has ≥ ``min_docs`` docs) — a page is judged by its host's aggregate
+    quality, not only its own.
+
+    Scale shape: ONE narrow groupby on the domain (Ray pre-aggregates
+    count+sum per block, so the shuffle carries 2 ints per domain per
+    block); the passing-domain keyset stays distributed and applies via
+    semi-join — per-domain stats never touch the driver (at 100 TB the
+    domain table is hundreds of millions of rows). The mean test is
+    evaluated as the INTEGER cross-multiplication ``sum ≥ threshold ×
+    count``, so there is no float division to disagree with the SQL
+    oracle at ties.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..ops.joins import semi_join
+
+    stats = (
+        ds.select_columns([domain_col, metric_col])
+        .groupby(domain_col)
+        .aggregate(Count(), Sum(metric_col, alias_name="_s"))
+    )
+
+    def passing(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["count()"], pa.int64())
+        s = pc.cast(t["_s"], pa.int64())
+        ok = pc.and_(
+            pc.greater_equal(s, pc.multiply(pa.scalar(threshold, pa.int64()), n)),
+            pc.greater_equal(n, min_docs),
+        )
+        return t.filter(ok).select([domain_col])
+
+    keep = stats.map_batches(passing, batch_format="pyarrow")
+    # keep's schema is known — probing schema() would execute the
+    # aggregate once before the join executes it again (CLAUDE.md)
+    d_schema = pa.schema([pa.field(domain_col, pa.string())])
+    return semi_join(ds, keep, on=domain_col,
+                     num_partitions=num_partitions, right_schema=d_schema)
+
+
 def blocklist_regex(blocked: Sequence[str]) -> str:
     """Host matcher: the domain itself or any subdomain of it."""
     return "(?:^|\\.)(?:" + "|".join(re.escape(d) for d in sorted(blocked)) + ")$"

@@ -119,3 +119,26 @@ def test_parse_and_canonicalize_dataset_wrappers(ray_session):
     assert p["host"] == "a.example.com" and p["port"] == 80
     c = canonicalize_urls(ds).take_all()[0]
     assert c["canonical_url"] == "http://a.example.com/x?q=2"
+
+
+def test_host_quality_filter(ray_session):
+    import ray.data as rd
+
+    from pappermate_ray.stages.urls import host_quality_filter
+
+    # good.com: mean 400 over 3 docs; bad.com: mean 100 over 3 docs;
+    # lone.org: mean 1000 but only 1 doc (fails min_docs).
+    rows = (
+        [{"registered_domain": "good.com", "n_chars": v} for v in (300, 400, 500)]
+        + [{"registered_domain": "bad.com", "n_chars": v} for v in (100, 100, 100)]
+        + [{"registered_domain": "lone.org", "n_chars": 1000}]
+    )
+    ds = rd.from_items(rows).repartition(3)
+    out = host_quality_filter(ds, "n_chars", threshold=300, min_docs=2).take_all()
+    assert {r["registered_domain"] for r in out} == {"good.com"}
+    assert len(out) == 3
+    # boundary: integer cross-multiplication keeps the exactly-at-mean domain
+    edge = rd.from_items(
+        [{"registered_domain": "edge.com", "n_chars": v} for v in (299, 301)])
+    kept = host_quality_filter(edge, "n_chars", threshold=300, min_docs=2).take_all()
+    assert len(kept) == 2
