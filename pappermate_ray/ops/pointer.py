@@ -1,0 +1,86 @@
+"""Pointer jumping (path doubling) — redirect-chain resolution.
+
+Web crawls carry redirect graphs (HTTP 301/302, rel=canonical, URL
+aliases); curation needs every alias resolved to its terminal target
+before dedup/host aggregation or the same page is counted under many
+names. A chain of length L resolved one hop per round costs L
+all-to-all joins; pointer jumping (Wyllie 1979, the classic PRAM
+list-ranking primitive) squares the reach every round —
+``P'(u) = P(P(u))`` — so L hops resolve in ceil(log2 L) rounds.
+
+Per round, over the full mapping table M(src → dst):
+
+- ``jumped``  = M ⋈ M on dst = src (armored inner hash join, right side
+  renamed) → rows whose target itself redirects advance two hops.
+- ``finished`` = M ▷ sources on dst (armored anti join) → rows whose
+  target is terminal (never a redirect source) pass through unchanged.
+- M' = jumped ∪ finished, materialized (bounded-lineage pattern of
+  ops/pagerank.py — each round is one exchange pair, not a growing
+  plan).
+
+Every node keeps exactly one row every round (jumped and finished
+partition M), so the table never grows; the shuffle carries two int64s
+per node. Skew note: a terminal pointed at by k nodes appears k times
+on the LEFT of the inner join but the RIGHT side join key (src) is
+unique — hash-join fan-out is 1, so hot redirect targets do not
+amplify rows.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+
+import ray
+
+from .joins import anti_join, hash_join
+
+
+def resolve_pointers(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 4,
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Resolve each ``src`` to the end of its redirect chain, for chains
+    up to ``2**rounds`` hops. Output columns: ``src_col``, ``dst_col``
+    (terminal target). Cycles never terminate by definition; rows on a
+    cycle simply stop advancing — callers detect them as
+    ``dst ∈ sources`` after the run."""
+    edges = edges.select_columns([src_col, dst_col]).materialize()
+    sch = edges.schema()
+    sch = getattr(sch, "base_schema", sch)
+    key_t = sch.field(src_col).type
+    m_schema = pa.schema([pa.field(src_col, key_t), pa.field(dst_col, key_t)])
+    s_schema = pa.schema([pa.field(dst_col, key_t)])
+
+    # terminal test set: the (constant) redirect sources, keyed as dst
+    sources = edges.map_batches(
+        lambda t: pa.table({dst_col: t[src_col]}), batch_format="pyarrow"
+    ).materialize()
+
+    mapping = edges
+    for _ in range(rounds):
+        right = mapping.map_batches(
+            lambda t: pa.table({"_jsrc": t[src_col], "_jdst": t[dst_col]}),
+            batch_format="pyarrow",
+        )
+        jumped = hash_join(
+            mapping, right, on=dst_col, right_on="_jsrc",
+            num_partitions=num_partitions,
+            left_schema=m_schema,
+            right_schema=pa.schema([pa.field("_jsrc", key_t),
+                                    pa.field("_jdst", key_t)]),
+        ).map_batches(
+            lambda t: pa.table({src_col: t[src_col], dst_col: t["_jdst"]}),
+            batch_format="pyarrow",
+        )
+        finished = anti_join(
+            mapping, sources, on=dst_col,
+            num_partitions=num_partitions,
+            left_schema=m_schema, right_schema=s_schema,
+        )
+        mapping = jumped.union(finished).materialize()
+    return mapping

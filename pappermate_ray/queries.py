@@ -2720,6 +2720,26 @@ def q_host_quality(sf_dir: str):
     return kept.select_columns(["doc_id", "registered_domain", "n_chars"])
 
 
+def q_resolve_redirects(sf_dir: str):
+    """Redirect-chain resolution by pointer jumping (ops/pointer.py):
+    every non-multiple-of-10 doc redirects to doc_id-1, forming chains
+    up to 9 hops; 4 path-doubling rounds (reach 16) resolve all of
+    them. Each round is one armored inner self-join + one anti join
+    over a constant-size two-int64 mapping table — log(L) exchanges
+    instead of L. Oracle: DuckDB recursive-CTE chain chase."""
+    from .ops.pointer import resolve_pointers
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = [int(i) for i in t["doc_id"].to_pylist() if i % 10 != 0]
+        return pa.table({"src": pa.array(ids, pa.int64()),
+                         "dst": pa.array([i - 1 for i in ids], pa.int64())})
+
+    edges = ds.map_batches(build, batch_format="pyarrow")
+    return resolve_pointers(edges, rounds=4, num_partitions=8)
+
+
 _URL_BLOCKED = ("example.com", "site7.co.uk")
 
 
@@ -2826,6 +2846,17 @@ ORACLE_SQL.update({
         WHERE NOT EXISTS (
           SELECT 1 FROM (VALUES ('example.com'), ('site7.co.uk')) b(d)
           WHERE host = d OR host LIKE '%.' || d)
+    """,
+    "resolve_redirects": """
+        WITH RECURSIVE e AS (
+          SELECT doc_id AS src, doc_id - 1 AS dst
+          FROM documents WHERE doc_id % 10 <> 0),
+        chase AS (
+          SELECT src, dst AS cur FROM e
+          UNION ALL
+          SELECT c.src, e.dst FROM chase c JOIN e ON e.src = c.cur)
+        SELECT src, cur AS dst FROM chase c
+        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = c.cur)
     """,
     "host_quality": _MESSY_URL_CTE + """
         , dd AS (
@@ -2941,4 +2972,5 @@ SQL_QUERIES = {
     "domain_cap": q_domain_cap,
     "url_blocklist": q_url_blocklist,
     "host_quality": q_host_quality,
+    "resolve_redirects": q_resolve_redirects,
 }
