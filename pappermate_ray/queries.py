@@ -2740,6 +2740,69 @@ def q_resolve_redirects(sf_dir: str):
     return resolve_pointers(edges, rounds=4, num_partitions=8)
 
 
+def _pc_mod(arr, m: int):
+    """Vectorized non-negative int64 modulo (pyarrow lacks a mod kernel)."""
+    ms = pa.scalar(m, pa.int64())
+    return pc.subtract(arr, pc.multiply(pc.divide(arr, ms), ms))
+
+
+_PCN_ROUNDS = 5
+
+
+def q_perceptron_quality(sf_dir: str):
+    """Distributed batch-perceptron training (ops/perceptron.py): learn
+    the ≥300-char quality boundary from (n_chars, doc_id%7) integer
+    features, 5 rounds. Weights broadcast per round, one streaming
+    corpus pass emitting a single partial row per block, O(blocks·d)
+    Sum reduce — no shuffle, integer-exact ⇒ bit-reproducible vs the
+    unrolled-CTE SQL oracle."""
+    from .ops.perceptron import train_perceptron
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+
+    def feat(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_chars"], pa.int64())
+        return pa.table({
+            "x1": n,
+            "x2": _pc_mod(pc.cast(t["doc_id"], pa.int64()), 7),
+            "y": pc.if_else(pc.greater_equal(n, 300),
+                            pa.scalar(1, pa.int64()), pa.scalar(-1, pa.int64())),
+        })
+
+    feats = ds.map_batches(feat, batch_format="pyarrow")
+    hist, _ = train_perceptron(feats, ["x1", "x2"], "y", rounds=_PCN_ROUNDS)
+    return hist
+
+
+def _perceptron_sql(rounds: int) -> str:
+    score = "y * (w.w0 + w.w1 * x1 + w.w2 * x2)"
+    parts = ["""WITH f AS (
+          SELECT CAST(n_chars AS BIGINT) AS x1,
+                 CAST(doc_id % 7 AS BIGINT) AS x2,
+                 CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END AS y
+          FROM documents),
+        wr0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                       CAST(0 AS BIGINT) AS w2)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+        u{r} AS (
+          SELECT
+            CAST(COALESCE(SUM(CASE WHEN {score} <= 0 THEN y END), 0) AS BIGINT) AS d0,
+            CAST(COALESCE(SUM(CASE WHEN {score} <= 0 THEN y * x1 END), 0) AS BIGINT) AS d1,
+            CAST(COALESCE(SUM(CASE WHEN {score} <= 0 THEN y * x2 END), 0) AS BIGINT) AS d2,
+            CAST(COUNT(CASE WHEN {score} <= 0 THEN 1 END) AS BIGINT) AS miss
+          FROM f, wr{r - 1} w),
+        wr{r} AS (
+          SELECT w.w0 + u.d0 AS w0, w.w1 + u.d1 AS w1, w.w2 + u.d2 AS w2
+          FROM wr{r - 1} w, u{r} u)""")
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS round, w0, w1, w2, (SELECT miss FROM u{r}) AS miss"
+        f" FROM wr{r}"
+        for r in range(1, rounds + 1))
+    return "".join(parts) + "\n        " + sel
+
+
 _URL_BLOCKED = ("example.com", "site7.co.uk")
 
 
@@ -2847,6 +2910,7 @@ ORACLE_SQL.update({
           SELECT 1 FROM (VALUES ('example.com'), ('site7.co.uk')) b(d)
           WHERE host = d OR host LIKE '%.' || d)
     """,
+    "perceptron_quality": _perceptron_sql(_PCN_ROUNDS),
     "resolve_redirects": """
         WITH RECURSIVE e AS (
           SELECT doc_id AS src, doc_id - 1 AS dst
@@ -2973,4 +3037,5 @@ SQL_QUERIES = {
     "url_blocklist": q_url_blocklist,
     "host_quality": q_host_quality,
     "resolve_redirects": q_resolve_redirects,
+    "perceptron_quality": q_perceptron_quality,
 }
