@@ -80,6 +80,10 @@ def train_perceptron(
         miss = int(agg["miss"])
         w = [w[j] + int(agg[f"d{j}"]) for j in range(d)]
         history.append((r, *w, miss))
+        if miss == 0:
+            # converged: further rounds are identity updates
+            history.extend((rr, *w, 0) for rr in range(r + 1, rounds + 1))
+            break
 
     hist = pa.table({
         "round": pa.array([h[0] for h in history], pa.int64()),
@@ -88,3 +92,29 @@ def train_perceptron(
         "miss": pa.array([h[-1] for h in history], pa.int64()),
     })
     return hist, w
+
+
+def classify(
+    ds: "ray.data.Dataset",
+    feature_cols: Sequence[str],
+    weights: Sequence[int],
+) -> "ray.data.Dataset":
+    """Streaming inference: append ``score = w·[1, x]`` (int64) to every
+    row. The weight vector rides in the task closure (d+1 ints — no
+    broadcast object needed); one map_batches pass, no shuffle. Callers
+    filter on the score (``> 0`` = predicted positive)."""
+    cols = list(feature_cols)
+    w = [int(v) for v in weights]
+    if len(w) != len(cols) + 1:
+        raise ValueError(f"need {len(cols) + 1} weights (bias first), got {len(w)}")
+
+    def score(t: pa.Table) -> pa.Table:
+        x = np.column_stack(
+            [np.ones(t.num_rows, np.int64)]
+            + [t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+               for c in cols]
+        )
+        s = x @ np.asarray(w, np.int64)
+        return t.append_column("score", pa.array(s, pa.int64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -2751,7 +2751,7 @@ _PCN_ROUNDS = 5
 
 def q_perceptron_quality(sf_dir: str):
     """Distributed batch-perceptron training (ops/perceptron.py): learn
-    the ≥300-char quality boundary from (n_chars, doc_id%7) integer
+    the ≥300-char quality boundary from (n_chars-300, doc_id%7) integer
     features, 5 rounds. Weights broadcast per round, one streaming
     corpus pass emitting a single partial row per block, O(blocks·d)
     Sum reduce — no shuffle, integer-exact ⇒ bit-reproducible vs the
@@ -2762,11 +2762,12 @@ def q_perceptron_quality(sf_dir: str):
                          columns=["doc_id", "n_chars"])
 
     def feat(t: pa.Table) -> pa.Table:
-        n = pc.cast(t["n_chars"], pa.int64())
+        n = pc.subtract(pc.cast(t["n_chars"], pa.int64()),
+                        pa.scalar(300, pa.int64()))
         return pa.table({
             "x1": n,
             "x2": _pc_mod(pc.cast(t["doc_id"], pa.int64()), 7),
-            "y": pc.if_else(pc.greater_equal(n, 300),
+            "y": pc.if_else(pc.greater_equal(n, 0),
                             pa.scalar(1, pa.int64()), pa.scalar(-1, pa.int64())),
         })
 
@@ -2775,10 +2776,43 @@ def q_perceptron_quality(sf_dir: str):
     return hist
 
 
-def _perceptron_sql(rounds: int) -> str:
+def q_perceptron_filter(sf_dir: str):
+    """Learned-quality-filter inference (the CCNet deployment shape):
+    train the batch perceptron (q_perceptron_quality), then ONE
+    streaming pass scores every doc with the final weights riding in
+    the task closure and keeps predicted-positive rows. Train cost is
+    O(rounds) narrow passes; inference adds no shuffle."""
+    from .ops.perceptron import classify, train_perceptron
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+
+    def feat(t: pa.Table) -> pa.Table:
+        n = pc.subtract(pc.cast(t["n_chars"], pa.int64()),
+                        pa.scalar(300, pa.int64()))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "x1": n,
+            "x2": _pc_mod(pc.cast(t["doc_id"], pa.int64()), 7),
+            "y": pc.if_else(pc.greater_equal(n, 0),
+                            pa.scalar(1, pa.int64()), pa.scalar(-1, pa.int64())),
+        })
+
+    feats = ds.map_batches(feat, batch_format="pyarrow").materialize()
+    _, w = train_perceptron(feats, ["x1", "x2"], "y", rounds=_PCN_ROUNDS)
+    scored = classify(feats.select_columns(["doc_id", "x1", "x2"]),
+                      ["x1", "x2"], w)
+    return scored.filter(expr="score > 0").select_columns(["doc_id", "score"])
+
+
+def _perceptron_ctes(rounds: int) -> str:
+    """WITH-chain shared by the training-history and filter oracles:
+    f = integer features, wr{r} = post-round-r weights, u{r} = round-r
+    update sums + miss count."""
     score = "y * (w.w0 + w.w1 * x1 + w.w2 * x2)"
     parts = ["""WITH f AS (
-          SELECT CAST(n_chars AS BIGINT) AS x1,
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(n_chars AS BIGINT) - 300 AS x1,
                  CAST(doc_id % 7 AS BIGINT) AS x2,
                  CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END AS y
           FROM documents),
@@ -2796,11 +2830,22 @@ def _perceptron_sql(rounds: int) -> str:
         wr{r} AS (
           SELECT w.w0 + u.d0 AS w0, w.w1 + u.d1 AS w1, w.w2 + u.d2 AS w2
           FROM wr{r - 1} w, u{r} u)""")
+    return "".join(parts)
+
+
+def _perceptron_sql(rounds: int) -> str:
     sel = " UNION ALL ".join(
         f"SELECT {r} AS round, w0, w1, w2, (SELECT miss FROM u{r}) AS miss"
         f" FROM wr{r}"
         for r in range(1, rounds + 1))
-    return "".join(parts) + "\n        " + sel
+    return _perceptron_ctes(rounds) + "\n        " + sel
+
+
+def _perceptron_filter_sql(rounds: int) -> str:
+    return _perceptron_ctes(rounds) + f"""
+        SELECT doc_id, w.w0 + w.w1 * x1 + w.w2 * x2 AS score
+        FROM f, wr{rounds} w
+        WHERE w.w0 + w.w1 * x1 + w.w2 * x2 > 0"""
 
 
 _URL_BLOCKED = ("example.com", "site7.co.uk")
@@ -2911,6 +2956,7 @@ ORACLE_SQL.update({
           WHERE host = d OR host LIKE '%.' || d)
     """,
     "perceptron_quality": _perceptron_sql(_PCN_ROUNDS),
+    "perceptron_filter": _perceptron_filter_sql(_PCN_ROUNDS),
     "resolve_redirects": """
         WITH RECURSIVE e AS (
           SELECT doc_id AS src, doc_id - 1 AS dst
@@ -3038,4 +3084,5 @@ SQL_QUERIES = {
     "host_quality": q_host_quality,
     "resolve_redirects": q_resolve_redirects,
     "perceptron_quality": q_perceptron_quality,
+    "perceptron_filter": q_perceptron_filter,
 }

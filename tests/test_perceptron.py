@@ -6,7 +6,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from pappermate_ray.ops.perceptron import train_perceptron
+from pappermate_ray.ops.perceptron import classify, train_perceptron
 
 
 def _ds(x, y, blocks=1):
@@ -50,6 +50,27 @@ def test_separable_converges_and_freezes(ray_session):
     # final weights classify everything correctly
     xs = np.column_stack([np.ones(len(x), np.int64), np.asarray(x, np.int64)])
     assert (np.asarray(y) * (xs @ np.asarray(w)) > 0).all()
+
+
+def test_history_padded_after_convergence(ray_session):
+    # convergence short-circuits the remaining corpus passes but the
+    # history still reports one row per requested round (identity
+    # updates), so the oracle's fixed-round CTE unroll stays aligned.
+    x = [[v, 0] for v in (-9, -8, 8, 9)]
+    y = [-1, -1, 1, 1]
+    hist, _ = train_perceptron(_ds(x, y), ["x1", "x2"], "y", 8)
+    assert hist.num_rows == 8
+    miss = hist["miss"].to_pylist()
+    k = miss.index(0)
+    assert all(m == 0 for m in miss[k:])
+
+
+def test_classify_scores_and_filter(ray_session):
+    x = [[3, 1], [-2, 5], [0, 0]]
+    scored = classify(_ds(x, [1, -1, 1]), ["x1", "x2"], [1, 2, -1])
+    rows = {r["x1"]: r["score"] for r in scored.take_all()}
+    # score = 1 + 2*x1 - x2
+    assert rows == {3: 6, -2: -8, 0: 1}
 
 
 def test_partitioning_invariant(ray_session):
