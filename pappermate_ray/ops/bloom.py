@@ -1,0 +1,170 @@
+"""Bloom-filter-accelerated incremental anti-join (crawl-delta dedup).
+
+The recurring web-pipeline question: "which of this crawl's documents
+are NEW relative to everything already ingested?" At 100 TB the seen
+side is billions of keys, so a driver key set is out, and a full
+anti-join shuffles the entire new crawl even though the typical delta
+is mostly-new (or mostly-seen). The classic fix is a Bloom filter
+(Bloom 1970; the Common-Crawl/Nutch "crawldb" shape):
+
+1. BUILD distributed: one streaming pass over the seen side's keys;
+   each block emits ONE row holding a packed partial bitmap
+   (``m_bits/8`` bytes); the reduce ORs O(blocks) bounded rows — the
+   same bounded-partials contract as ops/kmeans.py. The corpus is
+   never shuffled and the driver holds only the final ``m_bits/8``
+   bytes (default 1 MiB for ~1.7M keys at 1% FPR).
+2. PRUNE broadcast: the bitmap ships once via ``ray.put``; one
+   map_batches pass splits the new crawl into *definitely-new* rows
+   (any probe bit clear — Bloom has no false negatives, so these skip
+   the shuffle entirely) and *maybe-seen* rows.
+3. VERIFY exact: only the maybe-seen slice (true positives + the
+   ~FPR sliver of false positives) pays the armored hash anti-join
+   against the seen keys.
+
+Output = definitely-new ∪ verified-new: exactly the plain anti-join's
+answer (oracle: ``WHERE NOT EXISTS``), with the all-to-all exchange
+carrying only ~|seen ∩ new| + FPR·|new| rows instead of |new|.
+
+Hashing is md5-based double hashing (Kirsch–Mitzenmacher 2006:
+``h_i = h1 + i·h2 mod m``), deterministic across processes and block
+orders — no Python ``hash()``, no RNG.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from .joins import adaptive_partitions, anti_join
+
+
+def bloom_params(n_keys: int, fpr: float = 0.01) -> Tuple[int, int]:
+    """Standard sizing: m = -n·ln(p)/ln(2)^2 bits, k = m/n·ln(2) probes."""
+    n = max(1, n_keys)
+    m = int(math.ceil(-n * math.log(fpr) / (math.log(2) ** 2)))
+    m = max(64, (m + 7) // 8 * 8)  # byte-align
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, k
+
+
+def _probe_positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(len(keys), k) int64 bit positions via md5 double hashing.
+
+    Vectorized over the batch: one md5 per key (the only per-row Python
+    work, same cost class as the exact-dedup digest), then the k probe
+    positions come from two 64-bit lanes by vector arithmetic.
+    """
+    h = np.empty((len(keys), 2), np.uint64)
+    for i, s in enumerate(keys):
+        d = hashlib.md5(s).digest()
+        h[i, 0] = int.from_bytes(d[:8], "little")
+        h[i, 1] = int.from_bytes(d[8:], "little") | 1  # odd => full cycle
+    ks = np.arange(k, dtype=np.uint64)
+    return ((h[:, :1] + ks[None, :] * h[:, 1:2]) % np.uint64(m_bits)).astype(
+        np.int64
+    )
+
+
+def _key_bytes(col: pa.ChunkedArray) -> np.ndarray:
+    """Key column as an object array of bytes (md5 input)."""
+    if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+        return np.array(col.to_pylist(), dtype=object)
+    return np.array(
+        [str(v).encode("utf-8") for v in col.to_pylist()], dtype=object
+    )
+
+
+def build_bloom(
+    seen: "ray.data.Dataset",
+    key_col: str,
+    n_keys_hint: int,
+    fpr: float = 0.01,
+) -> Tuple[bytes, int, int]:
+    """One streaming pass over ``seen[key_col]`` → (bitmap, m_bits, k).
+
+    Each block contributes a single packed-bitmap row; the driver ORs
+    the O(blocks) partials (bounded: blocks × m/8 bytes transit, never
+    the keys themselves).
+    """
+    m_bits, k = bloom_params(n_keys_hint, fpr)
+    nbytes = m_bits // 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(m_bits, np.uint8)
+        if t.num_rows:
+            pos = _probe_positions(_key_bytes(t[key_col]), m_bits, k)
+            bits[pos.ravel()] = 1
+        return pa.table({"bm": pa.array([np.packbits(bits).tobytes()],
+                                        pa.binary(nbytes))})
+
+    acc = np.zeros(nbytes, np.uint8)
+    parts = seen.select_columns([key_col]).map_batches(
+        partial, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for buf in b["bm"].to_pylist():
+            acc |= np.frombuffer(buf, np.uint8)
+    return acc.tobytes(), m_bits, k
+
+
+def bloom_split(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    bitmap: bytes,
+    m_bits: int,
+    k: int,
+) -> Tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """(definitely_new, maybe_seen): one broadcast pass, no shuffle.
+
+    The bitmap rides in the object store once (``ray.put``); every task
+    unpacks it to a bit array in O(m) on first touch.
+    """
+    bm_ref = ray.put(bitmap)
+
+    def _maybe_mask(t: pa.Table) -> np.ndarray:
+        bits = np.unpackbits(np.frombuffer(ray.get(bm_ref), np.uint8))
+        if not t.num_rows:
+            return np.zeros(0, bool)
+        pos = _probe_positions(_key_bytes(t[key_col]), m_bits, k)
+        return bits[pos].all(axis=1)
+
+    def _new(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(~_maybe_mask(t)))
+
+    def _maybe(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(_maybe_mask(t)))
+
+    return (ds.map_batches(_new, batch_format="pyarrow"),
+            ds.map_batches(_maybe, batch_format="pyarrow"))
+
+
+def incremental_new(
+    new: "ray.data.Dataset",
+    seen: "ray.data.Dataset",
+    key_col: str,
+    n_seen_hint: int,
+    fpr: float = 0.01,
+    num_partitions: Optional[int] = None,
+    new_schema: Optional[pa.Schema] = None,
+    seen_schema: Optional[pa.Schema] = None,
+) -> "ray.data.Dataset":
+    """Rows of ``new`` whose key never occurs in ``seen`` (exact).
+
+    Bloom prune (no false negatives) keeps definitely-new rows out of
+    the exchange; only the maybe-seen slice pays the armored anti-join.
+    """
+    bitmap, m_bits, k = build_bloom(seen, key_col, n_seen_hint, fpr)
+    definitely_new, maybe = bloom_split(new, key_col, bitmap, m_bits, k)
+    npart = num_partitions or adaptive_partitions(n_seen_hint)
+    verified = anti_join(
+        maybe, seen.select_columns([key_col]), on=key_col,
+        num_partitions=npart,
+        left_schema=new_schema, right_schema=seen_schema,
+    )
+    return definitely_new.union(verified)

@@ -2848,6 +2848,38 @@ def _perceptron_filter_sql(rounds: int) -> str:
         WHERE w.w0 + w.w1 * x1 + w.w2 * x2 > 0"""
 
 
+def q_incremental_new(sf_dir: str):
+    """Crawl-delta dedup (ops/bloom.py incremental_new): which docs are
+    NEW vs a prior-crawl key table (here: every doc_id % 3 == 0, keyed
+    by source#doc_id strings)? Bloom filter built in one distributed
+    pass (per-block partial bitmaps, bounded OR-reduce), broadcast via
+    ray.put; definitely-new rows skip the exchange entirely (no false
+    negatives), only the maybe-seen sliver pays the armored anti-join."""
+    from .ops.bloom import incremental_new
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            t["source"], pc.cast(t["doc_id"], pa.string()), "#")
+        return pa.table({"key": key,
+                         "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "n_chars": pc.cast(t["n_chars"], pa.int64())})
+
+    new = ds.map_batches(keyed, batch_format="pyarrow")
+    seen = new.map_batches(
+        lambda t: t.filter(pc.equal(_pc_mod(t["doc_id"], 3), 0)),
+        batch_format="pyarrow",
+    ).select_columns(["key"]).materialize()
+    new_schema = pa.schema([("key", pa.string()), ("doc_id", pa.int64()),
+                            ("n_chars", pa.int64())])
+    out = incremental_new(new, seen, "key", n_seen_hint=seen.count(),
+                          new_schema=new_schema,
+                          seen_schema=pa.schema([("key", pa.string())]))
+    return out.select_columns(["doc_id", "key", "n_chars"])
+
+
 _URL_BLOCKED = ("example.com", "site7.co.uk")
 
 
@@ -2957,6 +2989,17 @@ ORACLE_SQL.update({
     """,
     "perceptron_quality": _perceptron_sql(_PCN_ROUNDS),
     "perceptron_filter": _perceptron_filter_sql(_PCN_ROUNDS),
+    "incremental_new": """
+        WITH keyed AS (
+          SELECT source || '#' || CAST(doc_id AS VARCHAR) AS key,
+                 CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(n_chars AS BIGINT) AS n_chars
+          FROM documents)
+        SELECT doc_id, key, n_chars FROM keyed n
+        WHERE NOT EXISTS (
+          SELECT 1 FROM keyed s
+          WHERE s.doc_id % 3 = 0 AND s.key = n.key)
+    """,
     "resolve_redirects": """
         WITH RECURSIVE e AS (
           SELECT doc_id AS src, doc_id - 1 AS dst
@@ -3085,4 +3128,5 @@ SQL_QUERIES = {
     "resolve_redirects": q_resolve_redirects,
     "perceptron_quality": q_perceptron_quality,
     "perceptron_filter": q_perceptron_filter,
+    "incremental_new": q_incremental_new,
 }
