@@ -138,7 +138,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "lm_perplexity", "bm25_topk", "pagerank", "sequence_pack",
         "grouped_quantiles", "kmeans_clusters", "semantic_dedup", "mixture_sample",
         "url_canonicalize", "domain_cap", "host_quality", "shard_shuffle",
-        "bpe_merges",
+        "bpe_merges", "resolve_redirects", "perceptron_filter",
+        "incremental_new",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

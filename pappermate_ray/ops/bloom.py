@@ -61,11 +61,9 @@ def _probe_positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
     work, same cost class as the exact-dedup digest), then the k probe
     positions come from two 64-bit lanes by vector arithmetic.
     """
-    h = np.empty((len(keys), 2), np.uint64)
-    for i, s in enumerate(keys):
-        d = hashlib.md5(s).digest()
-        h[i, 0] = int.from_bytes(d[:8], "little")
-        h[i, 1] = int.from_bytes(d[8:], "little") | 1  # odd => full cycle
+    digests = b"".join(hashlib.md5(s).digest() for s in keys)
+    h = np.frombuffer(digests, "<u8").reshape(-1, 2).copy()
+    h[:, 1] |= 1  # odd stride => full cycle mod m
     ks = np.arange(k, dtype=np.uint64)
     return ((h[:, :1] + ks[None, :] * h[:, 1:2]) % np.uint64(m_bits)).astype(
         np.int64

@@ -4,9 +4,11 @@ All follow the shuffle-frugal shape from the Ray guide: per-batch vectorized
 signature computation → narrow exchange on (band, hash) or bucket keys →
 per-group pair emission → pair-level verification. Document payloads never
 ride through the shuffle — only ids + signatures/hash sets. Since round 2
-every stage is fully distributed: candidate sets, hot-bucket keys and pair
-lists are pruned/deduped with Dataset joins and grouped aggregates, never
-with driver-side ``take_all`` materialization.
+every stage is fully distributed: candidate pairs come from ONE
+hash-partitioned grouped exchange (``_bucket_pairs_grouped`` — occupancy
+prune, saturation cap and cross-product inside the partition function),
+pair lists are deduped with grouped aggregates, and set fetches are
+Dataset joins — never driver-side ``take_all`` materialization.
 
 - exact:        md5(content) hash-partition, keep min id (D1 corpus analog)
 - MinHash+LSH:  word-shingle MinHash, banded LSH buckets, signature-estimated
@@ -24,7 +26,7 @@ with driver-side ``take_all`` materialization.
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, List
+from typing import List
 
 import numpy as np
 import pandas as pd
@@ -139,113 +141,88 @@ def _packed_keys(t: pa.Table, key_cols: List[str]) -> np.ndarray:
     return acc
 
 
-def _keep_multi_member_buckets(ds: "rd.Dataset", key_cols: List[str],
-                               max_bucket: int = 0,
-                               broadcast_limit: int = 2_000_000):
-    """Drop rows in single-member buckets before a per-bucket pair stage.
-
-    Almost every LSH bucket has exactly one member; running map_groups over
-    all of them pays per-group overhead N×bands times. One narrow groupby
-    counts occupancy; rows are then filtered against the n≥2 bucket keys
-    by the hybrid the round-1 verdict prescribed (finding #1): when the
-    hot-key COUNT (known after the narrow aggregate) is within
-    ``broadcast_limit`` (≤16 MB of packed keys), broadcast a sorted
-    uint64 array once via ray.put and filter with vectorized np.isin —
-    no join actor pool, no driver set of Python tuples; beyond the limit,
-    fall back to the fully distributed SEMI-JOIN. Returns None when no
-    bucket has ≥2 members.
-
-    ``max_bucket`` > 0 additionally drops SATURATED buckets (n > cap):
-    on template-heavy corpora a band whose minhash positions all land on
-    template-universal shingles collects thousands of members and emits
-    C(n,2) false candidates — a quadratic storm. A true near-dup pair
-    collides in ~b·P(band) other bands, so dropping storm buckets loses
-    recall only with probability (1-P)^b ≈ 0 (verified by the oracle
-    gate on the fixture corpus).
-    """
-    import ray
-
-    cond = pc.greater_equal
-    hot = (
-        ds.groupby(key_cols)
-        .aggregate(Count(alias_name="n"))
-        .map_batches(
-            lambda t: t.filter(
-                pc.and_(cond(t["n"], 2), pc.less_equal(t["n"], max_bucket))
-                if max_bucket else cond(t["n"], 2)
-            ).select(key_cols),
-            batch_format="pyarrow",
-        )
-        .materialize()  # tiny for honest corpora; bounded by dup structure
-    )
-    n_hot = hot.count()
-    if n_hot == 0:
-        return None
-    if n_hot <= broadcast_limit:
-        batches = list(hot.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-        packed = np.sort(np.concatenate([_packed_keys(b, key_cols) for b in batches]))
-        ref = ray.put(packed)
-
-        def keep_hot(t: pa.Table) -> pa.Table:
-            mask = np.isin(_packed_keys(t, key_cols), ray.get(ref))
-            return t.filter(pa.array(mask))
-
-        return ds.map_batches(keep_hot, batch_format="pyarrow")
-    # both sides' sizes are known (ds is the materialized banded table) —
-    # size the exchange to the data instead of paying per-partition
-    # aggregator spin-up to shuffle kilobytes
-    npart = adaptive_partitions(ds.count())
-    return semi_join(ds, hot, on=key_cols, num_partitions=npart)
-
-
-def _bucket_pairs_join(
-    pruned: "rd.Dataset",
+def _bucket_pairs_grouped(
+    banded: "rd.Dataset",
     key_cols: List[str],
     id_col: str,
-    payload_cols: Dict[str, "pa.DataType"],
+    payload_cols: List[str],
     n_rows: int,
-    id_type: "pa.DataType" = None,
+    max_bucket: int = 0,
 ) -> "rd.Dataset":
-    """Within-bucket ordered pairs via a partitioned SELF-JOIN on the
-    bucket keys, replacing per-bucket pandas ``map_groups``.
+    """Within-bucket unordered pairs in ONE exchange: hash-partition by a
+    packed bucket key, then process each partition-group vectorized.
 
-    Tens of thousands of tiny (2-4 row) buckets paid ~1 ms of per-group
-    DataFrame overhead each — the latest_by_url anti-pattern (round-1
-    verdict #5) in LSH clothing; measured 17 s → ~7 s on the sf0.1
-    battery corpus. One armored hash join emits each bucket's cross
-    product, the vectorized ``id_a < id_b`` filter keeps each unordered
-    pair once per bucket, and per-pair verification (signature agreement
-    / Hamming) runs batch-vectorized downstream. Saturated-bucket storms
-    are already removed by the occupancy prune, so the join's output is
-    bounded by Σ n_b² over small n_b.
+    Evolution of the pair stage (each step measured on the sf0.1
+    battery): per-bucket pandas ``map_groups`` (~1 ms × tens of
+    thousands of tiny buckets, 17 s) → occupancy prune + armored hash
+    SELF-JOIN (3 all-to-alls: count groupby, join, pair dedupe; ~7 s)
+    → THIS: the occupancy prune, saturation cap and cross-product all
+    happen inside one partition-group function, so the only exchanges
+    left are the partition groupby here and the cross-band pair dedupe
+    downstream — no Acero join, no armor, no hot-key broadcast.
 
-    ``payload_cols`` maps extra columns to carry through (renamed
-    ``<col>_a`` / ``<col>_b``).
+    Partition key = packed bucket hash mod P (P sized to the data): a
+    bucket lands wholly in one group, groups are hash-balanced, and a
+    pack collision merely co-locates two buckets (runs are re-split on
+    the TRUE key columns, so no false pairs and no lost buckets).
+    Within a group: one lexsort, run-length bucket detection, then
+    ``np.triu_indices`` per multi-member run — single-member buckets
+    (the overwhelming majority) cost one vectorized comparison, and
+    runs longer than ``max_bucket`` (template-family candidate storms,
+    see minhash_pairs_exact_verified) are dropped wholesale. Output:
+    ``id_a < id_b`` plus ``<payload>_a`` / ``<payload>_b`` columns.
     """
-    id_type = id_type or pa.int64()
+    npart = adaptive_partitions(n_rows)
 
-    def side(suffix: str):
-        def prep(t: pa.Table) -> pa.Table:
-            cols = {k: t[k] for k in key_cols}
-            cols[f"id_{suffix}"] = t[id_col]
-            for c in payload_cols:
-                cols[f"{c}_{suffix}"] = t[c]
-            return pa.table(cols)
+    def add_pkey(t: pa.Table) -> pa.Table:
+        pk = (_packed_keys(t, key_cols) % np.uint64(npart)).astype(np.int64)
+        return t.append_column("_pkey", pa.array(pk, pa.int64()))
 
-        schema = pa.schema(
-            [(k, pa.int64()) for k in key_cols]
-            + [(f"id_{suffix}", id_type)]
-            + [(f"{c}_{suffix}", typ) for c, typ in payload_cols.items()]
-        )
-        return pruned.map_batches(prep, batch_format="pyarrow"), schema
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        keys = [t[c].to_numpy(zero_copy_only=False) for c in key_cols]
+        order = np.lexsort(tuple(reversed(keys))) if n else np.array([], np.int64)
+        ts = t.take(pa.array(order, pa.int64()))
+        ii = np.array([], np.int64)
+        jj = np.array([], np.int64)
+        if n:
+            change = np.zeros(n, bool)
+            change[0] = True
+            for c in key_cols:
+                k = ts[c].to_numpy(zero_copy_only=False)
+                change[1:] |= k[1:] != k[:-1]
+            starts = np.flatnonzero(change)
+            lens = np.append(starts[1:], n) - starts
+            sel = lens >= 2
+            if max_bucket:
+                sel &= lens <= max_bucket
+            if sel.any():
+                part_i, part_j = [], []
+                for s, ln in zip(starts[sel], lens[sel]):
+                    i, j = np.triu_indices(int(ln), 1)
+                    part_i.append(s + i)
+                    part_j.append(s + j)
+                ii = np.concatenate(part_i)
+                jj = np.concatenate(part_j)
+        ia = pa.array(ii, pa.int64())
+        ja = pa.array(jj, pa.int64())
+        id_i, id_j = ts[id_col].take(ia), ts[id_col].take(ja)
+        keep = pc.not_equal(id_i, id_j)  # duplicate input ids: no self-pairs
+        swap = pc.greater(id_i, id_j)
+        cols = {
+            "id_a": pc.if_else(swap, id_j, id_i).filter(keep),
+            "id_b": pc.if_else(swap, id_i, id_j).filter(keep),
+        }
+        for c in payload_cols:
+            p_i, p_j = ts[c].take(ia), ts[c].take(ja)
+            cols[f"{c}_a"] = pc.if_else(swap, p_j, p_i).filter(keep)
+            cols[f"{c}_b"] = pc.if_else(swap, p_i, p_j).filter(keep)
+        return pa.table(cols)
 
-    left, ls = side("a")
-    right, rs = side("b")
-    j = hash_join(left, right, on=key_cols,
-                  num_partitions=adaptive_partitions(n_rows),
-                  left_schema=ls, right_schema=rs)
-    return j.map_batches(
-        lambda t: t.filter(pc.less(t["id_a"], t["id_b"])), batch_format="pyarrow"
+    return (
+        banded.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("_pkey")
+        .map_groups(emit_pairs, batch_format="pyarrow")
     )
 
 
@@ -301,12 +278,8 @@ def minhash_lsh_pairs(
     # re-shingling the corpus twice.
     banded = ds.map_batches(sig_rows, batch_format="pyarrow").materialize()
     n_banded = banded.count()
-    banded = _keep_multi_member_buckets(banded, ["band_id", "band_hash"])
-    if banded is None:
-        return _empty_pairs("est_jaccard")
-
-    cand = _bucket_pairs_join(banded, ["band_id", "band_hash"], id_col,
-                              {"sig": pa.binary()}, n_rows=n_banded)
+    cand = _bucket_pairs_grouped(banded, ["band_id", "band_hash"], id_col,
+                                 ["sig"], n_rows=n_banded)
 
     def est(t: pa.Table) -> pa.Table:
         sa = np.frombuffer(b"".join(t["sig_a"].to_pylist()), dtype=np.uint64)
@@ -318,7 +291,9 @@ def minhash_lsh_pairs(
         })
         return out.filter(pc.greater_equal(out["est_jaccard"], threshold))
 
-    pairs = cand.map_batches(est, batch_format="pyarrow")
+    pairs = cand.map_batches(est, batch_format="pyarrow").materialize()
+    if pairs.count() == 0:
+        return _empty_pairs("est_jaccard")
     return _dedupe_pairs(pairs, "est_jaccard", keep="min")
 
 
@@ -393,18 +368,14 @@ def minhash_pairs_exact_verified(
 
     banded = sets.map_batches(band_rows, batch_format="pyarrow").materialize()
     n_banded = banded.count()
-    banded = _keep_multi_member_buckets(banded, ["band_id", "band_hash"],
-                                        max_bucket=max_bucket)
-    if banded is None:
-        return _empty_pairs("jaccard")
-
-    cand = _bucket_pairs_join(banded, ["band_id", "band_hash"], "doc_id",
-                              {}, n_rows=n_banded)
+    cand = _bucket_pairs_grouped(banded, ["band_id", "band_hash"], "doc_id",
+                                 [], n_rows=n_banded, max_bucket=max_bucket)
     cand = cand.map_batches(
-        lambda t: t.select(["id_a", "id_b"]).append_column(
-            "_one", pa.array([1] * len(t), pa.int8())),
+        lambda t: t.append_column("_one", pa.array([1] * len(t), pa.int8())),
         batch_format="pyarrow",
-    )
+    ).materialize()
+    if cand.count() == 0:
+        return _empty_pairs("jaccard")
     cand = _dedupe_pairs(cand, "_one").map_batches(
         lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
     )
@@ -507,13 +478,9 @@ def simhash_pairs(
 
     bucketed = ds.map_batches(sh_rows, batch_format="pyarrow").materialize()
     n_bucketed = bucketed.count()
-    bucketed = _keep_multi_member_buckets(bucketed, ["table_id", "bucket"])
-    if bucketed is None:
-        return _empty_pairs("hamming", pa.int64())
-
-    cand = _bucket_pairs_join(
+    cand = _bucket_pairs_grouped(
         bucketed, ["table_id", "bucket"], id_col,
-        {"simhash": pa.int64(), "mkey": pa.int64()}, n_rows=n_bucketed)
+        ["simhash", "mkey"], n_rows=n_bucketed)
 
     def verify(t: pa.Table) -> pa.Table:
         ha = t["simhash_a"].to_numpy(zero_copy_only=False).view(np.uint64)
@@ -533,7 +500,9 @@ def simhash_pairs(
         })
         return out.filter(pa.array(mask))
 
-    pairs = cand.map_batches(verify, batch_format="pyarrow")
+    pairs = cand.map_batches(verify, batch_format="pyarrow").materialize()
+    if pairs.count() == 0:
+        return _empty_pairs("hamming", pa.int64())
     return _dedupe_pairs(pairs, "hamming", keep="min")
 
 
