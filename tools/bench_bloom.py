@@ -30,12 +30,19 @@ def build(n_new: int, n_seen: int, tmp: str):
 
     shutil.rmtree(tmp, ignore_errors=True)
 
+    # ~2 KB payload per row: the anti-join must shuttle the document
+    # bytes through the exchange; the bloom path only ships the
+    # maybe-seen sliver (the regime the operator exists for)
+    filler = "loremipsum " * 186
+
     def new_batch(t: pa.Table) -> pa.Table:
         i = t["id"]
         return pa.table({
             "key": pc.binary_join_element_wise(
                 pa.array(["k"] * t.num_rows), pc.cast(i, pa.string()), "-"),
             "n_chars": pc.add(pc.cast(i, pa.int64()), 17),
+            "text": pc.binary_join_element_wise(
+                pa.array([filler] * t.num_rows), pc.cast(i, pa.string()), "|"),
         })
 
     # seen = every 10th new key, padded with keys outside the new range
@@ -64,7 +71,8 @@ def main(n_new: int, n_seen: int, ncpu: int) -> None:
 
     tmp = f"/tmp/pappermate_bench_bloom_{n_new}_{n_seen}"
     build(n_new, n_seen, tmp)
-    schema_new = pa.schema([("key", pa.string()), ("n_chars", pa.int64())])
+    schema_new = pa.schema([("key", pa.string()), ("n_chars", pa.int64()),
+                            ("text", pa.string())])
     schema_seen = pa.schema([("key", pa.string())])
 
     def read():
