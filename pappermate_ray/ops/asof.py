@@ -8,11 +8,13 @@ the greatest ``right_id`` (deterministic; matches a
 ASOF JOIN up to ties).
 
 Shape (Ray guide §joins): both sides are tagged into a common narrow
-schema, unioned, hash-shuffled ONCE on the key, and merged per key group
-with ``pd.merge_asof`` over sorted frames (merge_asof picks the last
-matching position, so sorting the right side by (ts, id) yields the
-max-id tie-break). Partitioning assumption: one key's rows fit in one
-group (true for per-entity event streams).
+schema, unioned, hash-shuffled ONCE on ``hash(key) mod P`` (partition
+groups, not per-key groups — see ``partition_grouped``), and each
+partition merges ALL its keys in one vectorized
+``pd.merge_asof(by=key)`` over sorted frames (merge_asof picks the last
+matching position per by-group, so sorting the right side by (ts, id)
+yields the max-id tie-break). Partitioning assumption: one key's rows
+fit in one partition (true for per-entity event streams).
 
 Skew (SURVEY.md §4): pass ``hot_key_threshold`` to auto-salt — keys whose
 LEFT row count meets the threshold have their left rows spread over
@@ -33,6 +35,8 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
+
+from .grouping import partition_grouped
 
 
 def _salted_union(
@@ -118,17 +122,24 @@ def asof_join(
         left, right, tag_left, tag_right, left_key, hot_key_threshold, n_salts
     )
 
+    u, pkey_cols = partition_grouped(u, group_keys)
+
     def merge(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group["side"] == "L"][["ts", "rid"]].rename(columns={"rid": "left_id"})
-        r = group[group["side"] == "R"][["ts", "rid"]].rename(columns={"rid": "right_id"})
+        # one VECTORIZED merge_asof across every key in the partition
+        # (by=group_keys) instead of one pandas group per key
+        cols = group_keys + ["ts", "rid"]
+        l = group.loc[group["side"] == "L", cols].rename(columns={"rid": "left_id"})
+        r = group.loc[group["side"] == "R", cols].rename(columns={"rid": "right_id"})
         if l.empty or r.empty:
             return pd.DataFrame({"left_id": [], "right_id": []}).astype(
                 {"left_id": "int64", "right_id": "int64"}
             )
         l = l.sort_values("ts", kind="mergesort")
+        # per-by-group order (ts, right_id): merge_asof takes the LAST
+        # matching position in the group = max-ts then max-id tie-break
         r = r.sort_values(["ts", "right_id"], kind="mergesort")
-        m = pd.merge_asof(l, r, on="ts", direction="backward")
+        m = pd.merge_asof(l, r, on="ts", by=group_keys, direction="backward")
         m = m.dropna(subset=["right_id"])
         return m[["left_id", "right_id"]].astype({"left_id": "int64", "right_id": "int64"})
 
-    return u.groupby(group_keys).map_groups(merge, batch_format="pandas")
+    return u.groupby(pkey_cols).map_groups(merge, batch_format="pandas")

@@ -488,20 +488,34 @@ def q_range_join_windows(sf_dir: str):
 def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
     """Sessionization: per-user session count with a 30-min inactivity gap.
 
-    One hash shuffle on user_id; per-group work is a sort + diff + cumsum
-    (the ordered, partitioned-log pattern from the Ray guide §streaming).
+    One hash shuffle on ``hash(user_id) mod P`` (partition groups, not
+    per-user pandas groups — billions of users would pay ~1 ms of
+    DataFrame overhead each); within a partition ALL users sessionize in
+    one vectorized pass: sort by (user, ts), session starts are rows
+    where the user changes OR the gap exceeds the threshold, per-user
+    counts fall out of one groupby-sum over a boolean column.
     """
+    from .ops.grouping import partition_grouped
+
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    grouped, pkey_cols = partition_grouped(ds, ["user_id"])
 
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("ts", kind="mergesort")
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        n = int(gaps.sum()) + 1
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]}).astype(
-            {"user_id": "int64", "n_sessions": "int64"}
+        g = group.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        new_user = np.empty(len(g), bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        starts = new_user | gap.to_numpy()
+        out = (
+            pd.DataFrame({"user_id": uid, "s": starts})
+            .groupby("user_id", sort=False)["s"].sum().reset_index()
+            .rename(columns={"s": "n_sessions"})
         )
+        return out.astype({"user_id": "int64", "n_sessions": "int64"})
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return grouped.groupby(pkey_cols).map_groups(sessions, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------

@@ -45,6 +45,41 @@ from ray.data.aggregate import Count
 from ..ops.joins import adaptive_partitions, anti_join, hash_join, semi_join
 
 
+def _collect_runs(removals: "rd.Dataset", id_col: str, pos_col: str,
+                  out_col: str) -> "rd.Dataset":
+    """(id, comma-joined sorted positions) — one row per doc.
+
+    Partition-grouped (ops/grouping.py): grouping by the raw doc id
+    would make one pandas group per affected document (billions at
+    scale, ~1 ms dispatch overhead each); instead hash(doc) mod P
+    groups, one sort per partition, and a run walk builds every doc's
+    position string. Comma-packed string, not list<int>: Acero rejects
+    list-typed non-key columns in a join.
+    """
+    import pandas as pd
+
+    from ..ops.grouping import partition_grouped
+
+    grouped, pkey_cols = partition_grouped(removals, [id_col])
+
+    def collect(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([id_col, pos_col], kind="mergesort")
+        ids = g[id_col].to_numpy()
+        pos = g[pos_col].to_numpy()
+        change = np.zeros(len(g), bool)
+        change[0] = True
+        change[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(g))
+        pos_str = pos.astype(str)
+        return pd.DataFrame({
+            id_col: ids[starts],
+            out_col: [",".join(pos_str[s:e]) for s, e in zip(starts, ends)],
+        })
+
+    return grouped.groupby(pkey_cols).map_groups(collect, batch_format="pandas")
+
+
 def _para_keys(paras: List[str]) -> np.ndarray:
     """64-bit content keys (md5 prefix, SIGNED view) — membership
     currency; text never enters a shuffle. int64 rather than uint64
@@ -171,24 +206,12 @@ def paragraph_dedup(
         left_schema=exp_schema, right_schema=hot_schema,
     )
 
-    import pandas as pd
-
-    def collect_idx(group: pd.DataFrame) -> pd.DataFrame:
-        # comma-packed string, not list<int>: Acero rejects list-typed
-        # non-key columns in a join
-        idx = np.sort(group["para_idx"].to_numpy())
-        return pd.DataFrame({
-            id_col: [group[id_col].iloc[0]],
-            "removed_idx": [",".join(map(str, idx))],
-        })
-
     # consumed by BOTH the rebuild join and the passthrough anti-join —
     # one shared object-store materialization (bounded: one row per doc
     # that contains boilerplate, no text) instead of re-running the
     # explode+semi-join lineage twice
-    removal_lists = removals.groupby(id_col).map_groups(
-        collect_idx, batch_format="pandas"
-    ).materialize()
+    removal_lists = _collect_runs(
+        removals, id_col, "para_idx", "removed_idx").materialize()
 
     doc_schema = pa.schema([
         pa.field(id_col, exp_schema.field(id_col).type),
@@ -560,17 +583,8 @@ def substring_dedup(
 
     removals = marked.map_batches(non_first, batch_format="pyarrow")
 
-    import pandas as pd
-
-    def collect_spans(group: pd.DataFrame) -> pd.DataFrame:
-        idx = np.sort(group["pos"].to_numpy())
-        return pd.DataFrame({
-            id_col: [group[id_col].iloc[0]],
-            "removed_pos": [",".join(map(str, idx))],
-        })
-
-    removal_lists = removals.groupby(id_col).map_groups(
-        collect_spans, batch_format="pandas").materialize()
+    removal_lists = _collect_runs(
+        removals, id_col, "pos", "removed_pos").materialize()
 
     doc_schema = pa.schema([pa.field(id_col, id_type), pa.field(text_col, pa.string())])
     rem_schema = pa.schema([pa.field(id_col, id_type), pa.field("removed_pos", pa.string())])
