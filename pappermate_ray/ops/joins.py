@@ -233,7 +233,8 @@ def hash_join(
     should use every reducer); skewed keys should be salted before
     calling (SURVEY.md §4). ``armor`` (see module notes) hardens both
     sides against Ray's schema-less-empty-partition crash; supported for
-    the join types this engine uses (inner / left_semi / left_anti).
+    the join types this engine uses (inner / left_semi / left_anti /
+    left_outer).
     Pass ``left_schema``/``right_schema`` when a side's lineage contains
     an aggregate/sort — otherwise the armor's schema probe executes that
     whole lineage once before the join executes it again.
@@ -242,7 +243,7 @@ def hash_join(
     on_t = _on_tuple(on)
     right_on_t = _on_tuple(right_on) if right_on else on_t
     left_sent = None
-    if armor and join_type in ("inner", "left_semi", "left_anti"):
+    if armor and join_type in ("inner", "left_semi", "left_anti", "left_outer"):
         left, left_sent = _armored(left, on_t, np_, side=0, schema=left_schema)
         right, _ = _armored(right, right_on_t, np_, side=1, schema=right_schema)
     out = left.join(
@@ -252,7 +253,8 @@ def hash_join(
         on=on_t,
         right_on=right_on_t if right_on else None,
     )
-    if join_type == "left_anti" and left_sent is not None:
+    # left sentinels survive any join that keeps unmatched left rows
+    if join_type in ("left_anti", "left_outer") and left_sent is not None:
         vals, typ = left_sent
         sent_arr = pa.array(vals, typ)
         col0 = on_t[0]

@@ -10,13 +10,13 @@ list-ranking primitive) squares the reach every round —
 
 Per round, over the full mapping table M(src → dst):
 
-- ``jumped``  = M ⋈ M on dst = src (armored inner hash join, right side
-  renamed) → rows whose target itself redirects advance two hops.
-- ``finished`` = M ▷ sources on dst (armored anti join) → rows whose
-  target is terminal (never a redirect source) pass through unchanged.
-- M' = jumped ∪ finished, materialized (bounded-lineage pattern of
-  ops/pagerank.py — each round is one exchange pair, not a growing
-  plan).
+- M' = M LEFT OUTER JOIN M on dst = src (armored, right side renamed),
+  then ``dst' = coalesce(jumped_dst, dst)``: rows whose target itself
+  redirects advance two hops, rows whose target is terminal pass
+  through with a null right side — ONE exchange per round where the
+  first version paid an inner join PLUS an anti join. Materialized per
+  round (bounded-lineage pattern of ops/pagerank.py — each round is one
+  exchange, not a growing plan).
 
 Every node keeps exactly one row every round (jumped and finished
 partition M), so the table never grows; the shuffle carries two int64s
@@ -31,10 +31,11 @@ from __future__ import annotations
 from typing import Optional
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
-from .joins import anti_join, hash_join
+from .joins import hash_join
 
 
 def resolve_pointers(
@@ -54,12 +55,6 @@ def resolve_pointers(
     sch = getattr(sch, "base_schema", sch)
     key_t = sch.field(src_col).type
     m_schema = pa.schema([pa.field(src_col, key_t), pa.field(dst_col, key_t)])
-    s_schema = pa.schema([pa.field(dst_col, key_t)])
-
-    # terminal test set: the (constant) redirect sources, keyed as dst
-    sources = edges.map_batches(
-        lambda t: pa.table({dst_col: t[src_col]}), batch_format="pyarrow"
-    ).materialize()
 
     mapping = edges
     for _ in range(rounds):
@@ -67,20 +62,20 @@ def resolve_pointers(
             lambda t: pa.table({"_jsrc": t[src_col], "_jdst": t[dst_col]}),
             batch_format="pyarrow",
         )
-        jumped = hash_join(
+        joined = hash_join(
             mapping, right, on=dst_col, right_on="_jsrc",
+            join_type="left_outer",
             num_partitions=num_partitions,
             left_schema=m_schema,
             right_schema=pa.schema([pa.field("_jsrc", key_t),
                                     pa.field("_jdst", key_t)]),
-        ).map_batches(
-            lambda t: pa.table({src_col: t[src_col], dst_col: t["_jdst"]}),
+        )
+        mapping = joined.map_batches(
+            lambda t: pa.table({
+                src_col: t[src_col],
+                # matched → advance two hops; terminal target → unchanged
+                dst_col: pc.coalesce(t["_jdst"], t[dst_col]),
+            }),
             batch_format="pyarrow",
-        )
-        finished = anti_join(
-            mapping, sources, on=dst_col,
-            num_partitions=num_partitions,
-            left_schema=m_schema, right_schema=s_schema,
-        )
-        mapping = jumped.union(finished).materialize()
+        ).materialize()
     return mapping

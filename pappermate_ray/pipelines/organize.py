@@ -60,21 +60,35 @@ def disambiguate_filenames(docs: "rd.Dataset") -> "rd.Dataset":
     enumeration (ordered by url) within each collision group — first keeps
     the name, later ones get ``_1``, ``_2``... before the extension.
     """
+    import numpy as np
     import pandas as pd
 
-    def _enumerate(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("url", kind="mergesort").reset_index(drop=True)
-        outs = []
-        for i, name in enumerate(g["canonical_filename"]):
-            if i == 0:
-                outs.append(name)
-            else:
-                dot = name.rfind(".")
-                outs.append(f"{name[:dot]}_{i}{name[dot:]}" if dot > 0 else f"{name}_{i}")
-        g["final_filename"] = outs
-        return g
+    from ..ops.grouping import partition_grouped
 
-    return docs.groupby("canonical_filename").map_groups(_enumerate, batch_format="pandas")
+    grouped, pkey_cols = partition_grouped(docs, ["canonical_filename"])
+
+    def _enumerate(group: pd.DataFrame) -> pd.DataFrame:
+        # partition-grouped: one sort, collision position = offset into
+        # the name's run (per-name pandas groups would pay per-group
+        # overhead on billions of mostly-singleton names)
+        g = group.sort_values(["canonical_filename", "url"],
+                              kind="mergesort").reset_index(drop=True)
+        names = g["canonical_filename"].to_numpy()
+        change = np.zeros(len(g), bool)
+        change[0] = True
+        change[1:] = names[1:] != names[:-1]
+        starts = np.flatnonzero(change)
+        lens = np.append(starts[1:], len(g)) - starts
+        pos = np.arange(len(g)) - np.repeat(starts, lens)
+        outs = list(names)
+        for i in np.flatnonzero(pos > 0):
+            name, k = names[i], pos[i]
+            dot = name.rfind(".")
+            outs[i] = f"{name[:dot]}_{k}{name[dot:]}" if dot > 0 else f"{name}_{k}"
+        g["final_filename"] = outs
+        return g.drop(columns=["_pkey"])
+
+    return grouped.groupby(pkey_cols).map_groups(_enumerate, batch_format="pandas")
 
 
 def sanitize_url_names(docs: "rd.Dataset") -> "rd.Dataset":

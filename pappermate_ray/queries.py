@@ -2738,9 +2738,10 @@ def q_resolve_redirects(sf_dir: str):
     """Redirect-chain resolution by pointer jumping (ops/pointer.py):
     every non-multiple-of-10 doc redirects to doc_id-1, forming chains
     up to 9 hops; 4 path-doubling rounds (reach 16) resolve all of
-    them. Each round is one armored inner self-join + one anti join
-    over a constant-size two-int64 mapping table — log(L) exchanges
-    instead of L. Oracle: DuckDB recursive-CTE chain chase."""
+    them. Each round is ONE armored left-outer self-join over a
+    constant-size two-int64 mapping table (dst' = coalesce(jumped,
+    dst)) — log(L) exchanges instead of L. Oracle: DuckDB
+    recursive-CTE chain chase."""
     from .ops.pointer import resolve_pointers
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
@@ -2860,6 +2861,33 @@ def _perceptron_filter_sql(rounds: int) -> str:
         SELECT doc_id, w.w0 + w.w1 * x1 + w.w2 * x2 AS score
         FROM f, wr{rounds} w
         WHERE w.w0 + w.w1 * x1 + w.w2 * x2 > 0"""
+
+
+def q_anchor_text(sf_dir: str):
+    """Anchor-text aggregation (ops/anchors.py): per target page, the
+    inlink count and the source-ordered concatenated anchor string, over
+    a deterministic synthetic link graph (every non-multiple-of-4 doc i
+    links to (3i) mod N with anchor 'link-{i%5}'). One partition-grouped
+    exchange carrying only (src, dst, anchor)."""
+    from .ops.anchors import aggregate_anchors
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = ds.count()
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64())
+        keep = pc.not_equal(_pc_mod(ids, 4), 0)
+        ids = ids.filter(keep)
+        return pa.table({
+            "src": ids,
+            "dst": _pc_mod(pc.multiply(ids, pa.scalar(3, pa.int64())), n_docs),
+            "anchor": pc.binary_join_element_wise(
+                pa.array(["link"] * len(ids)),
+                pc.cast(_pc_mod(ids, 5), pa.string()), "-"),
+        })
+
+    edges = ds.map_batches(build, batch_format="pyarrow")
+    return aggregate_anchors(edges)
 
 
 def q_incremental_new(sf_dir: str):
@@ -3003,6 +3031,16 @@ ORACLE_SQL.update({
     """,
     "perceptron_quality": _perceptron_sql(_PCN_ROUNDS),
     "perceptron_filter": _perceptron_filter_sql(_PCN_ROUNDS),
+    "anchor_text": """
+        WITH e AS (
+          SELECT CAST(doc_id AS BIGINT) AS src,
+                 CAST((doc_id * 3) % (SELECT COUNT(*) FROM documents) AS BIGINT) AS dst,
+                 'link-' || CAST(doc_id % 5 AS VARCHAR) AS anchor
+          FROM documents WHERE doc_id % 4 <> 0)
+        SELECT dst, CAST(COUNT(*) AS BIGINT) AS n_inlinks,
+               string_agg(anchor, '|' ORDER BY src) AS anchors
+        FROM e GROUP BY dst
+    """,
     "incremental_new": """
         WITH keyed AS (
           SELECT source || '#' || CAST(doc_id AS VARCHAR) AS key,
@@ -3143,4 +3181,5 @@ SQL_QUERIES = {
     "perceptron_quality": q_perceptron_quality,
     "perceptron_filter": q_perceptron_filter,
     "incremental_new": q_incremental_new,
+    "anchor_text": q_anchor_text,
 }
