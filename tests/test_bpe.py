@@ -83,3 +83,13 @@ def test_deterministic_across_partitionings():
     a, _ = learn_bpe(word_counts(_docs(texts, parts=1)), num_merges=4)
     b, _ = learn_bpe(word_counts(_docs(texts, parts=5)), num_merges=4)
     assert a.equals(b)
+
+
+def test_driver_combine_and_distributed_paths_equal(ray_session):
+    texts = ["low lower lowest low low", "new newer newest new", "wide wider low newer"]
+    vocab = word_counts(_docs(texts, parts=3))
+    fast, fstate = learn_bpe(vocab, num_merges=4)  # small vocab -> driver combine
+    slow, sstate = learn_bpe(vocab, num_merges=4, small_vocab_threshold=0)
+    assert fast.equals(slow)
+    key = lambda rows: sorted((r["word"], r["s"]) for r in rows)
+    assert key(fstate.take_all()) == key(sstate.take_all())
