@@ -1247,18 +1247,31 @@ def q_validate_hierarchy(sf_dir: str):
     edges = q_contract_edges(sf_dir)
 
     def build(group: pd.DataFrame) -> pd.DataFrame:
-        parent = group["parent_id"].iloc[0]
-        kids = sorted(group["child_id"].tolist())
+        # partition-grouped (ops/grouping.py): parents are unbounded at
+        # corpus scale — one run walk per partition, not a pandas group
+        # per parent
+        g = group.sort_values(["parent_id", "child_id"], kind="mergesort")
+        par = g["parent_id"].to_numpy()
+        kids = g["child_id"].to_numpy()
+        change = np.zeros(len(g), bool)
+        change[0] = True
+        change[1:] = par[1:] != par[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(g))
+        parents = par[starts]
         return pd.DataFrame({
-            "hierarchy_id": [parent],
-            "name": [f"Hierarchy {parent}"],
-            "root_contract_id": [parent],
-            "contract_ids": [kids],
-            "is_valid": [True],
-            "validation_errors": [[]],
+            "hierarchy_id": parents,
+            "name": [f"Hierarchy {p}" for p in parents],
+            "root_contract_id": parents,
+            "contract_ids": [list(kids[s:e]) for s, e in zip(starts, ends)],
+            "is_valid": [True] * len(parents),
+            "validation_errors": [[] for _ in parents],
         })
 
-    hier = edges.groupby("parent_id").map_groups(build, batch_format="pandas")
+    from .ops.grouping import partition_grouped
+
+    grouped_e, pkey_cols = partition_grouped(edges, ["parent_id"])
+    hier = grouped_e.groupby(pkey_cols).map_groups(build, batch_format="pandas")
 
     def finish(t: pa.Table) -> pa.Table:
         v = validate_hierarchies_batch(t)
