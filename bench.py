@@ -139,7 +139,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "grouped_quantiles", "kmeans_clusters", "semantic_dedup", "mixture_sample",
         "url_canonicalize", "domain_cap", "host_quality", "shard_shuffle",
         "bpe_merges", "resolve_redirects", "perceptron_filter",
-        "incremental_new",
+        "incremental_new", "anchor_text",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()
