@@ -204,28 +204,38 @@ def lsh_bucketed_cosine_pairs(
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
-            )
-        rows = group.sort_values(id_col, kind="mergesort")
-        ids = rows[id_col].to_numpy()
-        x = np.stack(rows[emb_col].to_numpy())
+        # partition-grouped (ops/grouping.py): thousands of tiny sign
+        # buckets in one frame — sort once, per-RUN dense cosine block
+        g = group.sort_values(["bucket", id_col], kind="mergesort")
+        bk = g["bucket"].to_numpy()
+        ids = g[id_col].to_numpy()
+        x = np.stack(g[emb_col].to_numpy()) if len(g) else np.zeros((0, 1))
         norms = np.linalg.norm(x, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         xn = x / norms
-        sims = xn @ xn.T
+        change = np.zeros(len(g), bool)
+        if len(g):
+            change[0] = True
+            change[1:] = bk[1:] != bk[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(g))
         out_a, out_b, out_s = [], [], []
-        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
-        for i, j in zip(ii, jj):
-            out_a.append(int(ids[i]))
-            out_b.append(int(ids[j]))
-            out_s.append(round(float(sims[i, j]), 6))
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            sims = xn[s:e] @ xn[s:e].T
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            out_a.extend(int(v) for v in ids[s + ii])
+            out_b.extend(int(v) for v in ids[s + jj])
+            out_s.extend(round(float(v), 6) for v in sims[ii, jj])
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s}).astype(
             {"id_a": "int64", "id_b": "int64", "sim": "float64"}
         )
 
-    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    from ..ops.grouping import partition_grouped
+
+    grouped, pkey_cols = partition_grouped(bucketed, ["bucket"])
+    return grouped.groupby(pkey_cols).map_groups(pairs, batch_format="pandas")
 
 
 def cosine_pairs_exact(
