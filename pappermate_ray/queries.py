@@ -2015,6 +2015,34 @@ def q_pagerank(sf_dir: str):
                     dense_ids=True)
 
 
+def q_hits(sf_dir: str):
+    """Distributed HITS hubs & authorities (ops/hits.py), 4 alternating
+    integer rounds over the same planted 3-out-link doc_id graph as
+    q_pagerank — except the first map is QUADRATIC ((i²+1) mod N, not a
+    bijection), so indegrees vary and hub/authority scores genuinely
+    differ across nodes. Normalization-free formulation keeps scores
+    int64 end-to-end — bit-exact vs the unrolled-CTE oracle with no
+    float rounding at all. Contiguous ids → dense broadcast fast path
+    (the join path is the >2M-node shape; both asserted equal in
+    tests)."""
+    from .ops.hits import hits
+
+    nodes = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = nodes.count()
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        i = np.asarray(t["doc_id"], np.int64)
+        src = np.concatenate([i, i, i])
+        dst = np.concatenate([(i * i + 1) % n, (i * 11 + 3) % n, (i * 13 + 5) % n])
+        return pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+        })
+
+    edges = nodes.map_batches(mk_edges, batch_format="pyarrow")
+    return hits(nodes, edges, node_col="doc_id", iters=4, dense_ids=True)
+
+
 _PR_ROUNDS = "".join(
     f""",
         r{i} AS (SELECT d.doc_id AS node,
@@ -2025,6 +2053,25 @@ _PR_ROUNDS = "".join(
                  LEFT JOIN r{i-1} ON r{i-1}.node = ew.src
                  GROUP BY d.doc_id)"""
     for i in range(1, 6)
+)
+
+# HITS rounds: integer sums only — CAST each round back to BIGINT
+# (DuckDB SUM(int) widens to HUGEINT) so types stay int64 like Ray's
+_HITS_ROUNDS = "".join(
+    f""",
+        a{i} AS (SELECT d.doc_id AS node,
+                   CAST(COALESCE(SUM(h{i-1}.s), 0) AS BIGINT) AS s
+                 FROM documents d
+                 LEFT JOIN edges e ON e.dst = d.doc_id
+                 LEFT JOIN h{i-1} ON h{i-1}.node = e.src
+                 GROUP BY d.doc_id),
+        h{i} AS (SELECT d.doc_id AS node,
+                   CAST(COALESCE(SUM(a{i}.s), 0) AS BIGINT) AS s
+                 FROM documents d
+                 LEFT JOIN edges e ON e.src = d.doc_id
+                 LEFT JOIN a{i} ON a{i}.node = e.dst
+                 GROUP BY d.doc_id)"""
+    for i in range(1, 5)
 )
 
 
@@ -2405,6 +2452,19 @@ ORACLE_SQL.update({
         r0 AS (SELECT doc_id AS node, 1.0/(SELECT n FROM nn) AS r FROM documents)
         {_PR_ROUNDS}
         SELECT node AS doc_id, ROUND(r, 8) AS pagerank FROM r5
+    """,
+    "hits": f"""
+        WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        edges AS (
+          SELECT doc_id AS src, (doc_id*doc_id+1) % (SELECT n FROM nn) AS dst FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id*11+3) % (SELECT n FROM nn) FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id*13+5) % (SELECT n FROM nn) FROM documents),
+        h0 AS (SELECT doc_id AS node, CAST(1 AS BIGINT) AS s FROM documents)
+        {_HITS_ROUNDS}
+        SELECT a4.node AS doc_id, a4.s AS auth, h4.s AS hub
+        FROM a4 JOIN h4 ON a4.node = h4.node
     """,
     "grouped_bottomk_sample": """
         SELECT doc_id, lang FROM documents
@@ -3175,6 +3235,7 @@ SQL_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "grouped_bottomk_sample": q_grouped_bottomk_sample,
     "pagerank": q_pagerank,
+    "hits": q_hits,
     "approx_quantiles": q_approx_quantiles,
     "sequence_pack": q_sequence_pack,
     "kmeans_clusters": q_kmeans_clusters,
