@@ -2015,6 +2015,27 @@ def q_pagerank(sf_dir: str):
                     dense_ids=True)
 
 
+def q_dsir_select(sf_dir: str):
+    """DSIR importance resampling (stages/dsir.py, Xie et al. 2023):
+    target model = the doc_id%7==0 slice, raw model = the whole corpus,
+    hashed unigram+bigram features (md5 last-4-hex buckets, 16^4
+    space), add-1 smoothed log-ratio weights rounded to 3 decimals,
+    top-50 by (lw DESC, doc_id). Two narrow bucket-count exchanges
+    (≤65k distinct int keys each) + one broadcast scoring pass + a
+    per-block top-k prune — the corpus text never shuffles."""
+    from .stages.dsir import dsir_select
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def tgt(t: pa.Table) -> pa.Table:
+        i = np.asarray(t["doc_id"], np.int64)
+        return t.filter(pa.array(i % 7 == 0))
+
+    target = docs.map_batches(tgt, batch_format="pyarrow")
+    return dsir_select(docs, target, k=50)
+
+
 def q_hits(sf_dir: str):
     """Distributed HITS hubs & authorities (ops/hits.py), 4 alternating
     integer rounds over the same planted 3-out-link doc_id graph as
@@ -2465,6 +2486,35 @@ ORACLE_SQL.update({
         {_HITS_ROUNDS}
         SELECT a4.node AS doc_id, a4.s AS auth, h4.s AS hub
         FROM a4 JOIN h4 ON a4.node = h4.node
+    """,
+    # bucket = LAST 4 hex chars of md5(gram) == stages/dsir.py's
+    # digest[-2:]; rcnt always matches (raw includes every doc)
+    "dsir_select": r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE trim(text) <> ''),
+        g AS (
+          SELECT doc_id, unnest(w) AS g FROM toks
+          UNION ALL
+          SELECT doc_id, unnest(list_transform(range(GREATEST(len(w)-1, 0)),
+                          j -> w[j+1] || ' ' || w[j+2])) AS g FROM toks),
+        gb AS (SELECT doc_id, substr(md5(g), 29, 4) AS b FROM g),
+        tcnt AS (SELECT b, COUNT(*) AS c FROM gb WHERE doc_id % 7 = 0 GROUP BY b),
+        rcnt AS (SELECT b, COUNT(*) AS c FROM gb GROUP BY b),
+        tot AS (SELECT
+                 (SELECT COUNT(*) FROM gb WHERE doc_id % 7 = 0) AS tt,
+                 (SELECT COUNT(*) FROM gb) AS tr),
+        scored AS (
+          SELECT gb.doc_id,
+                 SUM(ln(COALESCE(t.c, 0) + 1.0) - ln(r.c + 1.0)
+                     + ln((SELECT tr FROM tot) + 65536.0)
+                     - ln((SELECT tt FROM tot) + 65536.0)) AS lw
+          FROM gb
+          LEFT JOIN tcnt t ON t.b = gb.b
+          JOIN rcnt r ON r.b = gb.b
+          GROUP BY gb.doc_id)
+        SELECT doc_id, ROUND(lw, 3) AS lw FROM scored
+        ORDER BY ROUND(lw, 3) DESC, doc_id LIMIT 50
     """,
     "grouped_bottomk_sample": """
         SELECT doc_id, lang FROM documents
@@ -3236,6 +3286,7 @@ SQL_QUERIES = {
     "grouped_bottomk_sample": q_grouped_bottomk_sample,
     "pagerank": q_pagerank,
     "hits": q_hits,
+    "dsir_select": q_dsir_select,
     "approx_quantiles": q_approx_quantiles,
     "sequence_pack": q_sequence_pack,
     "kmeans_clusters": q_kmeans_clusters,
