@@ -3048,6 +3048,31 @@ def q_incremental_new(sf_dir: str):
 _URL_BLOCKED = ("example.com", "site7.co.uk")
 
 
+def _robots_rules() -> list:
+    """Deterministic robots Disallow rules over the messy-URL hosts:
+    every .com.br site disallows /p1, every www.site{k}.example.com
+    disallows /p{k%3}."""
+    rules = []
+    for k in range(53):
+        rules.append((f"site{k}.com.br", "/p1"))
+        rules.append((f"www.site{k}.example.com", f"/p{k % 3}"))
+    return rules
+
+
+def q_robots_filter(sf_dir: str):
+    """Robots.txt politeness filter (stages/urls.py robots_filter):
+    drop pages whose path falls under a disallow prefix for their
+    exact host. Broadcast path (rules ship once via ray.put, one
+    vectorized starts_with per (host,prefix) pair present in the
+    batch, zero shuffles); the distributed join fallback is asserted
+    identical in tests."""
+    from .stages.urls import parse_urls, robots_filter
+
+    parsed = parse_urls(_messy_url_ds(sf_dir))
+    out = robots_filter(parsed, _robots_rules())
+    return out.select_columns(["doc_id", "host", "path"])
+
+
 def q_url_blocklist(sf_dir: str):
     """Domain blocklist (stages/urls.py blocklist_filter): drops a host
     equal to OR under any blocked domain via one broadcast RE2
@@ -3151,6 +3176,20 @@ ORACLE_SQL.update({
         WHERE NOT EXISTS (
           SELECT 1 FROM (VALUES ('example.com'), ('site7.co.uk')) b(d)
           WHERE host = d OR host LIKE '%.' || d)
+    """,
+    "robots_filter": _MESSY_URL_CTE + """
+        , rules AS (
+          SELECT 'site' || CAST(i AS VARCHAR) || '.com.br' AS rhost,
+                 '/p1' AS prefix
+          FROM range(53) t(i)
+          UNION ALL
+          SELECT 'www.site' || CAST(i AS VARCHAR) || '.example.com',
+                 '/p' || CAST(i % 3 AS VARCHAR)
+          FROM range(53) t(i))
+        SELECT doc_id, host, path FROM hd
+        WHERE NOT EXISTS (
+          SELECT 1 FROM rules r
+          WHERE r.rhost = hd.host AND starts_with(hd.path, r.prefix))
     """,
     "perceptron_quality": _perceptron_sql(_PCN_ROUNDS),
     "perceptron_filter": _perceptron_filter_sql(_PCN_ROUNDS),
@@ -3301,6 +3340,7 @@ SQL_QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "domain_cap": q_domain_cap,
     "url_blocklist": q_url_blocklist,
+    "robots_filter": q_robots_filter,
     "host_quality": q_host_quality,
     "resolve_redirects": q_resolve_redirects,
     "perceptron_quality": q_perceptron_quality,

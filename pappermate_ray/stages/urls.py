@@ -279,3 +279,93 @@ def blocklist_filter(
         return t.filter(pc.invert(hit))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def robots_filter(
+    ds,
+    rules,
+    host_col: str = "host",
+    path_col: str = "path",
+    id_col: str = "doc_id",
+    broadcast_bound: int = 2_000_000,
+    num_partitions: Optional[int] = None,
+):
+    """Crawl-politeness filter: drop a page when ANY disallow rule for
+    its exact host is a prefix of its path (the robots.txt
+    ``Disallow:`` core; longest-match Allow overrides are out of scope
+    and a rule with prefix ``''`` matches every path — encode
+    allow-all by omitting the host).
+
+    ``rules`` is a Dataset (or list of ``(host, prefix)`` tuples) with
+    columns ``(host, prefix)``. Hybrid small-side shape, like
+    paragraph_dedup's removal set:
+
+    - rules ≤ ``broadcast_bound``: the rule table ships ONCE via
+      ``ray.put`` as a host→prefixes dict; each batch tests only the
+      (host, prefix) pairs whose host actually occurs in the batch,
+      one vectorized ``starts_with`` per pair — no shuffle at all.
+      Robots corpora are crawl-metadata-sized (rules ≪ pages), so this
+      is the common case even at 100 TB.
+    - beyond the bound: one hash join pages×rules on the host (only
+      ``(id, host, path)`` enter the exchange, never the payload),
+      per-batch prefix verify vectorized per DISTINCT prefix, then a
+      distributed anti-join of the violating ids back onto the pages.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..ops.joins import adaptive_partitions, anti_join, hash_join
+
+    if not isinstance(rules, rd.Dataset):
+        rules = rd.from_items([{"host": h, "prefix": p} for h, p in rules])
+    n_rules = rules.count()
+
+    if n_rules <= broadcast_bound:
+        rule_rows = rules.take_all()
+        rulemap: dict = {}
+        for r in rule_rows:
+            rulemap.setdefault(r["host"], []).append(r["prefix"])
+        ref = ray.put(rulemap)
+
+        def _drop(t: pa.Table) -> pa.Table:
+            rm = ray.get(ref)
+            host = pc.cast(t[host_col], pa.string())
+            path = pc.cast(t[path_col], pa.string())
+            uniq = pc.unique(host).to_pylist()
+            drop = pa.array([False] * t.num_rows, pa.bool_())
+            for h in uniq:
+                for prefix in rm.get(h, ()):
+                    hit = pc.and_(pc.equal(host, h),
+                                  pc.starts_with(path, prefix))
+                    drop = pc.or_(drop, pc.fill_null(hit, False))
+            return t.filter(pc.invert(drop))
+
+        return ds.map_batches(_drop, batch_format="pyarrow")
+
+    # distributed fallback: narrow join on host, verify, anti-join back
+    narrow = ds.select_columns([id_col, host_col, path_col])
+    id_t = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    joined = hash_join(
+        narrow, rules, on=host_col, right_on="host",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([(id_col, id_t), (host_col, pa.string()),
+                               (path_col, pa.string())]),
+        right_schema=pa.schema([("host", pa.string()),
+                                ("prefix", pa.string())]),
+    )
+
+    def _verify(t: pa.Table) -> pa.Table:
+        path = pc.cast(t[path_col], pa.string())
+        prefix = pc.cast(t["prefix"], pa.string())
+        hit = pa.array([False] * t.num_rows, pa.bool_())
+        for p in pc.unique(prefix).to_pylist():
+            m = pc.and_(pc.equal(prefix, p), pc.starts_with(path, p))
+            hit = pc.or_(hit, pc.fill_null(m, False))
+        return t.filter(hit).select([id_col])
+
+    violators = joined.map_batches(_verify, batch_format="pyarrow")
+    return anti_join(
+        ds, violators, on=id_col,
+        num_partitions=num_partitions or adaptive_partitions(n_rules),
+        right_schema=pa.schema([(id_col, id_t)]),
+    )

@@ -142,3 +142,42 @@ def test_host_quality_filter(ray_session):
         [{"registered_domain": "edge.com", "n_chars": v} for v in (299, 301)])
     kept = host_quality_filter(edge, "n_chars", threshold=300, min_docs=2).take_all()
     assert len(kept) == 2
+
+
+def test_robots_filter_broadcast_path(ray_session):
+    import ray.data as rd
+
+    from pappermate_ray.stages.urls import robots_filter
+
+    pages = rd.from_items(
+        [
+            {"doc_id": 0, "host": "a.com", "path": "/private/x"},
+            {"doc_id": 1, "host": "a.com", "path": "/public/x"},
+            {"doc_id": 2, "host": "b.com", "path": "/private/x"},  # no rule for b.com
+            {"doc_id": 3, "host": "a.com", "path": "/privateer"},  # prefix match
+            {"doc_id": 4, "host": "sub.a.com", "path": "/private/x"},  # exact host only
+            {"doc_id": 5, "host": "c.com", "path": "/anything"},  # '' disallows all
+        ],
+        override_num_blocks=2,
+    )
+    rules = [("a.com", "/private"), ("c.com", "")]
+    kept = {r["doc_id"] for r in robots_filter(pages, rules).take_all()}
+    assert kept == {1, 2, 4}
+
+
+def test_robots_filter_paths_identical(ray_session):
+    import ray.data as rd
+
+    from pappermate_ray.stages.urls import robots_filter
+
+    pages = rd.from_items(
+        [{"doc_id": i, "host": f"h{i % 5}.com", "path": f"/p{i % 7}/x"}
+         for i in range(60)],
+        override_num_blocks=4,
+    )
+    rules = [(f"h{k}.com", f"/p{k}") for k in range(5)] + [("h1.com", "/p4")]
+    bc = sorted(r["doc_id"] for r in robots_filter(pages, rules).take_all())
+    dist = sorted(r["doc_id"] for r in
+                  robots_filter(pages, rules, broadcast_bound=0).take_all())
+    assert bc == dist
+    assert 0 < len(bc) < 60
