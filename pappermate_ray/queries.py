@@ -2015,6 +2015,29 @@ def q_pagerank(sf_dir: str):
                     dense_ids=True)
 
 
+def q_triangle_counts(sf_dir: str):
+    """Per-vertex triangle counts (ops/triangles.py): degree-ordered
+    wedge counting over a planted mixed graph (i→i+1 chain, i→i+2
+    skip, i→2i doubling, all mod N — ~510 triangles at N=500).
+    Integer counts end-to-end; oracle = canonical a<b self-join."""
+    from .ops.triangles import triangle_counts
+
+    nodes = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = nodes.count()
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        i = np.asarray(t["doc_id"], np.int64)
+        src = np.concatenate([i, i, i])
+        dst = np.concatenate([(i + 1) % n, (i + 2) % n, (i * 2) % n])
+        return pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+        })
+
+    edges = nodes.map_batches(mk_edges, batch_format="pyarrow")
+    return triangle_counts(nodes, edges, node_col="doc_id")
+
+
 def q_dsir_select(sf_dir: str):
     """DSIR importance resampling (stages/dsir.py, Xie et al. 2023):
     target model = the doc_id%7==0 slice, raw model = the whole corpus,
@@ -2486,6 +2509,33 @@ ORACLE_SQL.update({
         {_HITS_ROUNDS}
         SELECT a4.node AS doc_id, a4.s AS auth, h4.s AS hub
         FROM a4 JOIN h4 ON a4.node = h4.node
+    """,
+    # canonical a<b undirected triangle join: each triangle {x<y<z}
+    # found once as (x,y)+(x,z)+(y,z); per-vertex counts explode the
+    # three corners
+    "triangle_counts": """
+        WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        raw AS (
+          SELECT doc_id AS s, (doc_id+1) % (SELECT n FROM nn) AS d FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id+2) % (SELECT n FROM nn) FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id*2) % (SELECT n FROM nn) FROM documents),
+        e AS (SELECT DISTINCT LEAST(s,d) AS a, GREATEST(s,d) AS b
+              FROM raw WHERE s <> d),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        corners AS (
+          SELECT x AS v FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+        SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_triangles
+        FROM documents d
+        LEFT JOIN (SELECT v, COUNT(*) AS n FROM corners GROUP BY v) c
+          ON c.v = d.doc_id
     """,
     # bucket = LAST 4 hex chars of md5(gram) == stages/dsir.py's
     # digest[-2:]; rcnt always matches (raw includes every doc)
@@ -3326,6 +3376,7 @@ SQL_QUERIES = {
     "pagerank": q_pagerank,
     "hits": q_hits,
     "dsir_select": q_dsir_select,
+    "triangle_counts": q_triangle_counts,
     "approx_quantiles": q_approx_quantiles,
     "sequence_pack": q_sequence_pack,
     "kmeans_clusters": q_kmeans_clusters,
