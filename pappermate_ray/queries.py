@@ -2015,6 +2015,19 @@ def q_pagerank(sf_dir: str):
                     dense_ids=True)
 
 
+def q_tfidf_keywords(sf_dir: str):
+    """Top-5 TF-IDF keywords per doc (stages/keywords.py): distributed
+    document-frequency model (one distinct-term exchange) broadcast
+    via ray.put, per-batch lexsort tf runs, score = tf·ln(N/df) — ONE
+    double product both engines derive identically, so ranking is
+    bit-stable with no pre-rank rounding; ties resolve by term."""
+    from .stages.keywords import tfidf_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return tfidf_topk(docs, k=5)
+
+
 def q_triangle_counts(sf_dir: str):
     """Per-vertex triangle counts (ops/triangles.py): degree-ordered
     wedge counting over a planted mixed graph (i→i+1 chain, i→i+2
@@ -2509,6 +2522,24 @@ ORACLE_SQL.update({
         {_HITS_ROUNDS}
         SELECT a4.node AS doc_id, a4.s AS auth, h4.s AS hub
         FROM a4 JOIN h4 ON a4.node = h4.node
+    """,
+    "tfidf_keywords": r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE trim(text) <> ''),
+        nn AS (SELECT COUNT(*) AS n FROM toks),
+        tf AS (SELECT doc_id, g AS term, COUNT(*) AS tf
+               FROM (SELECT doc_id, unnest(w) AS g FROM toks)
+               GROUP BY doc_id, g),
+        scored AS (
+          SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+                 tf.tf * ln(CAST((SELECT n FROM nn) AS DOUBLE) / df.df) AS score
+          FROM tf
+          JOIN (SELECT term, COUNT(*) AS df FROM tf GROUP BY term) df
+            USING (term))
+        SELECT doc_id, term, tf, ROUND(score, 6) AS score FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term) <= 5
     """,
     # canonical a<b undirected triangle join: each triangle {x<y<z}
     # found once as (x,y)+(x,z)+(y,z); per-vertex counts explode the
@@ -3377,6 +3408,7 @@ SQL_QUERIES = {
     "hits": q_hits,
     "dsir_select": q_dsir_select,
     "triangle_counts": q_triangle_counts,
+    "tfidf_keywords": q_tfidf_keywords,
     "approx_quantiles": q_approx_quantiles,
     "sequence_pack": q_sequence_pack,
     "kmeans_clusters": q_kmeans_clusters,

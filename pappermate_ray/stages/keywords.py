@@ -1,0 +1,160 @@
+"""Per-document TF-IDF keyword extraction — the classic summarization /
+indexing signal (Salton & Buckley 1988; Spärck Jones 1972 idf) a corpus
+pipeline emits next to BM25 postings (stages/search.py) and hashed BoW
+embeddings.
+
+Two Ray-Data phases, one narrow exchange:
+
+- **document frequencies**: each block pre-aggregates its docs'
+  DISTINCT terms to ``(term, n_part)`` partials, a ``groupby(term).Sum``
+  shuffles only distinct terms, and the surviving table collects into
+  sorted numpy arrays (the lm.py broadcast-model shape). The artifact
+  is vocabulary-sized, not corpus-sized; at 100 TB ``min_df`` prunes
+  the hapax tail distributed-side before the collect, exactly like
+  train_bigram_lm's ``min_count`` (pruned terms keep idf = ln(N/1) —
+  a rank-only approximation documented on the parameter).
+- **score + select**: the (vocab, df) arrays ship via ``ray.put``
+  ONCE; each batch resolves (doc, term, tf) runs with one lexsort over
+  the batch's tokens, looks up df by searchsorted, and keeps each
+  doc's top-k by ``tf · ln(N/df)`` with ascending-term tiebreak.
+
+Determinism note: the score is ONE multiplication of two doubles that
+both engines derive identically (integer tf; ln of the same quotient),
+so cross-engine ordering is bit-stable without any pre-rank rounding —
+unlike summed log-scores (lm_perplexity), which need a rounding grid.
+True ties (equal tf and df) resolve by term.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+
+class DfModel(NamedTuple):
+    vocab: np.ndarray   # sorted term strings
+    df: np.ndarray      # document frequencies aligned with vocab
+    n_docs: int         # docs with >=1 token
+
+
+def _doc_term_runs(t: pa.Table, id_col: str, text_col: str):
+    """(doc ids run-aligned, term per run, tf per run): one lexsort over
+    the batch's tokens, no per-doc Python."""
+    docs = [(did, (x or "").split())
+            for did, x in zip(t[id_col].to_pylist(), t[text_col].to_pylist())]
+    docs = [(did, w) for did, w in docs if w]
+    if not docs:
+        return np.array([], np.int64), np.array([], object), np.array([], np.int64)
+    flat = np.array([tok for _, w in docs for tok in w], dtype=object)
+    lens = np.array([len(w) for _, w in docs], dtype=np.int64)
+    doc_of = np.repeat(np.arange(len(docs)), lens)
+    # dictionary-encode terms so the sort is over ints
+    uniq, inv = np.unique(flat, return_inverse=True)
+    order = np.lexsort((inv, doc_of))
+    d, g = doc_of[order], inv[order]
+    change = np.ones(len(d), bool)
+    change[1:] = (d[1:] != d[:-1]) | (g[1:] != g[:-1])
+    starts = np.flatnonzero(change)
+    tf = np.diff(np.append(starts, len(d)))
+    ids = np.array([did for did, _ in docs], dtype=np.int64)
+    return ids[d[starts]], uniq[g[starts]], tf.astype(np.int64)
+
+
+def train_df(
+    ds: "rd.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DfModel:
+    """Distributed document-frequency model over docs with ≥1 token."""
+
+    def block_df(t: pa.Table) -> pa.Table:
+        _, terms, _ = _doc_term_runs(t, id_col, text_col)
+        uniq, counts = np.unique(terms, return_counts=True)
+        return pa.table({
+            "term": pa.array(uniq, pa.string()),
+            "n_part": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(block_df, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n_part", alias_name="df"))
+    )
+    if min_df > 1:
+        agg = agg.filter(expr=f"df >= {min_df}")
+    terms: list = []
+    dfs: list = []
+    for t in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        terms.extend(t["term"].to_pylist())
+        dfs.extend(t["df"].to_pylist())
+    order = np.argsort(np.array(terms, dtype=object))
+    vocab = np.array(terms, dtype=object)[order]
+    df = np.array(dfs, dtype=np.int64)[order]
+
+    def nonempty(t: pa.Table) -> pa.Table:
+        n = sum(1 for x in t[text_col].to_pylist() if (x or "").split())
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    n_docs = sum(r["n"] for r in
+                 ds.map_batches(nonempty, batch_format="pyarrow").take_all())
+    return DfModel(vocab, df, n_docs)
+
+
+def tfidf_topk(
+    ds: "rd.Dataset",
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    model: DfModel | None = None,
+) -> "rd.Dataset":
+    """Top-``k`` keywords per doc: ``(id_col, term, tf, score)`` with
+    ``score = tf · ln(n_docs / df)`` rounded to 6 decimals AFTER
+    ranking (the raw product ranks bit-stably; see module notes)."""
+    m = model or train_df(ds, id_col, text_col, min_df)
+    ref = ray.put(m)
+
+    def score(t: pa.Table) -> pa.Table:
+        mm: DfModel = ray.get(ref)
+        v = len(mm.vocab)
+        dids, terms, tf = _doc_term_runs(t, id_col, text_col)
+        if len(dids) == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            })
+        pos = np.searchsorted(mm.vocab, terms)
+        pos_c = np.minimum(pos, max(v - 1, 0))
+        known = (pos < v) & (mm.vocab[pos_c] == terms) if v else np.zeros(len(terms), bool)
+        dfv = np.where(known, mm.df[pos_c], 1)  # pruned tail: df=1 rank proxy
+        s = tf * np.log(np.float64(mm.n_docs) / dfv)
+        out_d, out_t, out_tf, out_s = [], [], [], []
+        change = np.ones(len(dids), bool)
+        change[1:] = dids[1:] != dids[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(dids))
+        for a, b in zip(starts, ends):
+            # terms are ascending within the run; stable argsort keeps
+            # that order among equal scores = the term tiebreak
+            top = np.argsort(-s[a:b], kind="stable")[:k]
+            out_d.append(np.full(len(top), dids[a]))
+            out_t.extend(terms[a + top])
+            out_tf.append(tf[a + top])
+            out_s.append(np.round(s[a + top], 6))
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_d), pa.int64()),
+            "term": pa.array(out_t, pa.string()),
+            "tf": pa.array(np.concatenate(out_tf), pa.int64()),
+            "score": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1,0 +1,66 @@
+"""TF-IDF keywords (stages/keywords.py) — hand-computed ranking, term
+tiebreak, min_df prune, partitioning invariance."""
+
+import math
+
+import pytest
+
+
+@pytest.fixture()
+def corpus(ray_session):
+    import ray.data as rd
+
+    return rd.from_items(
+        [
+            {"doc_id": 0, "text": "common common rare"},
+            {"doc_id": 1, "text": "common zebra"},
+            {"doc_id": 2, "text": "common alpha beta"},
+            {"doc_id": 3, "text": "   "},
+        ],
+        override_num_blocks=2,
+    )
+
+
+def test_rare_term_outranks_common(corpus, ray_session):
+    from pappermate_ray.stages.keywords import tfidf_topk
+
+    out = tfidf_topk(corpus, k=1).take_all()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert 3 not in by_doc  # whitespace-only doc emits nothing
+    # doc 0: rare (tf=1, df=1, idf=ln 3) beats common (tf=2, df=3, idf=0)
+    assert by_doc[0]["term"] == "rare"
+    assert by_doc[0]["score"] == round(math.log(3.0), 6)
+    assert by_doc[1]["term"] == "zebra"
+
+
+def test_tie_breaks_by_term_ascending(corpus, ray_session):
+    from pappermate_ray.stages.keywords import tfidf_topk
+
+    out = [r for r in tfidf_topk(corpus, k=2).take_all() if r["doc_id"] == 2]
+    # alpha and beta tie exactly (tf=1, df=1): ascending term order wins
+    assert [r["term"] for r in out] == ["alpha", "beta"]
+
+
+def test_min_df_prunes_but_keeps_rank_proxy(corpus, ray_session):
+    from pappermate_ray.stages.keywords import tfidf_topk, train_df
+
+    m = train_df(corpus, min_df=2)
+    assert list(m.vocab) == ["common"]  # the hapax tail is pruned
+    out = {r["doc_id"]: r["term"]
+           for r in tfidf_topk(corpus, k=1, model=m).take_all()}
+    # pruned terms still score with df=1 proxy, so 'rare' still wins
+    assert out[0] == "rare"
+
+
+def test_partitioning_invariance(ray_session):
+    import ray.data as rd
+
+    from pappermate_ray.stages.keywords import tfidf_topk
+
+    rows = [{"doc_id": i, "text": f"w{i % 7} w{i % 7} w{i % 3} shared tail{i % 11}"}
+            for i in range(60)]
+    a = sorted(map(tuple, (r.values() for r in
+        tfidf_topk(rd.from_items(rows, override_num_blocks=1), k=3).take_all())))
+    b = sorted(map(tuple, (r.values() for r in
+        tfidf_topk(rd.from_items(rows, override_num_blocks=8), k=3).take_all())))
+    assert a == b
