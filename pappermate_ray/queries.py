@@ -2131,6 +2131,32 @@ _HITS_ROUNDS = "".join(
     for i in range(1, 5)
 )
 
+# bigram-LM scoring CTEs shared by lm_perplexity and ccnet_buckets:
+# train on doc_id%3<>0, score every doc's consecutive-token bigrams
+_LM_SCORED_CTE = r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE trim(text) <> ''),
+        tr AS (SELECT * FROM toks WHERE doc_id % 3 <> 0),
+        ucnt AS (SELECT g, COUNT(*) AS c
+                 FROM (SELECT unnest(w) AS g FROM tr) GROUP BY g),
+        vv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM ucnt),
+        tb AS (SELECT unnest(list_transform(range(len(w)-1),
+                        j -> {'w1': w[j+1], 'w2': w[j+2]})) AS bg FROM tr),
+        bcnt AS (SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS c
+                 FROM tb GROUP BY 1, 2),
+        sb AS (SELECT doc_id, unnest(list_transform(range(len(w)-1),
+                        j -> {'w1': w[j+1], 'w2': w[j+2]})) AS bg FROM toks),
+        scored AS (
+          SELECT s.doc_id, COUNT(*) AS n_bigrams,
+                 SUM(ln(COALESCE(bc.c, 0) + 0.5)
+                     - ln(COALESCE(uc.c, 0) + 0.5 * (SELECT v FROM vv))) AS lp
+          FROM sb s
+          LEFT JOIN bcnt bc ON bc.w1 = s.bg.w1 AND bc.w2 = s.bg.w2
+          LEFT JOIN ucnt uc ON uc.g = s.bg.w1
+          GROUP BY s.doc_id)
+"""
+
 
 def q_grouped_bottomk_sample(sf_dir: str):
     """Exactly-8-per-language deterministic sample
@@ -2169,6 +2195,26 @@ def q_lm_perplexity(sf_dir: str):
 
     model = train_bigram_lm(ds.map_batches(held_in, batch_format="pyarrow"))
     return perplexity_score(ds, model)
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail bucketing (stages/lm.py ccnet_buckets):
+    the deployment step after LM scoring — every doc bucketed by its
+    perplexity's position within its own language (p25/p75 discrete
+    quantiles, lower ppl = head). Same held-in-2/3 training split as
+    q_lm_perplexity; threshold table is O(#langs) and re-broadcasts."""
+    from .stages.lm import ccnet_buckets, train_bigram_lm
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    def held_in(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(np.asarray(t["doc_id"]) % 3 != 0))
+
+    model = train_bigram_lm(
+        ds.select_columns(["doc_id", "text"])
+        .map_batches(held_in, batch_format="pyarrow"))
+    return ccnet_buckets(ds, model)
 
 
 def q_grouped_quantiles(sf_dir: str):
@@ -2623,31 +2669,25 @@ ORACLE_SQL.update({
         SELECT doc_id, ROUND(s, 4) AS score FROM sc
         QUALIFY row_number() OVER (ORDER BY ROUND(s, 4) DESC, doc_id) <= 10
     """,
-    "lm_perplexity": r"""
-        WITH toks AS (
-          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-          FROM documents WHERE trim(text) <> ''),
-        tr AS (SELECT * FROM toks WHERE doc_id % 3 <> 0),
-        ucnt AS (SELECT g, COUNT(*) AS c
-                 FROM (SELECT unnest(w) AS g FROM tr) GROUP BY g),
-        vv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM ucnt),
-        tb AS (SELECT unnest(list_transform(range(len(w)-1),
-                        j -> {'w1': w[j+1], 'w2': w[j+2]})) AS bg FROM tr),
-        bcnt AS (SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS c
-                 FROM tb GROUP BY 1, 2),
-        sb AS (SELECT doc_id, unnest(list_transform(range(len(w)-1),
-                        j -> {'w1': w[j+1], 'w2': w[j+2]})) AS bg FROM toks),
-        scored AS (
-          SELECT s.doc_id, COUNT(*) AS n_bigrams,
-                 SUM(ln(COALESCE(bc.c, 0) + 0.5)
-                     - ln(COALESCE(uc.c, 0) + 0.5 * (SELECT v FROM vv))) AS lp
-          FROM sb s
-          LEFT JOIN bcnt bc ON bc.w1 = s.bg.w1 AND bc.w2 = s.bg.w2
-          LEFT JOIN ucnt uc ON uc.g = s.bg.w1
-          GROUP BY s.doc_id)
+    "lm_perplexity": _LM_SCORED_CTE + """
         SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
                ROUND(EXP(-lp / n_bigrams), 2) AS ppl
         FROM scored
+    """,
+    "ccnet_buckets": _LM_SCORED_CTE + """
+        , pp AS (
+          SELECT s.doc_id, d.lang,
+                 ROUND(EXP(-s.lp / s.n_bigrams), 2) AS ppl
+          FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+        thr AS (
+          SELECT lang, quantile_disc(ppl, 0.25) AS p25,
+                 quantile_disc(ppl, 0.75) AS p75
+          FROM pp GROUP BY lang)
+        SELECT pp.doc_id, pp.lang, pp.ppl,
+               CASE WHEN pp.ppl <= t.p25 THEN 'head'
+                    WHEN pp.ppl <= t.p75 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM pp JOIN thr t ON t.lang = pp.lang
     """,
     "grouped_quantiles": """
         SELECT lang,
@@ -3402,6 +3442,7 @@ SQL_QUERIES = {
     "bottomk_sample": q_bottomk_sample,
     "grouped_quantiles": q_grouped_quantiles,
     "lm_perplexity": q_lm_perplexity,
+    "ccnet_buckets": q_ccnet_buckets,
     "bm25_topk": q_bm25_topk,
     "grouped_bottomk_sample": q_grouped_bottomk_sample,
     "pagerank": q_pagerank,

@@ -115,22 +115,30 @@ def perplexity_score(
     model: BigramLM,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: tuple = (),
 ) -> "rd.Dataset":
     """Per-doc bigram perplexity under the broadcast model.
 
-    Emits ``(id_col, n_bigrams, ppl)`` for every doc with ≥1 bigram.
+    Emits ``(id_col, *carry_cols, n_bigrams, ppl)`` for every doc with
+    ≥1 bigram (``carry_cols`` pass through row-aligned — the lang
+    column for per-language bucketing rides along instead of paying a
+    doc_id join afterwards).
     """
     ref = ray.put(model)
 
     def score(t: pa.Table) -> pa.Table:
         m: BigramLM = ray.get(ref)
         v = len(m.vocab)
-        docs = [(did, (x or "").split())
-                for did, x in zip(t[id_col].to_pylist(), t[text_col].to_pylist())]
-        docs = [(did, w) for did, w in docs if len(w) >= 2]
+        docs = [(i, did, (x or "").split()) for i, (did, x) in enumerate(
+                zip(t[id_col].to_pylist(), t[text_col].to_pylist()))]
+        docs = [(i, did, w) for i, did, w in docs if len(w) >= 2]
+        rows = pa.array([i for i, _, _ in docs], pa.int64())
+        docs = [(did, w) for _, did, w in docs]
+        carried = {c: t[c].take(rows) for c in carry_cols}
         if not docs:
             return pa.table({
                 id_col: pa.array([], t[id_col].type),
+                **{c: pa.array([], t[c].type) for c in carry_cols},
                 "n_bigrams": pa.array([], pa.int64()),
                 "ppl": pa.array([], pa.float64()),
             })
@@ -162,8 +170,58 @@ def perplexity_score(
         ppl = np.round(np.exp(-sums / nb), 2)
         return pa.table({
             id_col: pa.array([did for did, _ in docs], t[id_col].type),
+            **carried,
             "n_bigrams": pa.array(nb, pa.int64()),
             "ppl": pa.array(ppl, pa.float64()),
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def ccnet_buckets(
+    ds: "rd.Dataset",
+    model: BigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> "rd.Dataset":
+    """CCNet's deployment step (Wenzek et al. 2020 §4.3): bucket every
+    document into head / middle / tail by its perplexity's position
+    within its OWN language's distribution (lower ppl = cleaner =
+    head). Emits ``(id_col, lang, ppl, bucket)``.
+
+    Thresholds are per-language discrete quantiles (p25/p75 — exactly
+    representable q values, same pinned rule as ops/quantiles.py) over
+    the scored corpus; the threshold table is O(#languages) rows, so
+    collecting and re-broadcasting it is bounded like BPE's per-round
+    driver pick. The scored lineage streams twice (threshold pass +
+    assignment pass) rather than materializing a corpus-length
+    intermediate.
+    """
+    from ..ops.quantiles import grouped_quantiles
+
+    scored = perplexity_score(ds, model, id_col, text_col,
+                              carry_cols=(lang_col,))
+    thr = grouped_quantiles(scored, lang_col, "ppl", [0.25, 0.75])
+    tmap = {r[lang_col]: (r["p25"], r["p75"]) for r in thr.take_all()}
+    ref = ray.put(tmap)
+
+    def assign(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        langs = np.array(t[lang_col].to_pylist(), dtype=object)
+        ppl = np.asarray(t["ppl"], np.float64)
+        bucket = np.empty(len(langs), dtype=object)
+        for lg in np.unique(langs):
+            p25, p75 = m[lg]
+            rows = langs == lg
+            bucket[rows] = np.where(
+                ppl[rows] <= p25, "head",
+                np.where(ppl[rows] <= p75, "middle", "tail"))
+        return pa.table({
+            id_col: t[id_col],
+            lang_col: t[lang_col],
+            "ppl": t["ppl"],
+            "bucket": pa.array(bucket, pa.string()),
+        })
+
+    return scored.map_batches(assign, batch_format="pyarrow")

@@ -58,3 +58,51 @@ class TestBigramLM:
         assert list(m.vocab) == ["a", "b"]       # c count 1 pruned
         assert list(m.big_keys) == [1]           # only (a,b) n=2 survives
         assert list(m.big_n) == [2]
+
+
+class TestCcnetBuckets:
+    def test_carry_cols_pass_through_filtered(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.lm import perplexity_score, train_bigram_lm
+
+        train = rd.from_items([{"doc_id": 0, "text": "a b a b"}])
+        m = train_bigram_lm(train)
+        ds = rd.from_items([
+            {"doc_id": 1, "text": "a b", "lang": "en"},
+            {"doc_id": 2, "text": "a", "lang": "fr"},   # <2 tokens: dropped
+            {"doc_id": 3, "text": "b a", "lang": "de"},
+        ])
+        out = {r["doc_id"]: r["lang"] for r in
+               perplexity_score(ds, m, carry_cols=("lang",)).take_all()}
+        assert out == {1: "en", 3: "de"}
+
+    def test_buckets_split_by_language(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.lm import ccnet_buckets, train_bigram_lm
+
+        # en: clean docs repeat the trained phrase, dirty ones are OOV;
+        # fr has its own scale so thresholds must be per-language
+        def tier(j: int, clean: str, i: int) -> str:
+            if j < 4:
+                return clean                       # head tier
+            if j < 6:
+                return clean + f" junk{i}"         # middle: one OOV tail token
+            return f"junk{i} weird{i} noise{i} blob{i}"  # tail: fully OOV
+
+        rows = [{"doc_id": i, "lang": "en",
+                 "text": tier(i, "good clean text here", i)} for i in range(8)]
+        rows += [{"doc_id": i, "lang": "fr",
+                  "text": tier(i - 8, "bon texte propre ici", i)}
+                 for i in range(8, 16)]
+        ds = rd.from_items(rows, override_num_blocks=3)
+        m = train_bigram_lm(rd.from_items(
+            [{"doc_id": 100, "text": "good clean text here"},
+             {"doc_id": 101, "text": "bon texte propre ici"}]))
+        out = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(ds, m).take_all()}
+        assert len(out) == 16
+        for i in range(16):
+            j = i % 8
+            want = "head" if j < 4 else ("middle" if j < 6 else "tail")
+            assert out[i] == want, (i, out[i], want)
