@@ -140,6 +140,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "url_canonicalize", "domain_cap", "host_quality", "shard_shuffle",
         "bpe_merges", "resolve_redirects", "perceptron_filter",
         "incremental_new", "anchor_text",
+        "hits", "triangle_counts", "dsir_select", "tfidf_keywords",
+        "ccnet_buckets", "robots_filter",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()
