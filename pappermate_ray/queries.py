@@ -2048,7 +2048,9 @@ def q_triangle_counts(sf_dir: str):
         })
 
     edges = nodes.map_batches(mk_edges, batch_format="pyarrow")
-    return triangle_counts(nodes, edges, node_col="doc_id")
+    # contiguous ids → broadcast fast path (the join path is the
+    # >2M-edge shape; both asserted equal in tests)
+    return triangle_counts(nodes, edges, node_col="doc_id", dense_ids=True)
 
 
 def q_dsir_select(sf_dir: str):
