@@ -2015,6 +2015,40 @@ def q_pagerank(sf_dir: str):
                     dense_ids=True)
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Crawl snapshot diff (ops/snapshot.py): old = docs with
+    doc_id%5≠0, new = docs with doc_id%7≠0 whose %3==0 members changed
+    content — classify every url as added/removed/changed in ONE
+    tagged-union exchange (only url+md5 digest move; unchanged urls,
+    the crawl-scale majority, never leave the partition)."""
+    import hashlib
+
+    from .ops.snapshot import snapshot_diff
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def side(keep_mod: int, bump_v2: bool):
+        def _s(t: pa.Table) -> pa.Table:
+            i = np.asarray(t["doc_id"], np.int64)
+            keep = i % keep_mod != 0
+            i = i[keep]
+            texts = np.array(t["text"].to_pylist(), dtype=object)[keep]
+            dig = [hashlib.md5(
+                       (x + ("v2" if bump_v2 and d % 3 == 0 else "")).encode()
+                   ).hexdigest()
+                   for d, x in zip(i, texts)]
+            return pa.table({
+                "url": pa.array([f"u{d}" for d in i], pa.string()),
+                "digest": pa.array(dig, pa.string()),
+            })
+        return _s
+
+    old = docs.map_batches(side(5, False), batch_format="pyarrow")
+    new = docs.map_batches(side(7, True), batch_format="pyarrow")
+    return snapshot_diff(old, new)
+
+
 def q_tfidf_keywords(sf_dir: str):
     """Top-5 TF-IDF keywords per doc (stages/keywords.py): distributed
     document-frequency model (one distinct-term exchange) broadcast
@@ -2570,6 +2604,24 @@ ORACLE_SQL.update({
         {_HITS_ROUNDS}
         SELECT a4.node AS doc_id, a4.s AS auth, h4.s AS hub
         FROM a4 JOIN h4 ON a4.node = h4.node
+    """,
+    "snapshot_diff": """
+        WITH o AS (
+          SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, md5(text) AS digest
+          FROM documents WHERE doc_id % 5 <> 0),
+        nw AS (
+          SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                 md5(text || CASE WHEN doc_id % 3 = 0 THEN 'v2' ELSE '' END)
+                   AS digest
+          FROM documents WHERE doc_id % 7 <> 0)
+        SELECT COALESCE(o.url, nw.url) AS url,
+               CASE WHEN o.url IS NULL THEN 'added'
+                    WHEN nw.url IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status,
+               COALESCE(o.digest, '') AS old_digest,
+               COALESCE(nw.digest, '') AS new_digest
+        FROM o FULL OUTER JOIN nw ON o.url = nw.url
+        WHERE o.url IS NULL OR nw.url IS NULL OR o.digest <> nw.digest
     """,
     "tfidf_keywords": r"""
         WITH toks AS (
@@ -3452,6 +3504,7 @@ SQL_QUERIES = {
     "dsir_select": q_dsir_select,
     "triangle_counts": q_triangle_counts,
     "tfidf_keywords": q_tfidf_keywords,
+    "snapshot_diff": q_snapshot_diff,
     "approx_quantiles": q_approx_quantiles,
     "sequence_pack": q_sequence_pack,
     "kmeans_clusters": q_kmeans_clusters,
