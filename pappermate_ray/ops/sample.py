@@ -181,3 +181,45 @@ def weighted_mixture_sample(
         return t.filter(pa.array(prios < ts))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def split_assign(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    splits=(("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    salt: str = "split42",
+    out_col: str = "split",
+) -> "ray.data.Dataset":
+    """Deterministic train/val/test partition: every row gets exactly
+    one split label from ``md5(id:salt)``'s first 8 hex digits against
+    cumulative hex thresholds — the same coin as
+    ``weighted_mixture_sample``, so the assignment is zero-shuffle,
+    stable under re-partitioning/retries, and SQL-reproducible
+    (fixed-width lowercase-hex string comparison = numeric
+    comparison). Fractions must sum to 1 (the last split absorbs the
+    rounding tail of the hex grid).
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    if abs(sum(f for _, f in splits) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    cum = 0.0
+    bounds = []
+    for name, frac in splits[:-1]:
+        cum += frac
+        bounds.append((name, format(int(cum * 16 ** 8), "08x")))
+    last = splits[-1][0]
+
+    def assign(t: pa.Table) -> pa.Table:
+        prios = np.array(
+            [hashlib.md5(f"{i}:{salt}".encode()).hexdigest()[:8]
+             for i in t[id_col].to_pylist()], dtype=object)
+        labels = np.full(t.num_rows, last, dtype=object)
+        for name, b in reversed(bounds):
+            labels[prios < b] = name
+        return t.append_column(out_col, pa.array(labels, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

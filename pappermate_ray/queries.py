@@ -2015,6 +2015,38 @@ def q_pagerank(sf_dir: str):
                     dense_ids=True)
 
 
+def q_split_assign(sf_dir: str):
+    """Deterministic train/val/test assignment (ops/sample.split_assign,
+    90/5/5): md5(id:salt) first-8-hex against cumulative hex-literal
+    thresholds — zero shuffles, stable under repartitioning/retries,
+    string-compare = numeric-compare so the SQL oracle is exact."""
+    from .ops.sample import split_assign
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return split_assign(ds, "doc_id")
+
+
+def q_corpus_drift(sf_dir: str):
+    """Corpus drift monitor (stages/dsir.corpus_drift): KL(new‖old) +
+    total variation between the even-doc and odd-doc halves' hashed-gram
+    multinomials — two streaming count passes, (bucket,count) ints in
+    the shuffle, 65k-vector math on the driver."""
+    from .stages.dsir import corpus_drift
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def half(parity: int):
+        def _h(t: pa.Table) -> pa.Table:
+            i = np.asarray(t["doc_id"], np.int64)
+            return t.filter(pa.array(i % 2 == parity))
+        return _h
+
+    old = docs.map_batches(half(0), batch_format="pyarrow")
+    new = docs.map_batches(half(1), batch_format="pyarrow")
+    return corpus_drift(old, new)
+
+
 def q_snapshot_diff(sf_dir: str):
     """Crawl snapshot diff (ops/snapshot.py): old = docs with
     doc_id%5≠0, new = docs with doc_id%7≠0 whose %3==0 members changed
@@ -2604,6 +2636,43 @@ ORACLE_SQL.update({
         {_HITS_ROUNDS}
         SELECT a4.node AS doc_id, a4.s AS auth, h4.s AS hub
         FROM a4 JOIN h4 ON a4.node = h4.node
+    """,
+    # thresholds are the SAME int(frac * 16^8) hex literals split_assign
+    # computes; lowercase-hex string compare = numeric compare
+    "split_assign": f"""
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split42'), 1, 8)
+                         < '{format(int(0.9 * 16 ** 8), "08x")}' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split42'), 1, 8)
+                         < '{format(int(0.95 * 16 ** 8), "08x")}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    "corpus_drift": r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE trim(text) <> ''),
+        g AS (
+          SELECT doc_id, unnest(w) AS g FROM toks
+          UNION ALL
+          SELECT doc_id, unnest(list_transform(range(GREATEST(len(w)-1, 0)),
+                          j -> w[j+1] || ' ' || w[j+2])) AS g FROM toks),
+        gb AS (SELECT doc_id, substr(md5(g), 29, 4) AS b FROM g),
+        ocnt AS (SELECT b, COUNT(*) AS c FROM gb WHERE doc_id % 2 = 0 GROUP BY b),
+        ncnt AS (SELECT b, COUNT(*) AS c FROM gb WHERE doc_id % 2 = 1 GROUP BY b),
+        space AS (SELECT printf('%04x', i) AS b FROM range(65536) t(i)),
+        j AS (SELECT s.b, CAST(COALESCE(o.c, 0) AS DOUBLE) AS co,
+                     CAST(COALESCE(nn.c, 0) AS DOUBLE) AS cn
+              FROM space s
+              LEFT JOIN ocnt o ON o.b = s.b
+              LEFT JOIN ncnt nn ON nn.b = s.b),
+        tot AS (SELECT SUM(co) AS so, SUM(cn) AS sn FROM j),
+        p AS (SELECT (co + 1.0) / ((SELECT so FROM tot) + 65536.0) AS po,
+                     (cn + 1.0) / ((SELECT sn FROM tot) + 65536.0) AS pn
+              FROM j)
+        SELECT ROUND(SUM(pn * ln(pn / po)), 6) AS kl,
+               ROUND(0.5 * SUM(ABS(pn - po)), 6) AS tv
+        FROM p
     """,
     "snapshot_diff": """
         WITH o AS (
@@ -3505,6 +3574,8 @@ SQL_QUERIES = {
     "triangle_counts": q_triangle_counts,
     "tfidf_keywords": q_tfidf_keywords,
     "snapshot_diff": q_snapshot_diff,
+    "split_assign": q_split_assign,
+    "corpus_drift": q_corpus_drift,
     "approx_quantiles": q_approx_quantiles,
     "sequence_pack": q_sequence_pack,
     "kmeans_clusters": q_kmeans_clusters,

@@ -180,3 +180,35 @@ def dsir_select(
 
     pruned = weights.map_batches(local_topk, batch_format="pyarrow")
     return pruned.sort(["lw", id_col], descending=[True, False]).limit(k)
+
+
+def corpus_drift(
+    old: "rd.Dataset",
+    new: "rd.Dataset",
+    text_col: str = "text",
+    hex_chars: int = 4,
+    round_to: int = 6,
+) -> "rd.Dataset":
+    """Distribution drift between two corpora over the hashed-gram
+    bucket space: one row ``(kl, tv)`` — KL(new‖old) and total
+    variation distance between the add-1-smoothed bucket multinomials.
+    The crawl-monitoring stat that flags a snapshot whose content
+    shifted (spam flood, template change) before it enters the mix.
+
+    Reuses ``hashed_gram_counts`` — one streaming pass per corpus,
+    shuffles carry only (bucket, count) ints, the two m-vectors meet
+    on the driver (m = 16^hex_chars, a model property). Rounded so the
+    65k-term double sum's cross-engine ordering noise (~1e-13) cannot
+    flip a digit.
+    """
+    m = float(16 ** hex_chars)
+    co = hashed_gram_counts(old, text_col, hex_chars).astype(np.float64)
+    cn = hashed_gram_counts(new, text_col, hex_chars).astype(np.float64)
+    po = (co + 1.0) / (co.sum() + m)
+    pn = (cn + 1.0) / (cn.sum() + m)
+    kl = float(np.sum(pn * np.log(pn / po)))
+    tv = 0.5 * float(np.sum(np.abs(pn - po)))
+    return rd.from_items([{
+        "kl": round(kl, round_to),
+        "tv": round(tv, round_to),
+    }])
