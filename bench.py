@@ -141,7 +141,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "bpe_merges", "resolve_redirects", "perceptron_filter",
         "incremental_new", "anchor_text",
         "hits", "triangle_counts", "dsir_select", "tfidf_keywords",
-        "ccnet_buckets", "robots_filter",
+        "ccnet_buckets", "robots_filter", "snapshot_diff", "split_assign",
+        "corpus_drift",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

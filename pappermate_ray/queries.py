@@ -2015,6 +2015,19 @@ def q_pagerank(sf_dir: str):
                     dense_ids=True)
 
 
+def q_collocations_pmi(sf_dir: str):
+    """Top-30 PMI collocations (stages/keywords.collocations_pmi,
+    min_count=3): distributed distinct-gram counting (the bigram-LM
+    pass), vocabulary-sized driver math; the PMI ln-chain is written
+    in the same left-associated order both engines evaluate, so
+    ranking by the rounded value is exact."""
+    from .stages.keywords import collocations_pmi
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return collocations_pmi(docs, k=30, min_count=3)
+
+
 def q_split_assign(sf_dir: str):
     """Deterministic train/val/test assignment (ops/sample.split_assign,
     90/5/5): md5(id:salt) first-8-hex against cumulative hex-literal
@@ -2636,6 +2649,33 @@ ORACLE_SQL.update({
         {_HITS_ROUNDS}
         SELECT a4.node AS doc_id, a4.s AS auth, h4.s AS hub
         FROM a4 JOIN h4 ON a4.node = h4.node
+    """,
+    # PMI ln-chain written in the exact left-associated order the
+    # numpy expression evaluates — identical doubles, then ROUND(…,6)
+    "collocations_pmi": r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE trim(text) <> ''),
+        uni AS (SELECT g, COUNT(*) AS c
+                FROM (SELECT unnest(w) AS g FROM toks) GROUP BY g),
+        t1 AS (SELECT CAST(SUM(c) AS DOUBLE) AS v FROM uni),
+        big AS (SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS c
+                FROM (SELECT unnest(list_transform(range(len(w)-1),
+                        j -> {'w1': w[j+1], 'w2': w[j+2]})) AS bg FROM toks)
+                GROUP BY 1, 2),
+        t2 AS (SELECT CAST(SUM(c) AS DOUBLE) AS v FROM big),
+        p AS (
+          SELECT b.w1, b.w2, CAST(b.c AS BIGINT) AS n,
+                 ROUND(ln(CAST(b.c AS DOUBLE)) - ln((SELECT v FROM t2))
+                       - ln(CAST(u1.c AS DOUBLE)) + ln((SELECT v FROM t1))
+                       - ln(CAST(u2.c AS DOUBLE)) + ln((SELECT v FROM t1)),
+                       6) AS pmi
+          FROM big b
+          JOIN uni u1 ON u1.g = b.w1
+          JOIN uni u2 ON u2.g = b.w2
+          WHERE b.c >= 3)
+        SELECT w1, w2, n, pmi FROM p
+        ORDER BY pmi DESC, w1, w2 LIMIT 30
     """,
     # thresholds are the SAME int(frac * 16^8) hex literals split_assign
     # computes; lowercase-hex string compare = numeric compare
@@ -3575,6 +3615,7 @@ SQL_QUERIES = {
     "tfidf_keywords": q_tfidf_keywords,
     "snapshot_diff": q_snapshot_diff,
     "split_assign": q_split_assign,
+    "collocations_pmi": q_collocations_pmi,
     "corpus_drift": q_corpus_drift,
     "approx_quantiles": q_approx_quantiles,
     "sequence_pack": q_sequence_pack,

@@ -158,3 +158,55 @@ def tfidf_topk(
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def collocations_pmi(
+    ds: "rd.Dataset",
+    k: int = 30,
+    text_col: str = "text",
+    min_count: int = 3,
+    round_to: int = 6,
+) -> "rd.Dataset":
+    """Top-``k`` collocations by pointwise mutual information (Church &
+    Hanks 1990) — the corpus-analysis pass that surfaces multiword
+    expressions ("Hong Kong", boilerplate phrases) for tokenizer /
+    template diagnostics.
+
+    Counting is the distributed bigram-LM pass (stages/lm.py: distinct
+    grams in the shuffle, ``min_count`` prunes the hapax tail so the
+    collected model is vocabulary-sized); the PMI table then falls out
+    of the model arrays driver-side, O(vocab). The PMI expression is
+    written as the SAME left-associated chain of ln's both engines
+    evaluate identically (no product overflow past 2^53, no
+    summation-order noise), rounded AFTER ranking would be redundant —
+    ties resolve by (w1, w2).
+
+    ``pmi = ln(c12) − ln(T2) − ln(c1) + ln(T1) − ln(c2) + ln(T1)``
+    with T1/T2 = total unigram/bigram tokens.
+    """
+    from .lm import train_bigram_lm
+
+    m = train_bigram_lm(ds, text_col=text_col, min_count=1)
+    v = len(m.vocab)
+    t1 = float(m.uni_n.sum())
+    t2 = float(m.big_n.sum())
+    keep = m.big_n >= min_count
+    keys, c12 = m.big_keys[keep], m.big_n[keep].astype(np.float64)
+    id1, id2 = keys // (v + 1), keys % (v + 1)
+    ok = (id1 < v) & (id2 < v)  # OOV sentinel never appears here, but guard
+    id1, id2, c12 = id1[ok], id2[ok], c12[ok]
+    c1 = m.uni_n[id1].astype(np.float64)
+    c2 = m.uni_n[id2].astype(np.float64)
+    lt1, lt2 = np.log(t1), np.log(t2)
+    pmi = np.log(c12) - lt2 - np.log(c1) + lt1 - np.log(c2) + lt1
+    pmi = np.round(pmi, round_to)
+    w1 = m.vocab[id1]
+    w2 = m.vocab[id2]
+    # vocab is sorted, so word ids ARE lexicographic ranks — lexsort
+    # over ints gives the (pmi DESC, w1, w2) order
+    order = np.lexsort((id2, id1, -pmi))[:k]
+    return rd.from_items([
+        {"w1": str(w1[i]), "w2": str(w2[i]), "n": int(c12[i]),
+         "pmi": float(pmi[i])}
+        for i in order
+    ])

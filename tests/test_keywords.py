@@ -64,3 +64,32 @@ def test_partitioning_invariance(ray_session):
     b = sorted(map(tuple, (r.values() for r in
         tfidf_topk(rd.from_items(rows, override_num_blocks=8), k=3).take_all())))
     assert a == b
+
+
+class TestCollocations:
+    def test_bound_pair_tops_pmi(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.keywords import collocations_pmi
+
+        # 'hong kong' ALWAYS co-occurs; 'the' is frequent but free
+        rows = [{"doc_id": i,
+                 "text": f"the visit to hong kong was the w{i % 4} trip"}
+                for i in range(20)]
+        out = collocations_pmi(rd.from_items(rows, override_num_blocks=3),
+                               k=3, min_count=3).take_all()
+        assert (out[0]["w1"], out[0]["w2"]) == ("hong", "kong")
+        assert out[0]["n"] == 20
+        assert all(out[0]["pmi"] >= r["pmi"] for r in out[1:])
+
+    def test_min_count_filters(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.keywords import collocations_pmi
+
+        rows = [{"doc_id": 0, "text": "rare pair"},
+                {"doc_id": 1, "text": "common duo common duo common duo"}]
+        out = collocations_pmi(rd.from_items(rows), k=10, min_count=2).take_all()
+        pairs = {(r["w1"], r["w2"]) for r in out}
+        assert ("rare", "pair") not in pairs
+        assert ("common", "duo") in pairs
