@@ -2015,6 +2015,17 @@ def q_pagerank(sf_dir: str):
                     dense_ids=True)
 
 
+def q_chunk_documents(sf_dir: str):
+    """RAG token-window chunking (stages/chunking.py): 128-token
+    windows at stride 64 (50% overlap) — shuffle-free flat-map, window
+    rule reproduced in SQL via range + list_slice."""
+    from .stages.chunking import chunk_documents
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return chunk_documents(docs, chunk_tokens=128, stride=64)
+
+
 def q_collocations_pmi(sf_dir: str):
     """Top-30 PMI collocations (stages/keywords.collocations_pmi,
     min_count=3): distributed distinct-gram counting (the bigram-LM
@@ -2649,6 +2660,17 @@ ORACLE_SQL.update({
         {_HITS_ROUNDS}
         SELECT a4.node AS doc_id, a4.s AS auth, h4.s AS hub
         FROM a4 JOIN h4 ON a4.node = h4.node
+    """,
+    "chunk_documents": r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE trim(text) <> ''),
+        c AS (SELECT doc_id, unnest(range(0, len(w), 64)) AS s, w FROM toks)
+        SELECT doc_id,
+               CAST(s // 64 AS BIGINT) AS chunk_id,
+               CAST(LEAST(len(w) - s, 128) AS BIGINT) AS n_tokens,
+               array_to_string(list_slice(w, s + 1, s + 128), ' ') AS chunk_text
+        FROM c
     """,
     # PMI ln-chain written in the exact left-associated order the
     # numpy expression evaluates — identical doubles, then ROUND(…,6)
@@ -3616,6 +3638,7 @@ SQL_QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "split_assign": q_split_assign,
     "collocations_pmi": q_collocations_pmi,
+    "chunk_documents": q_chunk_documents,
     "corpus_drift": q_corpus_drift,
     "approx_quantiles": q_approx_quantiles,
     "sequence_pack": q_sequence_pack,

@@ -93,3 +93,34 @@ class TestCollocations:
         pairs = {(r["w1"], r["w2"]) for r in out}
         assert ("rare", "pair") not in pairs
         assert ("common", "duo") in pairs
+
+
+class TestChunking:
+    def test_window_rule(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.chunking import chunk_documents
+
+        toks = " ".join(f"t{i}" for i in range(10))
+        ds = rd.from_items([{"doc_id": 1, "text": toks},
+                            {"doc_id": 2, "text": "only one"},
+                            {"doc_id": 3, "text": "  "}])
+        out = sorted(chunk_documents(ds, chunk_tokens=4, stride=3).take_all(),
+                     key=lambda r: (r["doc_id"], r["chunk_id"]))
+        d1 = [r for r in out if r["doc_id"] == 1]
+        assert [r["chunk_text"] for r in d1] == [
+            "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9"]
+        assert [r["n_tokens"] for r in d1] == [4, 4, 4, 1]
+        d2 = [r for r in out if r["doc_id"] == 2]
+        assert len(d2) == 1 and d2[0]["chunk_text"] == "only one"
+        assert not [r for r in out if r["doc_id"] == 3]  # empty doc: no chunks
+
+    def test_stride_equal_chunk_partitions(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.chunking import chunk_documents
+
+        ds = rd.from_items([{"doc_id": 1, "text": "a b c d e f"}])
+        out = chunk_documents(ds, chunk_tokens=2, stride=2).take_all()
+        assert " ".join(r["chunk_text"] for r in
+                        sorted(out, key=lambda r: r["chunk_id"])) == "a b c d e f"
