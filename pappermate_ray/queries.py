@@ -2015,6 +2015,18 @@ def q_pagerank(sf_dir: str):
                     dense_ids=True)
 
 
+def q_phrase_search(sf_dir: str):
+    """Exact-phrase retrieval (stages/search.phrase_search) for
+    'big order scan': positional alignment intersection — phrase-term
+    occurrences only enter the exchange, two narrow groupbys on the
+    doc-id key family."""
+    from .stages.search import phrase_search
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return phrase_search(docs, ["big", "order", "scan"])
+
+
 def q_chunk_documents(sf_dir: str):
     """RAG token-window chunking (stages/chunking.py): 128-token
     windows at stride 64 (50% overlap) — shuffle-free flat-map, window
@@ -2660,6 +2672,23 @@ ORACLE_SQL.update({
         {_HITS_ROUNDS}
         SELECT a4.node AS doc_id, a4.s AS auth, h4.s AS hub
         FROM a4 JOIN h4 ON a4.node = h4.node
+    """,
+    # positional alignment: occurrence of phrase[i] at position p
+    # claims start a = p - i; a start with all 3 slots is a match
+    "phrase_search": r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE trim(text) <> ''),
+        pos AS (SELECT doc_id, unnest(w) AS term,
+                       unnest(range(len(w))) AS p FROM toks),
+        ph AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'big'),
+                                     (1, 'order'), (2, 'scan')) t(i, term)),
+        al AS (SELECT pos.doc_id, pos.p - ph.i AS a
+               FROM pos JOIN ph ON ph.term = pos.term),
+        fullm AS (SELECT doc_id, a FROM al
+                  GROUP BY doc_id, a HAVING COUNT(*) = 3)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+        FROM fullm GROUP BY doc_id
     """,
     "chunk_documents": r"""
         WITH toks AS (
@@ -3639,6 +3668,7 @@ SQL_QUERIES = {
     "split_assign": q_split_assign,
     "collocations_pmi": q_collocations_pmi,
     "chunk_documents": q_chunk_documents,
+    "phrase_search": q_phrase_search,
     "corpus_drift": q_corpus_drift,
     "approx_quantiles": q_approx_quantiles,
     "sequence_pack": q_sequence_pack,

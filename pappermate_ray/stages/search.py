@@ -135,3 +135,62 @@ def bm25_topk(
 
     partials = per_doc.map_batches(local_topk, batch_format="pyarrow")
     return partials.sort(["score", id_col], descending=[True, False]).limit(k)
+
+
+def phrase_search(
+    ds: "rd.Dataset",
+    phrase: List[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """Exact token-phrase matching via positional-posting alignment —
+    the phrase-query sibling of ``bm25_topk`` (eval-set mining, quote
+    detection, boilerplate hunting). Emits ``(id_col, n_matches)`` for
+    every doc containing the phrase at least once.
+
+    The classic positional-index intersection, shuffled once: each
+    occurrence of phrase term ``phrase[i]`` at token position ``p``
+    claims aligned start ``a = p − i``; a start where ALL k slots are
+    claimed is a match (slot rows are distinct by construction — one
+    token position claims a given (a, i) at most once, so a plain
+    count == k detects the full phrase, repeated phrase terms
+    included).
+
+    Scale shape: the phrase is the broadcast small side (closure) and
+    pruning happens AT TOKENIZATION — only phrase-term occurrences
+    enter the exchange; then one (doc, a) groupby-count and one narrow
+    per-doc count, both on the same doc-id key family.
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    k = len(phrase)
+    slots = [(term, i) for i, term in enumerate(phrase)]
+
+    def aligned(t: pa.Table) -> pa.Table:
+        out_id, out_a = [], []
+        for did, x in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            w = (x or "").split()
+            if not w:
+                continue
+            arr = np.array(w, dtype=object)
+            for term, i in slots:
+                ps = np.flatnonzero(arr == term)
+                if len(ps):
+                    out_id.extend([did] * len(ps))
+                    out_a.extend(ps - i)
+        return pa.table({
+            id_col: pa.array(out_id, t[id_col].type),
+            "a": pa.array(np.array(out_a, np.int64), pa.int64()),
+        })
+
+    al = ds.map_batches(aligned, batch_format="pyarrow")
+    starts = (
+        al.groupby([id_col, "a"])
+        .aggregate(Count(alias_name="n_slots"))
+        .filter(expr=f"n_slots == {k}")
+    )
+    matches = (
+        starts.groupby(id_col)
+        .aggregate(Count(alias_name="n_matches"))
+    )
+    return matches.select_columns([id_col, "n_matches"])

@@ -47,3 +47,43 @@ class TestBM25:
 
         assert len(bm25_topk(corpus, ["x", "z"], k=1).take_all()) == 1
         assert bm25_topk(corpus, ["missingterm"], k=5).take_all() == []
+
+
+class TestPhraseSearch:
+    def test_counts_and_overlaps(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.search import phrase_search
+
+        ds = rd.from_items([
+            {"doc_id": 1, "text": "a b c a b c"},     # 2 matches of 'a b c'
+            {"doc_id": 2, "text": "a b x c"},          # none
+            {"doc_id": 3, "text": "a a b c"},          # 1
+            {"doc_id": 4, "text": ""},
+        ], override_num_blocks=2)
+        out = {r["doc_id"]: r["n_matches"]
+               for r in phrase_search(ds, ["a", "b", "c"]).take_all()}
+        assert out == {1: 2, 3: 1}
+
+    def test_repeated_phrase_terms(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.search import phrase_search
+
+        ds = rd.from_items([
+            {"doc_id": 1, "text": "the cat the dog"},   # 'the cat the' once
+            {"doc_id": 2, "text": "the cat cat the"},   # no
+            {"doc_id": 3, "text": "the the cat the"},   # match at pos 1
+        ])
+        out = {r["doc_id"]: r["n_matches"]
+               for r in phrase_search(ds, ["the", "cat", "the"]).take_all()}
+        assert out == {1: 1, 3: 1}
+
+    def test_single_token_phrase_counts_occurrences(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.search import phrase_search
+
+        ds = rd.from_items([{"doc_id": 1, "text": "x y x z x"}])
+        out = phrase_search(ds, ["x"]).take_all()
+        assert out == [{"doc_id": 1, "n_matches": 3}]
