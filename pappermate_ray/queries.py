@@ -2015,6 +2015,18 @@ def q_pagerank(sf_dir: str):
                     dense_ids=True)
 
 
+def q_winnow_fingerprints(sf_dir: str):
+    """MOSS winnowing fingerprints (stages/winnow.py, k=3 token grams,
+    window w=4): per-window minimum of packed (md5-8hex ‖ position)
+    keys — shuffle-free streaming map; oracle is a window-function MIN
+    over the same packed strings."""
+    from .stages.winnow import winnow_fingerprints
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return winnow_fingerprints(docs, k=3, w=4)
+
+
 def q_phrase_search(sf_dir: str):
     """Exact-phrase retrieval (stages/search.phrase_search) for
     'big order scan': positional alignment intersection — phrase-term
@@ -2672,6 +2684,30 @@ ORACLE_SQL.update({
         {_HITS_ROUNDS}
         SELECT a4.node AS doc_id, a4.s AS auth, h4.s AS hub
         FROM a4 JOIN h4 ON a4.node = h4.node
+    """,
+    # winnowing: pk = hash || zero-padded pos, so lexicographic MIN ==
+    # min of (hash, leftmost pos); short docs (< w grams) keep their
+    # single whole-doc window via the j >= LEAST(w, ng)-1 gate
+    "winnow_fingerprints": r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE trim(text) <> ''),
+        g AS (SELECT doc_id, len(w) - 2 AS ng,
+                     unnest(range(GREATEST(len(w) - 2, 0))) AS j, w
+              FROM toks),
+        gr AS (SELECT doc_id, ng, j,
+                 substr(md5(array_to_string(list_slice(w, j+1, j+3), ' ')), 1, 8)
+                 || printf('%08d', j) AS pk
+               FROM g),
+        wm AS (SELECT doc_id, ng, j,
+                 MIN(pk) OVER (PARTITION BY doc_id ORDER BY j
+                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mpk
+               FROM gr),
+        sel AS (SELECT DISTINCT doc_id, mpk FROM wm
+                WHERE j >= LEAST(4, ng) - 1)
+        SELECT doc_id, CAST(substr(mpk, 9, 8) AS BIGINT) AS pos,
+               substr(mpk, 1, 8) AS fp
+        FROM sel
     """,
     # positional alignment: occurrence of phrase[i] at position p
     # claims start a = p - i; a start with all 3 slots is a match
@@ -3669,6 +3705,7 @@ SQL_QUERIES = {
     "collocations_pmi": q_collocations_pmi,
     "chunk_documents": q_chunk_documents,
     "phrase_search": q_phrase_search,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "corpus_drift": q_corpus_drift,
     "approx_quantiles": q_approx_quantiles,
     "sequence_pack": q_sequence_pack,

@@ -1,0 +1,87 @@
+"""Winnowing fingerprints — the MOSS local document fingerprinting
+algorithm (Schleimer, Wilkerson & Aiken 2003): hash every token
+k-gram, slide a window of w consecutive gram hashes over the doc, and
+keep each window's minimum. The guarantee: any shared run of at least
+w+k−1 tokens between two documents contributes at least one COMMON
+fingerprint, while the fingerprint density stays ~2/(w+1) — the
+robust sparse signature layer between exact substring dedup
+(stages/webclean.py, every window) and MinHash (stages/dedup.py,
+whole-doc).
+
+Ties inside a window break by LEFTMOST position (the original paper
+uses rightmost; any position rule that depends only on window CONTENT
+preserves the guarantee, because a fully-shared window selects the
+same relative gram in both documents). The selection key is the
+packed string ``hash_8hex || zero-padded-position`` so "min of the
+pair (hash, pos)" is one lexicographic string min — the same trick
+that makes the DuckDB oracle a plain window-function MIN.
+
+Shuffle-free streaming map: fingerprints emit per batch; downstream
+dedup/pair-mining groups on the fp key (16 bytes) exactly like
+paragraph_dedup's md5 keys. Docs shorter than k tokens emit nothing;
+docs with 1 ≤ n_grams < w emit the single whole-doc window's minimum
+(so every doc with a full k-gram has ≥1 fingerprint).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+
+def _gram_hashes(w_tokens: list, k: int) -> np.ndarray:
+    """8-hex md5 prefix per k-gram of the token list (object array)."""
+    n = len(w_tokens) - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=object)
+    out = np.empty(n, dtype=object)
+    for j in range(n):
+        g = " ".join(w_tokens[j:j + k])
+        out[j] = hashlib.md5(g.encode()).hexdigest()[:8]
+    return out
+
+
+def winnow_fingerprints(
+    ds: "rd.Dataset",
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """``(id_col, pos, fp)`` — the selected k-gram positions and their
+    8-hex fingerprints, one row per distinct selection per doc."""
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+
+    def batch(t: pa.Table) -> pa.Table:
+        out_id, out_pos, out_fp = [], [], []
+        for did, x in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = (x or "").split()
+            h = _gram_hashes(toks, k)
+            n = len(h)
+            if n == 0:
+                continue
+            pk = np.array([f"{h[j]}{j:08d}" for j in range(n)], dtype=object)
+            # trailing-window min at each end position >= first full
+            # (or whole-doc) window
+            acc = pk.copy()
+            for s in range(1, min(w, n)):
+                acc[s:] = np.minimum(acc[s:], pk[:-s])
+            start = min(w, n) - 1
+            sel = np.unique(acc[start:])
+            for v in sel:
+                out_id.append(did)
+                out_pos.append(int(v[8:]))
+                out_fp.append(v[:8])
+        return pa.table({
+            id_col: pa.array(out_id, t[id_col].type),
+            "pos": pa.array(np.array(out_pos, np.int64), pa.int64()),
+            "fp": pa.array(out_fp, pa.string()),
+        })
+
+    return ds.map_batches(batch, batch_format="pyarrow")
