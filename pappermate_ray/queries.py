@@ -2015,6 +2015,21 @@ def q_pagerank(sf_dir: str):
                     dense_ids=True)
 
 
+def q_link_graph(sf_dir: str):
+    """End-to-end link-graph build from crawl HTML (stages/links.py →
+    ops/anchors.py): harvest <a href> edges from the pages fixture's
+    real HTML (relative hrefs resolved against the source host), then
+    aggregate per-target inlink counts + source-ordered anchor text.
+    Rows-only: the pages table is fixture-derived, not a registered
+    SQL view; edge extraction is pinned by tests/test_links.py."""
+    from .fixtures import read_pages
+    from .ops.anchors import aggregate_anchors
+    from .stages.links import extract_links
+
+    edges = extract_links(read_pages(sf_dir))
+    return aggregate_anchors(edges, src_col="src_url", dst_col="dst_url")
+
+
 def q_winnow_fingerprints(sf_dir: str):
     """MOSS winnowing fingerprints (stages/winnow.py, k=3 token grams,
     window w=4): per-window minimum of packed (md5-8hex ‖ position)
@@ -3634,6 +3649,7 @@ NOSQL_QUERIES = {
     "translate_names": q_translate_names,
     "clean_corpus": q_clean_corpus,
     "hll_distinct_bigrams": q_hll_distinct_bigrams,
+    "link_graph": q_link_graph,
 }
 
 

@@ -1,0 +1,81 @@
+"""Hyperlink extraction from crawl HTML — the edge-building pass that
+feeds the link-graph operators (ops/pagerank.py, ops/hits.py,
+ops/anchors.py, ops/triangles.py) from raw pages instead of synthetic
+edge tables: pages(url, html) → (src_url, dst_url, anchor) rows.
+
+Deliberately separate from functions/htmlx.py (the golden-frozen
+extractor — its byte-identical text contract must not change): link
+harvesting is a different consumer of the same bytes.
+
+Shuffle-free streaming map; one compiled regex per worker process, one
+``finditer`` pass per page (HTML-scanner-grade parsing is not needed
+for hrefs — the regex tolerates attribute order and quoting style).
+Relative hrefs resolve against the source url's scheme+host; protocol
+and fragment-only links drop; anchor text is tag-stripped and
+whitespace-collapsed. Per-row soft-fail (undecodable bytes emit
+nothing), the SafeProcessor rule every extraction stage follows.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+import ray.data as rd
+
+_A_RE = re.compile(
+    r"<a\s[^>]*?href\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]+))[^>]*>(.*?)</a>",
+    re.IGNORECASE | re.DOTALL,
+)
+_TAG_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+_ROOT_RE = re.compile(r"^(https?://[^/?#]*)", re.IGNORECASE)
+
+
+def _unescape(s: str) -> str:
+    return (s.replace("&lt;", "<").replace("&gt;", ">")
+             .replace("&amp;", "&"))
+
+
+def extract_links(
+    ds: "rd.Dataset",
+    url_col: str = "url",
+    html_col: str = "html",
+) -> "rd.Dataset":
+    """``(src_url, dst_url, anchor)`` — one row per resolvable <a href>."""
+
+    def batch(t: pa.Table) -> pa.Table:
+        out_s, out_d, out_a = [], [], []
+        for src, raw in zip(t[url_col].to_pylist(), t[html_col].to_pylist()):
+            if not raw:
+                continue
+            try:
+                html = raw.decode("utf-8") if isinstance(raw, bytes) else str(raw)
+            except UnicodeDecodeError:
+                html = raw.decode("utf-8", errors="ignore")
+            m = _ROOT_RE.match(src or "")
+            root = m.group(1) if m else None
+            for hit in _A_RE.finditer(html):
+                href = hit.group(2) or hit.group(3) or hit.group(4) or ""
+                href = href.split("#", 1)[0].strip()
+                if not href or href.startswith(("javascript:", "mailto:", "data:")):
+                    continue
+                if href.startswith(("http://", "https://")):
+                    dst = href
+                elif href.startswith("/") and root:
+                    dst = root + href
+                else:
+                    continue  # relative-path / scheme-relative: out of scope
+                anchor = _WS_RE.sub(" ", _unescape(
+                    _TAG_RE.sub(" ", hit.group(5)))).strip()
+                out_s.append(src)
+                out_d.append(dst)
+                out_a.append(anchor)
+        return pa.table({
+            "src_url": pa.array(out_s, pa.string()),
+            "dst_url": pa.array(out_d, pa.string()),
+            "anchor": pa.array(out_a, pa.string()),
+        })
+
+    return ds.map_batches(batch, batch_format="pyarrow")

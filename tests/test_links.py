@@ -1,0 +1,65 @@
+"""Hyperlink extraction (stages/links.py) and the HTML→link-graph
+composite."""
+
+import pytest
+
+
+def _edges(rows, ray_session=None):
+    import ray.data as rd
+
+    from pappermate_ray.stages.links import extract_links
+
+    return extract_links(rd.from_items(rows)).take_all()
+
+
+def test_href_forms_and_resolution(ray_session):
+    html = (
+        b'<html><body>'
+        b'<a href="/about">About  Us</a>'
+        b"<a href='/q?x=1'>Quoted</a>"
+        b'<a href=/bare>Bare</a>'
+        b'<a href="https://other.example/page">Ext <b>bold</b></a>'
+        b'<a href="#frag">Frag only</a>'
+        b'<a href="javascript:void(0)">JS</a>'
+        b'<a href="rel/path">Relative</a>'
+        b'</body></html>'
+    )
+    out = _edges([{"url": "https://site1.example/a/1", "html": html}])
+    got = {(r["dst_url"], r["anchor"]) for r in out}
+    assert got == {
+        ("https://site1.example/about", "About Us"),
+        ("https://site1.example/q?x=1", "Quoted"),
+        ("https://site1.example/bare", "Bare"),
+        ("https://other.example/page", "Ext bold"),
+    }
+    assert all(r["src_url"] == "https://site1.example/a/1" for r in out)
+
+
+def test_soft_fail_on_binary_and_empty(ray_session):
+    out = _edges([
+        {"url": "https://s.example/x", "html": b"\xff\xfe<a href=\"/k\">K</a>"},
+        {"url": "https://s.example/y", "html": b""},
+    ])
+    # undecodable bytes are ignored (errors='ignore'), link still found
+    assert [r["dst_url"] for r in out] == ["https://s.example/k"]
+
+
+def test_link_graph_composite_on_fixture(ray_session):
+    import ray.data as rd
+
+    from pappermate_ray.fixtures import build_pages_table
+    from pappermate_ray.ops.anchors import aggregate_anchors
+    from pappermate_ray.stages.links import extract_links
+
+    pages = rd.from_arrow(build_pages_table(60)).repartition(3)
+    edges = extract_links(pages)
+    agg = {r["dst_url"]: r for r in
+           aggregate_anchors(edges, src_col="src_url",
+                             dst_col="dst_url").take_all()}
+    # every HTML page links /about in its footer; site 1 appears for
+    # doc ids 1 and 98.. (only 60 docs here) -> at least doc 1
+    assert any(d.endswith("/about") for d in agg)
+    about = [r for d, r in agg.items() if d.endswith("/about")]
+    assert sum(r["n_inlinks"] for r in about) > 0
+    for r in about:
+        assert set(r["anchors"].split("|")) == {"About"}
