@@ -143,7 +143,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "hits", "triangle_counts", "dsir_select", "tfidf_keywords",
         "ccnet_buckets", "robots_filter", "snapshot_diff", "split_assign",
         "corpus_drift", "collocations_pmi", "chunk_documents",
-        "phrase_search", "winnow_fingerprints", "link_graph",
+        "phrase_search", "winnow_fingerprints", "winnow_clone_pairs",
+        "link_graph",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

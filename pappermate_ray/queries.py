@@ -2042,6 +2042,19 @@ def q_winnow_fingerprints(sf_dir: str):
     return winnow_fingerprints(docs, k=3, w=4)
 
 
+def q_winnow_clone_pairs(sf_dir: str):
+    """MOSS clone report (stages/winnow.winnow_clone_pairs): document
+    pairs sharing ≥2 distinct winnowing fingerprints, common
+    fingerprints (shared by >10 docs) pruned. One narrow (fp, doc)
+    groupby + one partition-grouped pair exchange + one pair-count
+    groupby — text never shuffles."""
+    from .stages.winnow import winnow_clone_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return winnow_clone_pairs(docs, k=3, w=4, min_shared=2, max_fp_docs=10)
+
+
 def q_phrase_search(sf_dir: str):
     """Exact-phrase retrieval (stages/search.phrase_search) for
     'big order scan': positional alignment intersection — phrase-term
@@ -2261,6 +2274,27 @@ _HITS_ROUNDS = "".join(
                  GROUP BY d.doc_id)"""
     for i in range(1, 5)
 )
+
+# winnowing selection CTEs shared by winnow_fingerprints and
+# winnow_clone_pairs (k=3 token grams, window w=4)
+_WINNOW_CTE = r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE trim(text) <> ''),
+        g AS (SELECT doc_id, len(w) - 2 AS ng,
+                     unnest(range(GREATEST(len(w) - 2, 0))) AS j, w
+              FROM toks),
+        gr AS (SELECT doc_id, ng, j,
+                 substr(md5(array_to_string(list_slice(w, j+1, j+3), ' ')), 1, 8)
+                 || printf('%08d', j) AS pk
+               FROM g),
+        wm AS (SELECT doc_id, ng, j,
+                 MIN(pk) OVER (PARTITION BY doc_id ORDER BY j
+                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mpk
+               FROM gr),
+        sel AS (SELECT DISTINCT doc_id, mpk FROM wm
+                WHERE j >= LEAST(4, ng) - 1)
+"""
 
 # bigram-LM scoring CTEs shared by lm_perplexity and ccnet_buckets:
 # train on doc_id%3<>0, score every doc's consecutive-token bigrams
@@ -2703,26 +2737,21 @@ ORACLE_SQL.update({
     # winnowing: pk = hash || zero-padded pos, so lexicographic MIN ==
     # min of (hash, leftmost pos); short docs (< w grams) keep their
     # single whole-doc window via the j >= LEAST(w, ng)-1 gate
-    "winnow_fingerprints": r"""
-        WITH toks AS (
-          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-          FROM documents WHERE trim(text) <> ''),
-        g AS (SELECT doc_id, len(w) - 2 AS ng,
-                     unnest(range(GREATEST(len(w) - 2, 0))) AS j, w
-              FROM toks),
-        gr AS (SELECT doc_id, ng, j,
-                 substr(md5(array_to_string(list_slice(w, j+1, j+3), ' ')), 1, 8)
-                 || printf('%08d', j) AS pk
-               FROM g),
-        wm AS (SELECT doc_id, ng, j,
-                 MIN(pk) OVER (PARTITION BY doc_id ORDER BY j
-                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mpk
-               FROM gr),
-        sel AS (SELECT DISTINCT doc_id, mpk FROM wm
-                WHERE j >= LEAST(4, ng) - 1)
+    "winnow_fingerprints": _WINNOW_CTE + """
         SELECT doc_id, CAST(substr(mpk, 9, 8) AS BIGINT) AS pos,
                substr(mpk, 1, 8) AS fp
         FROM sel
+    """,
+    "winnow_clone_pairs": _WINNOW_CTE + """
+        , fd AS (SELECT DISTINCT doc_id, substr(mpk, 1, 8) AS fp FROM sel),
+        ok AS (SELECT fp FROM fd GROUP BY fp
+               HAVING COUNT(*) BETWEEN 2 AND 10),
+        pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM fd a
+               JOIN fd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+               JOIN ok ON ok.fp = a.fp)
+        SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM pr GROUP BY id_a, id_b HAVING COUNT(*) >= 2
     """,
     # positional alignment: occurrence of phrase[i] at position p
     # claims start a = p - i; a start with all 3 slots is a match
@@ -3722,6 +3751,7 @@ SQL_QUERIES = {
     "chunk_documents": q_chunk_documents,
     "phrase_search": q_phrase_search,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_clone_pairs": q_winnow_clone_pairs,
     "corpus_drift": q_corpus_drift,
     "approx_quantiles": q_approx_quantiles,
     "sequence_pack": q_sequence_pack,

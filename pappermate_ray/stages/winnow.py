@@ -85,3 +85,60 @@ def winnow_fingerprints(
         })
 
     return ds.map_batches(batch, batch_format="pyarrow")
+
+
+def winnow_clone_pairs(
+    ds: "rd.Dataset",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_docs: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """Clone detection over winnowing fingerprints — the MOSS report:
+    ``(id_a, id_b, n_shared)`` for document pairs sharing at least
+    ``min_shared`` distinct fingerprints.
+
+    Distributed shape (the LSH pair machinery, stages/dedup.py):
+    fingerprints dedupe to distinct (fp, doc) rows with one narrow
+    groupby (16-byte keys, never text), then ONE partition-grouped
+    exchange emits within-fp pairs (``_bucket_pairs_grouped``:
+    occupancy prune + cap + triu cross-product inside the partition
+    fn), and a final (id_a, id_b) groupby counts shared fingerprints.
+    ``max_fp_docs`` drops fingerprints shared by more than that many
+    docs — boilerplate/template fingerprints whose pair cross-products
+    explode and which carry no clone signal (MOSS's common-fingerprint
+    prune); the oracle applies the same BETWEEN bound.
+    """
+    from ray.data.aggregate import Count
+
+    from .dedup import _bucket_pairs_grouped
+
+    fps = winnow_fingerprints(ds, k, w, id_col, text_col)
+
+    def to_int(t: pa.Table) -> pa.Table:
+        v = np.fromiter((int(f, 16) for f in t["fp"].to_pylist()),
+                        np.int64, t.num_rows)
+        return pa.table({
+            "fp": pa.array(v, pa.int64()),
+            id_col: t[id_col],
+        })
+
+    distinct = (
+        fps.map_batches(to_int, batch_format="pyarrow")
+        .groupby(["fp", id_col])
+        .aggregate(Count(alias_name="_m"))
+        .select_columns(["fp", id_col])
+    )
+    pairs = _bucket_pairs_grouped(
+        distinct, ["fp"], id_col, [], n_rows=ds.count(),
+        max_bucket=max_fp_docs,
+    )
+    shared = (
+        pairs.groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n_shared"))
+    )
+    if min_shared > 1:
+        shared = shared.filter(expr=f"n_shared >= {min_shared}")
+    return shared.select_columns(["id_a", "id_b", "n_shared"])

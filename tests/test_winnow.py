@@ -56,3 +56,37 @@ def test_partitioning_invariance(ray_session):
     a = _fps(rows, blocks=1)
     b = _fps(rows, blocks=8)
     assert a == b
+
+
+def test_clone_pairs_find_planted_clones(ray_session):
+    import ray.data as rd
+
+    from pappermate_ray.stages.winnow import winnow_clone_pairs
+
+    base = " ".join(f"tok{i * 7 % 101}" for i in range(60))
+    rows = [
+        {"doc_id": 1, "text": "prefix one " + base + " suffix one"},
+        {"doc_id": 2, "text": "other start " + base + " other end"},
+        {"doc_id": 3, "text": " ".join(f"unrelated{j}" for j in range(60))},
+        {"doc_id": 4, "text": " ".join(f"alien{j * 3}" for j in range(60))},
+    ]
+    ds = rd.from_items(rows, override_num_blocks=2)
+    out = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in winnow_clone_pairs(ds, min_shared=2).take_all()}
+    assert (1, 2) in out and out[(1, 2)] >= 2
+    assert all(p == (1, 2) for p in out)
+
+
+def test_common_fp_prune_caps_pairs(ray_session):
+    import ray.data as rd
+
+    from pappermate_ray.stages.winnow import winnow_clone_pairs
+
+    shared = " ".join(f"boiler{j}" for j in range(30))
+    rows = [{"doc_id": i, "text": shared} for i in range(12)]
+    ds = rd.from_items(rows, override_num_blocks=2)
+    # 12 identical docs share every fingerprint; cap 10 prunes them all
+    assert winnow_clone_pairs(ds, max_fp_docs=10).take_all() == []
+    # raising the cap brings back the full C(12,2) pair set
+    out = winnow_clone_pairs(ds, max_fp_docs=20).take_all()
+    assert len(out) == 66
