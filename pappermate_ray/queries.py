@@ -2042,6 +2042,17 @@ def q_winnow_fingerprints(sf_dir: str):
     return winnow_fingerprints(docs, k=3, w=4)
 
 
+def q_profile_table(sf_dir: str):
+    """Per-column profile of the documents table (ops/profile.py):
+    row/null/distinct counts + stringified min/max for the scalar
+    columns — the input-drop QA report."""
+    from .ops.profile import profile_table
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "source", "n_chars"])
+    return profile_table(ds, ["doc_id", "lang", "source", "n_chars"])
+
+
 def q_winnow_clone_pairs(sf_dir: str):
     """MOSS clone report (stages/winnow.winnow_clone_pairs): document
     pairs sharing ≥2 distinct winnowing fingerprints, common
@@ -2734,6 +2745,17 @@ ORACLE_SQL.update({
         SELECT a4.node AS doc_id, a4.s AS auth, h4.s AS hub
         FROM a4 JOIN h4 ON a4.node = h4.node
     """,
+    "profile_table": " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM documents"""
+        for c in ("doc_id", "lang", "source", "n_chars")
+    ),
     # winnowing: pk = hash || zero-padded pos, so lexicographic MIN ==
     # min of (hash, leftmost pos); short docs (< w grams) keep their
     # single whole-doc window via the j >= LEAST(w, ng)-1 gate
@@ -3752,6 +3774,7 @@ SQL_QUERIES = {
     "phrase_search": q_phrase_search,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_clone_pairs": q_winnow_clone_pairs,
+    "profile_table": q_profile_table,
     "corpus_drift": q_corpus_drift,
     "approx_quantiles": q_approx_quantiles,
     "sequence_pack": q_sequence_pack,
