@@ -37,14 +37,13 @@ def profile_table(
     rows = []
     for c in columns:
         one = ds.select_columns([c])
-        agg = one.aggregate(Min(c), Max(c), Count())
-
-        def null_part(t: pa.Table, _c=c) -> pa.Table:
-            return pa.table({"n": pa.array([t[_c].null_count], pa.int64())})
-
-        n_nulls = sum(r["n"] for r in
-                      one.map_batches(null_part, batch_format="pyarrow")
-                      .take_all())
+        # one streaming pass: min/max (null-skipping), row count, and
+        # non-null count (nulls = difference)
+        agg = one.aggregate(
+            Min(c), Max(c), Count(),
+            Count(c, ignore_nulls=True, alias_name="_nn"),
+        )
+        n_nulls = int(agg["count()"]) - int(agg["_nn"])
 
         def drop_nulls(t: pa.Table, _c=c) -> pa.Table:
             return t.filter(t[_c].is_valid())

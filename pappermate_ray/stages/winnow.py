@@ -100,45 +100,83 @@ def winnow_clone_pairs(
     ``(id_a, id_b, n_shared)`` for document pairs sharing at least
     ``min_shared`` distinct fingerprints.
 
-    Distributed shape (the LSH pair machinery, stages/dedup.py):
-    fingerprints dedupe to distinct (fp, doc) rows with one narrow
-    groupby (16-byte keys, never text), then ONE partition-grouped
-    exchange emits within-fp pairs (``_bucket_pairs_grouped``:
-    occupancy prune + cap + triu cross-product inside the partition
-    fn), and a final (id_a, id_b) groupby counts shared fingerprints.
-    ``max_fp_docs`` drops fingerprints shared by more than that many
-    docs — boilerplate/template fingerprints whose pair cross-products
-    explode and which carry no clone signal (MOSS's common-fingerprint
-    prune); the oracle applies the same BETWEEN bound.
+    Distributed shape — TWO exchanges total (the LSH pair machinery
+    from stages/dedup.py with the classic combiner push-down on top):
+    fingerprint rows hash-partition by fp (all rows of one fp land in
+    one partition group, so the per-(fp, doc) dedup, the occupancy
+    prune, the ``max_fp_docs`` cap AND the triu cross-product all run
+    inside the partition fn), which emits LOCALLY-COMBINED packed
+    (pair, partial-count) rows; a final narrow groupby-sum on the
+    packed pair key finishes the count. Doc ids must be < 2^31 (pairs
+    pack into one int64). ``max_fp_docs`` drops fingerprints shared by
+    more than that many docs — boilerplate/template fingerprints whose
+    pair cross-products explode and which carry no clone signal
+    (MOSS's common-fingerprint prune); the oracle applies the same
+    BETWEEN bound.
     """
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
-    from .dedup import _bucket_pairs_grouped
+    from ..ops.joins import default_num_partitions
 
     fps = winnow_fingerprints(ds, k, w, id_col, text_col)
+    # partitions track cores: the work unit is fingerprint groups
+    # (many per doc), not docs
+    npart = default_num_partitions()
 
-    def to_int(t: pa.Table) -> pa.Table:
+    def to_pkey(t: pa.Table) -> pa.Table:
         v = np.fromiter((int(f, 16) for f in t["fp"].to_pylist()),
                         np.int64, t.num_rows)
         return pa.table({
             "fp": pa.array(v, pa.int64()),
             id_col: t[id_col],
+            "_pkey": pa.array(v % npart, pa.int64()),
         })
 
-    distinct = (
-        fps.map_batches(to_int, batch_format="pyarrow")
-        .groupby(["fp", id_col])
-        .aggregate(Count(alias_name="_m"))
-        .select_columns(["fp", id_col])
-    )
-    pairs = _bucket_pairs_grouped(
-        distinct, ["fp"], id_col, [], n_rows=ds.count(),
-        max_bucket=max_fp_docs,
-    )
+    def pair_partials(t: pa.Table) -> pa.Table:
+        # whole fp groups co-locate here: dedup (fp, doc), find runs,
+        # cap, cross-product, and pre-combine pair counts locally
+        fp = np.asarray(t["fp"], np.int64)
+        doc = np.asarray(t[id_col], np.int64)
+        uniq = np.unique(fp * (np.int64(1) << np.int64(31)) + doc)
+        f = uniq >> np.int64(31)
+        d = uniq & ((np.int64(1) << np.int64(31)) - np.int64(1))
+        change = np.ones(len(uniq), bool)
+        change[1:] = f[1:] != f[:-1]
+        starts = np.flatnonzero(change)
+        lens = np.append(starts[1:], len(uniq)) - starts
+        sel = (lens >= 2) & (lens <= max_fp_docs)
+        keys = []
+        for s, ln in zip(starts[sel], lens[sel]):
+            i, j = np.triu_indices(int(ln), 1)
+            # docs are ascending within the run (packed sort)
+            keys.append(d[s + i] * (np.int64(1) << np.int64(31)) + d[s + j])
+        if keys:
+            pk, cnt = np.unique(np.concatenate(keys), return_counts=True)
+        else:
+            pk = np.zeros(0, np.int64)
+            cnt = np.zeros(0, np.int64)
+        return pa.table({
+            "pair": pa.array(pk, pa.int64()),
+            "n_part": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
     shared = (
-        pairs.groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="n_shared"))
+        fps.map_batches(to_pkey, batch_format="pyarrow")
+        .groupby("_pkey")
+        .map_groups(pair_partials, batch_format="pyarrow")
+        .groupby("pair", num_partitions=min(npart, 8))
+        .aggregate(Sum("n_part", alias_name="n_shared"))
     )
     if min_shared > 1:
         shared = shared.filter(expr=f"n_shared >= {min_shared}")
-    return shared.select_columns(["id_a", "id_b", "n_shared"])
+
+    def unpack(t: pa.Table) -> pa.Table:
+        p = np.asarray(t["pair"], np.int64)
+        return pa.table({
+            "id_a": pa.array(p >> np.int64(31), pa.int64()),
+            "id_b": pa.array(p & ((np.int64(1) << np.int64(31)) - np.int64(1)),
+                             pa.int64()),
+            "n_shared": t["n_shared"],
+        })
+
+    return shared.map_batches(unpack, batch_format="pyarrow")
