@@ -144,7 +144,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "ccnet_buckets", "robots_filter", "snapshot_diff", "split_assign",
         "corpus_drift", "collocations_pmi", "chunk_documents",
         "phrase_search", "winnow_fingerprints", "winnow_clone_pairs",
-        "link_graph", "profile_table",
+        "link_graph", "profile_table", "grouped_top_words",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

@@ -2042,6 +2042,39 @@ def q_winnow_fingerprints(sf_dir: str):
     return winnow_fingerprints(docs, k=3, w=4)
 
 
+def q_grouped_top_words(sf_dir: str):
+    """Per-language top-5 words (grouped heavy hitters): per-block
+    (lang, word) partial counts pre-combine inside map_batches, one
+    distinct-pair groupby-sum, then grouped top-k on the tiny
+    aggregated table — the per-slice vocabulary diagnostic next to the
+    corpus-level wordcount_top."""
+    from .ops.sample import grouped_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        cnt: "Counter" = Counter()
+        for lg, x in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            for tok in (x or "").split():
+                cnt[(lg, tok)] += 1
+        return pa.table({
+            "lang": pa.array([k[0] for k in cnt], pa.string()),
+            "word": pa.array([k[1] for k in cnt], pa.string()),
+            "n_part": pa.array(list(cnt.values()), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby(["lang", "word"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+    return grouped_topk(counts, "lang", "n", "word", k=5)
+
+
 def q_profile_table(sf_dir: str):
     """Per-column profile of the documents table (ops/profile.py):
     row/null/distinct counts + stringified min/max for the scalar
@@ -2744,6 +2777,16 @@ ORACLE_SQL.update({
         {_HITS_ROUNDS}
         SELECT a4.node AS doc_id, a4.s AS auth, h4.s AS hub
         FROM a4 JOIN h4 ON a4.node = h4.node
+    """,
+    "grouped_top_words": r"""
+        WITH toks AS (
+          SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS word
+          FROM documents WHERE trim(text) <> ''),
+        c AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n
+              FROM toks GROUP BY lang, word)
+        SELECT lang, word, n FROM c
+        QUALIFY row_number() OVER (
+            PARTITION BY lang ORDER BY n DESC, word) <= 5
     """,
     "profile_table": " UNION ALL ".join(
         f"""
@@ -3775,6 +3818,7 @@ SQL_QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_clone_pairs": q_winnow_clone_pairs,
     "profile_table": q_profile_table,
+    "grouped_top_words": q_grouped_top_words,
     "corpus_drift": q_corpus_drift,
     "approx_quantiles": q_approx_quantiles,
     "sequence_pack": q_sequence_pack,
