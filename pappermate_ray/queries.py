@@ -2042,6 +2042,18 @@ def q_winnow_fingerprints(sf_dir: str):
     return winnow_fingerprints(docs, k=3, w=4)
 
 
+def q_distinctive_terms(sf_dir: str):
+    """Per-language distinctive terms (stages/keywords.distinctive_terms,
+    Monroe 2008 log-odds with Dirichlet α=0.01): what a language slice
+    over-uses relative to the rest — one (lang,word) exchange, totals
+    broadcast, delta as a fixed ln chain mirrored in the oracle."""
+    from .stages.keywords import distinctive_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "text"])
+    return distinctive_terms(docs, group_col="lang", k=5)
+
+
 def q_grouped_top_words(sf_dir: str):
     """Per-language top-5 words (grouped heavy hitters): per-block
     (lang, word) partial counts pre-combine inside map_batches, one
@@ -2777,6 +2789,33 @@ ORACLE_SQL.update({
         {_HITS_ROUNDS}
         SELECT a4.node AS doc_id, a4.s AS auth, h4.s AS hub
         FROM a4 JOIN h4 ON a4.node = h4.node
+    """,
+    # delta's ln chain written in the EXACT order the numpy expression
+    # evaluates (multiplication binds first, then left-assoc +/-)
+    "distinctive_terms": r"""
+        WITH toks AS (
+          SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS word
+          FROM documents WHERE trim(text) <> ''),
+        c AS (SELECT lang, word, COUNT(*) AS n
+              FROM toks GROUP BY lang, word),
+        lt AS (SELECT lang, CAST(SUM(n) AS DOUBLE) AS t FROM c GROUP BY lang),
+        wt AS (SELECT word, CAST(SUM(n) AS DOUBLE) AS cw FROM c GROUP BY word),
+        tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS tt FROM c),
+        vv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM wt),
+        s AS (
+          SELECT c.lang, c.word, CAST(c.n AS BIGINT) AS n,
+            ROUND(
+              ln(CAST(c.n AS DOUBLE) + 0.01)
+              - ln(lt.t + 0.01 * (SELECT v FROM vv)
+                   - CAST(c.n AS DOUBLE) - 0.01)
+              - ln(wt.cw - CAST(c.n AS DOUBLE) + 0.01)
+              + ln((SELECT tt FROM tot) - lt.t + 0.01 * (SELECT v FROM vv)
+                   - (wt.cw - CAST(c.n AS DOUBLE)) - 0.01),
+              6) AS delta
+          FROM c JOIN lt USING (lang) JOIN wt USING (word))
+        SELECT lang, word, n, delta FROM s
+        QUALIFY row_number() OVER (
+            PARTITION BY lang ORDER BY delta DESC, word) <= 5
     """,
     "grouped_top_words": r"""
         WITH toks AS (
@@ -3819,6 +3858,7 @@ SQL_QUERIES = {
     "winnow_clone_pairs": q_winnow_clone_pairs,
     "profile_table": q_profile_table,
     "grouped_top_words": q_grouped_top_words,
+    "distinctive_terms": q_distinctive_terms,
     "corpus_drift": q_corpus_drift,
     "approx_quantiles": q_approx_quantiles,
     "sequence_pack": q_sequence_pack,

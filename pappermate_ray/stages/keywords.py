@@ -210,3 +210,89 @@ def collocations_pmi(
          "pmi": float(pmi[i])}
         for i in order
     ])
+
+
+def distinctive_terms(
+    ds: "rd.Dataset",
+    group_col: str = "lang",
+    text_col: str = "text",
+    k: int = 5,
+    alpha: float = 0.01,
+    round_to: int = 6,
+) -> "rd.Dataset":
+    """Top-``k`` DISTINCTIVE terms per group by Dirichlet-smoothed
+    log-odds ratio (Monroe, Colaresi & Quinn 2008, "Fightin' Words") —
+    what a slice over-uses RELATIVE to the rest of the corpus, the
+    diagnostic that separates "frequent" from "characteristic"
+    (grouped_top_words vs this).
+
+        delta(g, w) = ln((c_gw + α) / (T_g + αV − c_gw − α))
+                    − ln((c_rw + α) / (T_r + αV − c_rw − α))
+
+    with c_rw / T_r the rest-of-corpus counts and V the vocabulary
+    size. Distributed shape: per-block (group, word) Counter partials
+    pre-combine, ONE distinct-pair groupby-sum is the only big
+    exchange; group totals are O(#groups) and word totals are
+    vocabulary-sized (the DF-model broadcast contract), both shipped
+    via ``ray.put``; delta evaluates as a fixed left-associated ln
+    chain both engines compute identically, rounded before ranking,
+    ties by word.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..ops.sample import grouped_topk
+
+    def partials(t: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for g, x in zip(t[group_col].to_pylist(), t[text_col].to_pylist()):
+            for tok in (x or "").split():
+                cnt[(g, tok)] += 1
+        return pa.table({
+            group_col: pa.array([kk[0] for kk in cnt], pa.string()),
+            "word": pa.array([kk[1] for kk in cnt], pa.string()),
+            "n_part": pa.array(list(cnt.values()), pa.int64()),
+        })
+
+    counts = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby([group_col, "word"])
+        .aggregate(Sum("n_part", alias_name="n"))
+        .materialize()  # consumed three times below (totals + scoring)
+    )
+    gt: dict = {}
+    wt: Counter = Counter()
+    for t in counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for g, w_, n in zip(t[group_col].to_pylist(), t["word"].to_pylist(),
+                            t["n"].to_pylist()):
+            gt[g] = gt.get(g, 0) + n
+            wt[w_] += n
+    vocab = np.array(sorted(wt), dtype=object)
+    wtot = np.array([wt[w_] for w_ in vocab], dtype=np.int64)
+    tt = int(wtot.sum())
+    v = len(vocab)
+    ref = ray.put((gt, vocab, wtot))
+
+    def score(t: pa.Table) -> pa.Table:
+        g_tot, vc, wv = ray.get(ref)
+        gs = t[group_col].to_pylist()
+        ws = np.array(t["word"].to_pylist(), dtype=object)
+        n = np.asarray(t["n"], np.float64)
+        tg = np.array([g_tot[g] for g in gs], dtype=np.float64)
+        cw = wv[np.searchsorted(vc, ws)].astype(np.float64)
+        cr = cw - n
+        tr = float(tt) - tg
+        av = alpha * v
+        # fixed left-associated chain — identical in the SQL oracle
+        delta = (np.log(n + alpha) - np.log(tg + av - n - alpha)
+                 - np.log(cr + alpha) + np.log(tr + av - cr - alpha))
+        return pa.table({
+            group_col: t[group_col],
+            "word": t["word"],
+            "n": t["n"],
+            "delta": pa.array(np.round(delta, round_to), pa.float64()),
+        })
+
+    scored = counts.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(scored, group_col, "delta", "word", k=k)

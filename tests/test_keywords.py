@@ -124,3 +124,40 @@ class TestChunking:
         out = chunk_documents(ds, chunk_tokens=2, stride=2).take_all()
         assert " ".join(r["chunk_text"] for r in
                         sorted(out, key=lambda r: r["chunk_id"])) == "a b c d e f"
+
+
+class TestDistinctiveTerms:
+    def test_distinctive_beats_frequent(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.keywords import distinctive_terms
+
+        # 'shared' is the most FREQUENT word everywhere; 'quirk' is
+        # rarer but exclusive to en -> log-odds must rank quirk first
+        rows = []
+        for i in range(20):
+            rows.append({"lang": "en",
+                         "text": "shared shared shared quirk filler"})
+            rows.append({"lang": "fr",
+                         "text": "shared shared shared truc remplissage"})
+        ds = rd.from_items(rows, override_num_blocks=3)
+        out = [r for r in distinctive_terms(ds, k=2).take_all()
+               if r["lang"] == "en"]
+        # quirk and filler are BOTH exclusive to en with equal counts
+        # (exact delta tie -> word tiebreak); the corpus-dominant
+        # 'shared' must not appear despite being 3x more frequent
+        assert {r["word"] for r in out} == {"quirk", "filler"}
+
+    def test_partitioning_invariance(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.keywords import distinctive_terms
+
+        rows = [{"lang": ["en", "fr", "de"][i % 3],
+                 "text": f"w{i % 7} w{i % 5} common tail{i % 11}"}
+                for i in range(60)]
+        a = sorted(map(tuple, (r.values() for r in distinctive_terms(
+            rd.from_items(rows, override_num_blocks=1), k=3).take_all())))
+        b = sorted(map(tuple, (r.values() for r in distinctive_terms(
+            rd.from_items(rows, override_num_blocks=8), k=3).take_all())))
+        assert a == b
