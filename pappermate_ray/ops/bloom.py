@@ -118,19 +118,30 @@ def bloom_split(
     m_bits: int,
     k: int,
 ) -> Tuple["ray.data.Dataset", "ray.data.Dataset"]:
-    """(definitely_new, maybe_seen): one broadcast pass, no shuffle.
+    """(definitely_new, maybe_seen): one broadcast pass per slice, no
+    shuffle.
 
-    The bitmap rides in the object store once (``ray.put``); every task
-    unpacks it to a bit array in O(m) on first touch.
+    The bitmap rides in the object store once (``ray.put``) and is
+    probed PACKED — ``(bm[pos>>3] >> (7-(pos&7))) & 1`` against the
+    zero-copy plasma buffer — so no task ever pays an O(m_bits)
+    ``np.unpackbits`` (at GB-scale bitmaps that unpack would dominate
+    the probe). Per-batch cost is O(rows·k) gathers + the md5 probes.
+    Both returned datasets lazily rescan ``ds`` (the md5 probe runs
+    once per slice); callers wanting a single pass materialize a tagged
+    dataset themselves — at crawl scale the double scan is cheaper than
+    holding the corpus.
     """
     bm_ref = ray.put(bitmap)
 
     def _maybe_mask(t: pa.Table) -> np.ndarray:
-        bits = np.unpackbits(np.frombuffer(ray.get(bm_ref), np.uint8))
         if not t.num_rows:
             return np.zeros(0, bool)
+        # zero-copy view of the shared plasma buffer; packbits is
+        # big-endian bit order, so bit j lives at byte j>>3, bit 7-(j&7)
+        bm = np.frombuffer(ray.get(bm_ref), np.uint8)
         pos = _probe_positions(_key_bytes(t[key_col]), m_bits, k)
-        return bits[pos].all(axis=1)
+        bits = (bm[pos >> 3] >> (7 - (pos & 7)).astype(np.uint8)) & 1
+        return bits.all(axis=1)
 
     def _new(t: pa.Table) -> pa.Table:
         return t.filter(pa.array(~_maybe_mask(t)))

@@ -18,10 +18,14 @@ block order, partitioning AND vs the unrolled-CTE SQL oracle — no
 float-summation-order hazard at all (the reason PageRank needs
 ``round_to``). Overflow bound: scores grow like ‖A‖^(2·iters); with
 max degree d they stay ≤ d^(2·iters), e.g. d=1000 / iters=4 →
-10^24 — beyond int64, so ``iters`` must be sized to the graph
-(d^(2·iters) < 2^63; the planted 3-link fixture after 4 rounds peaks
-near 3^8). Callers wanting comparable magnitudes normalize AFTER the
-rounds (divide by the max — an order-independent reduction).
+10^24 — beyond int64, so a **runtime guard** checks before every
+propagation that ``max_score · max_degree ≤ 2^63−1`` and raises
+``OverflowError`` instead of silently wrapping (the join path
+piggybacks a ``Count`` on the per-round groupby to learn the exact
+max in/out degree for free; the dense path takes one extra
+degree-counting edge scan; round one bounds degree by |E|). Callers
+wanting comparable magnitudes normalize AFTER the rounds (divide by
+the max — an order-independent reduction).
 
 Like PageRank: per-round materialize bounds the iterative lineage;
 nodes with no in/out links keep score 0 via a zero-row union (no
@@ -38,9 +42,26 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data as rd
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Max, Sum
 
 from .joins import adaptive_partitions, hash_join
+
+_INT64_MAX = 2**63 - 1
+
+
+def _overflow_guard(max_score: int, max_degree: int, round_no: int) -> None:
+    """Raise before a propagation whose per-node sum could wrap int64.
+
+    Sound bound: the next score is a sum of ≤ ``max_degree`` values
+    each ≤ ``max_score`` (scores are nonnegative), so it stays
+    ≤ max_score·max_degree.
+    """
+    if max_score > _INT64_MAX // max(1, max_degree):
+        raise OverflowError(
+            f"hits(): round {round_no} would overflow int64 "
+            f"(max score {max_score} x max degree {max_degree} > 2^63-1); "
+            "reduce iters or rescale the graph"
+        )
 
 
 def hits(
@@ -88,8 +109,13 @@ def hits(
     # both exchanges reuse the same key family (src/dst/node) — the
     # partitioning-reuse rule from SURVEY.md §4
     edges = edges.materialize()
+    n_edges = edges.count()
 
-    def _propagate(scores: "rd.Dataset", join_key: str, emit_key: str) -> "rd.Dataset":
+    def _propagate(scores: "rd.Dataset", join_key: str, emit_key: str):
+        """(scores ds, max score, max degree) — the Count rides the
+        existing groupby exchange (zero union adds exactly one row per
+        node, so degree = cnt − 1); the Max reduce runs over the
+        already-materialized result, O(blocks), no new exchange."""
         joined = hash_join(
             edges, scores, on=join_key, right_on=node_col,
             num_partitions=num_partitions, right_schema=score_schema,
@@ -105,18 +131,26 @@ def hits(
             joined.map_batches(flow, batch_format="pyarrow")
             .union(zero)
             .groupby(node_col)
-            .aggregate(Sum("s", alias_name="s_sum"))
-        )
+            .aggregate(Sum("s", alias_name="s_sum"),
+                       Count(alias_name="cnt"))
+        ).materialize()
+        mx = summed.aggregate(Max("s_sum", alias_name="max_s"),
+                              Max("cnt", alias_name="max_cnt"))
 
         def rename(t: pa.Table) -> pa.Table:
             return pa.table({node_col: t[node_col], "s": t["s_sum"]})
 
-        return summed.map_batches(rename, batch_format="pyarrow").materialize()
+        out = summed.map_batches(rename, batch_format="pyarrow")
+        return out, int(mx["max_s"]), int(mx["max_cnt"]) - 1
 
     auth = None
-    for _ in range(iters):
-        auth = _propagate(hub, join_key=src_col, emit_key=dst_col)
-        hub = _propagate(auth, join_key=dst_col, emit_key=src_col)
+    max_hub, max_auth = 1, 0
+    d_in = d_out = None  # exact max degrees, known after each side's 1st pass
+    for rnd in range(1, iters + 1):
+        _overflow_guard(max_hub, d_in if d_in is not None else n_edges, rnd)
+        auth, max_auth, d_in = _propagate(hub, join_key=src_col, emit_key=dst_col)
+        _overflow_guard(max_auth, d_out if d_out is not None else n_edges, rnd)
+        hub, max_hub, d_out = _propagate(auth, join_key=dst_col, emit_key=src_col)
 
     final = hash_join(
         auth.map_batches(
@@ -138,9 +172,25 @@ def hits(
 def _hits_dense(nodes, edges, node_col, src_col, dst_col, iters, n):
     import ray
 
+    # one degree-counting edge scan up front feeds the overflow guard:
+    # per-block packed bincount partials, same bounded-rows contract as
+    # the score partials below
+    def deg_part(t: pa.Table) -> pa.Table:
+        din = np.bincount(np.asarray(t[dst_col], np.int64), minlength=n)
+        dout = np.bincount(np.asarray(t[src_col], np.int64), minlength=n)
+        return pa.table({"v": pa.array(
+            [np.stack([din, dout]).astype(np.int64).tobytes()], pa.binary())})
+
+    deg = np.zeros((2, n), dtype=np.int64)
+    for r in edges.map_batches(deg_part, batch_format="pyarrow").take_all():
+        deg += np.frombuffer(r["v"], dtype=np.int64).reshape(2, n)
+    d_in = int(deg[0].max(initial=0))
+    d_out = int(deg[1].max(initial=0))
+
     hub = np.ones(n, dtype=np.int64)
     auth = np.zeros(n, dtype=np.int64)
-    for _ in range(iters):
+    for rnd in range(1, iters + 1):
+        _overflow_guard(int(hub.max(initial=0)), d_in, rnd)
         href = ray.put(hub)
 
         def a_part(t: pa.Table) -> pa.Table:
@@ -153,6 +203,7 @@ def _hits_dense(nodes, edges, node_col, src_col, dst_col, iters, n):
         auth = np.zeros(n, dtype=np.int64)
         for r in edges.map_batches(a_part, batch_format="pyarrow").take_all():
             auth += np.frombuffer(r["v"], dtype=np.int64)
+        _overflow_guard(int(auth.max(initial=0)), d_out, rnd)
         aref = ray.put(auth)
 
         def h_part(t: pa.Table) -> pa.Table:

@@ -45,12 +45,14 @@ class DfModel(NamedTuple):
 
 def _doc_term_runs(t: pa.Table, id_col: str, text_col: str):
     """(doc ids run-aligned, term per run, tf per run): one lexsort over
-    the batch's tokens, no per-doc Python."""
+    the batch's tokens, no per-doc Python. Ids stay an object array so
+    any id type (int, string) round-trips — emit with ``t[id_col].type``
+    like the sibling stages (winnow, chunking, phrase_search)."""
     docs = [(did, (x or "").split())
             for did, x in zip(t[id_col].to_pylist(), t[text_col].to_pylist())]
     docs = [(did, w) for did, w in docs if w]
     if not docs:
-        return np.array([], np.int64), np.array([], object), np.array([], np.int64)
+        return np.array([], object), np.array([], object), np.array([], np.int64)
     flat = np.array([tok for _, w in docs for tok in w], dtype=object)
     lens = np.array([len(w) for _, w in docs], dtype=np.int64)
     doc_of = np.repeat(np.arange(len(docs)), lens)
@@ -62,7 +64,8 @@ def _doc_term_runs(t: pa.Table, id_col: str, text_col: str):
     change[1:] = (d[1:] != d[:-1]) | (g[1:] != g[:-1])
     starts = np.flatnonzero(change)
     tf = np.diff(np.append(starts, len(d)))
-    ids = np.array([did for did, _ in docs], dtype=np.int64)
+    ids = np.empty(len(docs), dtype=object)
+    ids[:] = [did for did, _ in docs]
     return ids[d[starts]], uniq[g[starts]], tf.astype(np.int64)
 
 
@@ -127,7 +130,7 @@ def tfidf_topk(
         dids, terms, tf = _doc_term_runs(t, id_col, text_col)
         if len(dids) == 0:
             return pa.table({
-                id_col: pa.array([], pa.int64()),
+                id_col: pa.array([], t[id_col].type),
                 "term": pa.array([], pa.string()),
                 "tf": pa.array([], pa.int64()),
                 "score": pa.array([], pa.float64()),
@@ -146,12 +149,12 @@ def tfidf_topk(
             # terms are ascending within the run; stable argsort keeps
             # that order among equal scores = the term tiebreak
             top = np.argsort(-s[a:b], kind="stable")[:k]
-            out_d.append(np.full(len(top), dids[a]))
+            out_d.extend([dids[a]] * len(top))
             out_t.extend(terms[a + top])
             out_tf.append(tf[a + top])
             out_s.append(np.round(s[a + top], 6))
         return pa.table({
-            id_col: pa.array(np.concatenate(out_d), pa.int64()),
+            id_col: pa.array(out_d, t[id_col].type),
             "term": pa.array(out_t, pa.string()),
             "tf": pa.array(np.concatenate(out_tf), pa.int64()),
             "score": pa.array(np.concatenate(out_s), pa.float64()),
@@ -173,23 +176,38 @@ def collocations_pmi(
     template diagnostics.
 
     Counting is the distributed bigram-LM pass (stages/lm.py: distinct
-    grams in the shuffle, ``min_count`` prunes the hapax tail so the
-    collected model is vocabulary-sized); the PMI table then falls out
-    of the model arrays driver-side, O(vocab). The PMI expression is
-    written as the SAME left-associated chain of ln's both engines
-    evaluate identically (no product overflow past 2^53, no
-    summation-order noise), rounded AFTER ranking would be redundant —
-    ties resolve by (w1, w2).
+    grams in the shuffle, ``min_count`` prunes the hapax tail
+    DISTRIBUTED-side so the collected model is vocabulary-sized — a
+    bigram surviving ``min_count`` guarantees both its unigrams do too,
+    so the pruned model still holds exact c1/c2 for every surviving
+    pair). T1/T2 (total unigram/bigram tokens — totals over the FULL
+    corpus, not the pruned vocab) come from a separate per-block
+    counting pass whose partials sum driver-side: O(blocks) rows, no
+    exchange. The PMI expression is written as the SAME left-associated
+    chain of ln's both engines evaluate identically (no product
+    overflow past 2^53, no summation-order noise), rounded AFTER
+    ranking would be redundant — ties resolve by (w1, w2).
 
     ``pmi = ln(c12) − ln(T2) − ln(c1) + ln(T1) − ln(c2) + ln(T1)``
     with T1/T2 = total unigram/bigram tokens.
     """
     from .lm import train_bigram_lm
 
-    m = train_bigram_lm(ds, text_col=text_col, min_count=1)
+    def tok_totals(t: pa.Table) -> pa.Table:
+        n1 = n2 = 0
+        for x in t[text_col].to_pylist():
+            w = (x or "").split()
+            n1 += len(w)
+            n2 += max(0, len(w) - 1)
+        return pa.table({"t1": pa.array([n1], pa.int64()),
+                         "t2": pa.array([n2], pa.int64())})
+
+    totals = ds.map_batches(tok_totals, batch_format="pyarrow").take_all()
+    t1 = float(sum(r["t1"] for r in totals))
+    t2 = float(sum(r["t2"] for r in totals))
+
+    m = train_bigram_lm(ds, text_col=text_col, min_count=min_count)
     v = len(m.vocab)
-    t1 = float(m.uni_n.sum())
-    t2 = float(m.big_n.sum())
     keep = m.big_n >= min_count
     keys, c12 = m.big_keys[keep], m.big_n[keep].astype(np.float64)
     id1, id2 = keys // (v + 1), keys % (v + 1)

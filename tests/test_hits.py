@@ -77,6 +77,45 @@ def test_dense_path_equals_join_path(ray_session):
     assert join_out == dense_out  # int64 end-to-end: exact equality
 
 
+def test_overflow_guard_raises_dense(ray_session):
+    """2^16-fold parallel edges both ways grow scores 2^16x per
+    half-round -> round 2's hub step would pass 2^63; the guard must
+    raise instead of silently wrapping int64."""
+    import ray.data as rd
+
+    from pappermate_ray.ops.hits import hits
+
+    m = 1 << 16
+    nodes = rd.from_items([{"node": 0}, {"node": 1}])
+    edges = rd.from_items(
+        [{"src": 0, "dst": 1} for _ in range(m)]
+        + [{"src": 1, "dst": 0} for _ in range(m)],
+        override_num_blocks=4,
+    )
+    with pytest.raises(OverflowError, match="hits"):
+        hits(nodes, edges, iters=2, dense_ids=True).take_all()
+    # one round stays inside int64 and must still work
+    out = {r["node"]: (r["auth"], r["hub"]) for r in
+           hits(nodes, edges, iters=1, dense_ids=True).take_all()}
+    assert out[1] == (m, m * m)
+
+
+def test_overflow_guard_raises_join_path(ray_session):
+    import ray.data as rd
+
+    from pappermate_ray.ops.hits import hits
+
+    m = 1 << 16
+    nodes = rd.from_items([{"node": 0}, {"node": 1}])
+    edges = rd.from_items(
+        [{"src": 0, "dst": 1} for _ in range(m)]
+        + [{"src": 1, "dst": 0} for _ in range(m)],
+        override_num_blocks=4,
+    )
+    with pytest.raises(OverflowError, match="hits"):
+        hits(nodes, edges, iters=2).take_all()
+
+
 def test_parallel_edges_count_multiply(ray_session):
     import ray.data as rd
 

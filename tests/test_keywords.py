@@ -52,6 +52,27 @@ def test_min_df_prunes_but_keeps_rank_proxy(corpus, ray_session):
     assert out[0] == "rare"
 
 
+def test_string_doc_ids_roundtrip(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from pappermate_ray.stages.keywords import tfidf_topk
+
+    ds = rd.from_items(
+        [{"doc_id": "u/alpha", "text": "common common rare"},
+         {"doc_id": "u/beta", "text": "common zebra"},
+         {"doc_id": "u/gamma", "text": "common alpha beta"}],
+        override_num_blocks=2,
+    )
+    out = tfidf_topk(ds, k=1).take_all()
+    by_doc = {r["doc_id"]: r for r in out}
+    # ids preserve their type (string) and the ranking is unchanged
+    assert by_doc["u/alpha"]["term"] == "rare"
+    assert by_doc["u/alpha"]["score"] == round(math.log(3.0), 6)
+    assert by_doc["u/beta"]["term"] == "zebra"
+
+
 def test_partitioning_invariance(ray_session):
     import ray.data as rd
 
@@ -93,6 +114,28 @@ class TestCollocations:
         pairs = {(r["w1"], r["w2"]) for r in out}
         assert ("rare", "pair") not in pairs
         assert ("common", "duo") in pairs
+
+    def test_totals_are_full_corpus_despite_pruned_model(self, ray_session):
+        """min_count now prunes the COLLECTED model distributed-side;
+        T1/T2 must still count every token including the pruned hapax
+        tail (hand-computed PMI over a corpus that is mostly hapax)."""
+        import math
+
+        import ray.data as rd
+
+        from pappermate_ray.stages.keywords import collocations_pmi
+
+        rows = [{"doc_id": i, "text": "alpha beta"} for i in range(3)]
+        rows.append({"doc_id": 99,
+                     "text": " ".join(f"hapax{j}" for j in range(10))})
+        out = collocations_pmi(rd.from_items(rows, override_num_blocks=2),
+                               k=1, min_count=2).take_all()
+        assert (out[0]["w1"], out[0]["w2"]) == ("alpha", "beta")
+        t1 = 3 * 2 + 10          # ALL unigram tokens, hapax included
+        t2 = 3 * 1 + 9           # ALL bigram tokens
+        want = (math.log(3) - math.log(t2) - math.log(3) + math.log(t1)
+                - math.log(3) + math.log(t1))
+        assert out[0]["pmi"] == round(want, 6)
 
 
 class TestChunking:
