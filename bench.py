@@ -145,7 +145,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "corpus_drift", "collocations_pmi", "chunk_documents",
         "phrase_search", "winnow_fingerprints", "winnow_clone_pairs",
         "link_graph", "profile_table", "grouped_top_words",
-        "distinctive_terms",
+        "distinctive_terms", "curate_full",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

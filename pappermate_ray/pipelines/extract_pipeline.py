@@ -180,35 +180,35 @@ def build_routed_pipeline(
     big_doc_bytes: int = 1 << 20,
     batch_size: int = 256,
     big_batch_size: int = 8,
-    big_num_cpus: float = 2.0,
-    big_actors: int = 2,
 ) -> "ray.data.Dataset":
-    """Size-routed variant (SURVEY.md §4 skew): rows whose payload exceeds
-    ``big_doc_bytes`` go to a DEDICATED actor pool with more CPUs per
-    actor and tiny batches (each giant row dominates its batch's memory),
-    while the normal-size stream keeps the elastic task path. The two
-    branches union back into one docs Dataset — per-row outputs are
-    identical to the unrouted pipeline (asserted in tests)."""
+    """Size-routed variant (SURVEY.md §4 skew), SINGLE-SCAN (round-2
+    verdict item #4 — the previous two-branch union filtered the full
+    input twice, doubling the 100 TB read): one map over one pass;
+    inside each batch the normal-size rows run through the fused stage
+    in bulk while oversized rows are processed in ``big_batch_size``-row
+    slices, so a giant document bounds one small slice's peak memory
+    instead of riding a full ``batch_size``-row batch. Per-row outputs
+    are identical to the unrouted pipeline and the routed plan has
+    exactly one read (both asserted in tests)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    def _small(t: pa.Table) -> pa.Table:
-        return t.filter(pc.less_equal(pc.binary_length(t["html"]), big_doc_bytes))
+    def routed(t: pa.Table) -> pa.Table:
+        big_mask = pc.fill_null(
+            pc.greater(pc.binary_length(t["html"]), big_doc_bytes), False)
+        small = t.filter(pc.invert(big_mask))
+        big = t.filter(big_mask)
+        outs = []
+        if small.num_rows:
+            outs.append(fused_task_batch(small))
+        for off in range(0, big.num_rows, big_batch_size):
+            outs.append(fused_task_batch(big.slice(off, big_batch_size)))
+        if not outs:
+            return fused_task_batch(t)  # 0-row batch: keep the schema
+        return pa.concat_tables(outs)
 
-    def _big(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater(pc.binary_length(t["html"]), big_doc_bytes))
-
-    small = pages.map_batches(_small, batch_format="pyarrow").map_batches(
-        fused_task_batch, batch_format="pyarrow", batch_size=batch_size
-    )
-    big = pages.map_batches(_big, batch_format="pyarrow").map_batches(
-        ExtractParseSpans,
-        batch_format="pyarrow",
-        batch_size=big_batch_size,
-        concurrency=big_actors,
-        num_cpus=big_num_cpus,
-    )
-    return small.union(big)
+    return pages.map_batches(routed, batch_format="pyarrow",
+                             batch_size=batch_size)
 
 
 def run_extraction(sf_dir: str, **kwargs) -> "ray.data.Dataset":

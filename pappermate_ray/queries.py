@@ -1395,6 +1395,18 @@ def q_clean_corpus(sf_dir: str):
     return clean_corpus(run_extraction(sf_dir))
 
 
+def q_curate_full(sf_dir: str):
+    """The COMPOSED pretraining-corpus job (pipelines/curate_full.py):
+    crawl ingest → latest_by_url → blocklist → quality gate →
+    paragraph_dedup → MinHash keep-list → decontaminate → PII scrub →
+    sequence packing → shard manifest, every stage a real engine
+    operator, the WHOLE chain mirrored by one DuckDB WITH-chain oracle
+    (all-integer/string manifest, exact value-hash compare)."""
+    from .pipelines.curate_full import curate_full
+
+    return curate_full(sf_dir)
+
+
 def q_translate_names(sf_dir: str):
     """M21/ST5: cached deterministic translation of CJK contract names
     (actor pool holding the per-actor LRU cache)."""
@@ -3758,6 +3770,141 @@ ORACLE_SQL.update({
 })
 
 
+# The composed curate_full chain: ONE WITH-chain mirroring every stage of
+# pipelines/curate_full.py in order. Fragments reuse the already-green
+# stage oracles (latest_by_url winner arithmetic, paragraph_dedup hot-set,
+# _JACCARD_EDGES shingle jaccard + recursive components, decontaminate
+# plants, pii_scrub regexes, sequence_pack window cumsum, shard_shuffle
+# md5 rank) so the composition — not just the pieces — is value-gated.
+ORACLE_SQL.update({
+    "curate_full": f"""
+        WITH RECURSIVE
+        ptx AS (
+          SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+            || CASE WHEN doc_id % 9 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-4567 today' ELSE '' END
+            || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 200 + 1 AS VARCHAR) || ' logged' ELSE '' END
+            AS t0
+          FROM documents),
+        corpus0 AS (
+          SELECT doc_id,
+                 t0 || CASE WHEN doc_id % 3 = 0 THEN ' rev2' ELSE '' END AS text
+          FROM ptx
+          UNION ALL
+          SELECT doc_id + 1000000, t0 || ' extra' FROM ptx WHERE doc_id % 10 = 0),
+        unblocked AS (
+          SELECT * FROM corpus0
+          WHERE 'src' || CAST((doc_id % 1000000) % 20 AS VARCHAR)
+                NOT IN ('src7', 'src13')),
+        qual AS (
+          SELECT doc_id, text, string_split(text, ' ') AS w FROM unblocked),
+        qual2 AS (
+          SELECT doc_id, w FROM qual
+          WHERE len(w) >= 25 AND 1000 * len(list_distinct(w)) >= 300 * len(w)),
+        paras AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 7 = 0 THEN ['{_BP1}'] ELSE [] END)
+            || list_transform(range(CAST(ceil(len(w) / 12.0) AS BIGINT)),
+                              j -> array_to_string(list_slice(w, j*12 + 1, j*12 + 12), ' '))
+            || (CASE WHEN doc_id % 13 = 0 THEN ['{_BP2}'] ELSE [] END) AS ps
+          FROM qual2),
+        ex AS (SELECT doc_id, unnest(ps) AS para, unnest(range(len(ps))) AS idx FROM paras),
+        hot AS (SELECT para FROM ex GROUP BY para HAVING COUNT(DISTINCT doc_id) >= 3),
+        kept AS (SELECT e.* FROM ex e LEFT JOIN hot h USING (para) WHERE h.para IS NULL),
+        pd AS (
+          SELECT p.doc_id,
+                 CAST(len(p.ps) AS BIGINT) AS n_paras,
+                 CAST(len(p.ps) - COUNT(k.para) AS BIGINT) AS n_removed,
+                 COALESCE(string_agg(k.para, chr(10) ORDER BY k.idx), '') AS clean_text
+          FROM paras p LEFT JOIN kept k USING (doc_id)
+          GROUP BY p.doc_id, len(p.ps)),
+        words2 AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(clean_text)), '\\s+') AS w
+          FROM pd WHERE trim(clean_text) <> ''),
+        sets AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) >= 3
+                      THEN list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                      ELSE [array_to_string(w, ' ')] END AS ws
+          FROM words2),
+        edges AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.ws, b.ws)) * 1.0
+                / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8),
+        und AS (SELECT id_a AS s, id_b AS d FROM edges
+                UNION ALL SELECT id_b, id_a FROM edges),
+        reach(s, d) AS (
+          SELECT s, d FROM und
+          UNION
+          SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s),
+        comp AS (SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+                 FROM reach GROUP BY s),
+        losers AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),
+        uniq AS (SELECT pd.* FROM pd LEFT JOIN losers l USING (doc_id)
+                 WHERE l.doc_id IS NULL),
+        bench AS (
+          SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rk,
+                 array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') AS gram
+          FROM documents WHERE doc_id % 97 = 0),
+        nb AS (SELECT COUNT(*) AS n FROM bench),
+        planted AS (
+          SELECT u.doc_id, u.n_paras, u.n_removed, u.clean_text,
+                 u.clean_text || CASE WHEN u.doc_id % 31 = 0
+                      THEN ' ' || (SELECT gram FROM bench b
+                                   WHERE b.rk = (u.doc_id // 31) % (SELECT n FROM nb))
+                      ELSE '' END AS text2
+          FROM uniq u
+          WHERE NOT (u.doc_id % 97 = 0 AND u.doc_id < 1000000)),
+        decon AS (
+          SELECT doc_id, n_paras, n_removed, clean_text FROM planted p
+          WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE contains(p.text2, b.gram))),
+        pii AS (
+          SELECT doc_id, n_paras, n_removed,
+            CAST(len(regexp_extract_all(clean_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(clean_text, '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) AS BIGINT) AS n_phones,
+            CAST(len(regexp_extract_all(clean_text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS n_ips,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(clean_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+                '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '[PHONE]', 'g'),
+              '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '[IP]', 'g') AS sc
+          FROM decon),
+        tok AS (
+          SELECT doc_id, n_paras, n_removed, n_emails, n_phones, n_ips,
+                 CAST(len(string_split_regex(trim(sc), '\\s+')) AS BIGINT) AS n_tokens
+          FROM pii WHERE trim(sc) <> ''),
+        ofs AS (
+          SELECT *,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS start_offset
+          FROM tok),
+        sh AS (
+          SELECT *, md5(CAST(doc_id AS VARCHAR) || ':shard42') AS prio,
+                 CAST(concat('0x',
+                   substr(md5(CAST(doc_id AS VARCHAR) || ':shard42'), 1, 8))
+                   AS BIGINT) % 8 AS shard_id
+          FROM ofs)
+        SELECT doc_id,
+               'http://src' || CAST((doc_id % 1000000) % 20 AS VARCHAR)
+                 || '/doc/' || CAST(doc_id % 1000000 AS VARCHAR)
+                 || CASE WHEN doc_id >= 1000000 THEN '-copy' ELSE '' END AS url,
+               n_paras, n_removed, n_emails, n_phones, n_ips, n_tokens,
+               start_offset,
+               CAST(start_offset // 2048 AS BIGINT) AS first_seq,
+               CAST((start_offset + n_tokens - 1) // 2048 AS BIGINT) AS last_seq,
+               CAST(shard_id AS BIGINT) AS shard_id,
+               row_number() OVER (PARTITION BY shard_id
+                                  ORDER BY prio, doc_id) - 1 AS shard_pos
+        FROM sh
+    """,
+})
+
+
 NOSQL_QUERIES = {
     "validate": q_validate,
     "media_frames": q_media_frames,
@@ -3881,4 +4028,6 @@ SQL_QUERIES = {
     "perceptron_filter": q_perceptron_filter,
     "incremental_new": q_incremental_new,
     "anchor_text": q_anchor_text,
+    # the composed end-to-end corpus job (round-2 verdict item #1)
+    "curate_full": q_curate_full,
 }

@@ -36,8 +36,10 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data.aggregate import Sum
@@ -177,34 +179,99 @@ def bpe_token_counts(
     state: "ray.data.Dataset",
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_limit: int = 1_000_000,
 ) -> "ray.data.Dataset":
     """Encode the corpus with a learned vocab: per-doc whitespace-token
     and BPE-token counts (the sizing stat sequence packing / token
-    budgeting needs). The final word → symbol-count vocab is tiny
-    (Heaps' law), so it broadcasts once via ``ray.put`` and each batch
-    does dict lookups — the small-side-lookup shape, no join shuffle,
-    one streaming corpus pass. Docs with no tokens are dropped (the
-    oracle's ``trim(text) <> ''`` gate)."""
-    vocab_df = state.to_pandas()
-    counts = {
-        w: s.count(" ") + 1 for w, s in zip(vocab_df["word"], vocab_df["s"])
-    }
-    ref = ray.put(counts)
+    budgeting needs). Docs with no tokens are dropped (the oracle's
+    ``trim(text) <> ''`` gate).
 
-    def encode(t: pa.Table) -> pa.Table:
-        lut = ray.get(ref)
-        ids, n_tok, n_bpe = [], [], []
+    Hybrid small-side handling (round-2 verdict item #3 — the robots
+    hybrid pattern, stages/urls.py): when the distinct-word vocab fits
+    ``broadcast_limit`` rows it ships ONCE via ``ray.put`` and each
+    batch does dict lookups (no shuffle). On web-scale corpora the
+    distinct-"word" set runs to billions (typo/junk tokens defeat
+    Heaps' law), so above the bound the encode becomes fully
+    distributed instead: per-doc DISTINCT (id, word, tf) rows — a
+    corpus-bounded explode, never the raw token stream — join the
+    (word, n_sym) table on word, then one narrow per-id groupby-sum
+    rebuilds the counts. Both paths are asserted identical in tests."""
+    n_vocab = state.count()
+    if n_vocab <= broadcast_limit:
+        vocab_df = state.to_pandas()
+        counts = {
+            w: s.count(" ") + 1 for w, s in zip(vocab_df["word"], vocab_df["s"])
+        }
+        ref = ray.put(counts)
+
+        def encode(t: pa.Table) -> pa.Table:
+            lut = ray.get(ref)
+            ids, n_tok, n_bpe = [], [], []
+            for i, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+                words = (text or "").split()
+                if not words:
+                    continue
+                ids.append(i)
+                n_tok.append(len(words))
+                n_bpe.append(sum(lut[w] for w in words))
+            return pa.table({
+                id_col: pa.array(ids, t[id_col].type),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+            })
+
+        return ds.map_batches(encode, batch_format="pyarrow")
+
+    # distributed path: vocab too big to broadcast
+    from ..ops.joins import hash_join
+
+    def sym_counts(t: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(t["s"], " "), 1)
+        return pa.table({"word": t["word"],
+                         "n_sym": pc.cast(n, pa.int64())})
+
+    symtab = state.map_batches(sym_counts, batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, words, tfs = [], [], []
         for i, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            words = (text or "").split()
-            if not words:
+            w = (text or "").split()
+            if not w:
                 continue
-            ids.append(i)
-            n_tok.append(len(words))
-            n_bpe.append(sum(lut[w] for w in words))
+            uniq, cnt = np.unique(np.array(w, dtype=object), return_counts=True)
+            ids.extend([i] * len(uniq))
+            words.extend(uniq)
+            tfs.extend(cnt.astype(np.int64))
         return pa.table({
             id_col: pa.array(ids, t[id_col].type),
-            "n_tokens": pa.array(n_tok, pa.int64()),
-            "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+            "word": pa.array(words, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
         })
 
-    return ds.map_batches(encode, batch_format="pyarrow")
+    sch = ds.schema()
+    sch = getattr(sch, "base_schema", sch)
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    joined = hash_join(
+        ds.map_batches(explode, batch_format="pyarrow"), symtab, on="word",
+        left_schema=pa.schema([(id_col, id_type), ("word", pa.string()),
+                               ("tf", pa.int64())]),
+        right_schema=pa.schema([("word", pa.string()), ("n_sym", pa.int64())]),
+    )
+
+    def weigh(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            "tf": t["tf"],
+            "bpe": pc.multiply(t["tf"], t["n_sym"]),
+        })
+
+    agg = (
+        joined.map_batches(weigh, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("tf", alias_name="n_tokens"),
+                   Sum("bpe", alias_name="n_bpe_tokens"))
+    )
+    return agg.map_batches(
+        lambda t: t.select([id_col, "n_tokens", "n_bpe_tokens"]),
+        batch_format="pyarrow",
+    )

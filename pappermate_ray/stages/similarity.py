@@ -16,9 +16,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
+from ray.data.aggregate import Max, Min
 
 
 
@@ -295,13 +297,14 @@ def semantic_dedup(
     iters: int = 3,
     threshold: float = 0.9,
     round_to: int = 6,
+    max_group: int = 8192,
 ) -> "rd.Dataset":
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
     embedding space, then compare pairs ONLY within a cluster — the
     scale answer to ``cosine_pairs_exact``'s all-pairs O(N²): k-means
-    never shuffles the corpus (ops/kmeans.py), and the single shuffle
-    here is one hash exchange on the cluster key, after which each
-    group's pairwise cosine is a local (m, d) matmul.
+    never shuffles the corpus (ops/kmeans.py), and the shuffle here is
+    one hash exchange on the cluster key, after which each group's
+    pairwise cosine is a local (m, d) matmul.
 
     Returns ``(id_col, cluster, keep)`` for every input row: a row is
     dropped when a SMALLER-id row in the same cluster has cosine
@@ -309,8 +312,22 @@ def semantic_dedup(
     smallest-id-wins rule as the exact-dedup family, which makes the
     whole computation (k-means rounds included) SQL-reproducible.
 
-    Partitioning assumption: one cluster's rows fit a group (size k to
-    the corpus / raise it for finer clusters). Near-dup pairs split
+    **Mega-cluster cap** (round-2 verdict item #2): clusters larger
+    than ``max_group`` (near-identical boilerplate makes these common
+    at web scale) no longer land in one O(|c|²) straggler group.
+    Cluster sizes come from per-block bincount partials (O(blocks·k)
+    driver transit, no exchange); an oversized cluster is split into
+    S = ceil(|c|/max_group) id-keyed sub-shards and every shard PAIR
+    (i ≤ j) becomes its own group — the standard triangle
+    partitioning, replicating each row S× but bounding every task at
+    O(max_group²) and spreading one cluster's quadratic work over
+    S(S+1)/2 parallel tasks. A final narrow (id, cluster, hit)
+    groupby ORs the per-group verdicts; output is IDENTICAL to the
+    uncapped run (asserted in tests). When no cluster exceeds the cap
+    the original single-exchange path runs unchanged.
+
+    Remaining partitioning assumption: one SUB-SHARD pair (≤
+    2·max_group rows × dim doubles) fits a task. Near-dup pairs split
     across clusters are missed by design — SemDeDup's documented
     recall trade; the planted-pair tests pin actual recall.
     """
@@ -334,4 +351,89 @@ def semantic_dedup(
             "keep": ~hit,
         })
 
-    return assigned.groupby("cluster").map_groups(dedup_group, batch_format="pandas")
+    # cluster sizes: bounded per-block partials, summed driver-side —
+    # the kmeans-partials contract, no exchange. assigned is consumed
+    # twice (size pass + pair pass), so pin it once (documented
+    # small-intermediate exception, same as minhash's hashed-set table).
+    assigned = assigned.materialize()
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        counts = np.bincount(np.asarray(t["cluster"], np.int64), minlength=k)
+        return pa.table({"c": pa.array([counts.astype(np.int64).tobytes()],
+                                       pa.binary())})
+
+    sizes = np.zeros(k, dtype=np.int64)
+    for r in assigned.map_batches(size_partial, batch_format="pyarrow").take_all():
+        sizes += np.frombuffer(r["c"], dtype=np.int64)
+    shards = np.maximum(1, -(-sizes // max_group))  # ceil div
+    if int(shards.max(initial=1)) == 1:
+        return assigned.groupby("cluster").map_groups(
+            dedup_group, batch_format="pandas")
+
+    max_s = int(shards.max())
+    sref = ray.put(shards)
+
+    def replicate(t: pa.Table) -> pa.Table:
+        sh = ray.get(sref)
+        ids = np.asarray(t[id_col], np.int64)
+        clusters = np.asarray(t["cluster"], np.int64)
+        vecs = t[emb_col].to_pylist()
+        out_pk, out_id, out_cl, out_sh, out_v = [], [], [], [], []
+        for i in range(len(ids)):
+            s_c = int(sh[clusters[i]])
+            own = int(ids[i]) % s_c
+            for other in range(s_c):
+                lo, hi = min(own, other), max(own, other)
+                out_pk.append((int(clusters[i]) * max_s + lo) * max_s + hi)
+                out_id.append(int(ids[i]))
+                out_cl.append(int(clusters[i]))
+                out_sh.append(own)
+                out_v.append(vecs[i])
+        return pa.table({
+            "pk": pa.array(out_pk, pa.int64()),
+            id_col: pa.array(out_id, pa.int64()),
+            "cluster": pa.array(out_cl, pa.int64()),
+            "sub": pa.array(out_sh, pa.int64()),
+            emb_col: pa.array(out_v),
+        })
+
+    def pair_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        x = np.array(g[emb_col].to_list(), dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        xn = x / norms
+        sims = np.round(xn @ xn.T, round_to)
+        ge = np.tril(sims >= threshold, k=-1)
+        sub = g["sub"].to_numpy()
+        pk = int(g["pk"].iloc[0])
+        lo, hi = (pk // max_s) % max_s, pk % max_s
+        if lo != hi:
+            # cross-shard group: only cross pairs count here (each
+            # shard's internal pairs are owned by its (s, s) group)
+            ge &= sub[:, None] != sub[None, :]
+        hit = ge.any(axis=1)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "cluster": g["cluster"].to_numpy(),
+            "hit": hit.astype(np.int64),
+        })
+
+    verdicts = (
+        assigned.map_batches(replicate, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(pair_group, batch_format="pandas")
+    )
+    agg = verdicts.groupby(id_col).aggregate(
+        Max("hit", alias_name="any_hit"),
+        Min("cluster", alias_name="cluster_min"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            "cluster": t["cluster_min"],
+            "keep": pc.equal(t["any_hit"], 0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

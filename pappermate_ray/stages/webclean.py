@@ -658,3 +658,25 @@ def decontaminate(
         })
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def decontaminate_filter(
+    ds: "rd.Dataset",
+    grams: List[str],
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """Complement of ``decontaminate``: KEEP only rows containing none
+    of the broadcast benchmark ``grams`` as substrings — the drop step a
+    curation chain applies after the contamination scan. Same broadcast
+    shape (grams ship once via ``ray.put``, the corpus streams with no
+    shuffle or join); all input columns pass through."""
+    gram_list = sorted(set(grams))
+    ref = ray.put(gram_list)
+
+    def keep_clean(t: pa.Table) -> pa.Table:
+        gs = ray.get(ref)
+        mask = [not any(g in (x or "") for g in gs)
+                for x in t[text_col].to_pylist()]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep_clean, batch_format="pyarrow")

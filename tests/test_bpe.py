@@ -93,3 +93,21 @@ def test_driver_combine_and_distributed_paths_equal(ray_session):
     assert fast.equals(slow)
     key = lambda rows: sorted((r["word"], r["s"]) for r in rows)
     assert key(fstate.take_all()) == key(sstate.take_all())
+
+
+def test_token_counts_join_path_equals_broadcast(ray_session):
+    """Round-2 verdict item #3: above broadcast_limit the encode must
+    switch to the distributed word-join path and produce identical
+    counts (broadcast_limit=0 forces the join path on the same vocab)."""
+    texts = ["low lower lowest low low", "new newer newest new",
+             "wide wider low newer", ""]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    _, state = learn_bpe(word_counts(docs), num_merges=5)
+    key = lambda rows: sorted(
+        (r["doc_id"], r["n_tokens"], r["n_bpe_tokens"]) for r in rows)
+    broadcast = key(bpe_token_counts(docs, state).take_all())
+    joined = key(bpe_token_counts(docs, state, broadcast_limit=0).take_all())
+    assert joined == broadcast

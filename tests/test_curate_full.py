@@ -1,0 +1,104 @@
+"""The composed curate_full chain (pipelines/curate_full.py): structural
+semantics of the final manifest (value equality vs DuckDB is covered by
+the curate_full oracle in the gate), plus the kill-and-resume story —
+the manifest write skips completed partitions and the resumed output is
+byte-identical to an uninterrupted run."""
+
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def manifest(ray_session):
+    from pappermate_ray.pipelines.curate_full import curate_full
+
+    return curate_full(SF).take_all()
+
+
+def test_filters_compose(manifest):
+    ids = [r["doc_id"] for r in manifest]
+    urls = [r["url"] for r in manifest]
+    # blocklist: no doc from a blocked source survives
+    assert not [u for u in urls if "//src7/" in u or "//src13/" in u]
+    # decontamination: the benchmark docs themselves are gone
+    assert not [d for d in ids if d < 1_000_000 and d % 97 == 0]
+    # planted contamination: every 31st chain doc was dropped
+    assert not [d for d in ids if d % 31 == 0]
+    # near-dup keep-list: copy pages lost to their lower-id originals
+    # (the handful of survivors are copies whose original died upstream
+    # at the quality edge — the copy's ' extra' token nudged it over)
+    copies = [d for d in ids if d >= 1_000_000]
+    assert len(copies) <= 5
+    assert len(manifest) > 100  # the chain must not gut the corpus
+
+
+def test_pii_and_paragraph_counters(manifest):
+    by_id = {r["doc_id"]: r for r in manifest}
+    # planted PII rode the whole chain and was counted at the end
+    assert any(r["n_emails"] >= 1 for r in manifest)
+    assert any(r["n_phones"] >= 1 for r in manifest)
+    assert any(r["n_ips"] >= 1 for r in manifest)
+    for d, r in by_id.items():
+        if d % 5 == 0 and d < 1_000_000:
+            assert r["n_emails"] >= 1
+        # boilerplate was planted on %7/%13 docs and removed again
+        if d % 7 == 0 or d % 13 == 0:
+            assert r["n_removed"] >= 1
+
+
+def test_sequence_packing_is_a_prefix_scan(manifest):
+    rows = sorted(manifest, key=lambda r: r["doc_id"])
+    off = 0
+    for r in rows:
+        assert r["start_offset"] == off
+        assert r["first_seq"] == off // 2048
+        assert r["last_seq"] == (off + r["n_tokens"] - 1) // 2048
+        off += r["n_tokens"]
+
+
+def test_shard_positions_are_dense_ranks(manifest):
+    from collections import defaultdict
+
+    shards = defaultdict(list)
+    for r in manifest:
+        shards[r["shard_id"]].append(r["shard_pos"])
+    assert set(shards) <= set(range(8))
+    for pos in shards.values():
+        assert sorted(pos) == list(range(len(pos)))
+
+
+def test_kill_and_resume_byte_identical(ray_session, tmp_path):
+    from pappermate_ray.io.sink import (add_partition_column, completed_parts,
+                                        read_output, write_resumable)
+    from pappermate_ray.pipelines.curate_full import curate_full
+
+    n_parts = 8
+
+    def rows_of(out_dir):
+        return sorted(tuple(r.values()) for r in read_output(out_dir).take_all())
+
+    # uninterrupted reference run
+    out_full = str(tmp_path / "full")
+    write_resumable(curate_full(SF), out_full, n_parts=n_parts, key_col="url")
+    want = rows_of(out_full)
+
+    # 'killed' run: the job died after committing partitions 0..3 — the
+    # chain is corpus-global (dedup keep-lists, prefix offsets), so the
+    # compute re-runs, but completed partitions are never re-written
+    out = str(tmp_path / "resumed")
+    parted = add_partition_column(curate_full(SF), n_parts, key_col="url")
+    partial = parted.map_batches(
+        lambda t: t.filter(pa.compute.less(t["part"], 4)).drop_columns(["part"]),
+        batch_format="pyarrow",
+    )
+    m1 = write_resumable(partial, out, n_parts=n_parts, key_col="url")
+    assert set(m1["part"].to_pylist()) == {0, 1, 2, 3}
+
+    # resumed run over the full chain output
+    m2 = write_resumable(curate_full(SF), out, n_parts=n_parts, key_col="url")
+    assert set(m2["part"].to_pylist()).isdisjoint({0, 1, 2, 3})
+    assert completed_parts(out) == (set(m1["part"].to_pylist())
+                                    | set(m2["part"].to_pylist()))
+    assert rows_of(out) == want

@@ -126,27 +126,45 @@ def test_pipeline_error_rows_survive(ray_session, pages):
 
 
 def test_routed_big_docs_same_results(ray_session, pages):
-    """Size-routed pipeline (dedicated big-doc pool) is row-identical to
-    the plain pipeline — routing is a physical-plan choice, not a
-    semantic one."""
+    """Size-routed pipeline (in-batch big-doc slicing) is row-identical
+    to the plain pipeline — routing is a physical-plan choice, not a
+    semantic one — and the routed plan scans the input exactly ONCE
+    (the round-1 version unioned two filtered branches, reading the
+    corpus twice)."""
     import ray.data as rd
 
     from pappermate_ray.pipelines.extract_pipeline import build_routed_pipeline
 
-    threshold = 1500  # ≈ median payload → both branches substantial
+    threshold = 1500  # ≈ median payload → both routes substantial
     plain = build_extraction_pipeline(rd.from_arrow(pages), batch_size=64)
-    routed = build_routed_pipeline(rd.from_arrow(pages), big_doc_bytes=threshold, big_actors=1)
+    routed = build_routed_pipeline(rd.from_arrow(pages), big_doc_bytes=threshold)
     a = sorted((r["url"], r["text"], r["n_entities"])
                for r in plain.select_columns(["url", "text", "n_entities"]).take_all())
     b = sorted((r["url"], r["text"], r["n_entities"])
                for r in routed.select_columns(["url", "text", "n_entities"]).take_all())
     assert a == b
-    # the threshold actually split the corpus (both branches non-trivial)
+    # the threshold actually split the corpus (both routes non-trivial)
     import pyarrow.compute as pc
 
     sizes = pc.binary_length(pages["html"]).to_pylist()
     n_big = sum(1 for s in sizes if s and s > threshold)
     assert 0 < n_big < len(sizes)
+
+
+def test_routed_pipeline_single_scan(ray_session):
+    """The routed plan contains exactly one parquet read (single scan)."""
+    from pappermate_ray.fixtures import read_pages
+    from pappermate_ray.pipelines.extract_pipeline import build_routed_pipeline
+
+    routed = build_routed_pipeline(read_pages("/root/testdata/sf0.001"),
+                                   big_doc_bytes=1500)
+    routed = routed.select_columns(["url", "status"]).materialize()
+    assert routed.count() == 500
+    stats = routed.stats()
+    read_ops = [ln for ln in stats.splitlines()
+                if "Operator" in ln and "ReadParquet" in ln]
+    assert len(read_ops) == 1, stats
+    assert "Union" not in stats
 
 
 def test_compose_and_skip_spans(ray_session, pages, monkeypatch):

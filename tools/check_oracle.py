@@ -1,6 +1,7 @@
 """Local mimic of the driver's correctness gate: run each Ray query and its
 DuckDB oracle side-by-side, compare row count + schema + order-insensitive
-value hash. Usage: python tools/check_oracle.py [sf_dir]"""
+value hash. Usage: python tools/check_oracle.py [sf_dir] [query ...]
+(with query names given, only those gate entries run)"""
 
 from __future__ import annotations
 
@@ -40,7 +41,7 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.md5(df.to_csv(index=False, float_format="%.6f").encode()).hexdigest()
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import ray
     from ray.data import DataContext
 
@@ -56,8 +57,9 @@ def main(sf_dir: str) -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    queries = SQL_QUERIES if not only else {n: SQL_QUERIES[n] for n in only}
     failures = []
-    for name, fn in SQL_QUERIES.items():
+    for name, fn in queries.items():
         try:
             got = norm(to_pandas(fn(sf_dir)))
             want = norm(con.execute(ORACLE_SQL[name]).df())
@@ -76,9 +78,10 @@ def main(sf_dir: str) -> int:
             failures.append(name)
             print(f"ERR  {name}: {type(e).__name__}: {e}")
     ray.shutdown()
-    print(f"\n{len(SQL_QUERIES) - len(failures)}/{len(SQL_QUERIES)} queries match; failures: {failures}")
+    print(f"\n{len(queries) - len(failures)}/{len(queries)} queries match; failures: {failures}")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+                  sys.argv[2:] or None))
