@@ -2110,6 +2110,19 @@ def q_profile_table(sf_dir: str):
     return profile_table(ds, ["doc_id", "lang", "source", "n_chars"])
 
 
+def q_profile_table_approx(sf_dir: str):
+    """Exchange-free profiler (ops/profile.py approx=True): HLL block
+    partials replace the per-column distinct exchanges; n_distinct is
+    a ±~1% estimate (rows-only driver check; the ±2% band vs exact is
+    pinned in tests/test_profile.py)."""
+    from .ops.profile import profile_table
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "source", "n_chars"])
+    return profile_table(ds, ["doc_id", "lang", "source", "n_chars"],
+                         approx=True)
+
+
 def q_winnow_clone_pairs(sf_dir: str):
     """MOSS clone report (stages/winnow.winnow_clone_pairs): document
     pairs sharing ≥2 distinct winnowing fingerprints, common
@@ -3930,6 +3943,7 @@ NOSQL_QUERIES = {
     "clean_corpus": q_clean_corpus,
     "hll_distinct_bigrams": q_hll_distinct_bigrams,
     "link_graph": q_link_graph,
+    "profile_table_approx": q_profile_table_approx,
 }
 
 

@@ -57,7 +57,7 @@ def main() -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    from pappermate_ray.stages.dedup import latest_by_url
+    from pappermate_ray.stages.dedup import latest_by_url, latest_by_url_parquet
 
     path = f"/tmp/latest_bench_{n_urls}"
     if not os.path.exists(os.path.join(path, "_done")):
@@ -65,6 +65,12 @@ def main() -> None:
         open(os.path.join(path, "_done"), "w").close()
 
     results = {}
+    t0 = time.perf_counter()
+    n = latest_by_url_parquet(path, file_extensions=["parquet"]).count()
+    results["two-pass"] = time.perf_counter() - t0
+    print(f"two-pass: {results['two-pass']:.1f}s rows={n} "
+          f"({n_urls} distinct urls, {ncpu} cpus)")
+    assert n == n_urls
     for strategy in ("aggregate", "groups"):
         t0 = time.perf_counter()
         n = latest_by_url(
@@ -74,7 +80,8 @@ def main() -> None:
         results[strategy] = dt
         print(f"{strategy}: {dt:.1f}s rows={n} ({n_urls} distinct urls, {ncpu} cpus)")
         assert n == n_urls
-    print(f"speedup: {results['groups'] / results['aggregate']:.1f}x")
+    print(f"groups/aggregate: {results['groups'] / results['aggregate']:.1f}x, "
+          f"aggregate/two-pass: {results['aggregate'] / results['two-pass']:.1f}x")
     ray.shutdown()
 
 
