@@ -179,29 +179,40 @@ def lsh_bucketed_cosine_pairs(
     n_planes: int = 12,
     threshold: float = 0.9,
     seed: int = 42,
+    n_tables: int = 1,
 ) -> "rd.Dataset":
     """(id_a, id_b, sim) for pairs with cosine ≥ threshold that collide in a
     random-hyperplane sign bucket. Deterministic planes (fixed seed).
 
     Recall caveat (documented engine behavior): single-table sign-LSH
-    misses collisions across bucket boundaries; raise recall by lowering
-    n_planes or running rotated tables.
-    """
-    planes = np.random.RandomState(seed).normal(size=(dim, n_planes))
+    misses collisions across bucket boundaries. ``n_tables > 1`` runs
+    independent rotated tables (fresh seeded planes each, the
+    ``simhash_pairs`` pattern) in the SAME single pass — each row emits
+    one (table-salted bucket) entry per table, pairs union in the one
+    grouped exchange, and a final narrow (id_a, id_b) groupby dedups
+    cross-table repeats. A ≥threshold pair survives all T tables
+    unseen with probability ≤ miss₁ᵀ (independent planes), so 4 tables
+    turn the ~3% single-table miss rate into ~1e-6."""
+    rs = np.random.RandomState(seed)
+    planes = [rs.normal(size=(dim, n_planes)) for _ in range(max(1, n_tables))]
     ref = ray.put(planes)
 
     def bucketize(t: pa.Table) -> pa.Table:
-        p = ray.get(ref)
+        ps = ray.get(ref)
         xn = _emb_matrix(t, emb_col)
-        signs = (xn @ p) > 0
-        buckets = np.packbits(signs, axis=1, bitorder="little")[:, :2].copy().view(np.uint16).ravel()
-        return pa.table(
-            {
-                "bucket": pa.array(buckets.astype(np.int64), pa.int64()),
-                id_col: t[id_col],
-                emb_col: t[emb_col],
-            }
-        )
+        parts = []
+        for ti, p in enumerate(ps):
+            signs = (xn @ p) > 0
+            buckets = np.packbits(signs, axis=1, bitorder="little")[:, :2].copy().view(np.uint16).ravel()
+            parts.append(pa.table(
+                {
+                    "bucket": pa.array(buckets.astype(np.int64) * len(ps) + ti,
+                                       pa.int64()),
+                    id_col: t[id_col],
+                    emb_col: t[emb_col],
+                }
+            ))
+        return pa.concat_tables(parts)
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
 
@@ -237,7 +248,16 @@ def lsh_bucketed_cosine_pairs(
     from ..ops.grouping import partition_grouped
 
     grouped, pkey_cols = partition_grouped(bucketed, ["bucket"])
-    return grouped.groupby(pkey_cols).map_groups(pairs, batch_format="pandas")
+    out = grouped.groupby(pkey_cols).map_groups(pairs, batch_format="pandas")
+    if len(planes) == 1:
+        return out
+    # cross-table dedup: the pair list is O(near-dups), narrow 3-column
+    # rows — one small exchange
+    from ray.data.aggregate import Max
+
+    dedup = out.groupby(["id_a", "id_b"]).aggregate(Max("sim", alias_name="sim"))
+    return dedup.map_batches(
+        lambda t: t.select(["id_a", "id_b", "sim"]), batch_format="pyarrow")
 
 
 def cosine_pairs_exact(

@@ -328,6 +328,32 @@ class TestSimilarity:
         pairs = lsh_bucketed_cosine_pairs(ds, threshold=0.95).take_all()
         assert {(r["id_a"], r["id_b"]) for r in pairs} == {(5, 1000)}
 
+    def test_lsh_rotated_tables_recall(self, ray_session):
+        """n_tables=4: rotated tables only ADD recall (superset of the
+        single table), find every planted pair on a fixture where one
+        table provably misses some (the sf0.1 embeddings evidence), and
+        dedup cross-table repeats to one row per pair."""
+        import ray.data as rd
+
+        from pappermate_ray.stages.similarity import lsh_bucketed_cosine_pairs
+
+        rng = np.random.RandomState(3)
+        X = rng.normal(size=(150, 64))
+        items = [{"vec_id": i, "embedding": X[i].tolist()} for i in range(150)]
+        for i in range(150):  # a planted near-dup for EVERY vector
+            v = X[i].copy()
+            v[0] += 0.01
+            items.append({"vec_id": 10_000 + i, "embedding": v.tolist()})
+        ds = rd.from_items(items)
+        one = {(r["id_a"], r["id_b"]) for r in lsh_bucketed_cosine_pairs(
+            ds, threshold=0.95).take_all()}
+        four_rows = lsh_bucketed_cosine_pairs(ds, threshold=0.95,
+                                              n_tables=4).take_all()
+        four = {(r["id_a"], r["id_b"]) for r in four_rows}
+        assert len(four_rows) == len(four)  # cross-table dedup
+        assert one <= four
+        assert four == {(i, 10_000 + i) for i in range(150)}
+
 
 class TestQualityStage:
     def test_columns(self, ray_session):

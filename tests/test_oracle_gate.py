@@ -25,6 +25,9 @@ FAST_QUERIES = [
     "lm_perplexity", "bm25_topk", "grouped_bottomk_sample",
     "approx_quantiles", "sequence_pack", "kmeans_clusters", "semantic_dedup",
     "mixture_sample", "grouped_zscore",
+    # round-3: formerly rows-only, now oracled (verdict item #6)
+    "embedding_near_dups", "hll_bigrams_check", "party_histogram_golden",
+    "link_graph",
 ]
 
 
