@@ -171,6 +171,96 @@ class TestLatestByUrlFast:
         assert dict(a)["v"] == b"v-2"  # latest ts still wins outright
 
 
+class TestBoilerplateStorm:
+    """Round-2 verdict item #9: a single hot bucket key holding 30% of
+    the corpus (boilerplate storm) must not create an O(n²) straggler
+    task or poison the other buckets."""
+
+    _STORM = "storm " + " ".join(f"bp{j} clause{j} footer{j}" for j in range(12))
+
+    def _corpus(self, n=400, storm_frac=0.3):
+        ids, texts = [], []
+        n_storm = int(n * storm_frac)
+        for i in range(n):
+            if i < n_storm:  # 30%: byte-identical boilerplate
+                ids.append(i)
+                texts.append(self._STORM)
+                continue
+            base = f"doc{i} " + " ".join(f"w{i}x{j} y{i}z{j}" for j in range(15))
+            ids.append(i)
+            texts.append(base)
+            if i % 4 == 0:  # planted near-dup outside the storm
+                ids.append(i + 1_000_000)
+                texts.append(base + " extra")
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })).repartition(8)
+
+    def test_minhash_cap_drops_storm_keeps_rest(self, ray_session):
+        """With max_bucket below the storm size the capped path drops the
+        identical-template bucket WHOLESALE (those are exact-dedup's job)
+        while every planted non-storm pair is still found exactly — the
+        storm neither stalls the job nor bleeds into other buckets."""
+        from pappermate_ray.stages.dedup import minhash_pairs_exact_verified
+
+        ds = self._corpus()
+        pairs = minhash_pairs_exact_verified(
+            ds, "doc_id", "text", threshold=0.8, max_bucket=64).take_all()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        want = {(i, i + 1_000_000) for i in range(120, 400, 4)}
+        assert got == want
+
+    def test_minhash_uncapped_recovers_storm_pairs(self, ray_session):
+        """max_bucket=0 disables the cap: the same corpus yields the storm
+        clique too — the cap is a knob, not a semantics change."""
+        from pappermate_ray.stages.dedup import minhash_pairs_exact_verified
+
+        ds = self._corpus(n=160)  # 48 storm docs → C(48,2) = 1128 pairs
+        pairs = minhash_pairs_exact_verified(
+            ds, "doc_id", "text", threshold=0.8, max_bucket=0).take_all()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        storm = {(a, b) for a in range(48) for b in range(a + 1, 48)}
+        planted = {(i, i + 1_000_000) for i in range(48, 160, 4)}
+        assert got == storm | planted
+        # identical docs: jaccard exactly 1.0 on every storm pair
+        assert all(r["jaccard"] == 1.0 for r in pairs
+                   if (r["id_a"], r["id_b"]) in storm)
+
+    def test_paragraph_dedup_hot_para_30pct(self, ray_session):
+        """paragraph_dedup with one paragraph present in 30% of docs:
+        completes on the distributed path and matches brute force — the
+        hot paragraph is a grouped count, never a pair explosion."""
+        from pappermate_ray.stages.webclean import paragraph_dedup
+
+        n = 1000
+        hot = "subscribe to our newsletter and accept all cookies"
+
+        def make(t: pa.Table) -> pa.Table:
+            ids = t["id"].to_pylist()
+            texts = []
+            for i in ids:
+                ps = [f"unique body {i} " + " ".join(f"u{i}q{j}" for j in range(5))]
+                if i % 10 < 3:  # 30% carry the hot paragraph
+                    ps.insert(0, hot)
+                texts.append("\n".join(ps))
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts, pa.string())})
+
+        ds = rd.range(n, override_num_blocks=16).map_batches(
+            make, batch_format="pyarrow")
+        out = paragraph_dedup(ds, "doc_id", "text", sep="\n", min_docs=3,
+                              broadcast_limit=0)
+        got = dict(zip(*[
+            pa.concat_tables(list(out.iter_batches(
+                batch_size=65536, batch_format="pyarrow"))).column(c).to_pylist()
+            for c in ("doc_id", "clean_text")]))
+        assert len(got) == n
+        for i in range(n):
+            assert got[i].startswith("unique body ")
+            assert hot not in got[i]
+
+
 class TestSimhashTables:
     def test_rotated_tables_recall_not_worse(self, ray_session):
         from pappermate_ray.stages.dedup import simhash_pairs
