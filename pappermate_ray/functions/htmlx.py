@@ -23,6 +23,7 @@ by running exactly these functions serially (FIXTURES.md §2).
 from __future__ import annotations
 
 import re
+from html import unescape
 from html.parser import HTMLParser
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -124,16 +125,44 @@ class _ContentParser(HTMLParser):
             seg.link_chars += n
 
 
+_NL_RUN = re.compile(r" ?\n ?")
+
+
 def _normalize_segment_text(pieces: List[str]) -> str:
     text = "".join(pieces)
     text = _WS.sub(" ", text)
     # collapse newline runs inside a segment; segments join with "\n" later
-    text = re.sub(r" ?\n ?", " ", text)
+    text = _NL_RUN.sub(" ", text)
     return text.strip()
 
 
 # elements whose content is raw text (no nested tags) per the HTML spec
 _RAWTEXT = frozenset({"script", "style", "textarea", "title"})
+
+# Fast-path tag matchers (anchored with .match): a tag whose body holds
+# no quote and no '<' — the overwhelming majority on real HTML — parses
+# in ONE C regex call (name capture + '>'), skipping the find/slice/
+# per-char-name-loop slow path. Quote or '<' in the body falls back to
+# the quote-aware rescan below. Charsets mirror the slow path EXACTLY:
+# start names end at " \t\n\r\f/" or '>' (NOT \v — HTMLParser's
+# tagfind_tolerant keeps \v in the name); end names are
+# [-.a-zA-Z0-9:_]* from the first char.
+_FAST_START = re.compile(r"([^ \t\n\r\f/>\"'<]+)[^>\"'<]*>")
+_FAST_END = re.compile(r"([-.a-zA-Z0-9:_]*)[^>\"'<]*>")
+
+# Strip-mode fast-forward: while inside a stripped subtree the ONLY
+# events that can matter are comments/declarations (their content must
+# still be skipped by the normal rules) and strip-tag opens/closes —
+# every other tag and all text is ignored. Jump straight to the next
+# candidate at C speed instead of parsing every <a>/<li>/text run in a
+# nav/footer. Lookahead keeps the match on '<' so the main loop resumes
+# with its exact semantics; false-positive name prefixes (e.g.
+# '<navigation>') just cost one ordinary no-op iteration.
+_STRIP_JUMP = re.compile(
+    r"<(?=[!?]|/?(?:script|style|noscript|template|svg|iframe|nav|header"
+    r"|footer|aside|form|button|select|option))",
+    re.IGNORECASE,
+)
 
 
 def _scan_segments(html_str: str) -> List[_Segment]:
@@ -153,8 +182,6 @@ def _scan_segments(html_str: str) -> List[_Segment]:
     recovery differs; this scanner's deterministic output is the engine's
     spec there.
     """
-    from html import unescape
-
     low = html_str.lower()
     segments: List[_Segment] = []
     strip_depth = 0
@@ -188,6 +215,13 @@ def _scan_segments(html_str: str) -> List[_Segment]:
 
     i, n = 0, len(html_str)
     while i < n:
+        if strip_depth:
+            # fast-forward to the next event that can affect strip state
+            # (emit is a no-op while stripping, so skipped text is free)
+            jump = _STRIP_JUMP.search(html_str, i)
+            if jump is None:
+                break
+            i = jump.start()
         lt = html_str.find("<", i)
         if lt < 0:
             emit(html_str[i:])
@@ -215,53 +249,61 @@ def _scan_segments(html_str: str) -> List[_Segment]:
                 break
             i = end + 1
             continue
-        gt = html_str.find(">", lt + 1)
-        seg_fast = html_str[lt + 1 : gt] if gt >= 0 else ""
-        if gt >= 0 and ('"' in seg_fast or "'" in seg_fast):
-            # a '>' may sit inside a quoted attribute value — rescan
-            # respecting quotes (HTMLParser semantics); an unquoted '<'
-            # does NOT end the tag (it becomes part of the name/attrs)
-            j = lt + 1
-            quote = None
-            gt = -1
-            while j < n:
-                ch = html_str[j]
-                if quote:
-                    if ch == quote:
-                        quote = None
-                elif ch in "\"'":
-                    quote = ch
-                elif ch == ">":
-                    gt = j
-                    break
-                j += 1
-        if gt < 0:
-            # unterminated tag at EOF: HTMLParser flushes the remainder as
-            # data on close()
-            emit(html_str[lt:])
-            break
-        raw = html_str[lt + 1 : gt]
-        i = gt + 1
-        if not raw:
-            continue
-        closing = raw.startswith("/")
-        name = raw[1:] if closing else raw
-        if closing:
-            # endtag name charset (HTMLParser): [a-zA-Z][-.a-zA-Z0-9:_]*
-            end_name = 0
-            while end_name < len(name) and (
-                name[end_name].isalnum() or name[end_name] in "-.:_"
-            ):
-                end_name += 1
-            name = name[:end_name].lower()
+        closing = nxt == "/"
+        m = (_FAST_END.match(html_str, lt + 2) if closing
+             else _FAST_START.match(html_str, lt + 1))
+        if m:
+            name = m.group(1).lower()
+            i = m.end()
+            self_closing = not closing and html_str[i - 2] == "/"
         else:
-            # starttag name (tagfind_tolerant): everything up to
-            # whitespace, '/', or end — weird chars stay part of the NAME,
-            # so '<P&x>' is a tag named 'p&x', not 'p'
-            end_name = 0
-            while end_name < len(name) and name[end_name] not in " \t\n\r\f/":
-                end_name += 1
-            name = name[:end_name].lower()
+            gt = html_str.find(">", lt + 1)
+            seg_fast = html_str[lt + 1 : gt] if gt >= 0 else ""
+            if gt >= 0 and ('"' in seg_fast or "'" in seg_fast):
+                # a '>' may sit inside a quoted attribute value — rescan
+                # respecting quotes (HTMLParser semantics); an unquoted '<'
+                # does NOT end the tag (it becomes part of the name/attrs)
+                j = lt + 1
+                quote = None
+                gt = -1
+                while j < n:
+                    ch = html_str[j]
+                    if quote:
+                        if ch == quote:
+                            quote = None
+                    elif ch in "\"'":
+                        quote = ch
+                    elif ch == ">":
+                        gt = j
+                        break
+                    j += 1
+            if gt < 0:
+                # unterminated tag at EOF: HTMLParser flushes the remainder
+                # as data on close()
+                emit(html_str[lt:])
+                break
+            raw = html_str[lt + 1 : gt]
+            i = gt + 1
+            if not raw:
+                continue
+            name = raw[1:] if closing else raw
+            if closing:
+                # endtag name charset (HTMLParser): [a-zA-Z][-.a-zA-Z0-9:_]*
+                end_name = 0
+                while end_name < len(name) and (
+                    name[end_name].isalnum() or name[end_name] in "-.:_"
+                ):
+                    end_name += 1
+                name = name[:end_name].lower()
+            else:
+                # starttag name (tagfind_tolerant): everything up to
+                # whitespace, '/', or end — weird chars stay part of the
+                # NAME, so '<P&x>' is a tag named 'p&x', not 'p'
+                end_name = 0
+                while end_name < len(name) and name[end_name] not in " \t\n\r\f/":
+                    end_name += 1
+                name = name[:end_name].lower()
+            self_closing = not closing and raw.endswith("/")
         if not name:
             continue
         if closing:
@@ -281,7 +323,6 @@ def _scan_segments(html_str: str) -> List[_Segment]:
                         break
                 current = None
         else:
-            self_closing = raw.endswith("/")
             if name in STRIP_TAGS:
                 if not self_closing:
                     strip_depth += 1

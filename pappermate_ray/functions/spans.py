@@ -134,6 +134,46 @@ def segment_text(text: str) -> List[Tuple[str, str]]:
     return segments
 
 
+_DATE_TYPES = frozenset(
+    ("START_DATE", "END_DATE", "SIGNATURE_DATE", "EFFECTIVE_DATE", "EXPIRATION_DATE"))
+# fast paths for the two span shapes the date rules emit; anything else
+# (month names, partial dates, junk) falls back to dateutil. Exhaustive
+# equivalence with dateutil over the full numeric domain is pinned in
+# tests/test_functions.py.
+_FAST_DMY = re.compile(r"(\d{1,2})/(\d{1,2})/(\d{4})$")
+_FAST_YMD = re.compile(r"(\d{4})-(\d{1,2})-(\d{1,2})$")
+
+
+def _fast_date_norm(text: str) -> Optional[str]:
+    """dateutil-identical normalization for pure numeric dates: dateutil's
+    default order is month-first, retrying day-first when the first number
+    can't be a month; any failure defers to dateutil itself."""
+    from datetime import datetime
+
+    m = _FAST_DMY.match(text)
+    if m:
+        a, b, y = int(m.group(1)), int(m.group(2)), int(m.group(3))
+        if 1 <= a <= 12:
+            try:
+                return datetime(y, a, b).strftime("%Y-%m-%d")
+            except ValueError:
+                return None
+        if 1 <= b <= 12:
+            try:
+                return datetime(y, b, a).strftime("%Y-%m-%d")
+            except ValueError:
+                return None
+        return None
+    m = _FAST_YMD.match(text)
+    if m:
+        try:
+            return datetime(int(m.group(1)), int(m.group(2)),
+                            int(m.group(3))).strftime("%Y-%m-%d")
+        except ValueError:
+            return None
+    return None
+
+
 def normalize_entity_text(text: str, entity_type: str) -> str:
     """Per-type normalization used as the dedup key.
 
@@ -143,7 +183,10 @@ def normalize_entity_text(text: str, entity_type: str) -> str:
     returned; the date branch parses with dateutil.
     """
     text = text.lower().strip()
-    if entity_type in ("START_DATE", "END_DATE", "SIGNATURE_DATE", "EFFECTIVE_DATE", "EXPIRATION_DATE"):
+    if entity_type in _DATE_TYPES:
+        fast = _fast_date_norm(text)
+        if fast is not None:
+            return fast
         try:
             from dateutil.parser import parse
             return parse(text).strftime("%Y-%m-%d")

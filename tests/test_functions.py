@@ -296,3 +296,33 @@ class TestPatternPack:
         from pappermate_ray.functions.spans import load_pattern_pack
 
         assert load_pattern_pack("/nonexistent/dir") == {}
+
+
+class TestFastDateNorm:
+    def test_exhaustive_equivalence_with_dateutil(self):
+        """The _fast_date_norm shortcut must agree with the dateutil path
+        byte-for-byte over the whole numeric domain the date span rules
+        can emit (normalize_entity_text's golden-frozen behavior)."""
+        from dateutil.parser import parse
+
+        from pappermate_ray.functions.spans import normalize_entity_text
+
+        def dateutil_ref(text):
+            text = text.lower().strip()
+            try:
+                return parse(text).strftime("%Y-%m-%d")
+            except Exception:
+                return text
+
+        cases = []
+        for a in list(range(1, 14)) + [15, 28, 29, 30, 31, 32, 99]:
+            for b in list(range(1, 14)) + [28, 29, 30, 31, 32, 99]:
+                for y in (2020, 2024, 1999):
+                    cases.append(f"{a:02d}/{b:02d}/{y}")
+                    cases.append(f"{a}/{b}/{y}")
+                    cases.append(f"{y}-{a:02d}-{b:02d}")
+        cases += ["2024-02-29", "2023-02-29", "0000-01-01", "15 de março 2022",
+                  "march 5 2021", "not a date", "13/13/2022", "00/05/2022",
+                  "05/00/2022"]
+        for c in cases:
+            assert normalize_entity_text(c, "START_DATE") == dateutil_ref(c), c
