@@ -397,24 +397,52 @@ def semantic_dedup(
         sh = ray.get(sref)
         ids = np.asarray(t[id_col], np.int64)
         clusters = np.asarray(t["cluster"], np.int64)
-        vecs = t[emb_col].to_pylist()
-        out_pk, out_id, out_cl, out_sh, out_v = [], [], [], [], []
-        for i in range(len(ids)):
-            s_c = int(sh[clusters[i]])
-            own = int(ids[i]) % s_c
-            for other in range(s_c):
-                lo, hi = min(own, other), max(own, other)
-                out_pk.append((int(clusters[i]) * max_s + lo) * max_s + hi)
-                out_id.append(int(ids[i]))
-                out_cl.append(int(clusters[i]))
-                out_sh.append(own)
-                out_v.append(vecs[i])
-        return pa.table({
-            "pk": pa.array(out_pk, pa.int64()),
-            id_col: pa.array(out_id, pa.int64()),
-            "cluster": pa.array(out_cl, pa.int64()),
-            "sub": pa.array(out_sh, pa.int64()),
-            emb_col: pa.array(out_v),
+        s_row = sh[clusters]
+        # common case fully vectorized: rows in un-split clusters (S=1)
+        # emit exactly themselves with own=0, pk = cluster·max_s²
+        single = s_row == 1
+        parts = []
+        if single.any():
+            tt = t.filter(pa.array(single))
+            c1 = clusters[single]
+            parts.append(pa.table({
+                "pk": pa.array(c1 * (max_s * max_s), pa.int64()),
+                id_col: tt[id_col],
+                "cluster": pa.array(c1, pa.int64()),
+                "sub": pa.array(np.zeros(len(c1), np.int64), pa.int64()),
+                emb_col: tt[emb_col],
+            }))
+        # mega-cluster rows (rare): Python loop over just those
+        if (~single).any():
+            tm = t.filter(pa.array(~single))
+            m_ids = ids[~single]
+            m_cl = clusters[~single]
+            vecs = tm[emb_col].to_pylist()
+            out_pk, out_id, out_cl, out_sh, out_v = [], [], [], [], []
+            for i in range(len(m_ids)):
+                s_c = int(sh[m_cl[i]])
+                own = int(m_ids[i]) % s_c
+                for other in range(s_c):
+                    lo, hi = min(own, other), max(own, other)
+                    out_pk.append((int(m_cl[i]) * max_s + lo) * max_s + hi)
+                    out_id.append(int(m_ids[i]))
+                    out_cl.append(int(m_cl[i]))
+                    out_sh.append(own)
+                    out_v.append(vecs[i])
+            parts.append(pa.table({
+                "pk": pa.array(out_pk, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "cluster": pa.array(out_cl, pa.int64()),
+                "sub": pa.array(out_sh, pa.int64()),
+                emb_col: pa.array(out_v, tm[emb_col].type
+                                  if len(out_v) else None),
+            }))
+        return pa.concat_tables(parts) if parts else pa.table({
+            "pk": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+            "sub": pa.array([], pa.int64()),
+            emb_col: pa.array([], t[emb_col].type),
         })
 
     def pair_group(g: pd.DataFrame) -> pd.DataFrame:
