@@ -139,6 +139,28 @@ def cmd_curate(args) -> None:
     ray.shutdown()
 
 
+def cmd_curate_full(args) -> None:
+    """The COMPOSED pretraining-corpus job (pipelines/curate_full.py):
+    ingest → latest_by_url → blocklist → quality → paragraph_dedup →
+    MinHash keep-list → decontaminate → PII → sequence packing → shard
+    manifest, written through the resumable lineage sink (a killed run
+    re-writes only incomplete partitions on rerun)."""
+    ray = _init_ray()
+
+    from .pipelines.curate_full import run_curate_full
+
+    t0 = time.perf_counter()
+    manifest = run_curate_full(args.input, args.output, n_parts=args.n_parts,
+                               num_shards=args.num_shards)
+    print(json.dumps({
+        "manifest_rows": sum(manifest["n_rows"].to_pylist()),
+        "written_partitions": manifest.num_rows,
+        "sec": round(time.perf_counter() - t0, 2),
+        "output": args.output,
+    }))
+    ray.shutdown()
+
+
 def cmd_schemas(args) -> None:
     """Export the model JSON Schemas (reference validation/schema.py:63-104
     workflow) plus, when --output-dir holds extraction parquet, a
@@ -190,6 +212,15 @@ def main(argv=None) -> int:
     pc_.add_argument("--strip-boilerplate", action="store_true",
                      help="corpus-level repeated-paragraph removal before scoring")
     pc_.set_defaults(fn=cmd_curate)
+
+    pf = sub.add_parser(
+        "curate-full",
+        help="composed corpus job: ingest → url dedup → curation chain → training-shard manifest")
+    pf.add_argument("--input", required=True, help="sf_dir with documents.parquet")
+    pf.add_argument("--output", required=True)
+    pf.add_argument("--n-parts", type=int, default=16)
+    pf.add_argument("--num-shards", type=int, default=8)
+    pf.set_defaults(fn=cmd_curate_full)
 
     ps = sub.add_parser("schemas", help="export model JSON Schemas (+ dataset schema)")
     ps.add_argument("--output", required=True, help="directory for *_schema.json files")

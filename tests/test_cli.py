@@ -108,3 +108,19 @@ def test_cli_curate(tmp_path):
     tb = pads.dataset(out_dir, partitioning="hive").to_table()
     assert set(tb.column_names) >= {"url", "quality", "n_tokens"}
     assert tb.num_rows == res["survivor_rows"]
+
+
+def test_cli_curate_full(tmp_path):
+    """curate-full subcommand: the composed corpus job writes the
+    training-shard manifest through the resumable sink."""
+    out_dir = str(tmp_path / "manifest")
+    res = _run(["curate-full", "--input", "/root/testdata/sf0.001",
+                "--output", out_dir, "--n-parts", "4"], timeout=400)
+    assert res["written_partitions"] == 4
+    assert res["manifest_rows"] > 300
+    import pyarrow.dataset as pads
+
+    tb = pads.dataset(out_dir, partitioning="hive").to_table()
+    assert set(tb.column_names) >= {"doc_id", "url", "n_tokens",
+                                    "start_offset", "shard_id", "shard_pos"}
+    assert tb.num_rows == res["manifest_rows"]
