@@ -214,12 +214,20 @@ def curate_full(
     # 5. near-dup keep-list: exact-verified MinHash pairs → components →
     #    losers stay a Dataset → distributed anti-join. The pair list is
     #    O(duplicated docs), tiny next to the corpus — pin it so
-    #    cluster_pairs' count + union-find don't re-run the LSH.
+    #    cluster_pairs' count + union-find don't re-run the LSH. The
+    #    anti-join's partition count scales to the MATERIALIZED left
+    #    side's row count (free — pd_out is the phase checkpoint):
+    #    aggregator spin-up tracks the data instead of paying 32 actor
+    #    starts to shuffle a few thousand rows at test scale, while a
+    #    100 TB run still fans out to cores.
+    from ..ops.joins import adaptive_partitions
+
     pairs = minhash_pairs_exact_verified(pd_out, "doc_id", "clean_text",
                                          threshold=dup_threshold).materialize()
     clusters = cluster_pairs(pairs)
     losers = loser_ids(clusters, keep_list(clusters))
     unique_docs = anti_join(pd_out, losers, on="doc_id",
+                            num_partitions=adaptive_partitions(pd_out.count()),
                             left_schema=pd_schema,
                             right_schema=pa.schema([("doc_id", pa.int64())]))
 
