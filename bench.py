@@ -146,6 +146,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "phrase_search", "winnow_fingerprints", "winnow_clone_pairs",
         "link_graph", "profile_table", "grouped_top_words",
         "distinctive_terms", "curate_full",
+        "semantic_decontaminate", "badwords_filter", "c4_line_filter",
+        "gopher_quality_filter",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

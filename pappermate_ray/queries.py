@@ -1872,6 +1872,155 @@ def q_cosine_pairs_exact(sf_dir: str):
     return cosine_pairs_exact(corpus, "vec_id", "embedding", threshold=0.9)
 
 
+def q_semantic_decontaminate(sf_dir: str):
+    """Embedding-space benchmark decontamination
+    (stages/similarity.semantic_decontaminate): bench = every 97th
+    vector (the eval set, mirroring the n-gram decontamination plants);
+    corpus = embeddings ∪ near-identical perturbed copies of every even
+    bench vector (the planted paraphrase leaks). Survivors must exclude
+    the bench rows themselves (cosine(self)=1) AND the planted copies
+    (cosine ≈ 0.999996) while keeping everything else — natural max
+    cosine on this table is ~0.51 vs threshold 0.9, so float32-vs-float64
+    math cannot flip a row. Oracle: NOT EXISTS over
+    list_cosine_similarity."""
+    from .stages.similarity import semantic_decontaminate
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def pick_bench(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids, vecs = [], []
+        for vid, vec in zip(t["vec_id"].to_pylist(),
+                            t["embedding"].to_pylist()):
+            if vid % 97 != 0 or vid % 2 != 0:
+                continue
+            ids.append(vid + 2_000_000)
+            # 1-based component index to match DuckDB's list_transform
+            vecs.append([x * (1 + 0.002 * (((vid + i + 1) % 5) - 2))
+                         for i, x in enumerate(vec)])
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "embedding": pa.array(vecs, pa.list_(pa.float32()))})
+
+    bench = ds.map_batches(pick_bench, batch_format="pyarrow")
+    corpus = ds.union(ds.map_batches(plant, batch_format="pyarrow"))
+    clean = semantic_decontaminate(corpus, bench, "vec_id", "embedding",
+                                   threshold=0.9)
+    return clean.select_columns(["vec_id"])
+
+
+def q_c4_line_filter(sf_dir: str):
+    """C4 line-level cleaning (stages/webclean.c4_line_filter). Planted
+    line structure (the corpus has no newlines or punctuation): each doc
+    becomes 6-word lines; line j gets ' javascript' when (doc_id+j)%17=0
+    (line rule must drop it) and a terminal '.' unless (doc_id+j)%4=0
+    (unpunctuated lines must drop); every 29th doc gains a 'Lorem Ipsum'
+    line and every 31st a curly-brace line (page rules must drop the
+    whole doc). Short trailing chunks exercise the ≥5-word rule. Oracle:
+    the same construction in SQL (list_transform chunking, RE2 line
+    predicates, string_agg rebuild ORDER BY line index)."""
+    from .stages.webclean import c4_line_filter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        outs = []
+        for d, x in zip(ids, t["text"].to_pylist()):
+            w = (x or "").split()
+            ls = []
+            for j in range((len(w) + 5) // 6):
+                line = " ".join(w[6 * j:6 * j + 6])
+                if (d + j) % 17 == 0:
+                    line += " javascript"
+                if (d + j) % 4 != 0:
+                    line += "."
+                ls.append(line)
+            if d % 29 == 0:
+                ls.append("these lines look like Lorem Ipsum dolor text.")
+            if d % 31 == 0:
+                ls.append("var cfg = { mode: fast }.")
+            outs.append("\n".join(ls))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(outs, pa.string())})
+
+    corpus = ds.map_batches(plant, batch_format="pyarrow")
+    return c4_line_filter(corpus).select_columns(
+        ["doc_id", "n_lines_kept", "clean_text"])
+
+
+def q_gopher_quality_filter(sf_dir: str):
+    """Gopher word-level quality rules
+    (stages/webclean.gopher_quality_filter). Plants (applied in this
+    order, mirrored in SQL): every 41st doc becomes 60×'zz' (mean word
+    length 2 < 3 AND zero stopwords — two rules trip), every 19th is
+    truncated to its first 10 words (< min_words), every 23rd gains 40
+    '#h' tokens (hashtag ratio > 10%). Everything else passes on its
+    organic stats. Exact-integer rule arithmetic on both sides."""
+    from .stages.webclean import gopher_quality_filter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        outs = []
+        for d, x in zip(ids, t["text"].to_pylist()):
+            x = x or ""
+            if d % 41 == 0:
+                x = " ".join(["zz"] * 60)
+            if d % 19 == 0:
+                x = " ".join(x.split(" ")[:10])
+            if d % 23 == 0:
+                x = x + " " + " ".join(["#h"] * 40)
+            outs.append(x)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(outs, pa.string())})
+
+    corpus = ds.map_batches(plant, batch_format="pyarrow")
+    kept = gopher_quality_filter(corpus)
+    return kept.select_columns(["doc_id", "n_words", "n_word_chars",
+                                "n_stopwords", "n_hashtag_words"])
+
+
+def q_badwords_filter(sf_dir: str):
+    """C4-style blocklist-word filter (stages/webclean.badwords_filter).
+    Planted fixture (the organic corpus vocabulary is too small/uniform
+    to blocklist): every 17th doc gains ' Darn17 extra' (case-folded
+    match must drop it), every 23rd ' heck23' (plain match), every 41st
+    ' xdarn17y' (blocklist term INSIDE a longer token — the word
+    boundary must KEEP it). Blocklist = darn17/heck23/frig31 (frig31
+    never occurs — inert). Oracle: NOT regexp_matches with the same RE2
+    alternation (DuckDB's regex engine IS RE2, so \\b semantics are
+    engine-identical)."""
+    from .stages.webclean import badwords_filter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out = [
+            (x or "")
+            + (" Darn17 extra" if d % 17 == 0 else "")
+            + (" heck23" if d % 23 == 0 else "")
+            + (" xdarn17y" if d % 41 == 0 else "")
+            for d, x in zip(ids, texts)
+        ]
+        return t.set_column(t.schema.get_field_index("text"), "text",
+                            pa.array(out, pa.string()))
+
+    corpus = ds.map_batches(plant, batch_format="pyarrow")
+    kept = badwords_filter(corpus, ["darn17", "heck23", "frig31"],
+                           text_col="text")
+    return kept.select_columns(["doc_id", "lang"])
+
+
 def q_bottomk_sample(sf_dir: str):
     """Exactly-k deterministic uniform sample (bottom-k hashing,
     ops/sample.bottomk_sample): scatter-gather local bottom-k, no full
@@ -2185,6 +2334,31 @@ def q_profile_table_approx(sf_dir: str):
                          columns=["doc_id", "lang", "source", "n_chars"])
     return profile_table(ds, ["doc_id", "lang", "source", "n_chars"],
                          approx=True)
+
+
+def q_profile_approx_check(sf_dir: str):
+    """Gate-checkable band oracle for the exchange-free profiler (same
+    pattern as ``hll_bigrams_check``): Ray runs BOTH profiler paths —
+    exact per-column distinct exchanges and the HLL-sketch approx mode —
+    and emits (col_name, n_distinct_exact, within_2pct). The SQL oracle
+    recomputes the exact distincts and pins within_2pct TRUE, so the
+    driver gate value-hashes the HLL estimate end-to-end instead of
+    trusting the pytest-only band."""
+    from .ops.profile import profile_table
+
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    exact = {r["col_name"]: r["n_distinct"]
+             for r in profile_table(ds, cols).take_all()}
+    approx = {r["col_name"]: r["n_distinct"]
+              for r in profile_table(ds, cols, approx=True).take_all()}
+    return pa.table({
+        "col_name": pa.array(cols, pa.string()),
+        "n_distinct_exact": pa.array([int(exact[c]) for c in cols], pa.int64()),
+        "within_2pct": pa.array(
+            [abs(approx[c] - exact[c]) <= max(1.0, 0.02 * exact[c])
+             for c in cols], pa.bool_()),
+    })
 
 
 def q_winnow_clone_pairs(sf_dir: str):
@@ -4179,4 +4353,113 @@ SQL_QUERIES = {
     "hll_bigrams_check": q_hll_bigrams_check,
     "party_histogram_golden": q_party_histogram_golden,
     "link_graph": q_link_graph,
+    # round-3 continuation: new first-class curation operators
+    "semantic_decontaminate": q_semantic_decontaminate,
+    "badwords_filter": q_badwords_filter,
+    "profile_approx_check": q_profile_approx_check,
+    "c4_line_filter": q_c4_line_filter,
+    "gopher_quality_filter": q_gopher_quality_filter,
 }
+
+ORACLE_SQL.update({
+    "profile_approx_check": """
+        SELECT 'doc_id' AS col_name,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct_exact,
+               TRUE AS within_2pct FROM documents
+        UNION ALL
+        SELECT 'lang', CAST(COUNT(DISTINCT lang) AS BIGINT), TRUE FROM documents
+        UNION ALL
+        SELECT 'source', CAST(COUNT(DISTINCT source) AS BIGINT), TRUE FROM documents
+        UNION ALL
+        SELECT 'n_chars', CAST(COUNT(DISTINCT n_chars) AS BIGINT), TRUE FROM documents
+    """,
+    "semantic_decontaminate": """
+        WITH bench AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0),
+        corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 2000000,
+                 list_transform(embedding,
+                                (x, i) -> x * (1 + 0.002 * (((vec_id + i) % 5) - 2)))
+          FROM bench WHERE vec_id % 2 = 0)
+        SELECT c.vec_id
+        FROM corpus c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM bench b
+          WHERE list_cosine_similarity(c.embedding, b.embedding) >= 0.9)
+    """,
+    "gopher_quality_filter": """
+        WITH corpus AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 23 = 0 THEN t1 || ' ' || trim(repeat('#h ', 40))
+                 ELSE t1 END AS text
+          FROM (
+            SELECT doc_id,
+              CASE WHEN doc_id % 19 = 0
+                   THEN array_to_string(list_slice(string_split(t0, ' '), 1, 10), ' ')
+                   ELSE t0 END AS t1
+            FROM (
+              SELECT doc_id,
+                CASE WHEN doc_id % 41 = 0 THEN trim(repeat('zz ', 60))
+                     ELSE text END AS t0
+              FROM documents))),
+        stats AS (
+          SELECT doc_id,
+            CAST(len(w) AS BIGINT) AS n_words,
+            CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS n_word_chars,
+            CAST(len(list_filter(['the', 'a', 'to', 'of'],
+                                 s -> list_contains(w, s))) AS BIGINT) AS n_stopwords,
+            CAST(len(list_filter(w, x -> x LIKE '#%')) AS BIGINT) AS n_hashtag_words
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus))
+        SELECT doc_id, n_words, n_word_chars, n_stopwords, n_hashtag_words
+        FROM stats
+        WHERE n_words BETWEEN 50 AND 100000
+          AND 3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words
+          AND n_stopwords >= 2
+          AND 1000 * n_hashtag_words <= 100 * n_words
+    """,
+    "c4_line_filter": r"""
+        WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        lined AS (
+          SELECT doc_id,
+            list_transform(range(CAST(ceil(len(w) / 6.0) AS BIGINT)),
+              j -> array_to_string(list_slice(w, j*6 + 1, j*6 + 6), ' ')
+                   || CASE WHEN (doc_id + j) % 17 = 0 THEN ' javascript' ELSE '' END
+                   || CASE WHEN (doc_id + j) % 4 <> 0 THEN '.' ELSE '' END)
+            || (CASE WHEN doc_id % 29 = 0
+                THEN ['these lines look like Lorem Ipsum dolor text.'] ELSE [] END)
+            || (CASE WHEN doc_id % 31 = 0
+                THEN ['var cfg = { mode: fast }.'] ELSE [] END) AS ls
+          FROM base),
+        pages AS (
+          SELECT doc_id, ls FROM lined
+          WHERE NOT regexp_matches(array_to_string(ls, chr(10)), '(?i)lorem ipsum')
+            AND NOT contains(array_to_string(ls, chr(10)), '{')),
+        ex AS (SELECT doc_id, unnest(ls) AS line, unnest(range(len(ls))) AS idx
+               FROM pages),
+        kept AS (
+          SELECT * FROM ex
+          WHERE regexp_matches(line, '[.!?"]\s*$')
+            AND len(regexp_split_to_array(trim(line), '\s+')) >= 5
+            AND NOT regexp_matches(line, '(?i)javascript')),
+        agg AS (
+          SELECT p.doc_id,
+                 CAST(COUNT(k.line) AS BIGINT) AS n_lines_kept,
+                 COALESCE(string_agg(k.line, chr(10) ORDER BY k.idx), '') AS clean_text
+          FROM pages p LEFT JOIN kept k USING (doc_id)
+          GROUP BY p.doc_id)
+        SELECT doc_id, n_lines_kept, clean_text FROM agg WHERE n_lines_kept >= 3
+    """,
+    "badwords_filter": r"""
+        WITH corpus AS (
+          SELECT doc_id, lang,
+            text
+            || CASE WHEN doc_id % 17 = 0 THEN ' Darn17 extra' ELSE '' END
+            || CASE WHEN doc_id % 23 = 0 THEN ' heck23' ELSE '' END
+            || CASE WHEN doc_id % 41 = 0 THEN ' xdarn17y' ELSE '' END AS text
+          FROM documents)
+        SELECT doc_id, lang FROM corpus
+        WHERE NOT regexp_matches(text, '(?i)\b(?:darn17|frig31|heck23)\b')
+    """,
+})

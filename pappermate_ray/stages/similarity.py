@@ -309,6 +309,51 @@ def cosine_pairs_exact(
     return ds.map_batches(pairs, batch_format="pyarrow")
 
 
+def semantic_decontaminate(
+    ds: "rd.Dataset",
+    bench: "rd.Dataset",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.9,
+    max_bench: int = 1_000_000,
+) -> "rd.Dataset":
+    """Embedding-space benchmark decontamination: drop every corpus row
+    whose embedding has cosine ≥ threshold against ANY benchmark vector
+    (the semantic upgrade of the n-gram ``decontaminate_filter`` —
+    catches paraphrased eval leakage that exact-substring matching
+    misses).
+
+    Scale shape: the benchmark side is an EVAL SET — small by
+    construction (the rows you must not train on number in the
+    thousands) — so it broadcasts: the L2-normalized bench matrix is
+    pinned in the object store ONCE via ``ray.put`` and every corpus
+    batch does one (B,d)@(d,m) matmul, keeping rows whose max
+    similarity < threshold. The corpus streams through a single
+    TaskPool map — NO exchange anywhere. ``max_bench`` guards the
+    broadcast; beyond it, shard the bench matrix and AND the per-shard
+    keep masks (still exchange-free).
+    """
+    mats = []
+    for b in bench.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        mats.append(_emb_matrix(b, emb_col))
+    n_bench = sum(len(m) for m in mats)
+    if n_bench > max_bench:
+        raise ValueError(
+            f"semantic_decontaminate broadcasts the benchmark matrix "
+            f"(m={n_bench} > max_bench={max_bench}); shard the bench side")
+    bm = np.vstack(mats) if mats else np.zeros((0, 1))
+    ref = ray.put(bm)
+
+    def keep_clean(t: pa.Table) -> pa.Table:
+        gm = ray.get(ref)
+        if gm.shape[0] == 0 or t.num_rows == 0:
+            return t
+        sims = _emb_matrix(t, emb_col) @ gm.T   # (batch, m)
+        return t.filter(pa.array((sims < threshold).all(axis=1), pa.bool_()))
+
+    return ds.map_batches(keep_clean, batch_format="pyarrow")
+
+
 def semantic_dedup(
     ds: "rd.Dataset",
     id_col: str = "vec_id",

@@ -680,3 +680,182 @@ def decontaminate_filter(
         return t.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(keep_clean, batch_format="pyarrow")
+
+
+def c4_line_filter(
+    ds: "rd.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_lines: int = 3,
+) -> "rd.Dataset":
+    """C4's line-level cleaning pass (Raffel et al. 2020 §2.2), the one
+    canonical web-text rule set this engine didn't yet expose as an
+    operator. Page rules: drop any page containing "lorem ipsum"
+    (case-insensitive) or a curly brace. Line rules: keep a line only if
+    it ends in terminal punctuation (``. ! ? "``), has ≥
+    ``min_line_words`` whitespace tokens, and does not contain the word
+    "javascript" (case-insensitive). Pages with < ``min_lines``
+    surviving lines drop. Output: the input row (text replaced by the
+    rejoined surviving lines as ``clean_text``) + ``n_lines_kept``.
+
+    Scale shape: one streaming TaskPool map, zero exchanges. The hot
+    path is vectorized end-to-end: page/line predicates are single
+    Arrow RE2 kernel calls over the flattened line column
+    (``split_pattern`` → ``list_flatten`` → three ``match_substring``
+    masks), doc regrouping is ``np.repeat``/``np.bincount`` index
+    arithmetic, and only the SURVIVING lines touch Python (one
+    ``"\\n".join`` per kept doc).
+    """
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = t.set_column(t.schema.get_field_index(text_col), text_col,
+                         pc.fill_null(t[text_col], ""))
+        page_bad = pc.or_(
+            pc.match_substring(t[text_col], "lorem ipsum", ignore_case=True),
+            pc.match_substring(t[text_col], "{"))
+        t = t.filter(pc.invert(page_bad))
+        out_schema = t.schema.remove(t.schema.get_field_index(text_col)) \
+            .append(pa.field("n_lines_kept", pa.int64())) \
+            .append(pa.field("clean_text", pa.string()))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        lines = pc.split_pattern(t[text_col], "\n").combine_chunks()
+        nlines = pc.list_value_length(lines).to_numpy()
+        flat = pc.list_flatten(lines)
+        doc_idx = np.repeat(np.arange(t.num_rows), nlines)
+        keep = pc.and_(
+            pc.and_(
+                pc.match_substring_regex(flat, r'[.!?"]\s*$'),
+                pc.match_substring_regex(
+                    flat, r"^\s*(?:\S+\s+){%d}\S+" % (min_line_words - 1))),
+            pc.invert(pc.match_substring(flat, "javascript",
+                                         ignore_case=True)),
+        ).to_numpy(zero_copy_only=False)
+        kept_idx = doc_idx[keep]
+        n_kept = np.bincount(kept_idx, minlength=t.num_rows)
+        doc_ok = n_kept >= min_lines
+        kept_lines = flat.filter(pa.array(keep)).to_pylist()
+        joined: List[str] = []
+        pos = 0
+        for i in range(t.num_rows):
+            k = int(n_kept[i])
+            if doc_ok[i]:
+                joined.append("\n".join(kept_lines[pos:pos + k]))
+            pos += k
+        t = t.drop_columns([text_col]) \
+            .append_column("n_lines_kept", pa.array(n_kept, pa.int64())) \
+            .filter(pa.array(doc_ok))
+        return t.append_column("clean_text", pa.array(joined, pa.string()))
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def gopher_quality_filter(
+    ds: "rd.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    stopwords: tuple = ("the", "a", "to", "of"),
+    min_stopwords: int = 2,
+    max_hashtag_permille: int = 100,
+) -> "rd.Dataset":
+    """Gopher/MassiveText word-level quality rules (Rae et al. 2021
+    §A1.1) as one streaming filter: keep a doc iff
+    ``min_words ≤ n_words ≤ max_words``, the mean word length is in
+    [min, max] (held as the exact-integer inequality
+    ``min·n_words ≤ n_word_chars ≤ max·n_words`` so the SQL mirror
+    cannot drift on float division), it contains ≥ ``min_stopwords``
+    DISTINCT stopwords, and hashtag-words stay under
+    ``max_hashtag_permille`` (1000·n_hash ≤ permille·n_words). The
+    line-level C4 rules live in ``c4_line_filter``; Gopher's full
+    stopword list is the ``stopwords`` parameter. Survivors carry their
+    stats columns so downstream stages can re-bucket without a rescan.
+
+    Scale shape: one TaskPool map, zero exchanges. Tokenization is ONE
+    ``split_pattern`` + ``list_flatten`` per batch; every per-doc stat
+    is segment arithmetic over the flat token column (``np.bincount``
+    on the repeat-index — token lengths, hashtag starts, per-stopword
+    presence), no Python row loop.
+    """
+
+    def gate(t: pa.Table) -> pa.Table:
+        t = t.set_column(t.schema.get_field_index(text_col), text_col,
+                         pc.fill_null(t[text_col], ""))
+        n = t.num_rows
+        if n == 0:
+            return t.append_column("n_words", pa.array([], pa.int64())) \
+                .append_column("n_word_chars", pa.array([], pa.int64())) \
+                .append_column("n_stopwords", pa.array([], pa.int64())) \
+                .append_column("n_hashtag_words", pa.array([], pa.int64()))
+        toks = pc.split_pattern(t[text_col], " ").combine_chunks()
+        ntok = pc.list_value_length(toks).to_numpy()
+        flat = pc.list_flatten(toks)
+        doc_idx = np.repeat(np.arange(n), ntok)
+        # '' tokens (empty text splits to ['']) contribute 0 chars and
+        # count as words only when the text is non-empty — mirror SQL's
+        # string_split semantics exactly by keeping them.
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        n_words = ntok.astype(np.int64)
+        n_chars = np.bincount(doc_idx, weights=tok_len,
+                              minlength=n).astype(np.int64)
+        is_hash = pc.starts_with(flat, "#").to_numpy(zero_copy_only=False)
+        n_hash = np.bincount(doc_idx, weights=is_hash,
+                             minlength=n).astype(np.int64)
+        n_stop = np.zeros(n, dtype=np.int64)
+        for s in stopwords:
+            hit = pc.equal(flat, s).to_numpy(zero_copy_only=False)
+            n_stop += np.bincount(doc_idx, weights=hit, minlength=n) > 0
+        keep = ((n_words >= min_words) & (n_words <= max_words)
+                & (min_mean_word_len * n_words <= n_chars)
+                & (n_chars <= max_mean_word_len * n_words)
+                & (n_stop >= min_stopwords)
+                & (1000 * n_hash <= max_hashtag_permille * n_words))
+        return (t.append_column("n_words", pa.array(n_words, pa.int64()))
+                .append_column("n_word_chars", pa.array(n_chars, pa.int64()))
+                .append_column("n_stopwords", pa.array(n_stop, pa.int64()))
+                .append_column("n_hashtag_words", pa.array(n_hash, pa.int64()))
+                .filter(pa.array(keep)))
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+def badwords_filter(
+    ds: "rd.Dataset",
+    terms: List[str],
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """C4-style blocklist-term document filter (Raffel et al. 2020 §2.2:
+    drop any page containing a word from a blocklist): KEEP only rows
+    whose text contains none of ``terms`` as a whole word,
+    case-insensitively. Distinct from ``decontaminate_filter`` (raw
+    substring containment) — word boundaries stop ``class`` from
+    matching inside ``classify``, and case folding catches shouted
+    variants.
+
+    Scale shape: the blocklist compiles into ONE RE2 alternation applied
+    as a single vectorized Arrow kernel call per batch
+    (``match_substring_regex`` — C regex over the column buffer, no
+    Python row loop); the corpus streams through a TaskPool map with no
+    exchange. Blocklists are external fixed-size artifacts (hundreds to
+    low thousands of terms), far under RE2's alternation limits; for a
+    pathological list, split into a few patterns and OR the masks.
+    """
+    import re as _re
+
+    if not terms:
+        return ds
+    pattern = r"\b(?:" + "|".join(
+        _re.escape(w) for w in sorted(set(terms))) + r")\b"
+
+    def keep(t: pa.Table) -> pa.Table:
+        bad = pc.match_substring_regex(t[text_col], pattern,
+                                       ignore_case=True)
+        # null text never matches → kernel yields null → keep (C4 drops
+        # on evidence, not absence)
+        return t.filter(pc.fill_null(pc.invert(bad), True))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -544,3 +544,39 @@ def test_grouped_zscore_semantics(ray_session):
     assert (out[out.g == "flat"].z == 0.0).all()
     za = out[out.g == "a"].z
     assert abs(za.mean()) < 1e-6 and abs(za.std(ddof=0) - 1.0) < 1e-6
+
+
+class TestSemanticDecontaminate:
+    def test_drops_bench_and_near_copies_only(self, ray_session):
+        """Planted leaks (cosine ~0.9999) and the bench vectors
+        themselves (cosine=1) drop; random vectors (natural max cosine
+        well under 0.9 at d=64) all survive."""
+        import ray.data as rd
+
+        from pappermate_ray.stages.similarity import semantic_decontaminate
+
+        rng = np.random.RandomState(7)
+        X = rng.normal(size=(60, 64))
+        items = [{"vec_id": i, "embedding": X[i].tolist()} for i in range(60)]
+        # bench = vectors 0..4; planted paraphrase of bench 2 and 4
+        for b in (2, 4):
+            v = X[b].copy()
+            v[0] += 0.01
+            items.append({"vec_id": 1000 + b, "embedding": v.tolist()})
+        corpus = rd.from_items(items)
+        bench = rd.from_items(items[:5])
+        kept = semantic_decontaminate(corpus, bench, threshold=0.9)
+        got = sorted(r["vec_id"] for r in kept.take_all())
+        assert got == list(range(5, 60))
+
+    def test_empty_bench_passthrough(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.similarity import semantic_decontaminate
+
+        rng = np.random.RandomState(9)
+        items = [{"vec_id": i, "embedding": rng.normal(size=8).tolist()}
+                 for i in range(10)]
+        corpus = rd.from_items(items)
+        bench = rd.from_items(items).filter(lambda r: False)
+        assert semantic_decontaminate(corpus, bench).count() == 10

@@ -249,3 +249,109 @@ def test_substring_dedup_no_duplicates_passthrough(ray_session):
     out = _collect(substring_dedup(ds, n=8)).sort_values("doc_id").reset_index(drop=True)
     assert out.n_removed_tokens.sum() == 0
     assert (out.n_tokens == 12).all()
+
+
+def test_badwords_filter_word_boundary_and_case(ray_session):
+    """C4-style blocklist: whole-word + case-insensitive semantics.
+    'class' in the blocklist must drop 'CLASS dismissed' but KEEP
+    'classify the rows' (boundary) and null text (no evidence)."""
+    import ray.data as rd
+
+    from pappermate_ray.stages.webclean import badwords_filter
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "a clean document",
+            "CLASS dismissed",            # case-folded whole word -> drop
+            "classify the rows",          # term inside a token -> keep
+            "the class of 2024",          # plain whole word -> drop
+            None,                         # null -> keep
+            "subclass hierarchy",         # term at token end -> keep
+        ], pa.string()),
+    }))
+    kept = badwords_filter(ds, ["class"], text_col="text")
+    assert sorted(r["doc_id"] for r in kept.take_all()) == [0, 2, 4, 5]
+
+
+def test_badwords_filter_empty_terms_passthrough(ray_session):
+    import ray.data as rd
+
+    from pappermate_ray.stages.webclean import badwords_filter
+
+    ds = rd.from_items([{"doc_id": i, "text": f"doc {i}"} for i in range(5)])
+    assert badwords_filter(ds, [], text_col="text").count() == 5
+
+
+def test_c4_line_filter_rules(ray_session):
+    """Each C4 rule in isolation: terminal punctuation, min words,
+    javascript lines, lorem-ipsum and curly-brace pages, min surviving
+    lines; survivors rejoin in original order."""
+    import ray.data as rd
+
+    from pappermate_ray.stages.webclean import c4_line_filter
+
+    good = "alpha beta gamma delta epsilon zeta."
+    docs = {
+        0: "\n".join([good, "eta theta iota kappa lambda mu!",
+                      'nu xi omicron pi rho sigma"']),   # 3 kept -> survives
+        1: "\n".join([good, good, "no terminal punctuation here at all",
+                      "short line.", "uses javascript callbacks every day.",
+                      good]),
+        2: "\n".join([good, good, good, "lorem ipsum dolor sit amet."]),
+        3: "\n".join([good, good, good, "function f() { return 1; }."]),
+        4: "\n".join([good, good]),          # only 2 kept -> page drops
+        5: None,                             # null text -> page drops
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+    }))
+    out = {r["doc_id"]: r for r in c4_line_filter(ds).take_all()}
+    assert sorted(out) == [0, 1]
+    assert out[0]["n_lines_kept"] == 3
+    assert out[0]["clean_text"] == docs[0]          # order preserved
+    # doc 1: the three bad lines drop, the three good ones remain
+    assert out[1]["n_lines_kept"] == 3
+    assert out[1]["clean_text"] == good + "\n" + good + "\n" + good
+
+
+def test_c4_line_filter_empty_batch_schema(ray_session):
+    """A batch whose pages ALL fail the page rules must still emit the
+    output schema (empty_table path)."""
+    import ray.data as rd
+
+    from pappermate_ray.stages.webclean import c4_line_filter
+
+    ds = rd.from_items([{"doc_id": 1, "text": "all about lorem ipsum."}])
+    out = c4_line_filter(ds)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "n_lines_kept", "clean_text"}
+
+
+def test_gopher_quality_filter_rules(ray_session):
+    """Each Gopher word rule in isolation; survivors carry exact stats."""
+    import ray.data as rd
+
+    from pappermate_ray.stages.webclean import gopher_quality_filter
+
+    base = ("the quick brown fox jumps over a lazy dog today " * 6).strip()  # 60 words
+    docs = {
+        0: base,                                   # passes everything
+        1: "the a short doc.",                     # < min_words
+        2: " ".join(["zz"] * 60),                  # mean len 2 + no stopwords
+        3: base + " " + " ".join(["#h"] * 40),     # hashtag ratio 40/100 > 10%
+        4: base.replace("the", "xxe").replace(" a ", " b "),  # stopwords < 2
+        5: None,                                   # null -> 1 empty word -> drops
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+    }))
+    out = {r["doc_id"]: r for r in gopher_quality_filter(ds).take_all()}
+    assert sorted(out) == [0]
+    r = out[0]
+    assert r["n_words"] == 60
+    assert r["n_word_chars"] == len(base.replace(" ", ""))
+    assert r["n_stopwords"] == 2        # 'the' and 'a' (distinct presence)
+    assert r["n_hashtag_words"] == 0
