@@ -5,6 +5,7 @@ Dataset (round-2 verdict item #1):
     ingest (re-crawled captures + near-dup copy pages + planted PII)
     → latest_by_url            (crawl-ingest dedup, stages/dedup.py)
     → blocklist_filter         (domain curation, stages/urls.py)
+    → badwords_filter          (C4 term blocklist, stages/webclean.py)
     → quality gate             (Gopher-style integer stats, inline map)
     → paragraph_dedup          (RefinedWeb boilerplate strip, webclean)
     → MinHash keep-list        (exact-verified pairs → components →
@@ -48,7 +49,11 @@ _BLOCKED_SOURCES = ("src7", "src13")
 
 
 def _pii_suffix(d: int) -> str:
-    """Deterministic planted PII (mirrors the pii_scrub oracle plants)."""
+    """Deterministic planted PII (mirrors the pii_scrub oracle plants),
+    plus the blocklist-term plant for the badwords stage: every 17th
+    base doc carries ' darn17', so it — and every capture/copy of it —
+    must fall to ``badwords_filter``; nothing downstream ever sees the
+    term, keeping the rest of the oracle chain untouched."""
     s = ""
     if d % 5 == 0:
         s += f" contact user{d}@example.com now"
@@ -56,6 +61,8 @@ def _pii_suffix(d: int) -> str:
         s += f" call 555-{d % 900 + 100:03d}-4567 today"
     if d % 11 == 0:
         s += f" from 10.0.{d % 256}.{d % 200 + 1} logged"
+    if d % 17 == 0:
+        s += " darn17"
     return s
 
 
@@ -178,8 +185,8 @@ def curate_full(
     from ..stages.dedup import (cluster_pairs, keep_list, latest_by_url,
                                 loser_ids, minhash_pairs_exact_verified)
     from ..stages.urls import blocklist_filter
-    from ..stages.webclean import (decontaminate_filter, paragraph_dedup,
-                                   pii_scrub_batch)
+    from ..stages.webclean import (badwords_filter, decontaminate_filter,
+                                   paragraph_dedup, pii_scrub_batch)
 
     # 1. ingest: latest capture per url wins ('html' payload col absent →
     #    rank on timestamp alone; each url's captures have distinct ts)
@@ -195,6 +202,13 @@ def curate_full(
     unblocked = blocklist_filter(hosted, list(_BLOCKED_SOURCES),
                                  host_col="host")
 
+    # 2b. C4-style term blocklist (whole-word, case-insensitive, one RE2
+    #     alternation kernel) — the content-level sibling of the host
+    #     blocklist; 'heck23' is inert (never occurs) so the alternation
+    #     path is exercised.
+    unbad = badwords_filter(unblocked, ["darn17", "heck23"],
+                            text_col="text")
+
     # 3. quality gate, 4. boilerplate paragraph removal.
     # The paragraph_dedup output is the chain's first PHASE CHECKPOINT:
     # it is consumed three times (LSH shingling, the loser anti-join's
@@ -204,7 +218,7 @@ def curate_full(
     # to parquet, which is exactly what run_curate_full's resumable
     # sink does for the final phase). Without the pin the whole
     # ingest→extract prefix re-executes once per consumer.
-    qual = _quality_gate(unblocked, min_words, min_distinct_permille)
+    qual = _quality_gate(unbad, min_words, min_distinct_permille)
     pd_out = paragraph_dedup(_paragraph_prep(qual), "doc_id", "text",
                              sep="\n", min_docs=min_para_docs).materialize()
     pd_schema = pa.schema([("doc_id", pa.int64()), ("n_paras", pa.int64()),

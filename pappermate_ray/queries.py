@@ -4104,6 +4104,7 @@ ORACLE_SQL.update({
             || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
             || CASE WHEN doc_id % 9 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-4567 today' ELSE '' END
             || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 200 + 1 AS VARCHAR) || ' logged' ELSE '' END
+            || CASE WHEN doc_id % 17 = 0 THEN ' darn17' ELSE '' END
             AS t0
           FROM documents),
         corpus0 AS (
@@ -4116,8 +4117,11 @@ ORACLE_SQL.update({
           SELECT * FROM corpus0
           WHERE 'src' || CAST((doc_id % 1000000) % 20 AS VARCHAR)
                 NOT IN ('src7', 'src13')),
+        unbad AS (
+          SELECT * FROM unblocked
+          WHERE NOT regexp_matches(text, '(?i)\\b(?:darn17|heck23)\\b')),
         qual AS (
-          SELECT doc_id, text, string_split(text, ' ') AS w FROM unblocked),
+          SELECT doc_id, text, string_split(text, ' ') AS w FROM unbad),
         qual2 AS (
           SELECT doc_id, w FROM qual
           WHERE len(w) >= 25 AND 1000 * len(list_distinct(w)) >= 300 * len(w)),

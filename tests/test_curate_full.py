@@ -24,6 +24,8 @@ def test_filters_compose(manifest):
     assert not [u for u in urls if "//src7/" in u or "//src13/" in u]
     # decontamination: the benchmark docs themselves are gone
     assert not [d for d in ids if d < 1_000_000 and d % 97 == 0]
+    # badwords: every planted 'darn17' doc (and its copies) is gone
+    assert not [d for d in ids if d % 1_000_000 % 17 == 0]
     # planted contamination: every 31st chain doc was dropped
     assert not [d for d in ids if d % 31 == 0]
     # near-dup keep-list: copy pages lost to their lower-id originals
