@@ -329,27 +329,33 @@ def semantic_decontaminate(
     pinned in the object store ONCE via ``ray.put`` and every corpus
     batch does one (B,d)@(d,m) matmul, keeping rows whose max
     similarity < threshold. The corpus streams through a single
-    TaskPool map — NO exchange anywhere. ``max_bench`` guards the
-    broadcast; beyond it, shard the bench matrix and AND the per-shard
-    keep masks (still exchange-free).
+    TaskPool map — NO exchange anywhere. A bench side larger than
+    ``max_bench`` is split into object-store SHARDS and the per-shard
+    keep masks are ANDed inside the same map (still exchange-free;
+    peak per-task memory stays B×max_bench).
     """
     mats = []
     for b in bench.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        mats.append(_emb_matrix(b, emb_col))
-    n_bench = sum(len(m) for m in mats)
-    if n_bench > max_bench:
-        raise ValueError(
-            f"semantic_decontaminate broadcasts the benchmark matrix "
-            f"(m={n_bench} > max_bench={max_bench}); shard the bench side")
+        m = _emb_matrix(b, emb_col)
+        if len(m):
+            mats.append(m)
     bm = np.vstack(mats) if mats else np.zeros((0, 1))
-    ref = ray.put(bm)
+    refs = [ray.put(bm[i:i + max_bench])
+            for i in range(0, max(1, len(bm)), max_bench)]
 
     def keep_clean(t: pa.Table) -> pa.Table:
-        gm = ray.get(ref)
-        if gm.shape[0] == 0 or t.num_rows == 0:
+        if t.num_rows == 0:
             return t
-        sims = _emb_matrix(t, emb_col) @ gm.T   # (batch, m)
-        return t.filter(pa.array((sims < threshold).all(axis=1), pa.bool_()))
+        xn = None
+        keep = np.ones(t.num_rows, dtype=bool)
+        for r in refs:
+            gm = ray.get(r)
+            if gm.shape[0] == 0:
+                continue
+            if xn is None:
+                xn = _emb_matrix(t, emb_col)
+            keep &= ((xn @ gm.T) < threshold).all(axis=1)
+        return t if xn is None else t.filter(pa.array(keep))
 
     return ds.map_batches(keep_clean, batch_format="pyarrow")
 

@@ -580,3 +580,21 @@ class TestSemanticDecontaminate:
         corpus = rd.from_items(items)
         bench = rd.from_items(items).filter(lambda r: False)
         assert semantic_decontaminate(corpus, bench).count() == 10
+
+    def test_sharded_bench_identical(self, ray_session):
+        """max_bench smaller than the bench set forces the multi-shard
+        AND path; output must equal the single-broadcast run."""
+        import ray.data as rd
+
+        from pappermate_ray.stages.similarity import semantic_decontaminate
+
+        rng = np.random.RandomState(13)
+        X = rng.normal(size=(40, 32))
+        items = [{"vec_id": i, "embedding": X[i].tolist()} for i in range(40)]
+        corpus = rd.from_items(items)
+        bench = rd.from_items(items[:7])
+        one = sorted(r["vec_id"] for r in
+                     semantic_decontaminate(corpus, bench).take_all())
+        sharded = sorted(r["vec_id"] for r in semantic_decontaminate(
+            corpus, bench, max_bench=3).take_all())
+        assert one == sharded == list(range(7, 40))

@@ -355,3 +355,42 @@ def test_gopher_quality_filter_rules(ray_session):
     assert r["n_word_chars"] == len(base.replace(" ", ""))
     assert r["n_stopwords"] == 2        # 'the' and 'a' (distinct presence)
     assert r["n_hashtag_words"] == 0
+
+
+def test_c4_and_gopher_filters_idempotent(ray_session):
+    """Filter outputs re-filtered are fixpoints: every surviving line
+    already satisfies the line rules, every surviving doc the word
+    rules (clean_text/stat columns round-trip unchanged)."""
+    import ray.data as rd
+
+    from pappermate_ray.stages.webclean import (c4_line_filter,
+                                                gopher_quality_filter)
+
+    rng = np.random.RandomState(5)
+    words = ["the", "a", "to", "of", "alpha", "beta", "gamma", "#tag",
+             "javascript", "delta"]
+    docs = []
+    for i in range(50):
+        n = rng.randint(5, 120)
+        ws = [words[j] for j in rng.randint(0, len(words), n)]
+        # random line breaks + random punctuation
+        text = ""
+        for k, w in enumerate(ws):
+            text += w
+            text += "." if rng.rand() < 0.2 else ""
+            text += "\n" if rng.rand() < 0.15 else " "
+        docs.append({"doc_id": i, "text": text.strip()})
+    ds = rd.from_items(docs)
+
+    c1 = c4_line_filter(ds).take_all()
+    c1_in = rd.from_items([{"doc_id": r["doc_id"], "text": r["clean_text"]}
+                           for r in c1])
+    c2 = c4_line_filter(c1_in).take_all()
+    assert {r["doc_id"]: (r["n_lines_kept"], r["clean_text"]) for r in c2} \
+        == {r["doc_id"]: (r["n_lines_kept"], r["clean_text"]) for r in c1}
+
+    g1 = gopher_quality_filter(ds, min_words=5).take_all()
+    g1_in = rd.from_items([{"doc_id": r["doc_id"], "text": r["text"]}
+                           for r in g1])
+    g2 = gopher_quality_filter(g1_in, min_words=5).take_all()
+    assert {r["doc_id"] for r in g2} == {r["doc_id"] for r in g1}
