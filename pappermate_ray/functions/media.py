@@ -185,6 +185,17 @@ def image_features(img: np.ndarray) -> np.ndarray:
     return out
 
 
+def ahash64(img: np.ndarray) -> int:
+    """64-bit average hash (the classic aHash perceptual fingerprint):
+    nearest-resize to 8×8, grayscale by channel mean, bit = pixel above
+    the 64-cell mean; packed row-major MSB-first. Small pixel noise,
+    re-encoding, and modest rescaling keep the hash within a few bits;
+    Hamming distance is the near-duplicate metric."""
+    small = resize_nearest(img, 8, 8).astype(np.float32).mean(axis=2)
+    bits = (small > small.mean()).astype(np.uint64).ravel()
+    return int((bits << np.arange(63, -1, -1, dtype=np.uint64)).sum())
+
+
 def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
     """16 floats: duration, rate, RMS, zero-crossings, extrema + 8
     log-magnitude FFT bands (np.fft — real spectral features)."""

@@ -1439,6 +1439,27 @@ def q_media_features(sf_dir: str):
     return ds.select_columns(["media_id", "media_type", "decode_status", "features"])
 
 
+def q_phash_near_dups(sf_dir: str):
+    """Perceptual near-dup image pairs (stages/multimodal.
+    phash_near_dups): aHash-64 over decoded BMPs, Hamming-LSH band
+    buckets, in-partition popcount verify. Input = the deterministic
+    synthetic image rows + exact re-encoded copies of every 10th image
+    (found at hamming 0). Rows-only (SQL cannot decode BMP); the
+    brute-force-equivalence guarantee is pinned in
+    tests/test_media_codecs.py."""
+    from .functions.media import encode_bmp
+    from .stages.multimodal import _synth_image, phash_near_dups
+
+    rows = []
+    for i in range(200):
+        rows.append({"media_id": i,
+                     "payload": encode_bmp(_synth_image(i, 48, 32))})
+        if i % 10 == 0:
+            rows.append({"media_id": 1_000 + i,
+                         "payload": encode_bmp(_synth_image(i, 48, 32))})
+    return phash_near_dups(rd.from_items(rows))
+
+
 def q_validate(sf_dir: str):
     """SchemaValidator business rules over parsed contracts (§3.3)."""
     from .pipelines.extract_pipeline import run_extraction
@@ -4251,6 +4272,7 @@ NOSQL_QUERIES = {
     "translate_names": q_translate_names,
     "clean_corpus": q_clean_corpus,
     "hll_distinct_bigrams": q_hll_distinct_bigrams,
+    "phash_near_dups": q_phash_near_dups,
     "profile_table_approx": q_profile_table_approx,
 }
 

@@ -271,3 +271,125 @@ def synth_media_table(n: int) -> pa.Table:
             }
         )
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _hamming_block(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise Hamming distances between two uint64 vectors, (|a|,|b|),
+    via byte-table popcount (no Python loop)."""
+    x = a[:, None] ^ b[None, :]
+    return _POP8[x.view(np.uint8)].reshape(len(a), len(b), 8).sum(
+        axis=-1, dtype=np.int64)
+
+
+def phash_near_dups(
+    ds,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 4096,
+) -> "object":
+    """Perceptual near-duplicate IMAGE pairs (the multimodal member of
+    the near-dup family): (id_a, id_b, hamming) for every pair whose
+    64-bit aHash fingerprints differ in ≤ ``max_hamming`` bits.
+
+    Shape (mirrors ``stages/dedup._bucket_pairs_grouped``):
+
+    1. One streaming decode pass emits (id, phash) — 8 bytes/row leave
+       the stage; payloads NEVER shuffle. Undecodable rows drop (soft
+       fail), matching MediaFeatureExtract's per-row error stance.
+    2. Hamming LSH: each hash explodes into ``bands`` disjoint
+       (64/bands)-bit band keys. Two hashes within ``max_hamming`` <
+       ``bands`` bit flips MUST agree on some whole band (pigeonhole),
+       so candidate recall is exact — the same guarantee structure as
+       MinHash banding, but deterministic. Candidates are verified
+       IN-PARTITION by vectorized byte-table popcount; buckets larger
+       than ``max_bucket`` are skipped (the boilerplate-storm cap —
+       identical blank images would otherwise make one task O(n²)).
+    3. Cross-band repeats collapse in ONE narrow (id_a, id_b) groupby.
+
+    Exchanges: one band-key grouped exchange over 24-byte rows + one
+    pair dedup; both O(images), never O(pixels).
+    """
+    import ray.data as rd  # noqa: F401  (documents the Dataset contract)
+    from ray.data.aggregate import Min
+
+    from ..functions.media import ahash64
+    from ..ops.grouping import partition_grouped
+
+    if not (0 <= max_hamming < bands):
+        raise ValueError("recall guarantee needs max_hamming < bands")
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    def hashes(t: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for i, payload in zip(t[id_col].to_pylist(),
+                              t[payload_col].to_pylist()):
+            try:
+                hs.append(ahash64(decode_bmp(payload)))
+                ids.append(i)
+            except Exception:
+                continue  # soft-fail: undecodable rows exit the dedup
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "phash": pa.array(hs, pa.uint64())})
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        h = t["phash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, oids, ohs = [], [], []
+        for b in range(bands):
+            band = ((h >> np.uint64(b * width)) & np.uint64(mask)).astype(np.int64)
+            keys.append(band * bands + b)
+            oids.append(ids)
+            ohs.append(h)
+        return pa.table({
+            "band_key": pa.array(np.concatenate(keys) if keys else [], pa.int64()),
+            id_col: pa.array(np.concatenate(oids) if oids else [], pa.int64()),
+            "phash": pa.array(np.concatenate(ohs) if ohs else [], pa.uint64()),
+        })
+
+    hashed = ds.map_batches(hashes, batch_format="pyarrow")
+    banded = hashed.map_batches(explode_bands, batch_format="pyarrow")
+    parted, gcols = partition_grouped(banded, ["band_key"])
+
+    def bucket_pairs(df):
+        import pandas as pd
+        df = df.sort_values(["band_key", id_col], kind="mergesort")
+        bk = df["band_key"].to_numpy()
+        ids = df[id_col].to_numpy().astype(np.int64)
+        hs = df["phash"].to_numpy().astype(np.uint64)
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], len(bk)]
+        out_a, out_b, out_d = [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > max_bucket:
+                continue
+            rid, rh = ids[s:e], hs[s:e]
+            # blockwise so a capped bucket's distance matrix stays small
+            for lo in range(0, m, 256):
+                hi = min(lo + 256, m)
+                d = _hamming_block(rh[lo:hi], rh)
+                ai, bj = np.nonzero((d <= max_hamming)
+                                    & (rid[lo:hi, None] < rid[None, :]))
+                out_a.append(rid[lo + ai])
+                out_b.append(rid[bj])
+                out_d.append(d[ai, bj])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_d)})
+
+    pairs = parted.groupby(gcols).map_groups(bucket_pairs,
+                                             batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))

@@ -88,3 +88,42 @@ class TestFeatures:
         assert f.shape == (FEATURE_DIM,)
         assert abs(f[0] - 0.2) < 1e-5  # 1600/8000 s
         assert f[2] > 0  # rms of a sine is positive
+
+
+def test_phash_near_dups_matches_bruteforce(ray_session):
+    """LSH-banded pairs == brute-force all-pairs at hamming <= 3 (the
+    pigeonhole recall guarantee), planted copies found at hamming 0,
+    undecodable payloads soft-fail out."""
+    import ray.data as rd
+
+    from pappermate_ray.functions.media import ahash64, decode_bmp, encode_bmp
+    from pappermate_ray.stages.multimodal import (_synth_image,
+                                                  phash_near_dups)
+
+    rows = []
+    for i in range(40):
+        img = _synth_image(i, 48, 32)
+        rows.append({"media_id": i, "payload": encode_bmp(img)})
+    # planted: exact re-encoded copy of 7, noised copy of 11
+    rows.append({"media_id": 1007,
+                 "payload": encode_bmp(_synth_image(7, 48, 32))})
+    noisy = _synth_image(11, 48, 32).copy()
+    noisy[:2, :2] = 255 - noisy[:2, :2]
+    rows.append({"media_id": 1011, "payload": encode_bmp(noisy)})
+    rows.append({"media_id": 9999, "payload": b"not a bmp"})
+
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in phash_near_dups(rd.from_items(rows)).take_all()}
+
+    hashes = {r["media_id"]: ahash64(decode_bmp(r["payload"]))
+              for r in rows if r["media_id"] != 9999}
+    want = {}
+    ks = sorted(hashes)
+    for x in range(len(ks)):
+        for y in range(x + 1, len(ks)):
+            d = bin(hashes[ks[x]] ^ hashes[ks[y]]).count("1")
+            if d <= 3:
+                want[(ks[x], ks[y])] = d
+    assert got == want
+    assert got[(7, 1007)] == 0
+    assert not any(9999 in p for p in got)
