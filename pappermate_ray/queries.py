@@ -1460,6 +1460,34 @@ def q_phash_near_dups(sf_dir: str):
     return phash_near_dups(rd.from_items(rows))
 
 
+def q_video_near_dups(sf_dir: str):
+    """Near-dup video pairs (stages/multimodal.video_near_dups): sampled
+    frames seek-decoded, per-frame aHash, shared-hash-count pairs via
+    one partition-grouped exchange (winnow_clone_pairs shape). Input =
+    100 seeded-noise RVID containers; every 10th gains a re-encoded
+    copy (shares all sampled hashes) and every 20th a truncated copy
+    (shares ≥2). Rows-only (SQL cannot decode the container); planted
+    recall pinned in tests/test_media_codecs.py."""
+    from .functions.media import encode_rvid
+    from .stages.multimodal import video_near_dups
+
+    def frames(seed: int, n: int):
+        rng = np.random.RandomState(1000 + seed)
+        return [rng.randint(0, 256, (24, 40, 3)).astype(np.uint8)
+                for _ in range(n)]
+
+    rows = []
+    for i in range(100):
+        fs = frames(i, 8)
+        rows.append({"media_id": i, "payload": encode_rvid(fs)})
+        if i % 10 == 0:
+            rows.append({"media_id": 1_000 + i, "payload": encode_rvid(fs)})
+        if i % 20 == 0:
+            rows.append({"media_id": 2_000 + i,
+                         "payload": encode_rvid(fs[:6])})
+    return video_near_dups(rd.from_items(rows), n_frames=4, min_shared=2)
+
+
 def q_validate(sf_dir: str):
     """SchemaValidator business rules over parsed contracts (§3.3)."""
     from .pipelines.extract_pipeline import run_extraction
@@ -4273,6 +4301,7 @@ NOSQL_QUERIES = {
     "clean_corpus": q_clean_corpus,
     "hll_distinct_bigrams": q_hll_distinct_bigrams,
     "phash_near_dups": q_phash_near_dups,
+    "video_near_dups": q_video_near_dups,
     "profile_table_approx": q_profile_table_approx,
 }
 

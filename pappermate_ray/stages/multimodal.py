@@ -393,3 +393,94 @@ def phash_near_dups(
                                              batch_format="pandas")
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Min("hamming", alias_name="hamming"))
+
+
+def video_near_dups(
+    ds,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_frames: int = 4,
+    min_shared: int = 2,
+    max_hash_videos: int = 1024,
+) -> "object":
+    """Near-duplicate VIDEO pairs: (id_a, id_b, n_shared) for videos
+    sharing ≥ ``min_shared`` distinct sampled-frame perceptual hashes —
+    re-encodes, frame drops and truncations keep most sampled aHashes
+    identical, so shared-hash count is the container-robust signal.
+
+    Shape = ``stages/winnow.winnow_clone_pairs`` over frame hashes:
+
+    1. One streaming pass per video SEEK-decodes only ``n_frames``
+       uniformly-sampled frames (the FrameSample contract) and emits
+       DISTINCT (frame_hash, id) rows — 16 bytes/row; payloads never
+       shuffle. Undecodable containers soft-fail out.
+    2. ONE hash-partition-grouped exchange on frame_hash: within each
+       partition, per-hash runs emit triu pairs (hashes carried by more
+       than ``max_hash_videos`` videos are skipped — the blank-frame
+       storm cap, same role as LSH max_bucket) AND pre-combine local
+       pair counts (combiner push-down, packed keys).
+    3. One narrow (id_a, id_b) groupby-sum finishes; pairs below
+       ``min_shared`` drop.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.media import ahash64
+    from ..ops.grouping import partition_grouped
+
+    def frame_hashes(t: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for i, payload in zip(t[id_col].to_pylist(),
+                              t[payload_col].to_pylist()):
+            try:
+                total = rvid_frame_count(payload)
+                k = min(n_frames, total)
+                picks = {(j * total) // max(k, 1) for j in range(k)}
+                row_hashes = {ahash64(decode_rvid_frame(payload, f))
+                              for f in picks}
+            except Exception:
+                continue  # soft-fail: undecodable containers exit
+            ids.extend([i] * len(row_hashes))
+            hs.extend(row_hashes)
+        return pa.table({"fhash": pa.array(hs, pa.uint64()),
+                         id_col: pa.array(ids, pa.int64())})
+
+    hashed = ds.map_batches(frame_hashes, batch_format="pyarrow")
+    parted, gcols = partition_grouped(hashed, ["fhash"])
+
+    def run_pairs(df):
+        import pandas as pd
+        df = df.sort_values(["fhash", id_col], kind="mergesort")
+        fh = df["fhash"].to_numpy()
+        ids = df[id_col].to_numpy().astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, fh[1:] != fh[:-1]])
+        ends = np.r_[starts[1:], len(fh)]
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > max_hash_videos:
+                continue
+            run = np.sort(ids[s:e])  # triu over sorted ids ⇒ id_a < id_b
+            ia, ib = np.triu_indices(m, 1)
+            out_a.append(run[ia])
+            out_b.append(run[ib])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 "n_shared": pd.Series([], dtype=np.int64)})
+        # local combine (combiner push-down): one vectorized groupby-size
+        dfp = pd.DataFrame({"id_a": np.concatenate(out_a),
+                            "id_b": np.concatenate(out_b)})
+        out = dfp.groupby(["id_a", "id_b"], as_index=False).size()
+        return out.rename(columns={"size": "n_shared"}).astype(
+            {"n_shared": np.int64})
+
+    pairs = parted.groupby(gcols).map_groups(run_pairs,
+                                             batch_format="pandas")
+    summed = pairs.groupby(["id_a", "id_b"]).aggregate(
+        Sum("n_shared", alias_name="n_shared"))
+
+    def threshold(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return t.filter(_pc.greater_equal(t["n_shared"], min_shared))
+
+    return summed.map_batches(threshold, batch_format="pyarrow")

@@ -127,3 +127,39 @@ def test_phash_near_dups_matches_bruteforce(ray_session):
     assert got == want
     assert got[(7, 1007)] == 0
     assert not any(9999 in p for p in got)
+
+
+def test_video_near_dups_planted(ray_session):
+    """Exact re-encode shares all sampled frame hashes; a truncated
+    copy still shares >= min_shared; unrelated videos share none;
+    undecodable containers soft-fail out."""
+    import ray.data as rd
+
+    from pappermate_ray.functions.media import encode_rvid
+    from pappermate_ray.stages.multimodal import video_near_dups
+
+    def frames(seed, n):
+        # seeded NOISE frames: aHash of noise is ~uniform over 64 bits,
+        # so unrelated videos cannot collide (gradient synth images DO
+        # collide at 8x8 resolution — too smooth)
+        rng = np.random.RandomState(1000 + seed)
+        return [rng.randint(0, 256, (24, 40, 3)).astype(np.uint8)
+                for _ in range(n)]
+
+    rows = [{"media_id": i, "payload": encode_rvid(frames(i, 8))}
+            for i in range(12)]
+    rows.append({"media_id": 100, "payload": encode_rvid(frames(3, 8))})
+    # truncation keeps the first 6 of 8 frames: uniform picks over 6
+    # still land on frames shared with the original
+    rows.append({"media_id": 101, "payload": encode_rvid(frames(3, 8)[:6])})
+    rows.append({"media_id": 999, "payload": b"xx"})
+
+    out = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in video_near_dups(rd.from_items(rows),
+                                    n_frames=4, min_shared=2).take_all()}
+    assert out[(3, 100)] == 4          # all 4 sampled hashes shared
+    assert (3, 101) in out and out[(3, 101)] >= 2
+    assert (100, 101) in out
+    assert not any(999 in p for p in out)
+    # unrelated originals never pair
+    assert not [(a, b) for (a, b) in out if a < 12 and b < 12 and a != 3]
