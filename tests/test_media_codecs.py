@@ -163,3 +163,29 @@ def test_video_near_dups_planted(ray_session):
     assert not any(999 in p for p in out)
     # unrelated originals never pair
     assert not [(a, b) for (a, b) in out if a < 12 and b < 12 and a != 3]
+
+
+def test_media_dedup_composes_with_keep_list(ray_session):
+    """The multimodal near-dup pairs plug straight into the existing
+    text-dedup keep-list machinery: phash pairs -> connected components
+    -> min-id survivor -> losers are exactly the planted copies."""
+    import ray.data as rd
+
+    from pappermate_ray.functions.media import encode_bmp
+    from pappermate_ray.stages.dedup import (cluster_pairs, keep_list,
+                                             loser_ids)
+    from pappermate_ray.stages.multimodal import phash_near_dups
+
+    rows = []
+    for i in range(30):
+        rng = np.random.RandomState(500 + i)
+        img = rng.randint(0, 256, (32, 48, 3)).astype(np.uint8)
+        rows.append({"media_id": i, "payload": encode_bmp(img)})
+        if i % 5 == 0:
+            rows.append({"media_id": 1_000 + i, "payload": encode_bmp(img)})
+
+    pairs = phash_near_dups(rd.from_items(rows))
+    clusters = cluster_pairs(pairs.select_columns(["id_a", "id_b"]))
+    losers = loser_ids(clusters, keep_list(clusters))
+    assert {r["doc_id"] for r in losers.take_all()} \
+        == {1_000 + i for i in range(0, 30, 5)}
