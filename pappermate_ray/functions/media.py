@@ -196,6 +196,31 @@ def ahash64(img: np.ndarray) -> int:
     return int((bits << np.arange(63, -1, -1, dtype=np.uint64)).sum())
 
 
+def audio_fingerprints_hk(samples: np.ndarray,
+                          win: int = 2048,
+                          hop: int = 1024,
+                          n_bands: int = 33) -> np.ndarray:
+    """Haitsma–Kalker (2002) audio sub-fingerprints: one 32-bit word per
+    analysis window. bit(n,m) = sign of the time-AND-band double
+    difference of band energies — invariant to uniform amplitude
+    scaling (all energies scale together, double differences keep
+    sign). Returns uint64[n_windows-1] (first window is the diff
+    seed). Deterministic: rectangular window, linear band edges, rfft.
+    """
+    x = samples.astype(np.float64)
+    n_win = (len(x) - win) // hop + 1 if len(x) >= win else 0
+    if n_win < 2:
+        return np.zeros(0, dtype=np.uint64)
+    idx = np.arange(win)[None, :] + hop * np.arange(n_win)[:, None]
+    spec = np.abs(np.fft.rfft(x[idx], axis=1)) ** 2
+    edges = np.linspace(1, spec.shape[1], n_bands + 1).astype(np.int64)
+    bands = np.add.reduceat(spec, edges[:-1], axis=1)      # (n_win, n_bands)
+    dd = np.diff(np.diff(bands, axis=1), axis=0)           # (n_win-1, 32)
+    bits = (dd > 0).astype(np.uint64)
+    return (bits << np.arange(bits.shape[1] - 1, -1, -1,
+                              dtype=np.uint64)).sum(axis=1)
+
+
 def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
     """16 floats: duration, rate, RMS, zero-crossings, extrema + 8
     log-magnitude FFT bands (np.fft — real spectral features)."""

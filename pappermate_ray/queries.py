@@ -1488,6 +1488,39 @@ def q_video_near_dups(sf_dir: str):
     return video_near_dups(rd.from_items(rows), n_frames=4, min_shared=2)
 
 
+def q_audio_near_dups(sf_dir: str):
+    """Near-dup audio pairs (stages/multimodal.audio_near_dups):
+    Haitsma–Kalker spectral sub-fingerprints, shared-count pairs through
+    the same grouped-exchange core as video_near_dups. Input = 100
+    deterministic two-tone-plus-noise WAV clips; every 10th gains an
+    amplitude-halved copy (fingerprints are scale-invariant) and every
+    20th a truncated copy. Rows-only; invariances pinned in
+    tests/test_media_codecs.py."""
+    from .functions.media import encode_wav
+    from .stages.multimodal import audio_near_dups
+
+    def clip(seed: int, n: int = 16000) -> np.ndarray:
+        rng = np.random.RandomState(seed)
+        t = np.arange(n, dtype=np.float64)
+        f0 = 200 + 37 * seed
+        return (np.sin(2 * np.pi * f0 * t / 8000) * 9000
+                + np.sin(2 * np.pi * (f0 * 2.3) * t / 8000) * 4000
+                + rng.normal(0, 300, n)).astype(np.int16)
+
+    rows = []
+    for i in range(100):
+        c = clip(i)
+        rows.append({"media_id": i, "payload": encode_wav(c, 8000)})
+        if i % 10 == 0:
+            rows.append({"media_id": 1_000 + i,
+                         "payload": encode_wav((c // 2).astype(np.int16),
+                                               8000)})
+        if i % 20 == 0:
+            rows.append({"media_id": 2_000 + i,
+                         "payload": encode_wav(c[:10000], 8000)})
+    return audio_near_dups(rd.from_items(rows), min_shared=4)
+
+
 def q_validate(sf_dir: str):
     """SchemaValidator business rules over parsed contracts (§3.3)."""
     from .pipelines.extract_pipeline import run_extraction
@@ -4302,6 +4335,7 @@ NOSQL_QUERIES = {
     "hll_distinct_bigrams": q_hll_distinct_bigrams,
     "phash_near_dups": q_phash_near_dups,
     "video_near_dups": q_video_near_dups,
+    "audio_near_dups": q_audio_near_dups,
     "profile_table_approx": q_profile_table_approx,
 }
 

@@ -422,10 +422,7 @@ def video_near_dups(
     3. One narrow (id_a, id_b) groupby-sum finishes; pairs below
        ``min_shared`` drop.
     """
-    from ray.data.aggregate import Sum
-
     from ..functions.media import ahash64
-    from ..ops.grouping import partition_grouped
 
     def frame_hashes(t: pa.Table) -> pa.Table:
         ids, hs = [], []
@@ -445,6 +442,21 @@ def video_near_dups(
                          id_col: pa.array(ids, pa.int64())})
 
     hashed = ds.map_batches(frame_hashes, batch_format="pyarrow")
+    return _shared_hash_pairs(hashed, id_col, min_shared, max_hash_videos)
+
+
+def _shared_hash_pairs(hashed, id_col: str, min_shared: int,
+                       max_hash_ids: int) -> "object":
+    """(fhash, id) rows → (id_a, id_b, n_shared) pairs sharing
+    ≥ ``min_shared`` distinct hashes — the winnow_clone_pairs core,
+    shared by the video and audio near-dup operators. ONE
+    partition-grouped exchange (in-partition triu pair runs with a
+    ``max_hash_ids`` storm cap + local groupby-size combine) + one
+    narrow pair groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.grouping import partition_grouped
+
     parted, gcols = partition_grouped(hashed, ["fhash"])
 
     def run_pairs(df):
@@ -457,7 +469,7 @@ def video_near_dups(
         out_a, out_b = [], []
         for s, e in zip(starts, ends):
             m = e - s
-            if m < 2 or m > max_hash_videos:
+            if m < 2 or m > max_hash_ids:
                 continue
             run = np.sort(ids[s:e])  # triu over sorted ids ⇒ id_a < id_b
             ia, ib = np.triu_indices(m, 1)
@@ -484,3 +496,37 @@ def video_near_dups(
         return t.filter(_pc.greater_equal(t["n_shared"], min_shared))
 
     return summed.map_batches(threshold, batch_format="pyarrow")
+
+
+def audio_near_dups(
+    ds,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    min_shared: int = 4,
+    max_hash_clips: int = 1024,
+) -> "object":
+    """Near-duplicate AUDIO pairs: clips sharing ≥ ``min_shared``
+    distinct Haitsma–Kalker sub-fingerprints (functions/media.
+    audio_fingerprints_hk — 32-bit spectral double-difference words,
+    invariant to uniform amplitude scaling). Completes the multimodal
+    near-dup triad (image ``phash_near_dups`` / video
+    ``video_near_dups`` / audio); same two-exchange shared-hash shape,
+    payloads never shuffle."""
+    from ..functions.media import audio_fingerprints_hk, decode_wav
+
+    def clip_hashes(t: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for i, payload in zip(t[id_col].to_pylist(),
+                              t[payload_col].to_pylist()):
+            try:
+                samples, _rate = decode_wav(payload)
+                fps = set(audio_fingerprints_hk(samples).tolist())
+            except Exception:
+                continue  # soft-fail: undecodable clips exit
+            ids.extend([i] * len(fps))
+            hs.extend(fps)
+        return pa.table({"fhash": pa.array(hs, pa.uint64()),
+                         id_col: pa.array(ids, pa.int64())})
+
+    hashed = ds.map_batches(clip_hashes, batch_format="pyarrow")
+    return _shared_hash_pairs(hashed, id_col, min_shared, max_hash_clips)

@@ -189,3 +189,38 @@ def test_media_dedup_composes_with_keep_list(ray_session):
     losers = loser_ids(clusters, keep_list(clusters))
     assert {r["doc_id"] for r in losers.take_all()} \
         == {1_000 + i for i in range(0, 30, 5)}
+
+
+def test_audio_near_dups_planted(ray_session):
+    """Amplitude-scaled and truncated copies pair with their original
+    (HK double-difference fingerprints are scale-invariant); unrelated
+    noise clips never pair; garbage soft-fails out. Refactor guard:
+    video_near_dups still finds exact copies through the shared
+    _shared_hash_pairs core."""
+    import ray.data as rd
+
+    from pappermate_ray.functions.media import encode_wav
+    from pappermate_ray.stages.multimodal import audio_near_dups
+
+    def clip(seed, n=16000):
+        rng = np.random.RandomState(seed)
+        t = np.arange(n, dtype=np.float64)
+        f0 = 200 + 37 * seed
+        return (np.sin(2 * np.pi * f0 * t / 8000) * 9000
+                + np.sin(2 * np.pi * (f0 * 2.3) * t / 8000) * 4000
+                + rng.normal(0, 300, n)).astype(np.int16)
+
+    rows = [{"media_id": i, "payload": encode_wav(clip(i), 8000)}
+            for i in range(8)]
+    half = (clip(3) // 2).astype(np.int16)
+    rows.append({"media_id": 100, "payload": encode_wav(half, 8000)})
+    rows.append({"media_id": 101, "payload": encode_wav(clip(3)[:10000], 8000)})
+    rows.append({"media_id": 999, "payload": b"RIFFgarbage"})
+
+    out = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in audio_near_dups(rd.from_items(rows),
+                                    min_shared=4).take_all()}
+    assert (3, 100) in out and out[(3, 100)] >= 10   # scale-invariant
+    assert (3, 101) in out and out[(3, 101)] >= 4    # truncation overlap
+    assert not any(999 in p for p in out)
+    assert not [(a, b) for (a, b) in out if a < 8 and b < 8]
