@@ -1975,11 +1975,14 @@ def q_semantic_decontaminate(sf_dir: str):
         return t.filter(pa.array(ids % 97 == 0))
 
     def plant(t: pa.Table) -> pa.Table:
+        # vectorized prefilter BEFORE any list conversion — only ~1/194
+        # rows are planted, so converting the whole embedding column to
+        # Python lists per batch would dominate the construction
+        all_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((all_ids % 97 == 0) & (all_ids % 2 == 0)))
         ids, vecs = [], []
         for vid, vec in zip(t["vec_id"].to_pylist(),
                             t["embedding"].to_pylist()):
-            if vid % 97 != 0 or vid % 2 != 0:
-                continue
             ids.append(vid + 2_000_000)
             # 1-based component index to match DuckDB's list_transform
             vecs.append([x * (1 + 0.002 * (((vid + i + 1) % 5) - 2))
@@ -4476,7 +4479,12 @@ ORACLE_SQL.update({
         FROM corpus c
         WHERE NOT EXISTS (
           SELECT 1 FROM bench b
-          WHERE list_cosine_similarity(c.embedding, b.embedding) >= 0.9)
+          -- norm guards: zero vectors give NaN cosine, and DuckDB
+          -- orders NaN greatest (NaN >= 0.9 is TRUE) — the operator
+          -- treats zero-norm rows as no-evidence instead
+          WHERE list_dot_product(c.embedding, c.embedding) > 0
+            AND list_dot_product(b.embedding, b.embedding) > 0
+            AND list_cosine_similarity(c.embedding, b.embedding) >= 0.9)
     """,
     "gopher_quality_filter": """
         WITH corpus AS (

@@ -468,10 +468,13 @@ def _shared_hash_pairs(hashed, id_col: str, min_shared: int,
         ends = np.r_[starts[1:], len(fh)]
         out_a, out_b = [], []
         for s, e in zip(starts, ends):
-            m = e - s
+            # per-run id dedup (the winnow core does the same): an id
+            # carried by several input rows must not self-pair or
+            # double-count a shared hash
+            run = np.unique(ids[s:e])  # sorted ⇒ triu gives id_a < id_b
+            m = len(run)
             if m < 2 or m > max_hash_ids:
                 continue
-            run = np.sort(ids[s:e])  # triu over sorted ids ⇒ id_a < id_b
             ia, ib = np.triu_indices(m, 1)
             out_a.append(run[ia])
             out_b.append(run[ib])

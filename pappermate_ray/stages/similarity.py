@@ -333,6 +333,14 @@ def semantic_decontaminate(
     ``max_bench`` is split into object-store SHARDS and the per-shard
     keep masks are ANDed inside the same map (still exchange-free;
     peak per-task memory stays B×max_bench).
+
+    Zero-norm embeddings (cosine undefined) contribute NO similarity
+    evidence on either side: a zero corpus row is always KEPT, a zero
+    bench row never drops anything (``_emb_matrix`` maps them to zero
+    rows → similarity 0). The SQL oracle mirrors this with explicit
+    norm guards — DuckDB's ``list_cosine_similarity`` yields NaN there,
+    and NaN ≥ τ is TRUE under DuckDB's NaN-is-greatest ordering, which
+    would silently flip survivorship.
     """
     mats = []
     for b in bench.iter_batches(batch_size=65536, batch_format="pyarrow"):

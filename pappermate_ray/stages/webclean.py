@@ -684,7 +684,6 @@ def decontaminate_filter(
 
 def c4_line_filter(
     ds: "rd.Dataset",
-    id_col: str = "doc_id",
     text_col: str = "text",
     min_line_words: int = 5,
     min_lines: int = 3,
@@ -753,7 +752,6 @@ def c4_line_filter(
 
 def gopher_quality_filter(
     ds: "rd.Dataset",
-    id_col: str = "doc_id",
     text_col: str = "text",
     min_words: int = 50,
     max_words: int = 100_000,
@@ -805,10 +803,16 @@ def gopher_quality_filter(
         is_hash = pc.starts_with(flat, "#").to_numpy(zero_copy_only=False)
         n_hash = np.bincount(doc_idx, weights=is_hash,
                              minlength=n).astype(np.int64)
-        n_stop = np.zeros(n, dtype=np.int64)
-        for s in stopwords:
-            hit = pc.equal(flat, s).to_numpy(zero_copy_only=False)
-            n_stop += np.bincount(doc_idx, weights=hit, minlength=n) > 0
+        # distinct-stopword presence in ONE token scan: index_in maps
+        # each token to its stopword index (null = not a stopword),
+        # then a single bincount over doc·S+idx cells
+        n_s = len(stopwords)
+        si = pc.index_in(flat, value_set=pa.array(list(stopwords)))
+        valid = si.is_valid().to_numpy(zero_copy_only=False)
+        cells = (doc_idx[valid] * n_s
+                 + si.fill_null(0).to_numpy(zero_copy_only=False)[valid])
+        present = np.bincount(cells, minlength=n * n_s) > 0
+        n_stop = present.reshape(n, n_s).sum(axis=1).astype(np.int64)
         keep = ((n_words >= min_words) & (n_words <= max_words)
                 & (min_mean_word_len * n_words <= n_chars)
                 & (n_chars <= max_mean_word_len * n_words)
@@ -843,13 +847,26 @@ def badwords_filter(
     exchange. Blocklists are external fixed-size artifacts (hundreds to
     low thousands of terms), far under RE2's alternation limits; for a
     pathological list, split into a few patterns and OR the masks.
+
+    Boundary semantics: a term edge that is a word character anchors
+    with ``\\b``; an edge that is NOT a word character (real C4
+    blocklists contain such terms) anchors on whitespace-or-string-edge
+    instead — RE2 has no lookarounds, and a bare ``\\b`` next to a
+    non-word character silently never matches (the term would be
+    inert). So ``a$$`` matches the standalone word in ``pay a$$ now``
+    but not ``class``-style substrings.
     """
     import re as _re
 
     if not terms:
         return ds
-    pattern = r"\b(?:" + "|".join(
-        _re.escape(w) for w in sorted(set(terms))) + r")\b"
+
+    def _anchored(w: str) -> str:
+        left = r"\b" if _re.match(r"\w", w[0]) else r"(?:^|\s)"
+        right = r"\b" if _re.match(r"\w", w[-1]) else r"(?:$|\s)"
+        return left + _re.escape(w) + right
+
+    pattern = "|".join(_anchored(w) for w in sorted(set(terms)))
 
     def keep(t: pa.Table) -> pa.Table:
         bad = pc.match_substring_regex(t[text_col], pattern,

@@ -224,3 +224,27 @@ def test_audio_near_dups_planted(ray_session):
     assert (3, 101) in out and out[(3, 101)] >= 4    # truncation overlap
     assert not any(999 in p for p in out)
     assert not [(a, b) for (a, b) in out if a < 8 and b < 8]
+
+
+def test_video_near_dups_duplicate_id_rows(ray_session):
+    """An id appearing in MULTIPLE input rows (raw recrawl shape) must
+    not self-pair or double-count shared hashes."""
+    import ray.data as rd
+
+    from pappermate_ray.functions.media import encode_rvid
+    from pappermate_ray.stages.multimodal import video_near_dups
+
+    def frames(seed, n):
+        rng = np.random.RandomState(3000 + seed)
+        return [rng.randint(0, 256, (24, 40, 3)).astype(np.uint8)
+                for _ in range(n)]
+
+    rows = [
+        {"media_id": 1, "payload": encode_rvid(frames(0, 8))},
+        {"media_id": 1, "payload": encode_rvid(frames(0, 8))},  # dup row
+        {"media_id": 2, "payload": encode_rvid(frames(0, 8))},
+    ]
+    out = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in video_near_dups(rd.from_items(rows),
+                                    n_frames=4, min_shared=2).take_all()}
+    assert out == {(1, 2): 4}  # no (1,1); n_shared not inflated to 8

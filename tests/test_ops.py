@@ -598,3 +598,22 @@ class TestSemanticDecontaminate:
         sharded = sorted(r["vec_id"] for r in semantic_decontaminate(
             corpus, bench, max_bench=3).take_all())
         assert one == sharded == list(range(7, 40))
+
+    def test_zero_norm_rows_kept(self, ray_session):
+        """Zero embeddings carry no cosine evidence: a zero corpus row
+        survives, a zero bench row drops nothing (the SQL oracle guards
+        the NaN-cosine path the same way)."""
+        import ray.data as rd
+
+        from pappermate_ray.stages.similarity import semantic_decontaminate
+
+        rng = np.random.RandomState(21)
+        items = [{"vec_id": i, "embedding": rng.normal(size=16).tolist()}
+                 for i in range(10)]
+        items.append({"vec_id": 100, "embedding": [0.0] * 16})  # zero corpus row
+        corpus = rd.from_items(items)
+        bench = rd.from_items([items[0],
+                               {"vec_id": 200, "embedding": [0.0] * 16}])
+        kept = sorted(r["vec_id"] for r in
+                      semantic_decontaminate(corpus, bench).take_all())
+        assert kept == list(range(1, 10)) + [100]

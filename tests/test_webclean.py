@@ -394,3 +394,24 @@ def test_c4_and_gopher_filters_idempotent(ray_session):
                            for r in g1])
     g2 = gopher_quality_filter(g1_in, min_words=5).take_all()
     assert {r["doc_id"] for r in g2} == {r["doc_id"] for r in g1}
+
+
+def test_badwords_filter_nonword_edge_terms(ray_session):
+    """Terms with non-word edges (real C4 blocklists have them) anchor
+    on whitespace/string edges instead of \\b — a bare \\b next to a
+    non-word char never matches and would make the term silently inert."""
+    import ray.data as rd
+
+    from pappermate_ray.stages.webclean import badwords_filter
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "pay a$$ now",        # standalone -> drop
+            "a$$",                # whole string -> drop
+            "class a$$word here", # embedded in a token -> keep
+            "plain clean text",
+        ], pa.string()),
+    }))
+    kept = badwords_filter(ds, ["a$$"], text_col="text")
+    assert sorted(r["doc_id"] for r in kept.take_all()) == [2, 3]
