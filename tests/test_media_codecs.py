@@ -248,3 +248,30 @@ def test_video_near_dups_duplicate_id_rows(ray_session):
            for r in video_near_dups(rd.from_items(rows),
                                     n_frames=4, min_shared=2).take_all()}
     assert out == {(1, 2): 4}  # no (1,1); n_shared not inflated to 8
+
+
+def test_shared_hash_pairs_storm_cap(ray_session):
+    """A frame hash carried by more ids than max_hash_clips is skipped
+    (the blank-frame storm cap) without suppressing pairs from other
+    hashes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pappermate_ray.stages.multimodal import _shared_hash_pairs
+
+    rows = []
+    # storm: hash 7 shared by 50 ids (over the cap of 10)
+    for i in range(50):
+        rows.append({"fhash": 7, "media_id": i})
+    # signal: ids 100/101 share hashes 20 and 21
+    for h in (20, 21):
+        rows.append({"fhash": h, "media_id": 100})
+        rows.append({"fhash": h, "media_id": 101})
+    ds = rd.from_arrow(pa.table({
+        "fhash": pa.array([r["fhash"] for r in rows], pa.uint64()),
+        "media_id": pa.array([r["media_id"] for r in rows], pa.int64()),
+    }))
+    out = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in _shared_hash_pairs(ds, "media_id", min_shared=2,
+                                       max_hash_ids=10).take_all()}
+    assert out == {(100, 101): 2}

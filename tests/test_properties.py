@@ -247,3 +247,21 @@ class TestWebcleanProperties:
         assert pc.count_substring_regex(clean, PII_EMAIL)[0].as_py() == 0
         assert pc.count_substring_regex(clean, PII_PHONE)[0].as_py() == 0
         assert pc.count_substring_regex(clean, PII_IP)[0].as_py() == 0
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(3000, 12000))
+@settings(max_examples=20, deadline=None)
+def test_hk_fingerprints_amplitude_scale_invariant(seed, n):
+    """Haitsma–Kalker double-difference fingerprints are invariant to
+    exact uniform amplitude scaling (all band energies scale together,
+    strict-sign double differences keep sign)."""
+    import numpy as np
+
+    from pappermate_ray.functions.media import audio_fingerprints_hk
+
+    rng = np.random.RandomState(seed)
+    x = rng.randint(-8000, 8000, n).astype(np.int16)
+    f1 = audio_fingerprints_hk(x)
+    f2 = audio_fingerprints_hk((x.astype(np.int32) * 4).astype(np.int32))
+    assert np.array_equal(f1, f2)
+    assert np.array_equal(f1, audio_fingerprints_hk(x))  # deterministic
