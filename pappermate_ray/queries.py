@@ -2340,6 +2340,39 @@ def q_link_graph(sf_dir: str):
     return aggregate_anchors(edges, src_col="src_url", dst_col="dst_url")
 
 
+def q_authority_rank(sf_dir: str):
+    """Composed web-graph flagship (the graph sibling of curate_full):
+    crawl HTML → extract_links → URL-level PageRank over the REAL
+    harvested edge set (string node ids exercise the join path — the
+    100 TB shape; no arithmetic edge planting). Node set = every url
+    that emits or receives a link. Oracle: the link_graph fixture
+    arithmetic rebuilds the exact edge set (page urls from the KINDS
+    cascade, full docs → 22 targets, truncated docs → first 3 nav
+    links), then 3 unrolled PR rounds — so the whole composition
+    (harvest + graph build + iterate) is value-gated."""
+    from ray.data.aggregate import Count as _Count
+
+    from .fixtures import read_pages
+    from .ops.pagerank import pagerank
+    from .stages.links import extract_links
+
+    edges = extract_links(read_pages(sf_dir))
+
+    def side(col: str):
+        return edges.select_columns([col]).map_batches(
+            lambda t, c=col: pa.table({"node": t[c]}),
+            batch_format="pyarrow")
+
+    nodes = side("src_url").union(side("dst_url")) \
+        .groupby("node").aggregate(_Count()) \
+        .select_columns(["node"])
+    ranked = pagerank(nodes, edges, node_col="node", src_col="src_url",
+                      dst_col="dst_url", iters=3, round_to=8)
+    return ranked.map_batches(
+        lambda t: pa.table({"url": t["node"], "pagerank": t["pagerank"]}),
+        batch_format="pyarrow")
+
+
 def q_winnow_fingerprints(sf_dir: str):
     """MOSS winnowing fingerprints (stages/winnow.py, k=3 token grams,
     window w=4): per-window minimum of packed (md5-8hex ‖ position)
@@ -4451,6 +4484,7 @@ SQL_QUERIES = {
     "profile_approx_check": q_profile_approx_check,
     "c4_line_filter": q_c4_line_filter,
     "gopher_quality_filter": q_gopher_quality_filter,
+    "authority_rank": q_authority_rank,
 }
 
 ORACLE_SQL.update({
@@ -4465,6 +4499,52 @@ ORACLE_SQL.update({
         UNION ALL
         SELECT 'n_chars', CAST(COUNT(DISTINCT n_chars) AS BIGINT), TRUE FROM documents
     """,
+    "authority_rank": f"""
+        WITH kinds(j, k) AS (
+          SELECT * FROM (VALUES (0,'contract'), (1,'plain'), (2,'relation'),
+                                (3,'pdf'), (4,'dates'), (5,'cjk')) v(j, k)),
+        cls AS (
+          SELECT doc_id,
+            'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/'
+              || k.k || '/' || CAST(doc_id AS VARCHAR) AS url,
+            CASE WHEN doc_id % 20 = 13 AND doc_id % 6 = 3 THEN 'none'
+                 WHEN doc_id % 20 = 13 THEN 'partial'
+                 WHEN doc_id % 6 = 3 THEN 'none'
+                 WHEN doc_id % 7 = 3 THEN 'none'
+                 ELSE 'full' END AS linkset
+          FROM documents JOIN kinds k ON doc_id % 6 = k.j),
+        targets AS (
+          SELECT '/s/' || CAST(j AS VARCHAR) AS path, CAST(j AS BIGINT) AS nav_j
+          FROM range(12) t(j)
+          UNION ALL
+          SELECT '/p/' || CAST(j AS VARCHAR), NULL FROM range(8) t(j)
+          UNION ALL SELECT '/about', NULL
+          UNION ALL SELECT '/privacy', NULL),
+        edges AS (
+          SELECT d.url AS src,
+                 'https://site' || CAST(d.doc_id % 97 AS VARCHAR)
+                   || '.example' || t.path AS dst
+          FROM cls d CROSS JOIN targets t
+          WHERE d.linkset = 'full'
+             OR (d.linkset = 'partial' AND t.nav_j IS NOT NULL AND t.nav_j < 3)),
+        nodes AS (SELECT DISTINCT src AS node FROM edges
+                  UNION SELECT DISTINCT dst FROM edges),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        od AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+        ew AS (SELECT e.src, e.dst, od.od FROM edges e JOIN od USING (src)),
+        r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM nodes)
+        {{_PR_URL_ROUNDS}}
+        SELECT node AS url, ROUND(r, 8) AS pagerank FROM r3
+    """.replace("{_PR_URL_ROUNDS}", "".join(
+        f''',
+        r{i} AS (SELECT nd.node,
+                   0.15/(SELECT n FROM nn)
+                   + 0.85*COALESCE(SUM(r{i-1}.r/ew.od), 0) AS r
+                 FROM nodes nd
+                 LEFT JOIN ew ON ew.dst = nd.node
+                 LEFT JOIN r{i-1} ON r{i-1}.node = ew.src
+                 GROUP BY nd.node)'''
+        for i in range(1, 4))),
     "semantic_decontaminate": """
         WITH bench AS (
           SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0),
