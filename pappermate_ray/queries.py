@@ -2356,16 +2356,22 @@ def q_authority_rank(sf_dir: str):
     from .ops.pagerank import pagerank
     from .stages.links import extract_links
 
-    edges = extract_links(read_pages(sf_dir))
+    # pin the harvested edge table (link-sized — ~1.5% of page bytes):
+    # it has FIVE consumers (two node-side scans, outdeg, the per-round
+    # join lineage, n) and without the pin each re-runs the full pages
+    # read + HTML link scan
+    edges = extract_links(read_pages(sf_dir)).materialize()
 
     def side(col: str):
         return edges.select_columns([col]).map_batches(
             lambda t, c=col: pa.table({"node": t[c]}),
             batch_format="pyarrow")
 
+    # nodes likewise: pagerank consumes it three times (N, rank init,
+    # the teleport zero-rows union)
     nodes = side("src_url").union(side("dst_url")) \
         .groupby("node").aggregate(_Count()) \
-        .select_columns(["node"])
+        .select_columns(["node"]).materialize()
     ranked = pagerank(nodes, edges, node_col="node", src_col="src_url",
                       dst_col="dst_url", iters=3, round_to=8)
     return ranked.map_batches(
@@ -2902,6 +2908,34 @@ def q_bpe_token_counts(sf_dir: str):
     return bpe_token_counts(ds, state)
 
 
+def q_bpe_encode_ids(sf_dir: str):
+    """Token-ID emission (stages/bpe.bpe_encode_ids): learn the merges,
+    assign deterministic symbol ids (sorted distinct symbols), emit
+    each doc's full id sequence. The gate projects order-SENSITIVE
+    evidence — first and last token id per doc — so an ordering bug in
+    the per-doc rebuild (not just a count drift) hash-mismatches. The
+    full list<int32> column is exercised in pytest (round-trip decode +
+    broadcast ≡ distributed)."""
+    from .stages.bpe import bpe_encode_ids, learn_bpe, word_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    _, state = learn_bpe(word_counts(ds), num_merges=_BPE_MERGES)
+    enc = bpe_encode_ids(ds, state)
+
+    def project(t: pa.Table) -> pa.Table:
+        seqs = t["token_ids"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": t["n_tokens"],
+            "n_bpe_tokens": t["n_bpe_tokens"],
+            "first_id": pa.array([int(s[0]) for s in seqs], pa.int64()),
+            "last_id": pa.array([int(s[-1]) for s in seqs], pa.int64()),
+        })
+
+    return enc.map_batches(project, batch_format="pyarrow")
+
+
 def _bpe_rounds_sql(num_merges: int) -> str:
     """Unrolled words/v0/p{r}/b{r}/v{r} CTE chain for the BPE oracle."""
     parts = [r"""WITH words AS (
@@ -3093,6 +3127,33 @@ ORACLE_SQL.update({
     """,
     "bpe_merges": _bpe_merges_sql(_BPE_MERGES),
     "bpe_token_counts": _bpe_token_counts_sql(_BPE_MERGES),
+    "bpe_encode_ids": _bpe_rounds_sql(_BPE_MERGES) + f""",
+        sid AS (
+          SELECT sym,
+                 CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS tid
+          FROM (SELECT DISTINCT unnest(string_split(s, ' ')) AS sym
+                FROM v{_BPE_MERGES})),
+        d AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS word,
+                 unnest(range(len(regexp_split_to_array(trim(text), '\\s+')))) AS pos
+          FROM documents WHERE trim(text) <> ''),
+        enc AS (
+          SELECT d.doc_id, d.pos, string_split(v.s, ' ') AS syms
+          FROM d JOIN v{_BPE_MERGES} v USING (word)),
+        stats AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(len(syms)) AS BIGINT) AS n_bpe_tokens,
+                 arg_min(syms[1], pos) AS first_sym,
+                 arg_max(syms[len(syms)], pos) AS last_sym
+          FROM enc GROUP BY doc_id)
+        SELECT s.doc_id, s.n_tokens, s.n_bpe_tokens,
+               f.tid AS first_id, l.tid AS last_id
+        FROM stats s
+        JOIN sid f ON f.sym = s.first_sym
+        JOIN sid l ON l.sym = s.last_sym
+    """,
     "shard_shuffle": """
         WITH h AS (
           SELECT doc_id,
@@ -4458,6 +4519,7 @@ SQL_QUERIES = {
     "shard_shuffle": q_shard_shuffle,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
+    "bpe_encode_ids": q_bpe_encode_ids,
     "grouped_zscore": q_grouped_zscore,
     # URL/domain curation family (stages/urls.py)
     "url_parse": q_url_parse,

@@ -275,3 +275,132 @@ def bpe_token_counts(
         lambda t: t.select([id_col, "n_tokens", "n_bpe_tokens"]),
         batch_format="pyarrow",
     )
+
+
+def bpe_encode_ids(
+    ds: "ray.data.Dataset",
+    state: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_limit: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Per-document BPE token-ID sequences — the artifact a training
+    pipeline actually ships (``bpe_token_counts`` is the sizing stat;
+    this is the encode). Token ids are assigned deterministically:
+    the learned vocab's distinct symbol set, id = rank in sorted order
+    (binary/codepoint collation, identical in Python and DuckDB for
+    this corpus) — engine-free, so the oracle can reproduce ids.
+
+    Output: (id_col, n_tokens, n_bpe_tokens, token_ids list<int32>);
+    docs with no tokens drop (the oracle's ``trim(text) <> ''`` gate).
+
+    Hybrid word-table handling (the ``bpe_token_counts`` rule):
+    - word table ≤ ``broadcast_limit`` rows: word → int32[] lookup
+      ships ONCE via ray.put, each batch concatenates per-word id
+      arrays — zero shuffles, the output streams.
+    - beyond the bound the encode is fully distributed: the corpus
+      explodes to (id, pos, word) rows — O(tokens), the output's own
+      order of size, not an amplification — joins the (word, ids-csv)
+      table on word (csv because Acero rejects list-typed non-key join
+      columns), and ONE partition-grouped exchange on id rebuilds each
+      document's sequence in token order. Paths asserted identical in
+      tests. The SYMBOL-id table is vocab-sized (alphabet + merges) on
+      any corpus and always broadcasts.
+    """
+    from ray.data.aggregate import Count
+
+    from ..ops.grouping import partition_grouped
+    from ..ops.joins import hash_join
+
+    def explode_syms(t: pa.Table) -> pa.Table:
+        out = set()
+        for s in t["s"].to_pylist():
+            out.update(s.split(" "))
+        return pa.table({"sym": pa.array(sorted(out), pa.string())})
+
+    sym_rows = (state.map_batches(explode_syms, batch_format="pyarrow")
+                .groupby("sym").aggregate(Count()).take_all())
+    sym2id = {r["sym"]: i for i, r in
+              enumerate(sorted(sym_rows, key=lambda r: r["sym"]))}
+    n_vocab = state.count()
+
+    if n_vocab <= broadcast_limit:
+        vocab_df = state.to_pandas()
+        lut = {w: np.array([sym2id[x] for x in s.split(" ")], np.int32)
+               for w, s in zip(vocab_df["word"], vocab_df["s"])}
+        ref = ray.put(lut)
+
+        def encode(t: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            ids, n_tok, seqs = [], [], []
+            for i, text in zip(t[id_col].to_pylist(),
+                               t[text_col].to_pylist()):
+                words = (text or "").split()
+                if not words:
+                    continue
+                ids.append(i)
+                n_tok.append(len(words))
+                seqs.append(np.concatenate([m[w] for w in words]))
+            return pa.table({
+                id_col: pa.array(ids, t[id_col].type),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_bpe_tokens": pa.array([len(s) for s in seqs], pa.int64()),
+                "token_ids": pa.array([s.tolist() for s in seqs],
+                                      pa.list_(pa.int32())),
+            })
+
+        return ds.map_batches(encode, batch_format="pyarrow")
+
+    # ---- distributed path: word table too big to broadcast ----
+    sref = ray.put(sym2id)
+
+    def ids_csv(t: pa.Table) -> pa.Table:
+        m = ray.get(sref)
+        csvs = [",".join(str(m[x]) for x in s.split(" "))
+                for s in t["s"].to_pylist()]
+        return pa.table({"word": t["word"],
+                         "ids_csv": pa.array(csvs, pa.string())})
+
+    wordtab = state.map_batches(ids_csv, batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, poss, words = [], [], []
+        for i, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            w = (text or "").split()
+            ids.extend([i] * len(w))
+            poss.extend(range(len(w)))
+            words.extend(w)
+        return pa.table({
+            id_col: pa.array(ids, t[id_col].type),
+            "pos": pa.array(poss, pa.int64()),
+            "word": pa.array(words, pa.string()),
+        })
+
+    sch = ds.schema()  # Ray Schema wrapper: parallel names/types lists
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    tokens = ds.map_batches(explode, batch_format="pyarrow")
+    joined = hash_join(
+        tokens, wordtab, on="word",
+        left_schema=pa.schema([(id_col, id_type), ("pos", pa.int64()),
+                               ("word", pa.string())]),
+        right_schema=pa.schema([("word", pa.string()),
+                                ("ids_csv", pa.string())]))
+    parted, gcols = partition_grouped(joined, [id_col])
+
+    def rebuild(df):
+        df = df.sort_values([id_col, "pos"], kind="mergesort")
+        ids = df[id_col].to_numpy()
+        change = np.r_[True, ids[1:] != ids[:-1]]
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], len(ids)]
+        out = {id_col: [], "n_tokens": [], "n_bpe_tokens": [], "token_ids": []}
+        csvs = df["ids_csv"].to_numpy()
+        for s, e in zip(starts, ends):
+            seq = [int(x) for c in csvs[s:e] for x in c.split(",")]
+            out[id_col].append(ids[s])
+            out["n_tokens"].append(int(e - s))
+            out["n_bpe_tokens"].append(len(seq))
+            out["token_ids"].append(seq)
+        return pd.DataFrame(out)
+
+    return parted.groupby(gcols).map_groups(rebuild, batch_format="pandas")

@@ -111,3 +111,67 @@ def test_token_counts_join_path_equals_broadcast(ray_session):
     broadcast = key(bpe_token_counts(docs, state).take_all())
     joined = key(bpe_token_counts(docs, state, broadcast_limit=0).take_all())
     assert joined == broadcast
+
+
+def _resegment(word, syms):
+    """Split word into the character groups its symbols cover."""
+    out, pos = [], 0
+    for sym in syms:
+        chunk = sym.replace("\x1f", "")
+        assert word[pos:pos + len(chunk)] == chunk
+        out.append(chunk)
+        pos += len(chunk)
+    assert pos == len(word)
+    return out
+
+
+def test_bpe_encode_ids_roundtrip_and_paths(ray_session):
+    """Token-id sequences decode back to the original words (id→symbol
+    →strip sentinels→concat), agree with bpe_token_counts, and the
+    distributed (broadcast_limit=0) path is identical to the broadcast
+    path."""
+    import numpy as np
+    import ray.data as rd
+
+    from pappermate_ray.stages.bpe import (SENT, bpe_encode_ids,
+                                           bpe_token_counts, learn_bpe,
+                                           word_counts)
+
+    docs = [
+        {"doc_id": 1, "text": "low lower lowest low"},
+        {"doc_id": 2, "text": "new newer newest"},
+        {"doc_id": 3, "text": "low new low"},
+        {"doc_id": 4, "text": ""},          # empty -> dropped
+    ]
+    ds = rd.from_items(docs)
+    _, state = learn_bpe(word_counts(ds), num_merges=6)
+
+    enc = {r["doc_id"]: r for r in bpe_encode_ids(ds, state).take_all()}
+    assert sorted(enc) == [1, 2, 3]
+
+    # rebuild id -> symbol table exactly as the operator does; the flat
+    # id stream has no word delimiter (the real-tokenizer shape), so
+    # round-trip at the SYMBOL level: ids must decode to exactly the
+    # concatenation of each word's learned symbol sequence, in order
+    state_s = {r["word"]: r["s"].split(" ") for r in state.take_all()}
+    syms = sorted({x for ss in state_s.values() for x in ss})
+    id2sym = dict(enumerate(syms))
+    for d in docs[:3]:
+        seq = enc[d["doc_id"]]["token_ids"]
+        expect = [x for w in d["text"].split() for x in state_s[w]]
+        assert [id2sym[i] for i in seq] == expect
+        # and symbols strip back to the original words
+        assert [x.replace(SENT, "") for x in expect] == [
+            c for w in d["text"].split() for c in _resegment(w, state_s[w])]
+        assert enc[d["doc_id"]]["n_tokens"] == len(d["text"].split())
+        assert enc[d["doc_id"]]["n_bpe_tokens"] == len(seq)
+
+    cnt = {r["doc_id"]: r for r in bpe_token_counts(ds, state).take_all()}
+    assert all(cnt[i]["n_bpe_tokens"] == enc[i]["n_bpe_tokens"]
+               for i in (1, 2, 3))
+
+    dist = {r["doc_id"]: r for r in
+            bpe_encode_ids(ds, state, broadcast_limit=0).take_all()}
+    assert sorted(dist) == [1, 2, 3]
+    for i in (1, 2, 3):
+        assert list(dist[i]["token_ids"]) == list(enc[i]["token_ids"])
