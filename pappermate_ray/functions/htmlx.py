@@ -146,22 +146,36 @@ _RAWTEXT = frozenset({"script", "style", "textarea", "title"})
 # the quote-aware rescan below. Charsets mirror the slow path EXACTLY:
 # start names end at " \t\n\r\f/" or '>' (NOT \v — HTMLParser's
 # tagfind_tolerant keeps \v in the name); end names are
-# [-.a-zA-Z0-9:_]* from the first char.
+# unicode-alnum/[-.:_] from the first char — _FAST_END covers the ASCII
+# subset and the scan loop rejects non-ASCII matches to the slow path.
 _FAST_START = re.compile(r"([^ \t\n\r\f/>\"'<]+)[^>\"'<]*>")
 _FAST_END = re.compile(r"([-.a-zA-Z0-9:_]*)[^>\"'<]*>")
 
 # Strip-mode fast-forward: while inside a stripped subtree the ONLY
 # events that can matter are comments/declarations (their content must
 # still be skipped by the normal rules) and strip-tag opens/closes —
-# every other tag and all text is ignored. Jump straight to the next
-# candidate at C speed instead of parsing every <a>/<li>/text run in a
-# nav/footer. Lookahead keeps the match on '<' so the main loop resumes
-# with its exact semantics; false-positive name prefixes (e.g.
-# '<navigation>') just cost one ordinary no-op iteration.
-_STRIP_JUMP = re.compile(
-    r"<(?=[!?]|/?(?:script|style|noscript|template|svg|iframe|nav|header"
-    r"|footer|aside|form|button|select|option))",
-    re.IGNORECASE,
+# every other tag and all text is ignored. Consume a maximal run of
+# "boring" units in ONE C regex call instead of parsing every
+# <a>/<li>/text run in a nav/footer. A unit is boring only when skipping
+# it cannot change scanner state: a text run, a complete non-candidate
+# tag whose quoted attribute values contain no '<'/'>' (a quoted
+# '</nav>' must NOT be re-interpreted as markup — the main loop's
+# quote-aware rescan owns that case), or a literal '<' before an ASCII
+# non-tag char. Everything else (candidate prefixes like '<navigation>',
+# tags with angle brackets inside quotes, unicode-alpha '<x' cases)
+# stops the run and falls back to the main loop's exact semantics.
+# Alternatives are first-character disjoint, so matching is linear.
+_STRIP_RUN = re.compile(
+    r"""(?:
+        [^<]+                                    # text: no-op while stripping
+      | <(?![!?]
+           |/?(?:script|style|noscript|template|svg|iframe|nav|header
+               |footer|aside|form|button|select|option))
+        (?=[a-zA-Z/])
+        (?:[^>"'<]|"[^"<>]*"|'[^'<>]*')*>        # whole tag, quote-safe
+      | <(?![a-zA-Z/!?])(?=[\x00-\x7f])          # literal '<' (ASCII next)
+    )*""",
+    re.IGNORECASE | re.VERBOSE,
 )
 
 
@@ -216,12 +230,12 @@ def _scan_segments(html_str: str) -> List[_Segment]:
     i, n = 0, len(html_str)
     while i < n:
         if strip_depth:
-            # fast-forward to the next event that can affect strip state
-            # (emit is a no-op while stripping, so skipped text is free)
-            jump = _STRIP_JUMP.search(html_str, i)
-            if jump is None:
+            # fast-forward over text + state-inert tags (emit is a no-op
+            # while stripping); stops before anything that needs the main
+            # loop's exact parse — see _STRIP_RUN
+            i = _STRIP_RUN.match(html_str, i).end()
+            if i >= n:
                 break
-            i = jump.start()
         lt = html_str.find("<", i)
         if lt < 0:
             emit(html_str[i:])
@@ -252,6 +266,12 @@ def _scan_segments(html_str: str) -> List[_Segment]:
         closing = nxt == "/"
         m = (_FAST_END.match(html_str, lt + 2) if closing
              else _FAST_START.match(html_str, lt + 1))
+        if m and closing and not m.group(0).isascii():
+            # end-tag names extend over UNICODE alnum (str.isalnum below);
+            # _FAST_END's charset is ASCII — '</navé>' must keep the full
+            # name and stay a no-op, so any non-ASCII body takes the
+            # unicode-aware general path
+            m = None
         if m:
             name = m.group(1).lower()
             i = m.end()

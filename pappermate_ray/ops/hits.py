@@ -141,7 +141,9 @@ def hits(
             return pa.table({node_col: t[node_col], "s": t["s_sum"]})
 
         out = summed.map_batches(rename, batch_format="pyarrow")
-        return out, int(mx["max_s"]), int(mx["max_cnt"]) - 1
+        # empty node set: Max over an empty aggregate yields None
+        ms, mc = mx["max_s"], mx["max_cnt"]
+        return out, (0 if ms is None else int(ms)), (0 if mc is None else int(mc) - 1)
 
     auth = None
     max_hub, max_auth = 1, 0

@@ -160,11 +160,17 @@ def bench_grams(sf_dir: str) -> List[str]:
 
     def pick(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(ids % 97 == 0))
+        t = t.filter(pa.array(ids % 97 == 0))
+        # slice to the 6-gram BEFORE the driver collect: only a few
+        # bytes per bench doc transit, never the full payloads
+        grams = [" ".join((x or "").split()[:6])
+                 for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "gram": pa.array(grams, pa.string())})
 
     rows = bench.map_batches(pick, batch_format="pyarrow").take_all()
     rows.sort(key=lambda r: r["doc_id"])
-    return [" ".join((r["text"] or "").split()[:6]) for r in rows]
+    return [r["gram"] for r in rows]
 
 
 def curate_full(

@@ -78,6 +78,32 @@ def merged_symbol(pair: str) -> str:
     return pair.replace(SENT + " " + SENT, "")
 
 
+def _oov_segment(word: str, known: frozenset, max_sym: int) -> List[str]:
+    """Deterministic out-of-vocabulary fallback shared by every encode
+    path: greedy longest-match segmentation of the word's characters
+    over the learned symbol set (WordPiece-style). Characters absent
+    from the alphabet are dropped. Merge-order-free on purpose — a
+    shipped tokenizer state carries the word table and symbol set, not
+    the merge sequence, and longest-match needs neither; both the
+    broadcast and distributed paths call this exact function so OOV
+    words encode identically regardless of vocab size."""
+    out: List[str] = []
+    i, L = 0, len(word)
+    while i < L:
+        j = min(L, i + max_sym)
+        while j > i:
+            cand = SENT + word[i:j] + SENT
+            if cand in known:
+                out.append(cand)
+                break
+            j -= 1
+        else:
+            i += 1  # unknown character: drop deterministically
+            continue
+        i = j
+    return out
+
+
 def _pair_partials(df: pd.DataFrame) -> pd.DataFrame:
     """Per-block weighted pair counts, fully vectorized: explode the
     symbol lists, shift within each word, weight by the word count."""
@@ -195,17 +221,28 @@ def bpe_token_counts(
     distributed instead: per-doc DISTINCT (id, word, tf) rows — a
     corpus-bounded explode, never the raw token stream — join the
     (word, n_sym) table on word, then one narrow per-id groupby-sum
-    rebuilds the counts. Both paths are asserted identical in tests."""
+    rebuilds the counts. Both paths are asserted identical in tests.
+
+    Out-of-vocabulary words (encoding text the state wasn't trained
+    on) fall back to ``_oov_segment`` in BOTH paths — greedy
+    longest-match over the learned symbol set, identical results
+    regardless of vocab size."""
+    state = state.materialize()
     n_vocab = state.count()
     if n_vocab <= broadcast_limit:
         vocab_df = state.to_pandas()
         counts = {
             w: s.count(" ") + 1 for w, s in zip(vocab_df["word"], vocab_df["s"])
         }
-        ref = ray.put(counts)
+        syms = set()
+        for s in vocab_df["s"]:
+            syms.update(s.split(" "))
+        max_sym = max((len(s) - 2 for s in syms), default=0)
+        ref = ray.put((counts, frozenset(syms), max_sym))
 
         def encode(t: pa.Table) -> pa.Table:
-            lut = ray.get(ref)
+            lut, known, mx = ray.get(ref)
+            memo: dict = {}
             ids, n_tok, n_bpe = [], [], []
             for i, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
                 words = (text or "").split()
@@ -213,7 +250,16 @@ def bpe_token_counts(
                     continue
                 ids.append(i)
                 n_tok.append(len(words))
-                n_bpe.append(sum(lut[w] for w in words))
+                total = 0
+                for w in words:
+                    c = lut.get(w)
+                    if c is None:
+                        c = memo.get(w)
+                        if c is None:
+                            c = len(_oov_segment(w, known, mx))
+                            memo[w] = c
+                    total += c
+                n_bpe.append(total)
             return pa.table({
                 id_col: pa.array(ids, t[id_col].type),
                 "n_tokens": pa.array(n_tok, pa.int64()),
@@ -222,8 +268,24 @@ def bpe_token_counts(
 
         return ds.map_batches(encode, batch_format="pyarrow")
 
-    # distributed path: vocab too big to broadcast
+    # distributed path: vocab too big to broadcast. The SYMBOL set
+    # (alphabet + merges) is vocab-sized on any corpus — one distinct
+    # exchange collects it for the OOV fallback broadcast.
+    from ray.data.aggregate import Count
+
     from ..ops.joins import hash_join
+
+    def explode_syms(t: pa.Table) -> pa.Table:
+        out = set()
+        for s in t["s"].to_pylist():
+            out.update(s.split(" "))
+        return pa.table({"sym": pa.array(sorted(out), pa.string())})
+
+    sym_rows = (state.map_batches(explode_syms, batch_format="pyarrow")
+                .groupby("sym").aggregate(Count()).take_all())
+    known = frozenset(r["sym"] for r in sym_rows)
+    max_sym = max((len(s) - 2 for s in known), default=0)
+    symref = ray.put((known, max_sym))
 
     def sym_counts(t: pa.Table) -> pa.Table:
         n = pc.add(pc.count_substring(t["s"], " "), 1)
@@ -253,16 +315,28 @@ def bpe_token_counts(
     id_type = dict(zip(sch.names, sch.types))[id_col]
     joined = hash_join(
         ds.map_batches(explode, batch_format="pyarrow"), symtab, on="word",
+        join_type="left_outer",
         left_schema=pa.schema([(id_col, id_type), ("word", pa.string()),
                                ("tf", pa.int64())]),
         right_schema=pa.schema([("word", pa.string()), ("n_sym", pa.int64())]),
     )
 
     def weigh(t: pa.Table) -> pa.Table:
+        n_sym = t["n_sym"]
+        if n_sym.null_count:
+            # OOV words: null from the outer join → longest-match length
+            kn, mx = ray.get(symref)
+            memo: dict = {}
+            vals = [
+                v if v is not None
+                else memo.setdefault(w, len(_oov_segment(w, kn, mx)))
+                for v, w in zip(n_sym.to_pylist(), t["word"].to_pylist())
+            ]
+            n_sym = pa.array(vals, pa.int64())
         return pa.table({
             id_col: t[id_col],
             "tf": t["tf"],
-            "bpe": pc.multiply(t["tf"], t["n_sym"]),
+            "bpe": pc.multiply(t["tf"], n_sym),
         })
 
     agg = (
@@ -306,32 +380,35 @@ def bpe_encode_ids(
       document's sequence in token order. Paths asserted identical in
       tests. The SYMBOL-id table is vocab-sized (alphabet + merges) on
       any corpus and always broadcasts.
-    """
-    from ray.data.aggregate import Count
 
+    Out-of-vocabulary words (encoding text the state wasn't trained
+    on) fall back to ``_oov_segment`` in BOTH paths — greedy
+    longest-match over the learned symbol set, identical ids
+    regardless of vocab size.
+    """
     from ..ops.grouping import partition_grouped
     from ..ops.joins import hash_join
 
-    def explode_syms(t: pa.Table) -> pa.Table:
-        out = set()
-        for s in t["s"].to_pylist():
-            out.update(s.split(" "))
-        return pa.table({"sym": pa.array(sorted(out), pa.string())})
-
-    sym_rows = (state.map_batches(explode_syms, batch_format="pyarrow")
-                .groupby("sym").aggregate(Count()).take_all())
-    sym2id = {r["sym"]: i for i, r in
-              enumerate(sorted(sym_rows, key=lambda r: r["sym"]))}
+    state = state.materialize()
     n_vocab = state.count()
 
     if n_vocab <= broadcast_limit:
+        # the word table is already driver-sized: derive the symbol set
+        # from it directly instead of a distributed distinct exchange
         vocab_df = state.to_pandas()
+        syms: set = set()
+        for s in vocab_df["s"]:
+            syms.update(s.split(" "))
+        sym2id = {s: i for i, s in enumerate(sorted(syms))}
+        max_sym = max((len(s) - 2 for s in sym2id), default=0)
         lut = {w: np.array([sym2id[x] for x in s.split(" ")], np.int32)
                for w, s in zip(vocab_df["word"], vocab_df["s"])}
-        ref = ray.put(lut)
+        ref = ray.put((lut, sym2id, max_sym))
 
         def encode(t: pa.Table) -> pa.Table:
-            m = ray.get(ref)
+            m, s2i, mx = ray.get(ref)
+            known = frozenset(s2i)
+            memo: dict = {}
             ids, n_tok, seqs = [], [], []
             for i, text in zip(t[id_col].to_pylist(),
                                t[text_col].to_pylist()):
@@ -340,7 +417,19 @@ def bpe_encode_ids(
                     continue
                 ids.append(i)
                 n_tok.append(len(words))
-                seqs.append(np.concatenate([m[w] for w in words]))
+                parts = []
+                for w in words:
+                    a = m.get(w)
+                    if a is None:
+                        a = memo.get(w)
+                        if a is None:
+                            a = np.array(
+                                [s2i[x] for x in _oov_segment(w, known, mx)],
+                                np.int32)
+                            memo[w] = a
+                    parts.append(a)
+                seqs.append(np.concatenate(parts) if parts
+                            else np.array([], np.int32))
             return pa.table({
                 id_col: pa.array(ids, t[id_col].type),
                 "n_tokens": pa.array(n_tok, pa.int64()),
@@ -352,10 +441,23 @@ def bpe_encode_ids(
         return ds.map_batches(encode, batch_format="pyarrow")
 
     # ---- distributed path: word table too big to broadcast ----
-    sref = ray.put(sym2id)
+    from ray.data.aggregate import Count
+
+    def explode_syms(t: pa.Table) -> pa.Table:
+        out = set()
+        for s in t["s"].to_pylist():
+            out.update(s.split(" "))
+        return pa.table({"sym": pa.array(sorted(out), pa.string())})
+
+    sym_rows = (state.map_batches(explode_syms, batch_format="pyarrow")
+                .groupby("sym").aggregate(Count()).take_all())
+    sym2id = {r["sym"]: i for i, r in
+              enumerate(sorted(sym_rows, key=lambda r: r["sym"]))}
+    max_sym = max((len(s) - 2 for s in sym2id), default=0)
+    sref = ray.put((sym2id, max_sym))
 
     def ids_csv(t: pa.Table) -> pa.Table:
-        m = ray.get(sref)
+        m, _ = ray.get(sref)
         csvs = [",".join(str(m[x]) for x in s.split(" "))
                 for s in t["s"].to_pylist()]
         return pa.table({"word": t["word"],
@@ -380,7 +482,7 @@ def bpe_encode_ids(
     id_type = dict(zip(sch.names, sch.types))[id_col]
     tokens = ds.map_batches(explode, batch_format="pyarrow")
     joined = hash_join(
-        tokens, wordtab, on="word",
+        tokens, wordtab, on="word", join_type="left_outer",
         left_schema=pa.schema([(id_col, id_type), ("pos", pa.int64()),
                                ("word", pa.string())]),
         right_schema=pa.schema([("word", pa.string()),
@@ -395,8 +497,25 @@ def bpe_encode_ids(
         ends = np.r_[starts[1:], len(ids)]
         out = {id_col: [], "n_tokens": [], "n_bpe_tokens": [], "token_ids": []}
         csvs = df["ids_csv"].to_numpy()
+        words = df["word"].to_numpy()
+        s2i = known = mx = None
+        memo: dict = {}
         for s, e in zip(starts, ends):
-            seq = [int(x) for c in csvs[s:e] for x in c.split(",")]
+            seq = []
+            for k in range(s, e):
+                c = csvs[k]
+                if c is None or c != c:  # OOV: null from the outer join
+                    w = words[k]
+                    oov = memo.get(w)
+                    if oov is None:
+                        if s2i is None:
+                            s2i, mx = ray.get(sref)
+                            known = frozenset(s2i)
+                        oov = [s2i[x] for x in _oov_segment(w, known, mx)]
+                        memo[w] = oov
+                    seq.extend(oov)
+                else:
+                    seq.extend(int(x) for x in c.split(","))
             out[id_col].append(ids[s])
             out["n_tokens"].append(int(e - s))
             out["n_bpe_tokens"].append(len(seq))

@@ -147,9 +147,14 @@ def latest_by_url_parquet(
     narrow = rd.read_parquet(path, columns=[url_col, ts_col],
                              include_paths=True, **read_kwargs)
 
+    # bias to unsigned before zero-padding: f"{ts:020d}" inverts the
+    # lexicographic order for NEGATIVE (pre-epoch / corrupt) timestamps
+    # ('-…500' > '-…100'), which would silently crown the OLDEST capture
+    ts_bias = 1 << 63
+
     def add_rank(t: pa.Table) -> pa.Table:
         ts_us = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
-        keys = [f"{int(ts):020d}|{p}"
+        keys = [f"{int(ts) + ts_bias:020d}|{p}"
                 for ts, p in zip(ts_us, t["path"].to_pylist())]
         return pa.table({url_col: t[url_col],
                          "_rank": pa.array(keys, pa.string())})
@@ -164,18 +169,25 @@ def latest_by_url_parquet(
         ranks = t["_rank"].to_pylist()
         return pa.table({
             url_col: t[url_col],
-            "_win_ts": pa.array([int(r[:20]) for r in ranks], pa.int64()),
+            "_win_ts": pa.array([int(r[:20]) - ts_bias for r in ranks],
+                                pa.int64()),
             "_path": pa.array([r[21:] for r in ranks], pa.string()),
         })
 
     manifest = winners.map_batches(split_rank, batch_format="pyarrow")
+
+    # the winner match needs url+ts regardless of the caller's
+    # projection — union them into the re-read, trim afterwards
+    read_cols = None
+    if columns is not None:
+        read_cols = list(dict.fromkeys(list(columns) + [url_col, ts_col]))
 
     def fetch_file(g: pa.Table) -> pa.Table:
         fpath = g["_path"][0].as_py()
         urls = g[url_col].to_pylist()
         want = set(zip(urls, g["_win_ts"].to_pylist()))
         tbl = pads.dataset(fpath).to_table(
-            columns=columns,
+            columns=read_cols,
             filter=pads.field(url_col).isin(urls),
         )
         ts_us = pc.cast(tbl[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
@@ -184,7 +196,8 @@ def latest_by_url_parquet(
             if (u, int(ts)) in want and u not in seen:
                 keep.append(i)
                 seen.add(u)
-        return tbl.take(keep)
+        out = tbl.take(keep)
+        return out.select(columns) if columns is not None else out
 
     return manifest.groupby("_path").map_groups(
         fetch_file, batch_format="pyarrow")

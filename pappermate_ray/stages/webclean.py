@@ -858,6 +858,9 @@ def badwords_filter(
     """
     import re as _re
 
+    # real blocklist files carry blank lines; an empty term would crash
+    # the anchoring (w[0]) — and, anchored, would match EVERY row
+    terms = [w for w in terms if w]
     if not terms:
         return ds
 

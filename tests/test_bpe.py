@@ -175,3 +175,53 @@ def test_bpe_encode_ids_roundtrip_and_paths(ray_session):
     assert sorted(dist) == [1, 2, 3]
     for i in (1, 2, 3):
         assert list(dist[i]["token_ids"]) == list(enc[i]["token_ids"])
+
+
+def test_encode_oov_paths_identical(ray_session):
+    """Encoding text the state was NOT trained on: OOV words fall back
+    to greedy longest-match over the learned symbol set, identically on
+    the broadcast and distributed paths (no KeyError, no silent drop)."""
+    import ray.data as rd
+
+    from pappermate_ray.stages.bpe import (_oov_segment, SENT,
+                                           bpe_encode_ids,
+                                           bpe_token_counts, learn_bpe,
+                                           word_counts)
+
+    train = rd.from_items([{"doc_id": 0, "text": "low lower lowest low new"}])
+    _, state = learn_bpe(word_counts(train), num_merges=4)
+
+    # 'slower' is OOV (contains trained chars), 'zq' has unknown chars
+    new = rd.from_items([
+        {"doc_id": 1, "text": "low slower zq new"},
+        {"doc_id": 2, "text": "zq"},
+    ])
+    b_enc = {r["doc_id"]: r for r in bpe_encode_ids(new, state).take_all()}
+    d_enc = {r["doc_id"]: r for r in
+             bpe_encode_ids(new, state, broadcast_limit=0).take_all()}
+    assert sorted(b_enc) == sorted(d_enc) == [1, 2]
+    for i in (1, 2):
+        assert list(b_enc[i]["token_ids"]) == list(d_enc[i]["token_ids"])
+        assert b_enc[i]["n_tokens"] == d_enc[i]["n_tokens"]
+        assert b_enc[i]["n_bpe_tokens"] == d_enc[i]["n_bpe_tokens"]
+    # every word (OOV or not) counts toward n_tokens
+    assert b_enc[1]["n_tokens"] == 4
+    # 'zq': no trained characters -> empty sequence but the doc survives
+    assert b_enc[2]["n_tokens"] == 1 and b_enc[2]["n_bpe_tokens"] == 0
+
+    b_cnt = {r["doc_id"]: r for r in bpe_token_counts(new, state).take_all()}
+    d_cnt = {r["doc_id"]: r for r in
+             bpe_token_counts(new, state, broadcast_limit=0).take_all()}
+    for i in (1, 2):
+        assert b_cnt[i]["n_bpe_tokens"] == d_cnt[i]["n_bpe_tokens"] \
+            == b_enc[i]["n_bpe_tokens"]
+        assert b_cnt[i]["n_tokens"] == d_cnt[i]["n_tokens"] \
+            == b_enc[i]["n_tokens"]
+
+    # fallback is longest-match: 'slower' must reuse the learned 'low'
+    # symbol if present as a unit, else known chars, never crash
+    known = {x for r in state.take_all() for x in r["s"].split(" ")}
+    segs = _oov_segment("slower", frozenset(known),
+                        max((len(s) - 2 for s in known), default=0))
+    assert "".join(x.replace(SENT, "") for x in segs) in "slower"
+    assert all(x in known for x in segs)

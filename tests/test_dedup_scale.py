@@ -170,6 +170,38 @@ class TestLatestByUrlFast:
         assert [u for u, _ in a] == ["u", "v"]
         assert dict(a)["v"] == b"v-2"  # latest ts still wins outright
 
+    def test_two_pass_projection_excluding_keys(self, ray_session, tmp_path):
+        """A caller projection WITHOUT url/ts must still work (the
+        re-read unions the match keys in, then trims) and return only
+        the requested columns."""
+        from pappermate_ray.stages.dedup import latest_by_url_parquet
+
+        rows = self._corpus()
+        path = str(tmp_path / "proj")
+        rd.from_items(rows).repartition(4).write_parquet(path)
+        out = latest_by_url_parquet(path, columns=["html"]).take_all()
+        assert len(out) == 200
+        assert set(out[0]) == {"html"}
+
+    def test_two_pass_negative_timestamps(self, ray_session, tmp_path):
+        """Pre-epoch (negative int64) timestamps: the biased rank key
+        keeps numeric order — the NEWEST capture wins, not the oldest
+        (the unbiased '%020d' form inverts lexicographic order on
+        negatives)."""
+        from pappermate_ray.stages.dedup import latest_by_url_parquet
+
+        path = str(tmp_path / "neg")
+        rows = [
+            {"url": "u", "warc_ts": dt.datetime(1969, 1, 1), "html": b"older"},
+            {"url": "u", "warc_ts": dt.datetime(1969, 6, 1), "html": b"newer"},
+            {"url": "w", "warc_ts": dt.datetime(1969, 6, 1), "html": b"pre"},
+            {"url": "w", "warc_ts": dt.datetime(2024, 1, 1), "html": b"post"},
+        ]
+        rd.from_items(rows).repartition(2).write_parquet(path)
+        got = {r["url"]: r["html"]
+               for r in latest_by_url_parquet(path).take_all()}
+        assert got == {"u": b"newer", "w": b"post"}
+
 
 class TestBoilerplateStorm:
     """Round-2 verdict item #9: a single hot bucket key holding 30% of

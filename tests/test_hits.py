@@ -127,3 +127,18 @@ def test_parallel_edges_count_multiply(ray_session):
            hits(nodes, edges, iters=1).take_all()}
     assert out[1] == (2, 0)
     assert out[0] == (0, 4)  # h1(0) = 2 edges x a1(1)=2
+
+
+def test_empty_graph_both_paths(ray_session):
+    """Zero nodes/edges (a corpus that harvests no links) returns an
+    empty ranking instead of crashing on the None Max aggregate."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pappermate_ray.ops.hits import hits
+
+    nodes = rd.from_arrow(pa.table({"node": pa.array([], pa.int64())}))
+    edges = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                    "dst": pa.array([], pa.int64())}))
+    assert hits(nodes, edges, iters=2).take_all() == []
+    assert hits(nodes, edges, iters=2, dense_ids=True).take_all() == []

@@ -281,6 +281,9 @@ def test_badwords_filter_empty_terms_passthrough(ray_session):
 
     ds = rd.from_items([{"doc_id": i, "text": f"doc {i}"} for i in range(5)])
     assert badwords_filter(ds, [], text_col="text").count() == 5
+    # blank lines in a real blocklist file must be inert, not crash or
+    # match-everything
+    assert badwords_filter(ds, ["", "doc 3"], text_col="text").count() == 4
 
 
 def test_c4_line_filter_rules(ray_session):
