@@ -1457,7 +1457,9 @@ def q_phash_near_dups(sf_dir: str):
         if i % 10 == 0:
             rows.append({"media_id": 1_000 + i,
                          "payload": encode_bmp(_synth_image(i, 48, 32))})
-    return phash_near_dups(rd.from_items(rows))
+    # one block per row would make every downstream stage run 200 tiny
+    # tasks and the shuffles exchange 200x200 block pairs
+    return phash_near_dups(rd.from_items(rows, override_num_blocks=8))
 
 
 def q_video_near_dups(sf_dir: str):
@@ -1485,7 +1487,8 @@ def q_video_near_dups(sf_dir: str):
         if i % 20 == 0:
             rows.append({"media_id": 2_000 + i,
                          "payload": encode_rvid(fs[:6])})
-    return video_near_dups(rd.from_items(rows), n_frames=4, min_shared=2)
+    return video_near_dups(rd.from_items(rows, override_num_blocks=8),
+                           n_frames=4, min_shared=2)
 
 
 def q_audio_near_dups(sf_dir: str):
@@ -1518,7 +1521,8 @@ def q_audio_near_dups(sf_dir: str):
         if i % 20 == 0:
             rows.append({"media_id": 2_000 + i,
                          "payload": encode_wav(c[:10000], 8000)})
-    return audio_near_dups(rd.from_items(rows), min_shared=4)
+    return audio_near_dups(rd.from_items(rows, override_num_blocks=8),
+                           min_shared=4)
 
 
 def q_validate(sf_dir: str):
