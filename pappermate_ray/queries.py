@@ -1137,6 +1137,61 @@ def q_dedup_keep_list(sf_dir: str):
     return keep_list(cluster_pairs(pairs))
 
 
+def _minhash_index_dir(sf_dir: str) -> str:
+    """The documents corpus's persisted LSH signature index, built once
+    per (fixtures-version, sf) under /tmp (same cache pattern as
+    ``_warc_fixture``); re-runs hit the _SUCCESS marker."""
+    import os
+
+    from .fixtures import FIXTURES_VERSION
+    from .stages.dedup import build_minhash_index
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"/tmp/mh_index_v{FIXTURES_VERSION}_{tag}"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        old = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+        build_minhash_index(old, out)
+        with open(marker, "w"):
+            pass
+    return out
+
+
+def q_minhash_against_index(sf_dir: str):
+    """Cross-corpus INCREMENTAL near-dedup (stages/dedup.
+    build_minhash_index + match_against_index): the existing corpus's
+    LSH signature index lives on parquet; a synthetic re-crawl batch —
+    every 7th doc lightly edited (+2M ids) plus genuinely fresh pages
+    (+3M ids) — is matched against the STORED index. Only the new batch
+    is shingled; the old corpus is never re-read or re-hashed. Oracle:
+    exact all-pairs new×old word-shingle Jaccard in SQL; band recall
+    (r=4/b=32) guarantees no ≥0.8 pair is missed."""
+    from .stages.dedup import match_against_index
+
+    index_dir = _minhash_index_dir(sf_dir)
+    old = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+
+    def recrawl(t: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if did % 7 == 0:
+                ids.append(did + 2_000_000)
+                texts.append((text or "") + " updated")
+            if did % 11 == 0:
+                ids.append(did + 3_000_000)
+                texts.append(f"fresh page about topic {did}")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    pairs = match_against_index(
+        old.map_batches(recrawl, batch_format="pyarrow"), index_dir,
+        threshold=0.8)
+    return pairs.map_batches(lambda t: t.select(["new_id", "old_id"]),
+                             batch_format="pyarrow")
+
+
 def _docs_with_exact_dups(sf_dir: str):
     """documents ∪ VERBATIM copies of every 10th doc (id+1_000_000) — the
     planted corpus for the simhash exact-recall oracle."""
@@ -4551,9 +4606,50 @@ SQL_QUERIES = {
     "c4_line_filter": q_c4_line_filter,
     "gopher_quality_filter": q_gopher_quality_filter,
     "authority_rank": q_authority_rank,
+    # cross-corpus incremental near-dedup against a persisted LSH index
+    "minhash_against_index": q_minhash_against_index,
 }
 
 ORACLE_SQL.update({
+    "minhash_against_index": """
+        WITH
+        old_words AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+            FROM documents WHERE trim(text) <> ''
+        ),
+        old_sets AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) >= 3
+                        THEN list_distinct(list_transform(range(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                        ELSE [array_to_string(w, ' ')] END AS ws
+            FROM old_words
+        ),
+        new_corpus AS (
+            SELECT doc_id + 2000000 AS doc_id, text || ' updated' AS text
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT doc_id + 3000000,
+                   'fresh page about topic ' || CAST(doc_id AS VARCHAR)
+            FROM documents WHERE doc_id % 11 = 0
+        ),
+        new_words AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+            FROM new_corpus WHERE trim(text) <> ''
+        ),
+        new_sets AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) >= 3
+                        THEN list_distinct(list_transform(range(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                        ELSE [array_to_string(w, ' ')] END AS ws
+            FROM new_words
+        )
+        SELECT n.doc_id AS new_id, o.doc_id AS old_id
+        FROM new_sets n JOIN old_sets o
+          ON len(list_intersect(n.ws, o.ws)) * 1.0
+             / (len(n.ws) + len(o.ws) - len(list_intersect(n.ws, o.ws))) >= 0.8
+    """,
     "profile_approx_check": """
         SELECT 'doc_id' AS col_name,
                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct_exact,

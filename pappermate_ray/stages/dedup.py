@@ -388,6 +388,43 @@ def minhash_lsh_pairs(
     return _dedupe_pairs(pairs, "est_jaccard", keep="min")
 
 
+def _shingle_set_batch(t: pa.Table, id_col: str, text_col: str,
+                       shingle_k: int) -> pa.Table:
+    """(doc_id, ws) rows: each document's word-shingle set as sorted
+    uint64 hashes serialized to binary — Acero joins don't carry
+    list-typed payload columns, bytes round-trip zero-copy. Empty /
+    whitespace-only docs drop (they'd all collide into one catastrophic
+    LSH bucket; they're exact-dedup's job)."""
+    ids, sets = [], []
+    for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+        ws = shingles(text or "", shingle_k)
+        if not ws:
+            continue
+        ids.append(did)
+        sets.append(np.sort(
+            np.fromiter(ws, dtype=np.uint64, count=len(ws))).tobytes())
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "ws": pa.array(sets, pa.binary()),
+    })
+
+
+def _band_batch(t: pa.Table, num_perm: int, num_bands: int) -> pa.Table:
+    """(doc_id, ws) → one (band_id, band_hash, doc_id) row per LSH band."""
+    ids, bands_id, bands_hash = [], [], []
+    for did, ws in zip(t["doc_id"].to_pylist(), t["ws"].to_pylist()):
+        sig = minhash_signature(np.frombuffer(ws, dtype=np.uint64), num_perm)
+        for b, bh in enumerate(lsh_bands(sig, num_bands)):
+            ids.append(did)
+            bands_id.append(b)
+            bands_hash.append(bh)
+    return pa.table({
+        "band_id": pa.array(bands_id, pa.int64()),
+        "band_hash": pa.array(bands_hash, pa.int64()),
+        "doc_id": pa.array(ids, pa.int64()),
+    })
+
+
 def minhash_pairs_exact_verified(
     ds: "rd.Dataset",
     id_col: str,
@@ -422,42 +459,12 @@ def minhash_pairs_exact_verified(
     bucket, and empty docs are exact-dedup's job, not near-dup's).
     """
 
-    def set_rows(t: pa.Table) -> pa.Table:
-        # sorted uint64 hash sets serialized as binary — Acero joins don't
-        # carry list-typed payload columns, bytes round-trip zero-copy
-        ids, sets = [], []
-        for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            ws = shingles(text or "", shingle_k)
-            if not ws:
-                continue
-            ids.append(did)
-            sets.append(np.sort(np.fromiter(ws, dtype=np.uint64, count=len(ws))).tobytes())
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "ws": pa.array(sets, pa.binary()),
-            }
-        )
-
-    sets = ds.map_batches(set_rows, batch_format="pyarrow").materialize()
-
-    def band_rows(t: pa.Table) -> pa.Table:
-        ids, bands_id, bands_hash = [], [], []
-        for did, ws in zip(t["doc_id"].to_pylist(), t["ws"].to_pylist()):
-            sig = minhash_signature(np.frombuffer(ws, dtype=np.uint64), num_perm)
-            for b, bh in enumerate(lsh_bands(sig, num_bands)):
-                ids.append(did)
-                bands_id.append(b)
-                bands_hash.append(bh)
-        return pa.table(
-            {
-                "band_id": pa.array(bands_id, pa.int64()),
-                "band_hash": pa.array(bands_hash, pa.int64()),
-                "doc_id": pa.array(ids, pa.int64()),
-            }
-        )
-
-    banded = sets.map_batches(band_rows, batch_format="pyarrow").materialize()
+    sets = ds.map_batches(
+        lambda t: _shingle_set_batch(t, id_col, text_col, shingle_k),
+        batch_format="pyarrow").materialize()
+    banded = sets.map_batches(
+        lambda t: _band_batch(t, num_perm, num_bands),
+        batch_format="pyarrow").materialize()
     n_banded = banded.count()
     cand = _bucket_pairs_grouped(banded, ["band_id", "band_hash"], "doc_id",
                                  [], n_rows=n_banded, max_bucket=max_bucket)
@@ -789,4 +796,215 @@ def verify_pairs_ngram_jaccard(
             "id_b": pa.array(out_b, pa.int64()),
             "jaccard": pa.array(out_j, pa.float64()),
         }
+    )
+
+
+def build_minhash_index(
+    ds: "rd.Dataset",
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    num_bands: int = 32,
+    shingle_k: int = 3,
+) -> str:
+    """Persist a corpus's MinHash-LSH signature index as parquet — the
+    artifact that makes near-dedup INCREMENTAL: once the existing
+    corpus's index is on storage, each new crawl batch dedups against
+    it via ``match_against_index`` without ever re-reading or
+    re-shingling the old corpus (the near-dup analog of
+    ``ops/bloom.incremental_new``'s exact-hash path).
+
+    Layout (both tables narrow — ids, band keys and shingle-hash sets;
+    never document payloads):
+
+    - ``{index_dir}/sets``  — (doc_id, ws): sorted uint64 shingle
+      hashes as binary, ~15-20% of corpus bytes (the verification side).
+    - ``{index_dir}/bands`` — (band_id, band_hash, doc_id): one row per
+      LSH band (the candidate side).
+
+    The same (num_perm, num_bands, shingle_k) must be passed at match
+    time; they are deliberately explicit rather than hidden in a
+    sidecar so a cluster job's config is the single source of truth.
+    """
+    sets = ds.map_batches(
+        lambda t: _shingle_set_batch(t, id_col, text_col, shingle_k),
+        batch_format="pyarrow").materialize()
+    sets.write_parquet(f"{index_dir}/sets")
+    sets.map_batches(
+        lambda t: _band_batch(t, num_perm, num_bands),
+        batch_format="pyarrow").write_parquet(f"{index_dir}/bands")
+    return index_dir
+
+
+def _empty_match() -> "rd.Dataset":
+    return rd.from_arrow(pa.table({
+        "new_id": pa.array([], pa.int64()),
+        "old_id": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+    }))
+
+
+def match_against_index(
+    new_ds: "rd.Dataset",
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    num_bands: int = 32,
+    shingle_k: int = 3,
+    max_bucket: int = 1024,
+) -> "rd.Dataset":
+    """(new_id, old_id, jaccard): incoming documents that near-duplicate
+    a corpus INDEXED by ``build_minhash_index`` — exact word-shingle
+    Jaccard ≥ ``threshold``, candidates from banded LSH with the same
+    recall bound as ``minhash_pairs_exact_verified``.
+
+    The incremental production shape: only the NEW batch is shingled;
+    the old corpus contributes its stored band rows (candidate join
+    side) and stored shingle sets (verification side), both read pruned
+    from parquet. Exchanges: ONE partition-grouped exchange over the
+    tagged band-row union (within each partition, bucket runs emit
+    new×old cross pairs with a ``max_bucket`` storm cap — identical
+    blank/template docs are exact-dedup's job), one narrow pair dedupe,
+    and two verification joins fetching shingle sets by id. Payloads
+    never shuffle; the old corpus is never re-read.
+    """
+    new_sets = new_ds.map_batches(
+        lambda t: _shingle_set_batch(t, id_col, text_col, shingle_k),
+        batch_format="pyarrow").materialize()
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_side", pa.array(np.full(t.num_rows, side, np.int8)))
+        return f
+
+    old_bands = rd.read_parquet(
+        f"{index_dir}/bands",
+        columns=["band_id", "band_hash", "doc_id"],
+    ).map_batches(tag(0), batch_format="pyarrow")
+    new_bands = new_sets.map_batches(
+        lambda t: _band_batch(t, num_perm, num_bands),
+        batch_format="pyarrow").map_batches(tag(1), batch_format="pyarrow")
+
+    n_new = new_sets.count()
+    old_files = rd.read_parquet(f"{index_dir}/bands").count()
+    union = old_bands.union(new_bands)
+    cand = _cross_bucket_pairs_grouped(
+        union, ["band_id", "band_hash"], "doc_id", "_side",
+        n_rows=old_files + n_new * num_bands, max_bucket=max_bucket,
+    ).materialize()
+    if cand.count() == 0:
+        return _empty_match()
+    cand = cand.map_batches(
+        lambda t: t.append_column("_one", pa.array([1] * len(t), pa.int8())),
+        batch_format="pyarrow")
+    cand = (cand.groupby(["new_id", "old_id"])
+            .aggregate(Min("_one", alias_name="_one"))
+            .map_batches(lambda t: t.select(["new_id", "old_id"]),
+                         batch_format="pyarrow"))
+
+    sets_n = new_sets.map_batches(
+        lambda t: pa.table({"new_id": t["doc_id"], "ws_n": t["ws"]}),
+        batch_format="pyarrow")
+    sets_o = rd.read_parquet(f"{index_dir}/sets",
+                             columns=["doc_id", "ws"]).map_batches(
+        lambda t: pa.table({"old_id": t["doc_id"], "ws_o": t["ws"]}),
+        batch_format="pyarrow")
+    npart = adaptive_partitions(n_new)
+    pair_schema = pa.schema([("new_id", pa.int64()), ("old_id", pa.int64())])
+    j1 = hash_join(cand, sets_n, on="new_id", num_partitions=npart,
+                   left_schema=pair_schema,
+                   right_schema=pa.schema([("new_id", pa.int64()),
+                                           ("ws_n", pa.binary())]))
+    joined = hash_join(
+        j1, sets_o, on="old_id", num_partitions=npart,
+        left_schema=pa.schema([("new_id", pa.int64()),
+                               ("old_id", pa.int64()),
+                               ("ws_n", pa.binary())]),
+        right_schema=pa.schema([("old_id", pa.int64()),
+                                ("ws_o", pa.binary())]))
+
+    def verify(t: pa.Table) -> pa.Table:
+        out_n, out_o, out_j = [], [], []
+        for nid, oid, wn, wo in zip(
+            t["new_id"].to_pylist(), t["old_id"].to_pylist(),
+            t["ws_n"].to_pylist(), t["ws_o"].to_pylist(),
+        ):
+            aa = np.frombuffer(wn, dtype=np.uint64)
+            bb = np.frombuffer(wo, dtype=np.uint64)
+            inter = len(np.intersect1d(aa, bb, assume_unique=True))
+            j = inter / (len(aa) + len(bb) - inter)
+            if j >= threshold:
+                out_n.append(nid)
+                out_o.append(oid)
+                out_j.append(round(j, 6))
+        return pa.table({
+            "new_id": pa.array(out_n, pa.int64()),
+            "old_id": pa.array(out_o, pa.int64()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        })
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def _cross_bucket_pairs_grouped(
+    banded: "rd.Dataset",
+    key_cols: List[str],
+    id_col: str,
+    side_col: str,
+    n_rows: int,
+    max_bucket: int = 0,
+) -> "rd.Dataset":
+    """Two-sided sibling of ``_bucket_pairs_grouped``: within each
+    bucket run, emit the CROSS product of side-1 ids × side-0 ids as
+    (new_id, old_id) — one partition-grouped exchange, runs longer than
+    ``max_bucket`` dropped wholesale (the storm cap; both sides count
+    toward the run length, so worst-case pair fan-out per run is
+    bounded by max_bucket²/4)."""
+    npart = adaptive_partitions(n_rows)
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        pk = (_packed_keys(t, key_cols) % np.uint64(npart)).astype(np.int64)
+        return t.append_column("_pkey", pa.array(pk, pa.int64()))
+
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        out_n, out_o = [], []
+        if n:
+            keys = [t[c].to_numpy(zero_copy_only=False) for c in key_cols]
+            order = np.lexsort(tuple(reversed(keys)))
+            ts = t.take(pa.array(order, pa.int64()))
+            change = np.zeros(n, bool)
+            change[0] = True
+            for c in key_cols:
+                k = ts[c].to_numpy(zero_copy_only=False)
+                change[1:] |= k[1:] != k[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            ids = ts[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            sides = ts[side_col].to_numpy(zero_copy_only=False)
+            for s, e in zip(starts, ends):
+                if max_bucket and e - s > max_bucket:
+                    continue
+                run_new = ids[s:e][sides[s:e] == 1]
+                run_old = ids[s:e][sides[s:e] == 0]
+                if not len(run_new) or not len(run_old):
+                    continue
+                gn, go = np.meshgrid(run_new, run_old, indexing="ij")
+                out_n.append(gn.ravel())
+                out_o.append(go.ravel())
+        if out_n:
+            nn, oo = np.concatenate(out_n), np.concatenate(out_o)
+        else:
+            nn = oo = np.array([], np.int64)
+        return pa.table({"new_id": pa.array(nn, pa.int64()),
+                         "old_id": pa.array(oo, pa.int64())})
+
+    return (
+        banded.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("_pkey")
+        .map_groups(emit_pairs, batch_format="pyarrow")
     )

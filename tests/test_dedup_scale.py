@@ -413,3 +413,98 @@ class TestParagraphDedupScale:
         assert got == expect
         # every doc kept exactly its unique body line
         assert all(v.startswith("unique body ") for v in got.values())
+
+
+class TestMatchAgainstIndex:
+    """Cross-corpus incremental near-dedup: new batch vs a PERSISTED
+    LSH signature index (stages/dedup.build_minhash_index +
+    match_against_index)."""
+
+    def _old(self, n=40):
+        texts = [f"document number {i} about distributed data processing "
+                 f"with ray datasets and arrow batches topic {i % 5}"
+                 for i in range(n)]
+        return rd.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)],
+            override_num_blocks=4)
+
+    def test_planted_recall_and_no_false_fresh(self, ray_session, tmp_path):
+        from pappermate_ray.stages.dedup import (build_minhash_index,
+                                                 match_against_index)
+
+        idx = str(tmp_path / "idx")
+        build_minhash_index(self._old(), idx)
+        new_rows = []
+        for i in range(0, 40, 4):  # light edits of every 4th old doc
+            new_rows.append({
+                "doc_id": 1000 + i,
+                "text": f"document number {i} about distributed data "
+                        f"processing with ray datasets and arrow batches "
+                        f"topic {i % 5} updated"})
+        for i in range(5):  # genuinely fresh docs
+            new_rows.append({"doc_id": 2000 + i,
+                             "text": f"completely unrelated recipe for "
+                                     f"soup variant {i} with onions"})
+        out = match_against_index(
+            rd.from_items(new_rows, override_num_blocks=3), idx,
+            threshold=0.8).take_all()
+        got = {(r["new_id"], r["old_id"]) for r in out}
+        # every edited doc matches its source...
+        assert {(1000 + i, i) for i in range(0, 40, 4)} <= got
+        # ...and no fresh doc matches anything
+        assert not any(n >= 2000 for n, _ in got)
+        # jaccard values are exact and above threshold
+        assert all(r["jaccard"] >= 0.8 for r in out)
+
+    def test_index_is_reusable_and_readonly(self, ray_session, tmp_path):
+        import os
+
+        from pappermate_ray.stages.dedup import (build_minhash_index,
+                                                 match_against_index)
+
+        idx = str(tmp_path / "idx2")
+        build_minhash_index(self._old(), idx)
+        files_before = sorted(
+            os.path.join(d, f) for d, _, fs in os.walk(idx) for f in fs)
+        new = rd.from_items([{
+            "doc_id": 1000,
+            "text": "document number 8 about distributed data processing "
+                    "with ray datasets and arrow batches topic 3 updated"}])
+        a = sorted((r["new_id"], r["old_id"])
+                   for r in match_against_index(new, idx).take_all())
+        b = sorted((r["new_id"], r["old_id"])
+                   for r in match_against_index(new, idx).take_all())
+        assert a == b and a  # deterministic, non-empty
+        files_after = sorted(
+            os.path.join(d, f) for d, _, fs in os.walk(idx) for f in fs)
+        assert files_before == files_after  # matching never writes
+
+    def test_storm_cap_drops_template_clique(self, ray_session, tmp_path):
+        """An identical-template family larger than max_bucket is dropped
+        wholesale (exact-dedup's job), while distinct pairs survive."""
+        from pappermate_ray.stages.dedup import (build_minhash_index,
+                                                 match_against_index)
+
+        storm = ("boilerplate template page with the same exact words "
+                 "everywhere in this corpus again and again")
+        rows = [{"doc_id": i, "text": storm} for i in range(30)]
+        rows.append({"doc_id": 99,
+                     "text": "a genuinely unique document about marine "
+                             "biology and deep sea exploration topics"})
+        idx = str(tmp_path / "idx3")
+        build_minhash_index(rd.from_items(rows, override_num_blocks=2), idx)
+        new = rd.from_items([
+            {"doc_id": 1000, "text": storm + " updated"},
+            {"doc_id": 1001,
+             "text": "a genuinely unique document about marine biology "
+                     "and deep sea exploration topics updated"},
+        ])
+        capped = {(r["new_id"], r["old_id"]) for r in match_against_index(
+            new, idx, max_bucket=8).take_all()}
+        # the unique doc's pair survives; the storm clique is capped away
+        assert (1001, 99) in capped
+        assert not any(o < 30 for _, o in capped)
+        # with the cap lifted the storm pairs reappear
+        full = {(r["new_id"], r["old_id"]) for r in match_against_index(
+            new, idx, max_bucket=0).take_all()}
+        assert {(1000, i) for i in range(30)} <= full
