@@ -1438,6 +1438,42 @@ def q_ivf_knn_fullprobe(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id"])
 
 
+def q_pq_knn_lossless(sf_dir: str):
+    """Product-quantization ANN (stages/similarity PQ family) in its
+    LOSSLESS degenerate configuration — m=1 subspace with one centroid
+    per corpus vector, trained on the full corpus — so ADC over the
+    PERSISTED index (build_pq_index → pq_search_index) equals exact
+    brute-force cosine and the whole train/encode/store/LUT/scan chain
+    shares knn_bruteforce's DuckDB oracle (the ivf_knn_fullprobe
+    pattern). The compressed settings' recall is pinned in
+    tests/test_pq.py. Index cached per sf under /tmp; searching never
+    re-reads the raw embeddings."""
+    import os
+
+    import pyarrow.parquet as pqt
+
+    from .stages.similarity import build_pq_index, pq_search_index
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    idx = f"/tmp/pq_index_v1_{tag}"
+    marker = os.path.join(idx, "_SUCCESS")
+    if not os.path.exists(marker):
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        n = ds.count()
+        build_pq_index(ds, idx, m=1, n_centroids=n, sample_size=n)
+        with open(marker, "w"):
+            pass
+    qt = pqt.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qtab = qt.filter(pc.is_in(qt["vec_id"], value_set=pa.array([0, 1, 2])))
+    Q = np.array(qtab["embedding"].to_pylist(), dtype=np.float64)
+    qids = np.array(qtab["vec_id"].to_pylist(), dtype=np.int64)
+    out = pq_search_index(idx, Q, qids, k=5)
+    return out.map_batches(lambda t: t.select(["query_id", "neighbor_id"]),
+                           batch_format="pyarrow")
+
+
 def q_text_analysis(sf_dir: str):
     """Fused language-ID / quality / token / fingerprint pass."""
     from .stages.quality import analyze_text_batch
@@ -4608,9 +4644,22 @@ SQL_QUERIES = {
     "authority_rank": q_authority_rank,
     # cross-corpus incremental near-dedup against a persisted LSH index
     "minhash_against_index": q_minhash_against_index,
+    # PQ ANN, lossless degenerate config over the persisted index
+    "pq_knn_lossless": q_pq_knn_lossless,
 }
 
 ORACLE_SQL.update({
+    # lossless-degenerate PQ over the persisted index == exact knn —
+    # same oracle shape as knn_bruteforce / ivf_knn_fullprobe
+    "pq_knn_lossless": """
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < 3 AND b.vec_id <> a.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY a.vec_id
+            ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
+        ) <= 5
+    """,
     "minhash_against_index": """
         WITH
         old_words AS (

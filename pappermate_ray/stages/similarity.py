@@ -544,3 +544,256 @@ def semantic_dedup(
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") — the COMPRESSED-index ANN path. Where
+# ``ivf_knn`` prunes which vectors are scored, PQ shrinks what a scored
+# vector costs: each embedding becomes m sub-codes (1 byte each at the
+# production 256-centroid setting), so a 64-dim float64 vector (512 B)
+# scans as 8 B — the whole encoded corpus streams through ADC lookups
+# with the codebooks and per-query lookup tables broadcast once.
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_l2(X: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Deterministic L2 mini k-means for PQ sub-codebooks (the cosine
+    ``_kmeans_lite`` is wrong here — sub-vectors are not normalized).
+    Seeded sorted-sample init; empty clusters re-seed to the point
+    farthest from its assigned centroid. With k ≥ len(X) every input
+    point is (or re-seeds to) its own centroid, which is what makes the
+    lossless degenerate configuration exact."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(X), size=min(k, len(X)), replace=False)
+    C = X[np.sort(idx)].copy()
+    for _ in range(iters):
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
+        d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        assign = np.argmin(d, axis=1)
+        dmin = d[np.arange(len(X)), assign]
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+            else:
+                C[j] = X[int(np.argmax(dmin))]
+    return C
+
+
+def _code_dtype(n_centroids: int):
+    if n_centroids <= 256:
+        return np.uint8
+    if n_centroids <= 65536:
+        return np.uint16
+    return np.uint32
+
+
+def train_pq_codebooks(
+    ds: "rd.Dataset",
+    emb_col: str = "embedding",
+    m: int = 8,
+    n_centroids: int = 256,
+    sample_size: int = 100_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """(m, n_centroids, d/m) sub-codebooks trained on a bounded SEEDED
+    uniform sample (the ``ivf_knn`` sampling contract — never ``limit``,
+    which biases on sorted corpora). Vectors are L2-normalized first so
+    ADC dot products approximate cosine, consistent with every other
+    operator in this module. Requires d % m == 0."""
+    n_total = ds.count()
+    frac = min(1.0, 1.25 * sample_size / max(1, n_total))
+    sample = ds.random_sample(frac, seed=seed).limit(sample_size).take_all()
+    X = np.array([r[emb_col] for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    X /= norms
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"embedding dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack([
+        _kmeans_l2(np.ascontiguousarray(X[:, j * dsub:(j + 1) * dsub]),
+                   n_centroids, seed=seed + j)
+        for j in range(m)
+    ])
+
+
+def pq_encode(
+    ds: "rd.Dataset",
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> "rd.Dataset":
+    """(id, code): each vector's m nearest-sub-centroid indices packed
+    to binary (1/2/4 bytes per sub-code by codebook size). One streaming
+    pass; codebooks ship once via ``ray.put``."""
+    m, ncent, dsub = codebooks.shape
+    dt = _code_dtype(ncent)
+    ref = ray.put(codebooks)
+
+    def encode(t: pa.Table) -> pa.Table:
+        C = ray.get(ref)
+        xn = _emb_matrix(t, emb_col)
+        codes = np.empty((t.num_rows, m), dtype=dt)
+        for j in range(m):
+            sub = xn[:, j * dsub:(j + 1) * dsub]
+            d = -2.0 * (sub @ C[j].T) + (C[j] * C[j]).sum(axis=1)[None, :]
+            codes[:, j] = np.argmin(d, axis=1)
+        return pa.table({
+            id_col: t[id_col],
+            "code": pa.array([c.tobytes() for c in codes], pa.binary()),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_adc_search(
+    codes: "rd.Dataset",
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    id_col: str = "vec_id",
+    k: int = 5,
+    exclude_self: bool = True,
+) -> "rd.Dataset":
+    """(query_id, neighbor_id, sim) — asymmetric-distance top-k over an
+    ENCODED corpus: per-query lookup tables LUT[j][c] = q_j · C[j][c]
+    are built once on the driver ((m, nq, n_centroids) floats) and
+    broadcast; each batch of codes scores as m vectorized gathers + adds
+    (never touching raw embeddings), then the standard scatter-gather
+    local-top-k / tiny-merge finishes. The corpus side of the exchange
+    is k rows per (query, block)."""
+    m, ncent, dsub = codebooks.shape
+    dt = _code_dtype(ncent)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    lut = np.stack([
+        qn[:, j * dsub:(j + 1) * dsub] @ codebooks[j].T for j in range(m)
+    ])  # (m, nq, ncent)
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), lut))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qids, L = ray.get(ref)
+        codes_np = np.stack([
+            np.frombuffer(c, dtype=dt) for c in t["code"].to_pylist()
+        ])  # (batch, m)
+        sims = L[0][:, codes_np[:, 0]]  # (nq, batch)
+        for j in range(1, m):
+            sims = sims + L[j][:, codes_np[:, j]]
+        vec_ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(qids):
+            col = sims[j]
+            mask = vec_ids != qid if exclude_self else np.ones(len(vec_ids), bool)
+            ids, ss = vec_ids[mask], col[mask]
+            take = min(k, len(ids))
+            idx = np.argsort(-ss, kind="stable")[:take]
+            out_q.extend([int(qid)] * take)
+            out_n.extend(ids[idx].tolist())
+            out_s.extend(ss[idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    partials = codes.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["sim", "neighbor_id"],
+                                 ascending=[False, True],
+                                 kind="mergesort").head(k)
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def pq_knn(
+    ds: "rd.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    n_centroids: int = 256,
+    sample_size: int = 100_000,
+    seed: int = 42,
+) -> "rd.Dataset":
+    """Train → encode → ADC search in one call (the in-session shape;
+    ``build_pq_index``/``pq_search_index`` is the persisted shape).
+    Lossless degenerate configuration: with m=1 and n_centroids ≥ the
+    corpus size trained on the FULL corpus, every vector is its own
+    centroid, encoding is exact, and ADC equals brute-force cosine —
+    which makes the whole train/encode/LUT/scan machinery checkable
+    against the same exact-kNN oracle as ``knn_scatter_gather``
+    (the ``ivf_knn_fullprobe`` pattern). Recall of the real compressed
+    settings is pinned separately in tests."""
+    cb = train_pq_codebooks(ds, emb_col, m, n_centroids, sample_size, seed)
+    codes = pq_encode(ds, cb, id_col, emb_col)
+    return pq_adc_search(codes, cb, queries, query_ids, id_col, k)
+
+
+def build_pq_index(
+    ds: "rd.Dataset",
+    index_dir: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    m: int = 8,
+    n_centroids: int = 256,
+    sample_size: int = 100_000,
+    seed: int = 42,
+) -> str:
+    """Persist a PQ index as parquet: ``{index_dir}/codebooks`` (one row
+    per (subspace, centroid) with its float64 sub-vector — the small
+    broadcast artifact) and ``{index_dir}/codes`` ((id, code) — m
+    sub-code bytes per corpus vector, the only thing a search scans).
+    The embedding-ANN analog of ``stages/dedup.build_minhash_index``:
+    build once, then every query batch searches the stored codes without
+    re-reading or re-encoding the corpus."""
+    cb = train_pq_codebooks(ds, emb_col, m, n_centroids, sample_size, seed)
+    mm, ncent, dsub = cb.shape
+    rows = pa.table({
+        "subspace": pa.array(np.repeat(np.arange(mm), ncent), pa.int32()),
+        "centroid": pa.array(np.tile(np.arange(ncent), mm), pa.int32()),
+        "vec": pa.array([cb[j, c].tolist() for j in range(mm)
+                         for c in range(ncent)],
+                        pa.list_(pa.float64())),
+    })
+    rd.from_arrow(rows).write_parquet(f"{index_dir}/codebooks")
+    pq_encode(ds, cb, id_col, emb_col).write_parquet(f"{index_dir}/codes")
+    return index_dir
+
+
+def _load_pq_codebooks(index_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pqt
+
+    t = pqt.read_table(f"{index_dir}/codebooks",
+                       columns=["subspace", "centroid", "vec"])
+    sub = t["subspace"].to_numpy()
+    cent = t["centroid"].to_numpy()
+    m = int(sub.max()) + 1
+    ncent = int(cent.max()) + 1
+    dsub = len(t["vec"][0])
+    cb = np.empty((m, ncent, dsub), dtype=np.float64)
+    vecs = t["vec"].to_pylist()
+    for j, c, v in zip(sub, cent, vecs):
+        cb[j, c] = v
+    return cb
+
+
+def pq_search_index(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    id_col: str = "vec_id",
+    k: int = 5,
+    exclude_self: bool = True,
+) -> "rd.Dataset":
+    """ADC top-k against a PERSISTED PQ index: codebooks load driver-side
+    (the broadcast small side), codes stream pruned from parquet. The
+    raw embedding table is never touched."""
+    cb = _load_pq_codebooks(index_dir)
+    codes = rd.read_parquet(f"{index_dir}/codes", columns=[id_col, "code"])
+    return pq_adc_search(codes, cb, queries, query_ids, id_col, k,
+                         exclude_self)
