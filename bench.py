@@ -149,7 +149,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "semantic_decontaminate", "badwords_filter", "c4_line_filter",
         "gopher_quality_filter", "phash_near_dups", "video_near_dups",
         "audio_near_dups", "authority_rank", "bpe_encode_ids",
-        "minhash_against_index", "pq_knn_lossless",
+        "minhash_against_index", "pq_knn_lossless", "bm25_index_topk",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

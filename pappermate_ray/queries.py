@@ -2883,6 +2883,37 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, ["vector", "hash", "stream"], k=10)
 
 
+def q_bm25_index_topk(sf_dir: str):
+    """BM25 against the PERSISTED inverted index (stages/search
+    build_text_index / text_index_add / bm25_search_index), built in TWO
+    append-only increments (doc_id parity split) to exercise the
+    incremental merge: stats and per-term df partials combine at search
+    time, so scores must equal bm25_topk over the union corpus — and
+    they share its oracle. Only the query terms' hash buckets are
+    listed/read at search; corpus text is never touched. Index cached
+    per sf under /tmp."""
+    import os
+
+    from .stages.search import bm25_search_index, text_index_add
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    idx = f"/tmp/text_index_v1_{tag}"
+    marker = os.path.join(idx, "_SUCCESS")
+    if not os.path.exists(marker):
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        for parity in (0, 1):
+            text_index_add(
+                docs.map_batches(
+                    lambda t, p=parity: t.filter(pc.equal(
+                        pc.bit_wise_and(t["doc_id"], 1), p)),
+                    batch_format="pyarrow"),
+                idx)
+        with open(marker, "w"):
+            pass
+    return bm25_search_index(idx, ["vector", "hash", "stream"], k=10)
+
+
 def q_lm_perplexity(sf_dir: str):
     """CCNet-style LM quality scoring (stages/lm.py): train an
     add-0.5-smoothed bigram LM on the held-in 2/3 of the corpus
@@ -4646,9 +4677,14 @@ SQL_QUERIES = {
     "minhash_against_index": q_minhash_against_index,
     # PQ ANN, lossless degenerate config over the persisted index
     "pq_knn_lossless": q_pq_knn_lossless,
+    # BM25 over the persisted two-increment inverted index
+    "bm25_index_topk": q_bm25_index_topk,
 }
 
 ORACLE_SQL.update({
+    # persisted two-increment index == bm25_topk over the union corpus —
+    # shares its oracle verbatim
+    "bm25_index_topk": ORACLE_SQL["bm25_topk"],
     # lossless-degenerate PQ over the persisted index == exact knn —
     # same oracle shape as knn_bruteforce / ivf_knn_fullprobe
     "pq_knn_lossless": """

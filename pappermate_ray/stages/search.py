@@ -111,6 +111,23 @@ def bm25_topk(
     idf = {t: float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
            for t, df in dfs.items()}
 
+    return _bm25_finish(matched, idf, avgdl, k, id_col, k1, b)
+
+
+def _bm25_finish(
+    matched: "rd.Dataset",
+    idf: dict,
+    avgdl: float,
+    k: int,
+    id_col: str,
+    k1: float,
+    b: float,
+) -> "rd.Dataset":
+    """Shared BM25 tail: score matched postings, per-doc Sum, rounded
+    scatter-gather top-k. Used by both the in-session ``bm25_topk`` and
+    the persisted-index ``bm25_search_index`` so the two paths cannot
+    drift."""
+
     def score(t: pa.Table) -> pa.Table:
         w = np.array([idf[x] for x in t["term"].to_pylist()], np.float64)
         tf = np.asarray(t["tf"], np.float64)
@@ -194,3 +211,167 @@ def phrase_search(
         .aggregate(Count(alias_name="n_matches"))
     )
     return matches.select_columns([id_col, "n_matches"])
+
+
+# ---------------------------------------------------------------------------
+# Persisted, incrementally-appendable inverted index — the lexical
+# sibling of stages/dedup.build_minhash_index and the PQ index in
+# stages/similarity.py. bm25_topk re-tokenizes the corpus per query;
+# at 100 TB the index is built ONCE (and grown append-only as crawl
+# increments land), and every search touches only the query terms'
+# postings buckets, never the corpus.
+#
+# Layout under {index_dir}:
+#   postings/add_NNNNN/bucket=B/*.parquet  (term, id, tf, dl) rows,
+#       hash(term)-bucketed so a search lists+reads only |q| buckets
+#   df/add_NNNNN/bucket=B/*.parquet        (term, df) partials
+#   stats/add_NNNNN/*.parquet              one (n_docs, sum_dl) row
+# Each text_index_add() call appends a new add_NNNNN increment; df and
+# stats merge additively at search time (df is read pruned to the query
+# terms, so the merge is |q|·#increments rows on the driver — the idf
+# table IS the broadcast artifact). BM25 over the merged index is
+# exactly BM25 over the union corpus; pinned in tests.
+# ---------------------------------------------------------------------------
+
+_N_TERM_BUCKETS = 64
+
+
+def _term_buckets(terms: List[str]) -> np.ndarray:
+    """Deterministic md5 term→bucket (no Python hash(); stable across
+    processes and runs — the determinism invariant)."""
+    import hashlib
+
+    return np.array(
+        [int(hashlib.md5(t.encode("utf-8", "surrogatepass")).hexdigest()[:8],
+             16) % _N_TERM_BUCKETS for t in terms],
+        dtype=np.int64,
+    )
+
+
+def _next_increment(index_dir: str, sub: str) -> str:
+    import os
+
+    d = os.path.join(index_dir, sub)
+    os.makedirs(d, exist_ok=True)
+    n = len([x for x in os.listdir(d) if x.startswith("add_")])
+    return os.path.join(d, f"add_{n:05d}")
+
+
+def text_index_add(
+    ds: "rd.Dataset",
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Append one corpus increment to the inverted index (creating the
+    index on first call — ``build_text_index`` is the alias for that).
+    One tokenization pass over the NEW docs only; postings land
+    hash-bucketed by term, df partials per bucket, corpus scalars as a
+    single row. Caller contract: doc ids must be unique across
+    increments (re-crawls go through latest_by_url / snapshot_diff
+    first)."""
+    postings = build_postings(ds, id_col, text_col).materialize()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket",
+            pa.array(_term_buckets(t["term"].to_pylist()), pa.int64()))
+
+    postings.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        _next_increment(index_dir, "postings"), partition_cols=["bucket"])
+
+    df = postings.groupby("term").aggregate(Count(alias_name="df"))
+    df.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        _next_increment(index_dir, "df"), partition_cols=["bucket"])
+
+    def dl_partial(t: pa.Table) -> pa.Table:
+        dls = [len((x or "").split()) for x in t[text_col].to_pylist()]
+        dls = [d for d in dls if d]
+        return pa.table({
+            "n_docs": pa.array([len(dls)], pa.int64()),
+            "sum_dl": pa.array([sum(dls)], pa.int64()),
+        })
+
+    stats = ds.map_batches(dl_partial, batch_format="pyarrow").take_all()
+    row = pa.table({
+        "n_docs": pa.array([sum(p["n_docs"] for p in stats)], pa.int64()),
+        "sum_dl": pa.array([sum(p["sum_dl"] for p in stats)], pa.int64()),
+    })
+    rd.from_arrow(row).write_parquet(_next_increment(index_dir, "stats"))
+    return index_dir
+
+
+# first build == first append; the name states intent at call sites
+build_text_index = text_index_add
+
+
+def _bucket_files(index_dir: str, sub: str, buckets: set) -> List[str]:
+    import glob
+    import os
+
+    out: List[str] = []
+    base = os.path.join(index_dir, sub)
+    for inc in sorted(os.listdir(base)):
+        for b in sorted(buckets):
+            out.extend(sorted(glob.glob(
+                os.path.join(base, inc, f"bucket={b}", "*.parquet"))))
+    return out
+
+
+def bm25_search_index(
+    index_dir: str,
+    query_terms: List[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "rd.Dataset":
+    """Okapi BM25 top-k against a PERSISTED index: stats and the query
+    terms' df rows merge driver-side across increments (|q|-bounded),
+    and only the |q| matching postings buckets are listed and read —
+    with a row-level term filter pushed into the parquet scan. The
+    corpus text is never touched; scores are exactly ``bm25_topk`` over
+    the union of all increments."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pqt
+
+    qterms = sorted(set(query_terms))
+    if not qterms:
+        raise ValueError("query_terms must be non-empty")
+    buckets = set(_term_buckets(qterms).tolist())
+
+    # corpus scalars: one row per increment
+    stats = pqt.read_table(f"{index_dir}/stats")
+    n_docs = int(pc.sum(stats["n_docs"]).as_py() or 0)
+    sum_dl = int(pc.sum(stats["sum_dl"]).as_py() or 0)
+    avgdl = sum_dl / n_docs if n_docs else 0.0
+
+    # df for the query terms: pruned bucket read, driver-side merge
+    qset = pa.array(qterms, pa.string())
+    dfs: dict = {}
+    df_files = _bucket_files(index_dir, "df", buckets)
+    if df_files:
+        dft = pqt.ParquetDataset(
+            df_files, filters=pads.field("term").isin(qset)).read()
+        for term, df in zip(dft["term"].to_pylist(), dft["df"].to_pylist()):
+            dfs[term] = dfs.get(term, 0) + df
+    idf = {t: float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+           for t, df in dfs.items()}
+
+    post_files = _bucket_files(index_dir, "postings", buckets)
+    if not post_files:
+        # no bucket dir for any query term (tiny index): typed empty —
+        # int64 ids, matching the default id_col contract
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }))
+    matched = rd.read_parquet(
+        post_files, filter=pads.field("term").isin(qset),
+    ).map_batches(
+        # armor: drop the hive partition column and re-prune exactly
+        lambda t: t.select(["term", id_col, "tf", "dl"]).filter(
+            pc.is_in(t["term"], value_set=qset)),
+        batch_format="pyarrow",
+    )
+    return _bm25_finish(matched, idf, avgdl, k, id_col, k1, b)

@@ -4,6 +4,7 @@ corpus, posting layout, and ranking cut."""
 import math
 
 import pytest
+import ray.data as rd
 
 
 class TestBM25:
@@ -87,3 +88,88 @@ class TestPhraseSearch:
         ds = rd.from_items([{"doc_id": 1, "text": "x y x z x"}])
         out = phrase_search(ds, ["x"]).take_all()
         assert out == [{"doc_id": 1, "n_matches": 3}]
+
+
+class TestPersistedIndex:
+    """build_text_index / text_index_add / bm25_search_index: the
+    persisted, append-only inverted index must score exactly like
+    bm25_topk over the union corpus."""
+
+    def _docs(self, n=40):
+        vocab = ["vector", "hash", "stream", "data", "ray", "arrow",
+                 "batch", "engine"]
+        rows = []
+        for i in range(n):
+            words = [vocab[(i + j) % len(vocab)] for j in range(3 + i % 5)]
+            rows.append({"doc_id": i, "text": " ".join(words)})
+        return rows
+
+    def test_two_increments_equal_union_bm25(self, ray_session, tmp_path):
+        from pappermate_ray.stages.search import (bm25_search_index,
+                                                  bm25_topk,
+                                                  build_text_index,
+                                                  text_index_add)
+
+        rows = self._docs()
+        idx = str(tmp_path / "ix")
+        build_text_index(
+            rd.from_items([r for r in rows if r["doc_id"] % 2 == 0],
+                          override_num_blocks=3), idx)
+        text_index_add(
+            rd.from_items([r for r in rows if r["doc_id"] % 2 == 1],
+                          override_num_blocks=3), idx)
+
+        q = ["vector", "stream", "ray"]
+        want = [(r["doc_id"], r["score"]) for r in
+                bm25_topk(rd.from_items(rows), q, k=10).take_all()]
+        got = [(r["doc_id"], r["score"]) for r in
+               bm25_search_index(idx, q, k=10).take_all()]
+        assert got == want and len(got) == 10
+
+    def test_search_is_readonly_and_deterministic(self, ray_session,
+                                                  tmp_path):
+        import os
+
+        from pappermate_ray.stages.search import (bm25_search_index,
+                                                  build_text_index)
+
+        idx = str(tmp_path / "ro")
+        build_text_index(rd.from_items(self._docs(20)), idx)
+        before = sorted(os.path.join(d, f)
+                        for d, _, fs in os.walk(idx) for f in fs)
+        a = bm25_search_index(idx, ["vector", "hash"], k=5).take_all()
+        b = bm25_search_index(idx, ["vector", "hash"], k=5).take_all()
+        assert a == b and len(a) == 5
+        after = sorted(os.path.join(d, f)
+                       for d, _, fs in os.walk(idx) for f in fs)
+        assert before == after
+
+    def test_absent_terms(self, ray_session, tmp_path):
+        from pappermate_ray.stages.search import (bm25_search_index,
+                                                  build_text_index)
+
+        idx = str(tmp_path / "abs")
+        build_text_index(rd.from_items(self._docs(10)), idx)
+        # mixed present/absent: absent term contributes nothing
+        out = bm25_search_index(idx, ["vector", "zzzznope"], k=5).take_all()
+        assert len(out) == 5 and all(r["score"] > 0 for r in out)
+        # all absent: empty result, no crash
+        assert bm25_search_index(idx, ["zzzznope"], k=5).take_all() == []
+
+    def test_added_docs_shift_idf(self, ray_session, tmp_path):
+        """Appending an increment changes N and df — scores must reflect
+        the UNION corpus, not the first increment (catches stale-stats
+        bugs)."""
+        from pappermate_ray.stages.search import (bm25_search_index,
+                                                  build_text_index,
+                                                  text_index_add)
+
+        idx = str(tmp_path / "grow")
+        build_text_index(
+            rd.from_items([{"doc_id": 0, "text": "rare word here"}]), idx)
+        s1 = bm25_search_index(idx, ["rare"], k=1).take_all()[0]["score"]
+        text_index_add(
+            rd.from_items([{"doc_id": i, "text": "common filler text"}
+                           for i in range(1, 9)]), idx)
+        s2 = bm25_search_index(idx, ["rare"], k=1).take_all()[0]["score"]
+        assert s2 > s1  # N grew, df stayed 1 → idf rose
