@@ -2580,6 +2580,69 @@ def q_profile_approx_check(sf_dir: str):
     })
 
 
+def q_hll_store_check(sf_dir: str):
+    """Gate-checkable oracle for the PERSISTED mergeable HLL store
+    (stages/sketch save_hll_increment / stored_hll_*): the documents
+    corpus is sketched in TWO parity increments into a /tmp-cached
+    store; the merged stored registers must equal the single-pass
+    registers of the union corpus BIT-EXACTLY (max-merge is lossless),
+    and the estimate must sit within 2% of the exact distinct-word
+    count (recomputed in SQL). Same band-check pattern as
+    profile_approx_check."""
+    import os
+
+    from ray.data.aggregate import Count as _Count
+
+    from .stages.sketch import (hll_merge, save_hll_increment,
+                                stored_hll_estimate, stored_hll_registers)
+
+    words_fn = lambda t: [w for x in t["text"].to_pylist()  # noqa: E731
+                          for w in (x or "").split()]
+    tag = sf_dir.strip("/").replace("/", "_")
+    store = f"/tmp/hll_store_v1_{tag}"
+    marker = os.path.join(store, "_SUCCESS")
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    if not os.path.exists(marker):
+        for parity in (0, 1):
+            save_hll_increment(
+                docs.map_batches(
+                    lambda t, p=parity: t.filter(pc.equal(
+                        pc.bit_wise_and(t["doc_id"], 1), p)),
+                    batch_format="pyarrow"),
+                words_fn, store)
+        with open(marker, "w"):
+            pass
+
+    # single-pass registers over the union corpus (block partials merged)
+    def sketch_all(t: pa.Table) -> pa.Table:
+        from .stages.sketch import hll_registers
+        return pa.table({"regs": pa.array(
+            [hll_registers(words_fn(t)).tobytes()], pa.binary())})
+
+    rows = docs.map_batches(sketch_all, batch_format="pyarrow").take_all()
+    single = hll_merge(np.frombuffer(r["regs"], dtype=np.uint8)
+                       for r in rows)
+    merged = stored_hll_registers(store)
+    est, n_inc = stored_hll_estimate(store)
+
+    # exact distinct words, distributed (gate-scale; the band's anchor)
+    def explode_words(t: pa.Table) -> pa.Table:
+        return pa.table({"w": pa.array(sorted(set(words_fn(t))), pa.string())})
+
+    n_exact = (docs.map_batches(explode_words, batch_format="pyarrow")
+               .groupby("w").aggregate(_Count()).count())
+
+    return pa.table({
+        "n_increments": pa.array([n_inc], pa.int64()),
+        "registers_equal_union": pa.array(
+            [bool(np.array_equal(merged, single))], pa.bool_()),
+        "n_distinct_exact": pa.array([int(n_exact)], pa.int64()),
+        "within_2pct": pa.array(
+            [abs(est - n_exact) <= max(1.0, 0.02 * n_exact)], pa.bool_()),
+    })
+
+
 def q_winnow_clone_pairs(sf_dir: str):
     """MOSS clone report (stages/winnow.winnow_clone_pairs): document
     pairs sharing ≥2 distinct winnowing fingerprints, common
@@ -4679,12 +4742,25 @@ SQL_QUERIES = {
     "pq_knn_lossless": q_pq_knn_lossless,
     # BM25 over the persisted two-increment inverted index
     "bm25_index_topk": q_bm25_index_topk,
+    # persisted mergeable HLL store: lossless merge + 2% band
+    "hll_store_check": q_hll_store_check,
 }
 
 ORACLE_SQL.update({
     # persisted two-increment index == bm25_topk over the union corpus —
     # shares its oracle verbatim
     "bm25_index_topk": ORACLE_SQL["bm25_topk"],
+    # the SQL side recomputes the exact distinct-word anchor and pins
+    # the lossless-merge + band booleans TRUE
+    "hll_store_check": r"""
+        SELECT CAST(2 AS BIGINT) AS n_increments,
+               TRUE AS registers_equal_union,
+               CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_exact,
+               TRUE AS within_2pct
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+              FROM documents)
+        WHERE word <> ''
+    """,
     # lossless-degenerate PQ over the persisted index == exact knn —
     # same oracle shape as knn_bruteforce / ivf_knn_fullprobe
     "pq_knn_lossless": """

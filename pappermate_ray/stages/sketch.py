@@ -245,3 +245,72 @@ def approx_quantiles(
         key = int(np.searchsorted(cum, idx + 1))
         out.append(hdr_edge(key))
     return out, len(rows)
+
+
+# ---------------------------------------------------------------------------
+# Persisted, mergeable sketch store — corpus statistics that survive
+# across crawl increments. HLL registers merge by element-wise max and
+# the merge is LOSSLESS: registers(A ∪ B) == max(registers(A),
+# registers(B)) exactly, so distinct-counts over a growing corpus never
+# re-scan old increments — the sibling of the minhash/PQ/BM25 persisted
+# indexes for the statistics side of the pipeline.
+# ---------------------------------------------------------------------------
+
+
+def save_hll_increment(
+    ds: "rd.Dataset",
+    values_fn,
+    store_dir: str,
+    p: int = _HLL_P,
+) -> str:
+    """Sketch ONE corpus increment and append it to ``store_dir`` as a
+    single (p, regs) parquet row (16 KiB at p=14). Per-block register
+    partials merge driver-side — O(blocks·2^p), the hll_distinct
+    contract — so the increment is one streaming pass over the new data
+    only."""
+    import os
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        regs = hll_registers(values_fn(t), p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    rows = ds.map_batches(sketch_batch, batch_format="pyarrow").take_all()
+    m = 1 << p
+    merged = np.zeros(m, dtype=np.uint8)
+    for r in rows:
+        np.maximum(merged, np.frombuffer(r["regs"], dtype=np.uint8),
+                   out=merged)
+    os.makedirs(store_dir, exist_ok=True)
+    n = len([x for x in os.listdir(store_dir) if x.startswith("add_")])
+    rd.from_arrow(pa.table({
+        "p": pa.array([p], pa.int64()),
+        "regs": pa.array([merged.tobytes()], pa.binary()),
+    })).write_parquet(os.path.join(store_dir, f"add_{n:05d}"))
+    return store_dir
+
+
+def stored_hll_registers(store_dir: str) -> np.ndarray:
+    """Max-merge every increment's registers (read-only; bytes read =
+    16 KiB · #increments, independent of corpus size)."""
+    import pyarrow.parquet as pqt
+
+    t = pqt.read_table(store_dir, columns=["p", "regs"])
+    ps = set(t["p"].to_pylist())
+    if len(ps) > 1:
+        raise ValueError(f"mixed precisions in sketch store: {sorted(ps)}")
+    if not ps:
+        return np.zeros(_HLL_M, dtype=np.uint8)
+    merged = np.zeros(1 << ps.pop(), dtype=np.uint8)
+    for r in t["regs"].to_pylist():
+        np.maximum(merged, np.frombuffer(r, dtype=np.uint8), out=merged)
+    return merged
+
+
+def stored_hll_estimate(store_dir: str) -> Tuple[float, int]:
+    """(distinct estimate over the UNION of all saved increments,
+    number of increments)."""
+    import os
+
+    regs = stored_hll_registers(store_dir)
+    n = len([x for x in os.listdir(store_dir) if x.startswith("add_")])
+    return hll_estimate(regs), n

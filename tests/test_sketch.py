@@ -4,6 +4,7 @@ Count-Min heavy hitters — accuracy vs exact, determinism, merge laws."""
 import numpy as np
 import pyarrow as pa
 import pytest
+import ray.data as rd
 
 from pappermate_ray.stages.sketch import (
     heavy_hitters,
@@ -138,3 +139,80 @@ class TestHDRQuantiles:
             true = int(s[max(0, math.ceil(q * len(s)) - 1)])
             assert e <= true
             assert true - e <= max(true // 64, 1)  # one bucket width
+
+
+# lambda on purpose: cloudpickle serializes it BY VALUE (a module-level
+# def would pickle by reference to the test module, which Ray workers
+# can't import)
+_words = lambda t: [w for x in t["text"].to_pylist()  # noqa: E731
+                    for w in (x or "").split()]
+
+
+class TestSketchStore:
+    """Persisted mergeable HLL store (stages/sketch.py): increments
+    saved separately must merge to EXACTLY the single-pass registers of
+    the union corpus (max-merge is lossless), read-only, and
+    append-monotone."""
+
+    def _docs(self, lo, hi):
+        return rd.from_items(
+            [{"doc_id": i, "text": f"word{i % 50} tok{i % 31} common"}
+             for i in range(lo, hi)],
+            override_num_blocks=3)
+
+    def test_increments_merge_equals_union(self, ray_session, tmp_path):
+        from pappermate_ray.stages.sketch import (hll_registers,
+                                                  save_hll_increment,
+                                                  stored_hll_estimate,
+                                                  stored_hll_registers)
+
+        store = str(tmp_path / "s")
+        save_hll_increment(self._docs(0, 60), _words, store)
+        save_hll_increment(self._docs(60, 120), _words, store)
+
+        union_words = []
+        for i in range(120):
+            union_words.extend(f"word{i % 50} tok{i % 31} common".split())
+        single = hll_registers(union_words)
+        merged = stored_hll_registers(store)
+        assert np.array_equal(merged, single)  # lossless merge, bit-exact
+
+        est, n_inc = stored_hll_estimate(store)
+        exact = len(set(union_words))
+        assert n_inc == 2
+        assert abs(est - exact) <= max(1.0, 0.05 * exact)
+
+    def test_readonly_and_monotone(self, ray_session, tmp_path):
+        import os
+
+        from pappermate_ray.stages.sketch import (save_hll_increment,
+                                                  stored_hll_estimate)
+
+        store = str(tmp_path / "m")
+        save_hll_increment(self._docs(0, 40), _words, store)
+        e1, _ = stored_hll_estimate(store)
+        files = sorted(os.path.join(d, f)
+                       for d, _, fs in os.walk(store) for f in fs)
+        e1b, _ = stored_hll_estimate(store)
+        assert e1 == e1b
+        assert files == sorted(os.path.join(d, f)
+                               for d, _, fs in os.walk(store) for f in fs)
+        # new DISJOINT values can only raise the estimate
+        save_hll_increment(
+            rd.from_items([{"doc_id": 0,
+                            "text": " ".join(f"fresh{j}" for j in range(200))}]),
+            _words, store)
+        e2, n = stored_hll_estimate(store)
+        assert n == 2 and e2 > e1
+
+    def test_mixed_precision_raises(self, ray_session, tmp_path):
+        import pytest as _pytest
+
+        from pappermate_ray.stages.sketch import (save_hll_increment,
+                                                  stored_hll_registers)
+
+        store = str(tmp_path / "p")
+        save_hll_increment(self._docs(0, 10), _words, store, p=14)
+        save_hll_increment(self._docs(0, 10), _words, store, p=12)
+        with _pytest.raises(ValueError, match="mixed precisions"):
+            stored_hll_registers(store)
