@@ -29,6 +29,7 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
@@ -174,3 +175,69 @@ def _pagerank_dense(
         return pa.table({node_col: t[node_col], "pagerank": pa.array(r, pa.float64())})
 
     return nodes.map_batches(emit, batch_format="pyarrow")
+
+
+def pagerank_auto(
+    nodes: "rd.Dataset",
+    edges: "rd.Dataset",
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iters: int = 5,
+    round_to: Optional[int] = None,
+    dense_bound: int = 2_000_000,
+) -> "rd.Dataset":
+    """PageRank for ARBITRARY node ids (urls, hashes) with the hybrid
+    small-graph rule: when the node count is ≤ ``dense_bound``, ids are
+    dictionary-encoded to dense ints — one vectorized ``pc.index_in``
+    pass per side against the broadcast sorted-id table — and ranked by
+    the zero-join dense path (per-round cost = one streaming edge pass
+    + O(blocks·N) vector adds, instead of 2 exchanges × iters); beyond
+    the bound the BSP join path runs on the original ids unchanged.
+    Same contract as ``pagerank`` (``nodes`` holds every vertex once);
+    both routes produce identical rankings (asserted in tests).
+
+    Why this exists: iterative exchanges have a fixed per-round floor
+    (~seconds at small scale), so a 3-round PageRank over a few thousand
+    harvested urls was paying ~6 exchange spin-ups for microseconds of
+    math. A web-scale host graph (~1e8 nodes) still takes the join
+    path — the bound is on the NODE table (which must fit the object
+    store broadcast), never the edge count.
+    """
+    import ray
+
+    n = nodes.count()
+    if n > dense_bound:
+        return pagerank(nodes, edges, node_col, src_col, dst_col,
+                        damping, iters, round_to)
+    # deterministic dense encoding: sorted unique ids → 0..N-1
+    id_rows = nodes.take_all()
+    ids = pa.array(sorted(r[node_col] for r in id_rows))
+    ref = ray.put(ids)
+
+    def enc(cols):
+        def f(t: pa.Table) -> pa.Table:
+            vs = ray.get(ref)
+            return pa.table({
+                out: pc.index_in(t[c], value_set=vs).cast(pa.int64())
+                for c, out in cols
+            })
+        return f
+
+    nodes_enc = nodes.map_batches(enc([(node_col, node_col)]),
+                                  batch_format="pyarrow")
+    edges_enc = edges.map_batches(
+        enc([(src_col, src_col), (dst_col, dst_col)]),
+        batch_format="pyarrow").materialize()
+    ranked = _pagerank_dense(nodes_enc, edges_enc, node_col, src_col,
+                             dst_col, damping, iters, round_to, n)
+
+    def dec(t: pa.Table) -> pa.Table:
+        vs = ray.get(ref)
+        return pa.table({
+            node_col: vs.take(t[node_col]),
+            "pagerank": t["pagerank"],
+        })
+
+    return ranked.map_batches(dec, batch_format="pyarrow")

@@ -2448,7 +2448,7 @@ def q_authority_rank(sf_dir: str):
     from ray.data.aggregate import Count as _Count
 
     from .fixtures import read_pages
-    from .ops.pagerank import pagerank
+    from .ops.pagerank import pagerank_auto
     from .stages.links import extract_links
 
     # pin the harvested edge table (link-sized — ~1.5% of page bytes):
@@ -2467,8 +2467,11 @@ def q_authority_rank(sf_dir: str):
     nodes = side("src_url").union(side("dst_url")) \
         .groupby("node").aggregate(_Count()) \
         .select_columns(["node"]).materialize()
-    ranked = pagerank(nodes, edges, node_col="node", src_col="src_url",
-                      dst_col="dst_url", iters=3, round_to=8)
+    # hybrid dispatcher: this harvested url graph is node-bounded, so it
+    # dictionary-encodes to the zero-join dense path (ops/pagerank.py
+    # pagerank_auto); a beyond-bound graph falls back to the BSP joins
+    ranked = pagerank_auto(nodes, edges, node_col="node", src_col="src_url",
+                           dst_col="dst_url", iters=3, round_to=8)
     return ranked.map_batches(
         lambda t: pa.table({"url": t["node"], "pagerank": t["pagerank"]}),
         batch_format="pyarrow")

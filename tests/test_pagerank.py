@@ -64,3 +64,32 @@ def test_rank_mass_conserved(graph):
     nodes, edges = graph
     out = pagerank(nodes, edges, iters=3).take_all()
     assert sum(r["pagerank"] for r in out) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_auto_string_ids_matches_join_path(ray_session):
+    """pagerank_auto on STRING node ids (the harvested-url shape):
+    the dictionary-encoded dense route must rank identically to the
+    BSP join path run on the raw strings."""
+    import ray.data as rd
+
+    from pappermate_ray.ops.pagerank import pagerank, pagerank_auto
+
+    urls = [f"https://h{i}.example/p" for i in range(8)]
+    nodes = rd.from_items([{"node": u} for u in urls],
+                          override_num_blocks=2)
+    edges = rd.from_items(
+        [{"src": urls[i], "dst": urls[(i * 3 + 1) % 8]} for i in range(8)]
+        + [{"src": urls[i], "dst": urls[(i + 5) % 8]} for i in range(8)],
+        override_num_blocks=3)
+    want = {r["node"]: r["pagerank"]
+            for r in pagerank(nodes, edges, iters=4).take_all()}
+    got = {r["node"]: r["pagerank"]
+           for r in pagerank_auto(nodes, edges, iters=4).take_all()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+    # beyond-bound graphs fall back to the join path on raw ids
+    fb = {r["node"]: r["pagerank"]
+          for r in pagerank_auto(nodes, edges, iters=4,
+                                 dense_bound=0).take_all()}
+    assert fb == want
