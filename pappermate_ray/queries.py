@@ -4018,7 +4018,7 @@ def q_resolve_redirects(sf_dir: str):
     constant-size two-int64 mapping table (dst' = coalesce(jumped,
     dst)) — log(L) exchanges instead of L. Oracle: DuckDB
     recursive-CTE chain chase."""
-    from .ops.pointer import resolve_pointers
+    from .ops.pointer import resolve_pointers_auto
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
@@ -4028,7 +4028,10 @@ def q_resolve_redirects(sf_dir: str):
                          "dst": pa.array([i - 1 for i in ids], pa.int64())})
 
     edges = ds.map_batches(build, batch_format="pyarrow")
-    return resolve_pointers(edges, rounds=4, num_partitions=8)
+    # hybrid: a redirect table this small does its doubling rounds as
+    # driver dict sweeps (ops/pointer.resolve_pointers_auto); beyond the
+    # bound the armored-join rounds run unchanged
+    return resolve_pointers_auto(edges, rounds=4, num_partitions=8)
 
 
 def _pc_mod(arr, m: int):

@@ -49,3 +49,40 @@ def test_cycle_rows_keep_pointing_into_cycle():
     # nobody resolves to a terminal; every dst is still a redirect source
     assert set(out["dst"]).issubset(srcs)
     assert len(out) == 4
+
+
+def test_auto_matches_join_path_including_cycles(ray_session):
+    """resolve_pointers_auto's driver dict sweeps are the literal
+    semantics of the distributed round — identical output on chains,
+    terminals, branching aliases AND cycles (where both paths advance
+    exactly 2^rounds hops)."""
+    import ray.data as rd
+
+    from pappermate_ray.ops.pointer import (resolve_pointers,
+                                            resolve_pointers_auto)
+
+    rows = (
+        # 6-hop chain 10→…→16 (terminal)
+        [{"src": 10 + i, "dst": 11 + i} for i in range(6)]
+        # branching aliases into the chain
+        + [{"src": 100, "dst": 12}, {"src": 101, "dst": 12}]
+        # 3-cycle
+        + [{"src": 20, "dst": 21}, {"src": 21, "dst": 22},
+           {"src": 22, "dst": 20}]
+    )
+    edges = rd.from_items(rows, override_num_blocks=3)
+    for rounds in (1, 2, 4):
+        want = sorted((r["src"], r["dst"]) for r in
+                      resolve_pointers(edges, rounds=rounds).take_all())
+        got = sorted((r["src"], r["dst"]) for r in
+                     resolve_pointers_auto(edges, rounds=rounds).take_all())
+        fb = sorted((r["src"], r["dst"]) for r in
+                    resolve_pointers_auto(edges, rounds=rounds,
+                                          broadcast_bound=0).take_all())
+        assert got == want == fb, rounds
+    # fully resolved at rounds=4: every chain row reaches 16
+    full = dict(resolve_pointers_auto(edges, rounds=4).take_all()
+                and [(r["src"], r["dst"]) for r in
+                     resolve_pointers_auto(edges, rounds=4).take_all()])
+    assert all(full[10 + i] == 16 for i in range(6))
+    assert full[100] == 16 and full[101] == 16
