@@ -2646,6 +2646,76 @@ def q_hll_store_check(sf_dir: str):
     })
 
 
+def q_corpus_overlap_check(sf_dir: str):
+    """Gate-checkable band oracle for ``stored_hll_overlap``: two
+    sketch stores (docs with even ids / ids divisible by 3 — word sets
+    overlap partially) are built /tmp-cached, then the
+    inclusion-exclusion overlap report is banded against the exact
+    distinct-word counts recomputed in SQL. Pins that two 16 KiB
+    artifacts answer the what-do-these-corpora-share question without
+    touching either corpus."""
+    import os
+
+    from ray.data.aggregate import Count as _Count
+
+    from .stages.sketch import save_hll_increment, stored_hll_overlap
+
+    words_fn = lambda t: [w for x in t["text"].to_pylist()  # noqa: E731
+                          for w in (x or "").split()]
+    tag = sf_dir.strip("/").replace("/", "_")
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def part(mod, res):
+        return docs.map_batches(
+            lambda t, m=mod, r=res: t.filter(pc.equal(_pc_mod(t["doc_id"], m),
+                                                      r)),
+            batch_format="pyarrow")
+
+    stores = {}
+    for name, (mod, res) in {"a": (2, 0), "b": (3, 0)}.items():
+        store = f"/tmp/hll_ovl_{name}_v1_{tag}"
+        if not os.path.exists(os.path.join(store, "_SUCCESS")):
+            save_hll_increment(part(mod, res), words_fn, store)
+            with open(os.path.join(store, "_SUCCESS"), "w"):
+                pass
+        stores[name] = store
+
+    r = stored_hll_overlap(stores["a"], stores["b"])
+
+    # exact side/union/intersection word counts, distributed
+    def explode(side_mod, side_res, tag_col):
+        return part(side_mod, side_res).map_batches(
+            lambda t: pa.table({"w": pa.array(sorted(set(words_fn(t))),
+                                              pa.string())}),
+            batch_format="pyarrow").groupby("w").aggregate(
+            _Count(alias_name=tag_col))
+
+    wa = explode(2, 0, "ca")
+    wb = explode(3, 0, "cb")
+    n_a, n_b = wa.count(), wb.count()
+    from .ops.joins import semi_join
+    n_inter = semi_join(
+        wa.select_columns(["w"]), wb.select_columns(["w"]), on="w",
+        left_schema=pa.schema([("w", pa.string())]),
+        right_schema=pa.schema([("w", pa.string())])).count()
+    n_union = n_a + n_b - n_inter
+
+    return pa.table({
+        "n_union_exact": pa.array([int(n_union)], pa.int64()),
+        "n_inter_exact": pa.array([int(n_inter)], pa.int64()),
+        "union_within_3pct": pa.array(
+            [abs(r["est_union"] - n_union) <= max(1.0, 0.03 * n_union)],
+            pa.bool_()),
+        "inter_within_5pct_of_union": pa.array(
+            [abs(r["est_intersection"] - n_inter) <= max(1.0, 0.05 * n_union)],
+            pa.bool_()),
+        "jaccard_within_5pct": pa.array(
+            [abs(r["jaccard"] - (n_inter / n_union if n_union else 0.0))
+             <= 0.05], pa.bool_()),
+    })
+
+
 def q_winnow_clone_pairs(sf_dir: str):
     """MOSS clone report (stages/winnow.winnow_clone_pairs): document
     pairs sharing ≥2 distinct winnowing fingerprints, common
@@ -4750,12 +4820,34 @@ SQL_QUERIES = {
     "bm25_index_topk": q_bm25_index_topk,
     # persisted mergeable HLL store: lossless merge + 2% band
     "hll_store_check": q_hll_store_check,
+    # sketch-store inclusion-exclusion corpus overlap, banded vs exact
+    "corpus_overlap_check": q_corpus_overlap_check,
 }
 
 ORACLE_SQL.update({
     # persisted two-increment index == bm25_topk over the union corpus —
     # shares its oracle verbatim
     "bm25_index_topk": ORACLE_SQL["bm25_topk"],
+    # exact side/union/intersection recomputed in SQL; bands pinned TRUE
+    "corpus_overlap_check": r"""
+        WITH wa AS (
+            SELECT DISTINCT word FROM (
+                SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+                FROM documents WHERE doc_id % 2 = 0)
+            WHERE word <> ''),
+        wb AS (
+            SELECT DISTINCT word FROM (
+                SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+                FROM documents WHERE doc_id % 3 = 0)
+            WHERE word <> ''),
+        inter AS (SELECT COUNT(*) AS n FROM wa JOIN wb USING (word))
+        SELECT CAST((SELECT COUNT(*) FROM wa) + (SELECT COUNT(*) FROM wb)
+                    - (SELECT n FROM inter) AS BIGINT) AS n_union_exact,
+               CAST((SELECT n FROM inter) AS BIGINT) AS n_inter_exact,
+               TRUE AS union_within_3pct,
+               TRUE AS inter_within_5pct_of_union,
+               TRUE AS jaccard_within_5pct
+    """,
     # the SQL side recomputes the exact distinct-word anchor and pins
     # the lossless-merge + band booleans TRUE
     "hll_store_check": r"""

@@ -216,3 +216,55 @@ class TestSketchStore:
         save_hll_increment(self._docs(0, 10), _words, store, p=12)
         with _pytest.raises(ValueError, match="mixed precisions"):
             stored_hll_registers(store)
+
+
+class TestStoredOverlap:
+    """Inclusion-exclusion overlap between two sketch stores: accuracy
+    band on known overlaps, disjoint/identical edge cases, precision
+    mismatch."""
+
+    def _store(self, tmp_path, name, lo, hi):
+        from pappermate_ray.stages.sketch import save_hll_increment
+
+        store = str(tmp_path / name)
+        ds = rd.from_items(
+            [{"doc_id": i, "text": " ".join(f"w{j}" for j in
+                                            range(i * 20, i * 20 + 20))}
+             for i in range(lo, hi)],
+            override_num_blocks=2)
+        save_hll_increment(ds, _words, store)
+        return store
+
+    def test_known_overlap_band(self, ray_session, tmp_path):
+        from pappermate_ray.stages.sketch import stored_hll_overlap
+
+        # A = docs 0..99 (words 0..1999), B = docs 50..149 (1000..2999)
+        a = self._store(tmp_path, "a", 0, 100)
+        b = self._store(tmp_path, "b", 50, 150)
+        r = stored_hll_overlap(a, b)
+        assert abs(r["est_union"] - 3000) <= 0.03 * 3000
+        assert abs(r["est_intersection"] - 1000) <= 0.05 * 3000
+        assert abs(r["jaccard"] - 1000 / 3000) <= 0.05
+
+    def test_identical_and_disjoint(self, ray_session, tmp_path):
+        from pappermate_ray.stages.sketch import stored_hll_overlap
+
+        a = self._store(tmp_path, "ia", 0, 50)
+        b = self._store(tmp_path, "ib", 0, 50)
+        r = stored_hll_overlap(a, b)
+        assert r["est_a"] == r["est_b"] == r["est_union"]
+        assert r["jaccard"] == pytest.approx(1.0)
+        c = self._store(tmp_path, "ic", 200, 250)
+        r2 = stored_hll_overlap(a, c)
+        assert r2["jaccard"] <= 0.05  # sketch noise only
+
+    def test_precision_mismatch_raises(self, ray_session, tmp_path):
+        from pappermate_ray.stages.sketch import (save_hll_increment,
+                                                  stored_hll_overlap)
+
+        a = self._store(tmp_path, "pa", 0, 10)
+        b = str(tmp_path / "pb")
+        save_hll_increment(
+            rd.from_items([{"doc_id": 0, "text": "x y"}]), _words, b, p=12)
+        with pytest.raises(ValueError, match="different precisions"):
+            stored_hll_overlap(a, b)
