@@ -150,7 +150,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "gopher_quality_filter", "phash_near_dups", "video_near_dups",
         "audio_near_dups", "authority_rank", "bpe_encode_ids",
         "minhash_against_index", "pq_knn_lossless", "bm25_index_topk",
-        "hll_store_check", "corpus_overlap_check",
+        "hll_store_check", "corpus_overlap_check", "fuzzy_name_pairs",
+        "fuzzy_token_match",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

@@ -2716,6 +2716,49 @@ def q_corpus_overlap_check(sf_dir: str):
     })
 
 
+def q_fuzzy_name_pairs(sf_dir: str):
+    """Edit-distance near-dup pairs (stages/fuzzy.fuzzy_pairs): distinct
+    part names within Levenshtein ≤ 2, with the id-pair multiplicity
+    each match represents. SymSpell deletion-neighbourhood blocking
+    (recall-exact for the threshold) + ONE grouped exchange + vectorized
+    DP verify; the oracle brute-forces levenshtein over the distinct-name
+    cross join (64 names at sf0.01 — tractable ONLY because the operator
+    semantics are defined on distinct values, which is also what makes
+    it 100 TB-safe: the corpus contributes one groupby-count)."""
+    from .stages.fuzzy import fuzzy_pairs
+
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    pairs = fuzzy_pairs(parts, "p_name", max_dist=2)
+    return pairs.map_batches(
+        lambda t: pa.table({
+            "name_a": t["name_a"],
+            "name_b": t["name_b"],
+            "dist": t["dist"],
+            "n_id_pairs": pc.multiply(t["cnt_a"], t["cnt_b"]),
+        }),
+        batch_format="pyarrow")
+
+
+def q_fuzzy_token_match(sf_dir: str):
+    """Spell-correction join (stages/fuzzy.fuzzy_match_lookup): each
+    part's leading token matched to its nearest entry of a broadcast
+    dictionary within Levenshtein ≤ 1 (ties → lexicographic smallest);
+    'old'→'cold' is the planted correction, 'hot'/'large' stay null.
+    Oracle replays the rule with DuckDB levenshtein + ROW_NUMBER."""
+    from .stages.fuzzy import fuzzy_match_lookup
+
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_name"])
+
+    def first_tok(t: pa.Table) -> pa.Table:
+        toks = pc.list_element(pc.split_pattern(t["p_name"], " "), 0)
+        return pa.table({"p_partkey": t["p_partkey"], "tok": toks})
+
+    ds = parts.map_batches(first_tok, batch_format="pyarrow")
+    return fuzzy_match_lookup(
+        ds, "tok", ["red", "blue", "cold", "small", "new"], max_dist=1)
+
+
 def q_winnow_clone_pairs(sf_dir: str):
     """MOSS clone report (stages/winnow.winnow_clone_pairs): document
     pairs sharing ≥2 distinct winnowing fingerprints, common
@@ -4822,12 +4865,42 @@ SQL_QUERIES = {
     "hll_store_check": q_hll_store_check,
     # sketch-store inclusion-exclusion corpus overlap, banded vs exact
     "corpus_overlap_check": q_corpus_overlap_check,
+    # edit-distance near-dup family member (SymSpell blocking, DP verify)
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "fuzzy_token_match": q_fuzzy_token_match,
 }
 
 ORACLE_SQL.update({
     # persisted two-increment index == bm25_topk over the union corpus —
     # shares its oracle verbatim
     "bm25_index_topk": ORACLE_SQL["bm25_topk"],
+    # brute-force levenshtein over the distinct-name cross join
+    "fuzzy_name_pairs": """
+        WITH n AS (SELECT p_name, COUNT(*) AS c FROM part GROUP BY p_name)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+               CAST(a.c * b.c AS BIGINT) AS n_id_pairs
+        FROM n a JOIN n b ON a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    # nearest-dictionary-entry rule replayed with ROW_NUMBER ties
+    "fuzzy_token_match": """
+        WITH toks AS (
+            SELECT p_partkey, string_split(p_name, ' ')[1] AS tok FROM part),
+        d(w) AS (VALUES ('red'), ('blue'), ('cold'), ('small'), ('new')),
+        best AS (
+            SELECT t.p_partkey, d.w,
+                   CAST(levenshtein(t.tok, d.w) AS BIGINT) AS dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY t.p_partkey
+                       ORDER BY levenshtein(t.tok, d.w), d.w) AS rn
+            FROM toks t CROSS JOIN d
+            WHERE levenshtein(t.tok, d.w) <= 1)
+        SELECT t.p_partkey, t.tok, b.w AS tok_match,
+               COALESCE(b.dist, -1) AS tok_match_dist
+        FROM toks t LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        USING (p_partkey)
+    """,
     # exact side/union/intersection recomputed in SQL; bands pinned TRUE
     "corpus_overlap_check": r"""
         WITH wa AS (
