@@ -140,6 +140,66 @@ def grouped_bottomk_sample(
     return partials.groupby(group_col).map_groups(finish, batch_format="pandas")
 
 
+def weighted_bottomk_sample(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "ws42",
+    max_weight: int = 64,
+) -> "ray.data.Dataset":
+    """EXACTLY-k weighted sample WITHOUT replacement (Efraimidis–
+    Spirakis 2006): ES takes the k largest ``u_i^(1/w_i)``; for integer
+    weights the MAX of ``w`` independent uniforms has exactly that
+    distribution (CDF ``x^w``), so each row's priority is the max of
+    ``w`` independent md5 draws and the global k LARGEST priorities are
+    the weight-proportional sample. The hash is the coin: deterministic,
+    stable under re-partitioning and retries, and bit-exact in SQL
+    (``list_max(list_transform(range(w), j -> md5(id:salt:j)))`` —
+    fixed-width hex compares as the uniform), which is what makes a
+    WEIGHTED sampler oracle-checkable at all; float ``ln(u)/w`` keys
+    would hinge on cross-engine libm ulps at the rank-k boundary.
+
+    Weights are small-integer boosts (quality tiers, domain boosts),
+    capped at ``max_weight`` — the draw count is O(w) per row; rows
+    with weight ≤ 0 are excluded. Distributed shape = bottomk_sample's
+    scatter-gather: per-batch local top-k, k-row partials, global
+    sort+limit — no corpus sort, no exchange of payloads beyond the
+    k winners.
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def local(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        ws = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ws) and int(ws.max()) > max_weight:
+            raise ValueError(
+                f"weighted_bottomk_sample: weight {int(ws.max())} exceeds "
+                f"max_weight={max_weight} (weights are small-integer boosts)")
+        prios, keepidx = [], []
+        for r, (i, w) in enumerate(zip(ids, ws)):
+            if w <= 0:
+                continue
+            prios.append(max(
+                hashlib.md5(f"{i}:{salt}:{j}".encode()).hexdigest()
+                for j in range(int(w))))
+            keepidx.append(r)
+        order = np.argsort(np.array(prios, dtype=object),
+                           kind="stable")[::-1][:k]
+        sel = pa.array([keepidx[o] for o in order], pa.int64())
+        out = t.take(sel)
+        return out.append_column(
+            "_prio", pa.array([prios[o] for o in order], pa.string()))
+
+    partials = ds.map_batches(local, batch_format="pyarrow")
+    merged = partials.sort("_prio", descending=True).limit(k)
+    return merged.map_batches(lambda t: t.drop_columns(["_prio"]),
+                              batch_format="pyarrow")
+
+
 def weighted_mixture_sample(
     ds: "ray.data.Dataset",
     group_col: str,

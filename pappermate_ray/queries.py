@@ -2759,6 +2759,66 @@ def q_fuzzy_token_match(sf_dir: str):
         ds, "tok", ["red", "blue", "cold", "small", "new"], max_dist=1)
 
 
+def q_weighted_sample_docs(sf_dir: str):
+    """Weighted-without-replacement corpus sample (ops/sample.
+    weighted_bottomk_sample — Efraimidis–Spirakis with the max-of-w-md5
+    key): quality-tier weights 1..4 derived from doc_id, exactly 100
+    winners; scatter-gather top-k, no corpus sort. The oracle replays
+    the identical priority in SQL (list_max over range(w) md5 draws) —
+    bit-exact hex, no float libm at the rank-k boundary."""
+    from .ops.sample import weighted_bottomk_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    weighted = docs.map_batches(
+        lambda t: t.append_column(
+            "weight", pc.add(_pc_mod(t["doc_id"], 4), pa.scalar(1, pa.int64()))),
+        batch_format="pyarrow")
+    return weighted_bottomk_sample(weighted, "doc_id", "weight", k=100)
+
+
+def q_grouped_distinct_check(sf_dir: str):
+    """Band oracle for hll_distinct_by_group — the COUNT(DISTINCT) GROUP
+    BY scale path: per-language word-distinct estimates (one 16 KiB
+    register row per group×block shuffles, never the words) checked
+    within ±2.5% of the exact counts, which are recomputed DISTRIBUTED
+    on the Ray side (distinct (lang, word) exchange) and in SQL on the
+    oracle side; only the 5-row per-language report reaches the driver."""
+    from ray.data.aggregate import Count as _Count
+
+    from .stages.sketch import hll_distinct_by_group
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "text"])
+    words_fn = lambda t: [w for x in t["text"].to_pylist()  # noqa: E731
+                          for w in (x or "").split()]
+    est = {r["lang"]: r["est_distinct"]
+           for r in hll_distinct_by_group(docs, "lang", words_fn).take_all()}
+
+    def explode(t: pa.Table) -> pa.Table:
+        langs, ws = [], []
+        for lang, x in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            for w in set((x or "").split()):
+                langs.append(lang)
+                ws.append(w)
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "w": pa.array(ws, pa.string())})
+
+    exact = (docs.map_batches(explode, batch_format="pyarrow")
+             .groupby(["lang", "w"]).aggregate(_Count(alias_name="c"))
+             .groupby("lang").aggregate(_Count(alias_name="n_distinct_exact"))
+             .take_all())
+    langs = sorted(r["lang"] for r in exact)
+    nx = {r["lang"]: r["n_distinct_exact"] for r in exact}
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "n_distinct_exact": pa.array([int(nx[g]) for g in langs], pa.int64()),
+        "within_2p5pct": pa.array(
+            [abs(est[g] - nx[g]) <= max(2.0, 0.025 * nx[g]) for g in langs],
+            pa.bool_()),
+    })
+
+
 def q_winnow_clone_pairs(sf_dir: str):
     """MOSS clone report (stages/winnow.winnow_clone_pairs): document
     pairs sharing ≥2 distinct winnowing fingerprints, common
@@ -4868,6 +4928,10 @@ SQL_QUERIES = {
     # edit-distance near-dup family member (SymSpell blocking, DP verify)
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "fuzzy_token_match": q_fuzzy_token_match,
+    # Efraimidis-Spirakis weighted sample, bit-exact hex-priority oracle
+    "weighted_sample_docs": q_weighted_sample_docs,
+    # per-group HLL distinct banded vs exact, both sides recomputed
+    "grouped_distinct_check": q_grouped_distinct_check,
 }
 
 ORACLE_SQL.update({
@@ -4882,6 +4946,24 @@ ORACLE_SQL.update({
                CAST(a.c * b.c AS BIGINT) AS n_id_pairs
         FROM n a JOIN n b ON a.p_name < b.p_name
         WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    # identical max-of-w-md5 priority replayed in SQL — bit-exact hex
+    "weighted_sample_docs": """
+        SELECT doc_id, lang, CAST(1 + doc_id % 4 AS BIGINT) AS weight
+        FROM documents
+        ORDER BY list_max(list_transform(
+            range(0, CAST(1 + doc_id % 4 AS BIGINT)),
+            j -> md5(doc_id || ':ws42:' || j))) DESC
+        LIMIT 100
+    """,
+    # exact per-language distinct words; band booleans pinned TRUE
+    "grouped_distinct_check": r"""
+        SELECT lang, CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_exact,
+               TRUE AS within_2p5pct
+        FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS word
+              FROM documents)
+        WHERE word <> ''
+        GROUP BY lang
     """,
     # nearest-dictionary-entry rule replayed with ROW_NUMBER ties
     "fuzzy_token_match": """

@@ -102,6 +102,61 @@ def hll_distinct(ds: "rd.Dataset", values_fn, p: int = _HLL_P) -> Tuple[float, i
     return hll_estimate(merged), len(rows)
 
 
+def hll_distinct_by_group(
+    ds: "rd.Dataset",
+    group_col: str,
+    values_fn,
+    p: int = _HLL_P,
+    est_col: str = "est_distinct",
+) -> "rd.Dataset":
+    """Per-group approximate distinct count — the scale path for
+    ``COUNT(DISTINCT x) GROUP BY g``: the exact form shuffles every
+    distinct (g, x) pair; this shuffles one fixed 2^p-byte register row
+    per (group × block) and NEVER the values. Per batch the rows are
+    run-partitioned by group and each run contributes one sketch of
+    ``values_fn(sub_batch) -> list[str]``; one narrow groupby then
+    max-merges registers (lossless w.r.t. the sketch, same property the
+    persisted store pins) and estimates. Returns a Dataset of
+    ``(group_col, est_col)`` with the standard ±1.04/sqrt(2^p) error
+    (±0.8% at p=14). Skew-immune: a hot group still costs one register
+    row per block, not its cardinality."""
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        garr = np.array(t[group_col].to_pylist(), dtype=object)
+        order = np.argsort(garr, kind="stable")
+        ts = t.take(pa.array(order, pa.int64()))
+        gs = garr[order]
+        n = len(gs)
+        out_g: list = []
+        out_r: list = []
+        if n:
+            change = np.ones(n, bool)
+            change[1:] = gs[1:] != gs[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            for s, e in zip(starts, ends):
+                sub = ts.slice(s, e - s)
+                out_g.append(gs[s])
+                out_r.append(hll_registers(values_fn(sub), p).tobytes())
+        return pa.table({
+            group_col: pa.array(out_g, t[group_col].type),
+            "regs": pa.array(out_r, pa.binary()),
+        })
+
+    def merge(g: pa.Table) -> pa.Table:
+        stack = np.stack([np.frombuffer(r, np.uint8)
+                          for r in g["regs"].to_pylist()])
+        est = hll_estimate(np.maximum.reduce(stack, axis=0))
+        return pa.table({
+            group_col: g[group_col].slice(0, 1),
+            est_col: pa.array([est], pa.float64()),
+        })
+
+    return (ds.map_batches(sketch_batch, batch_format="pyarrow")
+            .groupby(group_col)
+            .map_groups(merge, batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 # Count-Min heavy hitters
 # ---------------------------------------------------------------------------

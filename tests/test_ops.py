@@ -141,6 +141,55 @@ class TestSample:
         assert {(r["g"], r["id"]) for r in out2} == {(r["g"], r["id"]) for r in out}
 
 
+class TestWeightedSample:
+    @staticmethod
+    def _prio(i, w, salt="ws42"):
+        import hashlib
+
+        return max(hashlib.md5(f"{i}:{salt}:{j}".encode()).hexdigest()
+                   for j in range(w))
+
+    def test_bruteforce_equivalence_and_block_invariance(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.ops.sample import weighted_bottomk_sample
+
+        rows = [{"id": i, "w": 1 + i % 4} for i in range(40)]
+        want = {r["id"] for r in sorted(
+            rows, key=lambda r: self._prio(r["id"], r["w"]), reverse=True)[:7]}
+        for blocks in (1, 5):
+            ds = rd.from_items(rows, override_num_blocks=blocks)
+            out = weighted_bottomk_sample(ds, "id", "w", k=7).take_all()
+            assert {r["id"] for r in out} == want
+
+    def test_zero_weight_excluded_and_cap(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from pappermate_ray.ops.sample import weighted_bottomk_sample
+
+        ds = rd.from_items([{"id": 0, "w": 0}, {"id": 1, "w": 2},
+                            {"id": 2, "w": 0}])
+        out = weighted_bottomk_sample(ds, "id", "w", k=3).take_all()
+        assert [r["id"] for r in out] == [1]
+        bad = rd.from_items([{"id": 0, "w": 1000}])
+        with _pytest.raises(Exception, match="max_weight"):
+            weighted_bottomk_sample(bad, "id", "w", k=1).take_all()
+
+    def test_weight_proportional_bias(self):
+        """Distribution property of the max-of-w-uniforms key (no Ray:
+        the priority function IS the sampler): over many salts, a
+        weight-8 row must beat a weight-1 row for the single slot far
+        more often — and roughly 8:1."""
+        wins = {1: 0, 8: 0}
+        for s in range(300):
+            p1 = self._prio("a", 1, salt=f"s{s}")
+            p8 = self._prio("b", 8, salt=f"s{s}")
+            wins[8 if p8 > p1 else 1] += 1
+        frac8 = wins[8] / 300
+        assert 0.80 <= frac8 <= 0.97  # expect 8/9 ≈ 0.889
+
+
 class TestPrefixSum:
     def test_matches_serial_scan_across_buckets(self, ray_session):
         import ray.data as rd

@@ -268,3 +268,47 @@ class TestStoredOverlap:
             rd.from_items([{"doc_id": 0, "text": "x y"}]), _words, b, p=12)
         with pytest.raises(ValueError, match="different precisions"):
             stored_hll_overlap(a, b)
+
+
+class TestGroupedDistinct:
+    """Per-group HLL distinct: band accuracy per group, group isolation,
+    block-layout invariance of the merged estimate."""
+
+    def _docs(self):
+        rows = []
+        # lang a: 1500 distinct words; lang b: 300; lang c: 40 (dups)
+        for i in range(150):
+            rows.append({"lang": "a",
+                         "text": " ".join(f"a{j}" for j in
+                                          range(i * 10, i * 10 + 10))})
+        for i in range(60):
+            rows.append({"lang": "b",
+                         "text": " ".join(f"b{j}" for j in
+                                          range(i * 5, i * 5 + 5))})
+        for i in range(30):
+            rows.append({"lang": "c",
+                         "text": " ".join(f"c{j}" for j in range(40))})
+        return rows
+
+    def test_band_and_isolation(self, ray_session):
+        from pappermate_ray.stages.sketch import hll_distinct_by_group
+
+        ds = rd.from_items(self._docs(), override_num_blocks=4)
+        out = {r["lang"]: r["est_distinct"]
+               for r in hll_distinct_by_group(ds, "lang", _words).take_all()}
+        assert set(out) == {"a", "b", "c"}
+        for lang, exact in (("a", 1500), ("b", 300), ("c", 40)):
+            assert abs(out[lang] - exact) <= max(2.0, 0.03 * exact), (
+                lang, out[lang])
+
+    def test_block_layout_invariance(self, ray_session):
+        from pappermate_ray.stages.sketch import hll_distinct_by_group
+
+        rows = self._docs()
+        a = {r["lang"]: r["est_distinct"] for r in hll_distinct_by_group(
+            rd.from_items(rows, override_num_blocks=1), "lang",
+            _words).take_all()}
+        b = {r["lang"]: r["est_distinct"] for r in hll_distinct_by_group(
+            rd.from_items(rows, override_num_blocks=7), "lang",
+            _words).take_all()}
+        assert a == b  # register max-merge is layout-independent
