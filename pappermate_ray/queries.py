@@ -2759,6 +2759,53 @@ def q_fuzzy_token_match(sf_dir: str):
         ds, "tok", ["red", "blue", "cold", "small", "new"], max_dist=1)
 
 
+def q_fuzzy_index_match(sf_dir: str):
+    """Persisted-SymSpell-index probe (stages/fuzzy.fuzzy_match_index):
+    the dictionary lands in TWO append-only increments on parquet; the
+    part leading tokens probe the stored deletion neighbourhood
+    (read-only — old increments are never re-expanded); the
+    driver-small distinct-match report maps back over the rows to
+    reproduce fuzzy_token_match's output EXACTLY, so it shares that
+    oracle verbatim (the bm25_index_topk pattern)."""
+    import os
+
+    from .stages.fuzzy import (build_fuzzy_index, fuzzy_index_add,
+                               fuzzy_match_index)
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    idx = f"/tmp/fuzzy_idx_v1_{tag}"
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        build_fuzzy_index(
+            rd.from_items([{"word": "red"}, {"word": "blue"}]), idx,
+            max_dist=1)
+        fuzzy_index_add(
+            rd.from_items([{"word": w} for w in ("cold", "small", "new")]),
+            idx, max_dist=1)
+        with open(os.path.join(idx, "_SUCCESS"), "w"):
+            pass
+
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_name"])
+
+    def first_tok(t: pa.Table) -> pa.Table:
+        toks = pc.list_element(pc.split_pattern(t["p_name"], " "), 0)
+        return pa.table({"p_partkey": t["p_partkey"], "tok": toks})
+
+    toks = parts.map_batches(first_tok, batch_format="pyarrow")
+    matches = {r["value"]: (r["match"], int(r["match_dist"]))
+               for r in fuzzy_match_index(toks, "tok", idx,
+                                          max_dist=1).take_all()}
+
+    def map_back(t: pa.Table) -> pa.Table:
+        ms = [matches.get(x, (None, -1)) for x in t["tok"].to_pylist()]
+        return t.append_column(
+            "tok_match", pa.array([m[0] for m in ms], pa.string()),
+        ).append_column(
+            "tok_match_dist", pa.array([m[1] for m in ms], pa.int64()))
+
+    return toks.map_batches(map_back, batch_format="pyarrow")
+
+
 def q_weighted_sample_docs(sf_dir: str):
     """Weighted-without-replacement corpus sample (ops/sample.
     weighted_bottomk_sample — Efraimidis–Spirakis with the max-of-w-md5
@@ -4928,6 +4975,8 @@ SQL_QUERIES = {
     # edit-distance near-dup family member (SymSpell blocking, DP verify)
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "fuzzy_token_match": q_fuzzy_token_match,
+    # persisted SymSpell index probe == broadcast lookup, shared oracle
+    "fuzzy_index_match": q_fuzzy_index_match,
     # Efraimidis-Spirakis weighted sample, bit-exact hex-priority oracle
     "weighted_sample_docs": q_weighted_sample_docs,
     # per-group HLL distinct banded vs exact, both sides recomputed
@@ -5216,3 +5265,7 @@ ORACLE_SQL.update({
         WHERE NOT regexp_matches(text, '(?i)\b(?:darn17|frig31|heck23)\b')
     """,
 })
+
+# the persisted-index probe reproduces fuzzy_token_match exactly —
+# shares its oracle verbatim (must follow the update that defines it)
+ORACLE_SQL["fuzzy_index_match"] = ORACLE_SQL["fuzzy_token_match"]

@@ -177,6 +177,170 @@ def fuzzy_pairs(
     return cand.map_batches(verify, batch_format="pyarrow")
 
 
+def _cross_pairs_str(
+    banded: "rd.Dataset",
+    key_col: str,
+    val_col: str,
+    side_col: str,
+    n_rows: int,
+    max_bucket: int = 0,
+) -> "rd.Dataset":
+    """String-typed sibling of dedup's ``_cross_bucket_pairs_grouped``:
+    within each bucket run, CROSS product of side-1 values × side-0
+    values as (value, match) — one partition-grouped exchange, values
+    carried via type-preserving ``Table.take`` (the int64-id original
+    can't hold words). Runs longer than ``max_bucket`` are dropped
+    wholesale (storm cap; both sides count toward the run length)."""
+    from ..ops.joins import adaptive_partitions
+    from .dedup import _packed_keys
+
+    npart = adaptive_partitions(n_rows)
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        pk = (_packed_keys(t, [key_col]) % np.uint64(npart)).astype(np.int64)
+        return t.append_column("_pkey", pa.array(pk, pa.int64()))
+
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        out_n, out_o = [], []
+        if n:
+            keys = t[key_col].to_numpy(zero_copy_only=False)
+            order = np.argsort(keys, kind="stable")
+            ts = t.take(pa.array(order, pa.int64()))
+            k = ts[key_col].to_numpy(zero_copy_only=False)
+            change = np.zeros(n, bool)
+            change[0] = True
+            change[1:] = k[1:] != k[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            sides = ts[side_col].to_numpy(zero_copy_only=False)
+            for s, e in zip(starts, ends):
+                if max_bucket and e - s > max_bucket:
+                    continue
+                idx = np.arange(s, e)
+                run_new = idx[sides[s:e] == 1]
+                run_old = idx[sides[s:e] == 0]
+                if not len(run_new) or not len(run_old):
+                    continue
+                gn, go = np.meshgrid(run_new, run_old, indexing="ij")
+                out_n.append(gn.ravel())
+                out_o.append(go.ravel())
+        nn = np.concatenate(out_n) if out_n else np.array([], np.int64)
+        oo = np.concatenate(out_o) if out_o else np.array([], np.int64)
+        return pa.table({
+            "value": ts[val_col].take(pa.array(nn, pa.int64())) if n
+            else pa.array([], pa.string()),
+            "match": ts[val_col].take(pa.array(oo, pa.int64())) if n
+            else pa.array([], pa.string()),
+        })
+
+    return (banded.map_batches(add_pkey, batch_format="pyarrow")
+            .groupby("_pkey")
+            .map_groups(emit_pairs, batch_format="pyarrow"))
+
+
+def _expand_distinct(t: pa.Table, col: str, max_dist: int, max_len: int,
+                     side: int) -> pa.Table:
+    vh: List[int] = []
+    nm: List[str] = []
+    for name in t[col].to_pylist():
+        s = name or ""
+        if len(s) > max_len:
+            raise ValueError(
+                f"fuzzy index: value of length {len(s)} exceeds "
+                f"max_len={max_len}; this operator is for short-string "
+                "columns")
+        for v in deletion_variants(s, max_dist):
+            vh.append(_variant_hash(v))
+            nm.append(s)
+    return pa.table({
+        "vh": pa.array(vh, pa.int64()),
+        "word": pa.array(nm, pa.string()),
+        "_side": pa.array(np.full(len(vh), side, np.int8)),
+    })
+
+
+def fuzzy_index_add(
+    ds: "rd.Dataset",
+    index_dir: str,
+    col: str = "word",
+    max_dist: int = 2,
+    max_len: int = 64,
+) -> str:
+    """Append one dictionary increment to the persisted SymSpell index
+    (creating it on first call — ``build_fuzzy_index`` is that alias):
+    distinct values of ``col`` expand ONCE to their deletion
+    neighbourhood and the (vh, word) rows land on parquet. Append-only:
+    new vocabulary never re-expands or re-reads old increments — the
+    same grow-without-rescan contract as the MinHash/BM25/HLL stores.
+    ``max_dist`` is baked into the stored neighbourhood; probes must
+    use a ``max_dist`` ≤ the smallest one the index was built with."""
+    from .search import _next_increment
+
+    distinct = ds.groupby(col).aggregate(Count(alias_name="_cnt"))
+    (distinct.map_batches(
+        lambda t: _expand_distinct(t, col, max_dist, max_len, 0)
+        .drop_columns(["_side"]),
+        batch_format="pyarrow")
+     .write_parquet(_next_increment(index_dir, "variants")))
+    return index_dir
+
+
+build_fuzzy_index = fuzzy_index_add
+
+
+def fuzzy_match_index(
+    new_ds: "rd.Dataset",
+    col: str,
+    index_dir: str,
+    max_dist: int = 2,
+    max_len: int = 64,
+    max_bucket: int = 0,
+) -> "rd.Dataset":
+    """(value, match, match_dist) for each DISTINCT new value of ``col``
+    within ``max_dist`` of some indexed word — the corpus-scale sibling
+    of ``fuzzy_match_lookup`` (whose broadcast dictionary dies when the
+    dictionary IS a corpus). The new side is distinct-reduced and
+    expands its own variants only; the old side contributes stored
+    (vh, word) rows read pruned from parquet (never re-expanded); ONE
+    grouped exchange emits cross-side candidates, a narrow pair dedupe,
+    the vectorized DP verify, then a per-value best pick (min dist,
+    lexicographic tie — the ``fuzzy_match_lookup`` rule)."""
+    distinct = new_ds.groupby(col).aggregate(Count(alias_name="_cnt"))
+    new_var = distinct.map_batches(
+        lambda t: _expand_distinct(t, col, max_dist, max_len, 1),
+        batch_format="pyarrow")
+    old_var = rd.read_parquet(
+        f"{index_dir}/variants", columns=["vh", "word"],
+    ).map_batches(
+        lambda t: t.append_column(
+            "_side", pa.array(np.zeros(t.num_rows, np.int8))),
+        batch_format="pyarrow")
+    n_old = rd.read_parquet(f"{index_dir}/variants").count()
+    cand = _cross_pairs_str(old_var.union(new_var), "vh", "word", "_side",
+                            n_rows=n_old * 2, max_bucket=max_bucket)
+    cand = cand.groupby(["value", "match"]).aggregate(
+        Count(alias_name="_n"))
+
+    def verify(t: pa.Table) -> pa.Table:
+        d = levenshtein_batch(t["value"].to_pylist(), t["match"].to_pylist())
+        out = t.append_column("match_dist", pa.array(d, pa.int64()))
+        return out.filter(pa.array(d <= max_dist)).select(
+            ["value", "match", "match_dist"])
+
+    verified = cand.map_batches(verify, batch_format="pyarrow")
+
+    def pick(g: pa.Table) -> pa.Table:
+        best = min(zip(g["match_dist"].to_pylist(), g["match"].to_pylist()))
+        return pa.table({
+            "value": g["value"].slice(0, 1),
+            "match": pa.array([best[1]], pa.string()),
+            "match_dist": pa.array([best[0]], pa.int64()),
+        })
+
+    return verified.groupby("value").map_groups(pick, batch_format="pyarrow")
+
+
 def fuzzy_match_lookup(
     ds: "rd.Dataset",
     col: str,

@@ -137,3 +137,72 @@ class TestFuzzyLookup:
         t = fuzzy_match_lookup(ds, "w", ["abc"]).schema()
         assert t.base_schema.field("w_match").type == pa.string()
         assert t.base_schema.field("w_match_dist").type == pa.int64()
+
+
+class TestFuzzyIndex:
+    """Persisted SymSpell index: append-only increments, pruned probe,
+    equivalence with the broadcast lookup, read-only probes."""
+
+    def _build(self, tmp_path):
+        from pappermate_ray.stages.fuzzy import build_fuzzy_index, fuzzy_index_add
+
+        idx = str(tmp_path / "fidx")
+        build_fuzzy_index(
+            rd.from_items([{"word": "red"}, {"word": "blue"}]), idx)
+        fuzzy_index_add(
+            rd.from_items([{"word": "cold"}, {"word": "small"},
+                           {"word": "new"}]), idx)
+        return idx
+
+    def test_match_equals_broadcast_lookup(self, ray_session, tmp_path):
+        from pappermate_ray.stages.fuzzy import (fuzzy_match_index,
+                                                 fuzzy_match_lookup)
+
+        idx = self._build(tmp_path)
+        probe = rd.from_items(
+            [{"tok": t} for t in
+             ["red", "rex", "old", "hot", "large", "blua", "new", "old"]],
+            override_num_blocks=2)
+        got = {r["value"]: (r["match"], r["match_dist"])
+               for r in fuzzy_match_index(probe, "tok", idx,
+                                          max_dist=1).take_all()}
+        want_rows = fuzzy_match_lookup(
+            probe, "tok", ["red", "blue", "cold", "small", "new"],
+            max_dist=1).take_all()
+        want = {r["tok"]: (r["tok_match"], r["tok_match_dist"])
+                for r in want_rows if r["tok_match"] is not None}
+        assert got == want
+        assert got["old"] == ("cold", 1)      # cross-increment match
+        assert "hot" not in got and "large" not in got
+
+    def test_probe_is_read_only(self, ray_session, tmp_path):
+        import os
+
+        from pappermate_ray.stages.fuzzy import fuzzy_match_index
+
+        idx = self._build(tmp_path)
+        before = sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(idx) for f in fs)
+        fuzzy_match_index(rd.from_items([{"tok": "rad"}]), "tok", idx,
+                          max_dist=1).take_all()
+        after = sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(idx) for f in fs)
+        assert before == after
+
+    def test_max_bucket_cap(self, ray_session, tmp_path):
+        from pappermate_ray.stages.fuzzy import build_fuzzy_index, fuzzy_match_index
+
+        idx = str(tmp_path / "storm")
+        # 26 dictionary words all sharing variants of "aaa"
+        build_fuzzy_index(
+            rd.from_items([{"word": f"aa{c}"} for c in
+                           "abcdefghijklmnopqrstuvwxyz"]), idx, max_dist=1)
+        probe = rd.from_items([{"tok": "aax"}, {"tok": "zzz"}])
+        out = fuzzy_match_index(probe, "tok", idx, max_dist=1,
+                                max_bucket=5).take_all()
+        # the storm buckets are dropped wholesale -> no aax match survives
+        # every bucket it shares with the dictionary... the cap only
+        # drops runs > 5; "aax" itself is a dictionary word variant hub
+        assert all(r["value"] != "zzz" for r in out)
