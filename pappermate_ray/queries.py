@@ -2759,6 +2759,32 @@ def q_fuzzy_token_match(sf_dir: str):
         ds, "tok", ["red", "blue", "cold", "small", "new"], max_dist=1)
 
 
+def q_rollup_revenue(sf_dir: str):
+    """Multi-level subtotal report (ops/rollup.rollup_sum): revenue by
+    (l_returnflag, l_linestatus) with per-flag subtotals and a grand
+    total in ONE result — the corpus is scanned and shuffled exactly
+    once (finest groupby); coarser levels re-aggregate the tiny finest
+    result. Oracle is DuckDB's native GROUP BY ROLLUP; both sides round
+    the sum to 2 decimals (established float-sum rule)."""
+    from .ops.rollup import rollup_sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice",
+                 "l_discount"])
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "l_linestatus": t["l_linestatus"],
+                         "rev": rev})
+
+    rolled = rollup_sum(ds.map_batches(add_rev, batch_format="pyarrow"),
+                        ["l_returnflag", "l_linestatus"], "rev", "revenue")
+    return _round_cols(rolled, {"revenue": 2})
+
+
 def q_fuzzy_index_match(sf_dir: str):
     """Persisted-SymSpell-index probe (stages/fuzzy.fuzzy_match_index):
     the dictionary lands in TWO append-only increments on parquet; the
@@ -4977,6 +5003,8 @@ SQL_QUERIES = {
     "fuzzy_token_match": q_fuzzy_token_match,
     # persisted SymSpell index probe == broadcast lookup, shared oracle
     "fuzzy_index_match": q_fuzzy_index_match,
+    # one-exchange ROLLUP vs DuckDB's native GROUP BY ROLLUP
+    "rollup_revenue": q_rollup_revenue,
     # Efraimidis-Spirakis weighted sample, bit-exact hex-priority oracle
     "weighted_sample_docs": q_weighted_sample_docs,
     # per-group HLL distinct banded vs exact, both sides recomputed
@@ -4995,6 +5023,13 @@ ORACLE_SQL.update({
                CAST(a.c * b.c AS BIGINT) AS n_id_pairs
         FROM n a JOIN n b ON a.p_name < b.p_name
         WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    # native ROLLUP; identical 2-decimal rounding both sides
+    "rollup_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     # identical max-of-w-md5 priority replayed in SQL — bit-exact hex
     "weighted_sample_docs": """

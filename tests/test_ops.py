@@ -666,3 +666,40 @@ class TestSemanticDecontaminate:
         kept = sorted(r["vec_id"] for r in
                       semantic_decontaminate(corpus, bench).take_all())
         assert kept == list(range(1, 10)) + [100]
+
+
+class TestRollupCube:
+    def _ds(self, blocks=3):
+        import ray.data as rd
+
+        rows = [{"a": "x", "b": "p", "v": 1.0}, {"a": "x", "b": "q", "v": 2.0},
+                {"a": "y", "b": "p", "v": 4.0}, {"a": "y", "b": "p", "v": 8.0}]
+        return rd.from_items(rows, override_num_blocks=blocks)
+
+    def test_rollup_levels(self, ray_session):
+        from pappermate_ray.ops.rollup import rollup_sum
+
+        out = {(r["a"], r["b"]): r["s"]
+               for r in rollup_sum(self._ds(), ["a", "b"], "v", "s").take_all()}
+        assert out == {("x", "p"): 1.0, ("x", "q"): 2.0, ("y", "p"): 12.0,
+                       ("x", None): 3.0, ("y", None): 12.0,
+                       (None, None): 15.0}
+
+    def test_cube_adds_b_margin(self, ray_session):
+        from pappermate_ray.ops.rollup import cube_sum
+
+        out = {(r["a"], r["b"]): r["s"]
+               for r in cube_sum(self._ds(), ["a", "b"], "v", "s").take_all()}
+        assert out[(None, "p")] == 13.0 and out[(None, "q")] == 2.0
+        assert out[(None, None)] == 15.0 and out[("x", "p")] == 1.0
+        assert len(out) == 8  # 3 finest + 2 a-margin + 2 b-margin + 1 total
+
+    def test_int_sum_type_stable(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.ops.rollup import rollup_sum
+
+        ds = rd.from_items([{"a": "x", "v": 2}, {"a": "y", "v": 3}])
+        rows = rollup_sum(ds, ["a"], "v", "s").take_all()
+        assert {r["s"] for r in rows} == {2, 3, 5}
+        assert all(isinstance(r["s"], int) for r in rows)
