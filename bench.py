@@ -152,7 +152,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "minhash_against_index", "pq_knn_lossless", "bm25_index_topk",
         "hll_store_check", "corpus_overlap_check", "fuzzy_name_pairs",
         "fuzzy_token_match", "weighted_sample_docs", "grouped_distinct_check",
-        "fuzzy_index_match", "rollup_revenue",
+        "fuzzy_index_match", "rollup_revenue", "length_quartiles",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

@@ -76,3 +76,46 @@ def grouped_quantiles(
         return pd.DataFrame([row])
 
     return counts.groupby(group_col).map_groups(_finish, batch_format="pandas")
+
+
+def quantile_bucket(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    n_buckets: int,
+    out_col: str = "bucket",
+) -> "ray.data.Dataset":
+    """Append a global quantile-bucket label (1..n_buckets) — the
+    VALUE-edge ntile ("which length quartile is this doc in") used for
+    threshold curation and balanced reporting. Edges are the exact
+    discrete quantiles at i/n (the ``grouped_quantiles`` rule, which
+    equals DuckDB ``quantile_disc``); a value equal to an edge stays in
+    the LOWER bucket, so ``bucket = 1 + |{edges < value}|`` — a pinned,
+    SQL-replicable tie rule, unlike row-count ``ntile`` whose boundary
+    rows are engine-dependent.
+
+    Scale shape: the edge pass rides grouped_quantiles' value-count
+    compression (distinct (value, n) pairs shuffle, not rows) under a
+    constant group; the tiny edge row broadcasts into a vectorized
+    ``searchsorted`` map. Two passes over the input by necessity
+    (edges must exist before labeling) — cache/checkpoint upstream
+    lineage if it is expensive."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    names = [f"e{i}" for i in range(1, n_buckets)]
+
+    def add_g(t: pa.Table) -> pa.Table:
+        return t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int8)))
+
+    edge_rows = grouped_quantiles(
+        ds.select_columns([value_col]).map_batches(
+            add_g, batch_format="pyarrow"),
+        "_g", value_col, qs, names).take_all()
+    edges = np.sort(np.array([edge_rows[0][n] for n in names]))
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        b = 1 + np.searchsorted(edges, v, side="left")
+        return t.append_column(out_col, pa.array(b, pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -2759,6 +2759,20 @@ def q_fuzzy_token_match(sf_dir: str):
         ds, "tok", ["red", "blue", "cold", "small", "new"], max_dist=1)
 
 
+def q_length_quartiles(sf_dir: str):
+    """Global quantile-bucket labeling (ops/quantiles.quantile_bucket):
+    each doc tagged with its corpus-wide n_chars quartile — VALUE-edge
+    ntile with the pinned stay-low tie rule (bucket = 1 + |edges <
+    value|), edges from the exact discrete-quantile machinery
+    (value-count compression, rows never sort). Oracle recomputes the
+    edges with DuckDB quantile_disc and replays the comparison rule."""
+    from .ops.quantiles import quantile_bucket
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    return quantile_bucket(docs, "n_chars", 4)
+
+
 def q_rollup_revenue(sf_dir: str):
     """Multi-level subtotal report (ops/rollup.rollup_sum): revenue by
     (l_returnflag, l_linestatus) with per-flag subtotals and a grand
@@ -5005,6 +5019,8 @@ SQL_QUERIES = {
     "fuzzy_index_match": q_fuzzy_index_match,
     # one-exchange ROLLUP vs DuckDB's native GROUP BY ROLLUP
     "rollup_revenue": q_rollup_revenue,
+    # value-edge ntile vs quantile_disc edges + replayed tie rule
+    "length_quartiles": q_length_quartiles,
     # Efraimidis-Spirakis weighted sample, bit-exact hex-priority oracle
     "weighted_sample_docs": q_weighted_sample_docs,
     # per-group HLL distinct banded vs exact, both sides recomputed
@@ -5023,6 +5039,18 @@ ORACLE_SQL.update({
                CAST(a.c * b.c AS BIGINT) AS n_id_pairs
         FROM n a JOIN n b ON a.p_name < b.p_name
         WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    # quantile_disc edges + the stay-low tie rule replayed
+    "length_quartiles": """
+        WITH e AS (SELECT quantile_disc(n_chars, 0.25) AS e1,
+                          quantile_disc(n_chars, 0.50) AS e2,
+                          quantile_disc(n_chars, 0.75) AS e3
+                   FROM documents)
+        SELECT doc_id, n_chars,
+               CAST(1 + CAST(n_chars > e1 AS INT)
+                      + CAST(n_chars > e2 AS INT)
+                      + CAST(n_chars > e3 AS INT) AS BIGINT) AS bucket
+        FROM documents, e
     """,
     # native ROLLUP; identical 2-decimal rounding both sides
     "rollup_revenue": """

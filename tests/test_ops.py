@@ -703,3 +703,40 @@ class TestRollupCube:
         rows = rollup_sum(ds, ["a"], "v", "s").take_all()
         assert {r["s"] for r in rows} == {2, 3, 5}
         assert all(isinstance(r["s"], int) for r in rows)
+
+
+class TestQuantileBucket:
+    def test_quartiles_hand_cdf(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.ops.quantiles import quantile_bucket
+
+        # values 1..8: quantile_disc edges at .25/.5/.75 = 2, 4, 6
+        ds = rd.from_items([{"id": i, "v": i} for i in range(1, 9)],
+                           override_num_blocks=3)
+        out = {r["v"]: r["bucket"]
+               for r in quantile_bucket(ds, "v", 4).take_all()}
+        # edge-equal values stay LOW: 2->1, 4->2, 6->3
+        assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4}
+
+    def test_skewed_ties(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.ops.quantiles import quantile_bucket
+
+        # 90% of rows share one value: it IS several edges; all its rows
+        # land in bucket 1 (<= edge), the tail fills the top bucket
+        rows = [{"v": 5}] * 18 + [{"v": 9}, {"v": 11}]
+        out = quantile_bucket(rd.from_items(rows, override_num_blocks=4),
+                              "v", 4).take_all()
+        got = {(r["v"], r["bucket"]) for r in out}
+        assert got == {(5, 1), (9, 4), (11, 4)}
+
+    def test_rejects_single_bucket(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from pappermate_ray.ops.quantiles import quantile_bucket
+
+        with _pytest.raises(ValueError, match="n_buckets"):
+            quantile_bucket(rd.from_items([{"v": 1}]), "v", 1)
