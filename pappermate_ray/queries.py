@@ -2759,6 +2759,20 @@ def q_fuzzy_token_match(sf_dir: str):
         ds, "tok", ["red", "blue", "cold", "small", "new"], max_dist=1)
 
 
+def q_hourly_retention(sf_dir: str):
+    """Cohort retention (ops/retention.cohort_retention): distinct
+    hourly actives and how many return the NEXT hour — restated
+    join-free as two-sided presence detection under ONE (user, window)
+    hash exchange (the textbook self-join's build side is the whole
+    activity table; here nothing is built and hot users only skew their
+    own groups). Oracle is the LEFT-JOIN formulation in DuckDB."""
+    from .ops.retention import cohort_retention
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return cohort_retention(ds, "user_id", "ts", unit="hour")
+
+
 def q_length_quartiles(sf_dir: str):
     """Global quantile-bucket labeling (ops/quantiles.quantile_bucket):
     each doc tagged with its corpus-wide n_chars quartile — VALUE-edge
@@ -5021,6 +5035,8 @@ SQL_QUERIES = {
     "rollup_revenue": q_rollup_revenue,
     # value-edge ntile vs quantile_disc edges + replayed tie rule
     "length_quartiles": q_length_quartiles,
+    # join-free cohort retention vs the LEFT-JOIN SQL formulation
+    "hourly_retention": q_hourly_retention,
     # Efraimidis-Spirakis weighted sample, bit-exact hex-priority oracle
     "weighted_sample_docs": q_weighted_sample_docs,
     # per-group HLL distinct banded vs exact, both sides recomputed
@@ -5039,6 +5055,18 @@ ORACLE_SQL.update({
                CAST(a.c * b.c AS BIGINT) AS n_id_pairs
         FROM n a JOIN n b ON a.p_name < b.p_name
         WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    # the textbook self-join formulation the operator restates
+    "hourly_retention": """
+        WITH uh AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+                    FROM events)
+        SELECT a.h AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_retained
+        FROM uh a LEFT JOIN uh b
+          ON a.user_id = b.user_id AND b.h = a.h + INTERVAL 1 HOUR
+        GROUP BY a.h
     """,
     # quantile_disc edges + the stay-low tie rule replayed
     "length_quartiles": """

@@ -740,3 +740,49 @@ class TestQuantileBucket:
 
         with _pytest.raises(ValueError, match="n_buckets"):
             quantile_bucket(rd.from_items([{"v": 1}]), "v", 1)
+
+
+class TestCohortRetention:
+    def test_hand_computed_windows(self, ray_session):
+        from datetime import datetime
+
+        import ray.data as rd
+
+        from pappermate_ray.ops.retention import cohort_retention
+
+        def ev(u, h, m=0):
+            return {"user_id": u, "ts": datetime(2024, 1, 1, h, m)}
+
+        rows = [
+            ev(1, 9), ev(1, 9, 30), ev(1, 10),       # u1: 9->10 retained
+            ev(2, 9),                                  # u2: 9 only
+            ev(3, 10), ev(3, 11),                      # u3: 10->11 retained
+            ev(4, 9), ev(4, 11),                       # u4: gap, not adjacent
+        ]
+        out = {r["window_start"].hour: (r["n_active"], r["n_retained"])
+               for r in cohort_retention(
+                   rd.from_items(rows, override_num_blocks=3),
+                   "user_id", "ts").take_all()}
+        assert out[9] == (3, 1)    # u1,u2,u4 active; only u1 returns at 10
+        assert out[10] == (2, 1)   # u1,u3; u3 returns at 11
+        assert out[11] == (2, 0)   # u3,u4; last window
+        assert len(out) == 3       # no phantom windows from shifted markers
+
+    def test_day_unit_and_bad_unit(self, ray_session):
+        from datetime import datetime
+
+        import pytest as _pytest
+        import ray.data as rd
+
+        from pappermate_ray.ops.retention import cohort_retention
+
+        rows = [{"user_id": 1, "ts": datetime(2024, 1, d, h)}
+                for d, h in [(1, 9), (1, 23), (2, 1)]]
+        out = cohort_retention(rd.from_items(rows), "user_id", "ts",
+                               unit="day").take_all()
+        got = {r["window_start"].day: (r["n_active"], r["n_retained"])
+               for r in out}
+        assert got == {1: (1, 1), 2: (1, 0)}
+        with _pytest.raises(ValueError, match="unit"):
+            cohort_retention(rd.from_items(rows), "user_id", "ts",
+                             unit="week")
