@@ -153,7 +153,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "hll_store_check", "corpus_overlap_check", "fuzzy_name_pairs",
         "fuzzy_token_match", "weighted_sample_docs", "grouped_distinct_check",
         "fuzzy_index_match", "rollup_revenue", "length_quartiles",
-        "hourly_retention",
+        "hourly_retention", "purchase_funnel", "event_transitions",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

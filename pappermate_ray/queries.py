@@ -2759,6 +2759,31 @@ def q_fuzzy_token_match(sf_dir: str):
         ds, "tok", ["red", "blue", "cold", "small", "new"], max_dist=1)
 
 
+def q_purchase_funnel(sf_dir: str):
+    """Ordered funnel (ops/funnel.funnel_counts): users reaching each of
+    view → click → purchase under the strict first-occurrence cascade —
+    one (user) hash exchange + per-user sorted scan; the oracle is the
+    cascade-CTE formulation (MIN-ts chain with strict >)."""
+    from .ops.funnel import funnel_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return funnel_counts(ds, "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"])
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts (ops/funnel.event_transitions): adjacent
+    event-type pairs per user ordered by (ts, event_id) — exactly SQL's
+    lag() window aggregated; per-user partials mean the final exchange
+    carries (prev, next, n) triples, never rows."""
+    from .ops.funnel import event_transitions
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type", "event_id"])
+    return event_transitions(ds, "user_id", "ts", "event_type", "event_id")
+
+
 def q_hourly_retention(sf_dir: str):
     """Cohort retention (ops/retention.cohort_retention): distinct
     hourly actives and how many return the NEXT hour — restated
@@ -5037,6 +5062,10 @@ SQL_QUERIES = {
     "length_quartiles": q_length_quartiles,
     # join-free cohort retention vs the LEFT-JOIN SQL formulation
     "hourly_retention": q_hourly_retention,
+    # ordered funnel vs the cascade-CTE formulation
+    "purchase_funnel": q_purchase_funnel,
+    # per-user lag() transition counts
+    "event_transitions": q_event_transitions,
     # Efraimidis-Spirakis weighted sample, bit-exact hex-priority oracle
     "weighted_sample_docs": q_weighted_sample_docs,
     # per-group HLL distinct banded vs exact, both sides recomputed
@@ -5055,6 +5084,37 @@ ORACLE_SQL.update({
                CAST(a.c * b.c AS BIGINT) AS n_id_pairs
         FROM n a JOIN n b ON a.p_name < b.p_name
         WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    # MIN-ts cascade with strict >, one CTE per step
+    "purchase_funnel": """
+        WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, MIN(e.ts) AS t
+               FROM events e JOIN s1 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > s1.t
+               GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, MIN(e.ts) AS t
+               FROM events e JOIN s2 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t
+               GROUP BY e.user_id)
+        SELECT 'view' AS step,
+               CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+        UNION ALL SELECT 'click',
+               CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+        UNION ALL SELECT 'purchase',
+               CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    """,
+    # the lag() window the operator restates distributed
+    "event_transitions": """
+        WITH o AS (SELECT user_id, event_type,
+                          lag(event_type) OVER (
+                              PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+                   FROM events)
+        SELECT prev AS prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM o WHERE prev IS NOT NULL
+        GROUP BY prev, event_type
     """,
     # the textbook self-join formulation the operator restates
     "hourly_retention": """

@@ -786,3 +786,59 @@ class TestCohortRetention:
         with _pytest.raises(ValueError, match="unit"):
             cohort_retention(rd.from_items(rows), "user_id", "ts",
                              unit="week")
+
+
+class TestFunnelTransitions:
+    def _events(self):
+        from datetime import datetime
+
+        import ray.data as rd
+
+        def ev(u, m, t, eid):
+            return {"user_id": u, "ts": datetime(2024, 1, 1, 9, m),
+                    "event_type": t, "event_id": eid}
+
+        rows = [
+            # u1 completes view->click->purchase
+            ev(1, 0, "view", 1), ev(1, 5, "click", 2), ev(1, 9, "purchase", 3),
+            # u2: click BEFORE view -> depth 1 only (view found, no later click)
+            ev(2, 0, "click", 4), ev(2, 5, "view", 5),
+            # u3: view then click, no purchase
+            ev(3, 0, "view", 6), ev(3, 2, "click", 7), ev(3, 4, "error", 8),
+            # u4: nothing relevant
+            ev(4, 0, "error", 9),
+        ]
+        return rd.from_items(rows, override_num_blocks=3)
+
+    def test_funnel_cascade(self, ray_session):
+        from pappermate_ray.ops.funnel import funnel_counts
+
+        out = {r["step"]: r["n_users"]
+               for r in funnel_counts(self._events(), "user_id", "ts",
+                                      "event_type",
+                                      ["view", "click", "purchase"]).take_all()}
+        assert out == {"view": 3, "click": 2, "purchase": 1}
+
+    def test_funnel_strict_ts_rule(self, ray_session):
+        from datetime import datetime
+
+        import ray.data as rd
+
+        from pappermate_ray.ops.funnel import funnel_counts
+
+        # click shares the view's timestamp: strict > means depth 1
+        rows = [{"user_id": 1, "ts": datetime(2024, 1, 1, 9), "event_type": t,
+                 "event_id": i} for i, t in enumerate(["view", "click"])]
+        out = {r["step"]: r["n_users"]
+               for r in funnel_counts(rd.from_items(rows), "user_id", "ts",
+                                      "event_type", ["view", "click"]).take_all()}
+        assert out == {"view": 1, "click": 0}
+
+    def test_transitions_lag_parity(self, ray_session):
+        from pappermate_ray.ops.funnel import event_transitions
+
+        out = {(r["prev_type"], r["next_type"]): r["n"]
+               for r in event_transitions(self._events(), "user_id", "ts",
+                                          "event_type", "event_id").take_all()}
+        assert out == {("view", "click"): 2, ("click", "purchase"): 1,
+                       ("click", "view"): 1, ("click", "error"): 1}
