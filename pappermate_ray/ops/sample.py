@@ -243,6 +243,48 @@ def weighted_mixture_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def temperature_sample(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    salt: str = "alpha42",
+):
+    """Temperature (alpha) sampling — the multilingual/domain REBALANCING
+    standard (sample mass ∝ count^alpha, flattening head groups so tail
+    languages survive): per-group keep rate ``r_g = (c_min / c_g)^(1-alpha)``
+    (the smallest group keeps everything; expected kept mass per group is
+    ∝ c_g^alpha). Returns (sampled_ds, rates_dict).
+
+    Composition: one narrow group-count exchange (take_all of a
+    #groups-row table), then the existing zero-shuffle hash-Bernoulli
+    filter (``weighted_mixture_sample``) at the derived rates — so the
+    corpus itself streams through a single filter pass.
+
+    Determinism/oracle note: at alpha=0.5 the rate is ``sqrt(c_min/c_g)``
+    and IEEE-754 sqrt/div/mul are CORRECTLY ROUNDED — bit-identical in
+    numpy, CPython and DuckDB — so the hex threshold (and therefore the
+    exact kept set) is SQL-replicable. General alpha uses ``pow``, whose
+    last-ulp varies across libms; the operator allows it, the oracle
+    gate pins 0.5."""
+    import math
+
+    from ray.data.aggregate import Count as _Count
+
+    counts = {r[group_col]: int(r["n"]) for r in
+              ds.groupby(group_col).aggregate(
+                  _Count(alias_name="n")).take_all()}
+    if not counts:
+        return ds, {}
+    c_min = min(counts.values())
+    if alpha == 0.5:
+        rates = {g: math.sqrt(c_min / c) for g, c in counts.items()}
+    else:
+        rates = {g: (c_min / c) ** (1.0 - alpha) for g, c in counts.items()}
+    return (weighted_mixture_sample(ds, group_col, id_col, rates, salt=salt),
+            rates)
+
+
 def split_assign(
     ds: "ray.data.Dataset",
     id_col: str,

@@ -2759,6 +2759,22 @@ def q_fuzzy_token_match(sf_dir: str):
         ds, "tok", ["red", "blue", "cold", "small", "new"], max_dist=1)
 
 
+def q_temperature_sample(sf_dir: str):
+    """Temperature (alpha=0.5) rebalancing sample (ops/sample.
+    temperature_sample): per-language keep rates sqrt(c_min/c_g), the
+    smallest language keeps everything, head languages thin toward
+    count^0.5 mass. The EXACT kept set is SQL-replicable because the
+    rate chain is div→sqrt→mul→trunc — all IEEE correctly-rounded ops,
+    bit-identical across numpy/CPython/DuckDB (pow/ln would not be) —
+    and the coin is the shared md5-hex Bernoulli."""
+    from .ops.sample import temperature_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    out, _rates = temperature_sample(docs, "lang", "doc_id", alpha=0.5)
+    return out
+
+
 def q_purchase_funnel(sf_dir: str):
     """Ordered funnel (ops/funnel.funnel_counts): users reaching each of
     view → click → purchase under the strict first-occurrence cascade —
@@ -5064,6 +5080,8 @@ SQL_QUERIES = {
     "hourly_retention": q_hourly_retention,
     # ordered funnel vs the cascade-CTE formulation
     "purchase_funnel": q_purchase_funnel,
+    # alpha-sampling: IEEE-exact sqrt rate chain + md5 Bernoulli
+    "temperature_sample": q_temperature_sample,
     # per-user lag() transition counts
     "event_transitions": q_event_transitions,
     # Efraimidis-Spirakis weighted sample, bit-exact hex-priority oracle
@@ -5084,6 +5102,20 @@ ORACLE_SQL.update({
                CAST(a.c * b.c AS BIGINT) AS n_id_pairs
         FROM n a JOIN n b ON a.p_name < b.p_name
         WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    # identical div->sqrt->mul->trunc rate chain + md5 coin in SQL
+    "temperature_sample": """
+        WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        m AS (SELECT MIN(n) AS nmin FROM c),
+        t AS (SELECT lang,
+                     CASE WHEN n <= nmin THEN 'gggggggg'
+                          ELSE printf('%08x', CAST(FLOOR(
+                              sqrt(CAST(nmin AS DOUBLE) / n)
+                              * 4294967296.0) AS BIGINT)) END AS thr
+              FROM c, m)
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN t USING (lang)
+        WHERE substr(md5(d.doc_id || ':alpha42'), 1, 8) < t.thr
     """,
     # MIN-ts cascade with strict >, one CTE per step
     "purchase_funnel": """

@@ -842,3 +842,43 @@ class TestFunnelTransitions:
                                           "event_type", "event_id").take_all()}
         assert out == {("view", "click"): 2, ("click", "purchase"): 1,
                        ("click", "view"): 1, ("click", "error"): 1}
+
+
+class TestTemperatureSample:
+    def test_rates_and_kept_set(self, ray_session):
+        import hashlib
+        import math
+
+        import ray.data as rd
+
+        from pappermate_ray.ops.sample import temperature_sample
+
+        rows = ([{"g": "big", "id": i} for i in range(400)]
+                + [{"g": "small", "id": 1000 + i} for i in range(100)])
+        out, rates = temperature_sample(
+            rd.from_items(rows, override_num_blocks=4), "g", "id")
+        assert rates["small"] == 1.0
+        assert rates["big"] == math.sqrt(100 / 400)
+
+        def kept(i, rate):
+            h = hashlib.md5(f"{i}:alpha42".encode()).hexdigest()[:8]
+            thr = "gggggggg" if rate >= 1 else format(int(rate * 16**8), "08x")
+            return h < thr
+
+        want = {r["id"] for r in rows if kept(r["id"], rates[r["g"]])}
+        got = {r["id"] for r in out.take_all()}
+        assert got == want
+        # every small-group row survives; big group is thinned
+        assert all(1000 + i in got for i in range(100))
+        assert 0 < sum(1 for i in got if i < 1000) < 400
+
+    def test_alpha_one_keeps_everything(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.ops.sample import temperature_sample
+
+        rows = [{"g": g, "id": i} for i, g in enumerate("aabbbbbb")]
+        out, rates = temperature_sample(rd.from_items(rows), "g", "id",
+                                        alpha=1.0)
+        assert all(r == 1.0 for r in rates.values())
+        assert out.count() == len(rows)
