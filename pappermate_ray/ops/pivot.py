@@ -1,0 +1,69 @@
+"""Pivot / crosstab: long (row, category, value) → wide one-column-per-
+category.
+
+Distributed pivot needs a STATIC output schema, so the category list is
+an explicit argument (discovery-then-pivot is two jobs by nature — run a
+distinct pass first if the categories are unknown; categories outside
+the list are dropped, which is also what keeps a poisoned category
+column from exploding the schema). Scale shape: ONE finest
+(row, category) aggregate exchange — the corpus never pivots, only the
+(distinct row × category) counts do — then a per-row-group gather over
+the fixed category list.
+
+Beyond-reference scope: the reference's reports are long-format
+histograms (scripts/openai_contract_explorer.py); the wide crosstab is
+their standard presentation form.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def pivot_counts(
+    ds: "rd.Dataset",
+    row_col: str,
+    cat_col: str,
+    categories: List[str],
+    out_prefix: str = "",
+) -> "rd.Dataset":
+    """Wide count crosstab: one row per distinct ``row_col``, one int64
+    column ``<out_prefix><category>`` per entry of ``categories``
+    (missing combinations are 0)."""
+    finest = ds.groupby([row_col, cat_col]).aggregate(Count(alias_name="n"))
+    return _widen(finest, row_col, cat_col, "n", categories, out_prefix,
+                  pa.int64())
+
+
+def pivot_sum(
+    ds: "rd.Dataset",
+    row_col: str,
+    cat_col: str,
+    value_col: str,
+    categories: List[str],
+    out_prefix: str = "",
+) -> "rd.Dataset":
+    """Wide SUM crosstab (float64 cells; absent combinations are 0.0)."""
+    finest = ds.groupby([row_col, cat_col]).aggregate(
+        Sum(value_col, alias_name="v"))
+    return _widen(finest, row_col, cat_col, "v", categories, out_prefix,
+                  pa.float64())
+
+
+def _widen(finest, row_col, cat_col, val_col, categories, out_prefix,
+           cell_type):
+    py_cast = float if cell_type == pa.float64() else int
+
+    def widen(g: pa.Table) -> pa.Table:
+        m = dict(zip(g[cat_col].to_pylist(), g[val_col].to_pylist()))
+        cols = {row_col: g[row_col].slice(0, 1)}
+        for c in categories:
+            cols[f"{out_prefix}{c}"] = pa.array(
+                [py_cast(m.get(c, 0))], cell_type)
+        return pa.table(cols)
+
+    return finest.groupby(row_col).map_groups(widen, batch_format="pyarrow")

@@ -2759,6 +2759,19 @@ def q_fuzzy_token_match(sf_dir: str):
         ds, "tok", ["red", "blue", "cold", "small", "new"], max_dist=1)
 
 
+def q_lang_pivot(sf_dir: str):
+    """Crosstab (ops/pivot.pivot_counts): docs per source × language as
+    a wide table — ONE finest (source, lang) aggregate exchange, then a
+    fixed-category widen per source group (static schema is what makes
+    a distributed pivot possible). Oracle is the CASE-sum formulation."""
+    from .ops.pivot import pivot_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "lang"])
+    return pivot_counts(docs, "source", "lang",
+                        ["de", "en", "es", "fr", "zh"], out_prefix="n_")
+
+
 def q_temperature_sample(sf_dir: str):
     """Temperature (alpha=0.5) rebalancing sample (ops/sample.
     temperature_sample): per-language keep rates sqrt(c_min/c_g), the
@@ -5082,6 +5095,8 @@ SQL_QUERIES = {
     "purchase_funnel": q_purchase_funnel,
     # alpha-sampling: IEEE-exact sqrt rate chain + md5 Bernoulli
     "temperature_sample": q_temperature_sample,
+    # wide crosstab vs the CASE-sum formulation
+    "lang_pivot": q_lang_pivot,
     # per-user lag() transition counts
     "event_transitions": q_event_transitions,
     # Efraimidis-Spirakis weighted sample, bit-exact hex-priority oracle
@@ -5102,6 +5117,16 @@ ORACLE_SQL.update({
                CAST(a.c * b.c AS BIGINT) AS n_id_pairs
         FROM n a JOIN n b ON a.p_name < b.p_name
         WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    # the CASE-sum crosstab the operator restates
+    "lang_pivot": """
+        SELECT source,
+               CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+               CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+               CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+               CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
+        FROM documents GROUP BY source
     """,
     # identical div->sqrt->mul->trunc rate chain + md5 coin in SQL
     "temperature_sample": """

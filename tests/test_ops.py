@@ -882,3 +882,22 @@ class TestTemperatureSample:
                                         alpha=1.0)
         assert all(r == 1.0 for r in rates.values())
         assert out.count() == len(rows)
+
+
+class TestPivot:
+    def test_pivot_counts_and_sum(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.ops.pivot import pivot_counts, pivot_sum
+
+        rows = [{"s": "a", "g": "x", "v": 1.5}, {"s": "a", "g": "x", "v": 2.5},
+                {"s": "a", "g": "y", "v": 4.0}, {"s": "b", "g": "y", "v": 8.0},
+                {"s": "b", "g": "zzz-unknown", "v": 99.0}]
+        ds = rd.from_items(rows, override_num_blocks=2)
+        got = {r["s"]: (r["n_x"], r["n_y"])
+               for r in pivot_counts(ds, "s", "g", ["x", "y"],
+                                     out_prefix="n_").take_all()}
+        assert got == {"a": (2, 1), "b": (0, 1)}  # unknown cat dropped
+        gots = {r["s"]: (r["x"], r["y"])
+                for r in pivot_sum(ds, "s", "g", "v", ["x", "y"]).take_all()}
+        assert gots == {"a": (4.0, 4.0), "b": (0.0, 8.0)}
