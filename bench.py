@@ -154,7 +154,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "fuzzy_token_match", "weighted_sample_docs", "grouped_distinct_check",
         "fuzzy_index_match", "rollup_revenue", "length_quartiles",
         "hourly_retention", "purchase_funnel", "event_transitions",
-        "temperature_sample", "lang_pivot",
+        "temperature_sample", "lang_pivot", "fuzzy_keep_list",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

@@ -2759,6 +2759,23 @@ def q_fuzzy_token_match(sf_dir: str):
         ds, "tok", ["red", "blue", "cold", "small", "new"], max_dist=1)
 
 
+def q_fuzzy_keep_list(sf_dir: str):
+    """End-to-end ENTITY RESOLUTION: fuzzy edit-distance pairs →
+    connected components → one canonical name per cluster — the fuzzy
+    family plugged into the same clustering machinery the MinHash
+    keep-list uses (stages/dedup.cluster_pairs/keep_list, which
+    preserve string ids). Oracle: the levenshtein edge set + the
+    recursive-CTE transitive closure, LEAST/MIN on VARCHAR."""
+    from .stages.dedup import cluster_pairs, keep_list
+    from .stages.fuzzy import fuzzy_pairs
+
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    pairs = fuzzy_pairs(parts, "p_name", max_dist=2).map_batches(
+        lambda t: pa.table({"id_a": t["name_a"], "id_b": t["name_b"]}),
+        batch_format="pyarrow")
+    return keep_list(cluster_pairs(pairs))
+
+
 def q_lang_pivot(sf_dir: str):
     """Crosstab (ops/pivot.pivot_counts): docs per source × language as
     a wide table — ONE finest (source, lang) aggregate exchange, then a
@@ -5097,6 +5114,8 @@ SQL_QUERIES = {
     "temperature_sample": q_temperature_sample,
     # wide crosstab vs the CASE-sum formulation
     "lang_pivot": q_lang_pivot,
+    # fuzzy pairs -> components -> canonical names (entity resolution)
+    "fuzzy_keep_list": q_fuzzy_keep_list,
     # per-user lag() transition counts
     "event_transitions": q_event_transitions,
     # Efraimidis-Spirakis weighted sample, bit-exact hex-priority oracle
@@ -5117,6 +5136,28 @@ ORACLE_SQL.update({
                CAST(a.c * b.c AS BIGINT) AS n_id_pairs
         FROM n a JOIN n b ON a.p_name < b.p_name
         WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    # levenshtein edges + recursive-CTE closure, LEAST/MIN on VARCHAR
+    "fuzzy_keep_list": """
+        WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+        edges AS (
+            SELECT a.p_name AS id_a, b.p_name AS id_b
+            FROM n a JOIN n b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 2),
+        und AS (
+            SELECT id_a AS s, id_b AS d FROM edges
+            UNION ALL
+            SELECT id_b, id_a FROM edges),
+        reach(s, d) AS (
+            SELECT s, d FROM und
+            UNION
+            SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s),
+        comp AS (
+            SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+            FROM reach GROUP BY s)
+        SELECT cluster_id, MIN(doc_id) AS keep_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM comp GROUP BY cluster_id
     """,
     # the CASE-sum crosstab the operator restates
     "lang_pivot": """

@@ -651,9 +651,14 @@ def cluster_pairs(
                 nodes.add(b)
                 union(a, b)
         ids = sorted(nodes)
+        # infer the id type (int64 ids stay int64; STRING entities —
+        # e.g. fuzzy_pairs names — cluster unchanged: union-find and
+        # min-label are pure comparisons)
+        arr = pa.array(ids)
         return rd.from_arrow(
-            pa.table({"doc_id": pa.array(ids, pa.int64()),
-                      "cluster_id": pa.array([find(i) for i in ids], pa.int64())})
+            pa.table({"doc_id": arr,
+                      "cluster_id": pa.array([find(i) for i in ids],
+                                             arr.type)})
         )
 
     # distributed min-label propagation, join-free: each round is a

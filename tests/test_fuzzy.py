@@ -206,3 +206,22 @@ class TestFuzzyIndex:
         # every bucket it shares with the dictionary... the cap only
         # drops runs > 5; "aax" itself is a dictionary word variant hub
         assert all(r["value"] != "zzz" for r in out)
+
+
+class TestFuzzyKeepList:
+    def test_string_entity_resolution(self, ray_session):
+        from pappermate_ray.stages.dedup import cluster_pairs, keep_list
+        from pappermate_ray.stages.fuzzy import fuzzy_pairs
+
+        rows = [{"name": n} for n in
+                ["cold bolt", "old bolt", "gold bolt",   # one chain cluster
+                 "zebra", "zebrb",                        # pair cluster
+                 "unrelated thing"]]                      # singleton: absent
+        pairs = fuzzy_pairs(rd.from_items(rows), "name", max_dist=1)
+        pairs = pairs.map_batches(
+            lambda t: pa.table({"id_a": t["name_a"], "id_b": t["name_b"]}),
+            batch_format="pyarrow")
+        out = {r["cluster_id"]: (r["keep_id"], r["n_members"])
+               for r in keep_list(cluster_pairs(pairs)).take_all()}
+        assert out == {"cold bolt": ("cold bolt", 3),
+                       "zebra": ("zebra", 2)}
