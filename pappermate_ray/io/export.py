@@ -65,3 +65,19 @@ def training_rows(docs: "rd.Dataset") -> "rd.Dataset":
 
 def write_training_jsonl(docs: "rd.Dataset", out_dir: str) -> None:
     training_rows(docs).write_json(out_dir)
+
+
+def write_jsonl(ds: "rd.Dataset", out_dir: str) -> None:
+    """Generic JSONL sink: one JSON object per row, one file per block
+    (Ray's native write_json) — the interchange format every training
+    stack reads. Resumability comes from the file-per-block layout plus
+    the manifest machinery in io/sink.py when composed there."""
+    ds.write_json(out_dir)
+
+
+def read_jsonl(paths, **kwargs) -> "rd.Dataset":
+    """JSONL source: parallelism = file count (same source-block rule as
+    parquet — materialize tiny-file corpora before long map chains,
+    BASELINE.md). Schema is inferred per file; keep JSONL shards
+    homogeneous or pass an explicit schema via kwargs."""
+    return rd.read_json(paths, **kwargs)

@@ -2759,6 +2759,46 @@ def q_fuzzy_token_match(sf_dir: str):
         ds, "tok", ["red", "blue", "cold", "small", "new"], max_dist=1)
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL interchange end-to-end (io/export.write_jsonl/read_jsonl):
+    documents → Ray's file-per-block JSONL sink → parallel JSONL source
+    → per-doc integrity row (char count + md5 of the roundtripped
+    text). The oracle recomputes both from the parquet table, so any
+    escaping/unicode/newline drift in the JSON path hash-mismatches —
+    the warc_roundtrip pattern for the training-data interchange
+    format."""
+    import hashlib as _hl
+    import os
+
+    from .io.export import read_jsonl, write_jsonl
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"/tmp/jsonl_src_v1_{tag}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+        write_jsonl(docs, out)
+        with open(os.path.join(out, "_SUCCESS"), "w"):
+            pass
+
+    files = [os.path.join(out, f) for f in sorted(os.listdir(out))
+             if f.endswith(".json")]
+    ds = read_jsonl(files)
+
+    def integrity(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang": t["lang"],
+            "n_chars_roundtrip": pc.cast(pc.utf8_length(t["text"]),
+                                         pa.int64()),
+            "text_md5": pa.array(
+                [_hl.md5((x or "").encode("utf-8")).hexdigest()
+                 for x in t["text"].to_pylist()], pa.string()),
+        })
+
+    return ds.map_batches(integrity, batch_format="pyarrow")
+
+
 def q_fuzzy_keep_list(sf_dir: str):
     """End-to-end ENTITY RESOLUTION: fuzzy edit-distance pairs →
     connected components → one canonical name per cluster — the fuzzy
@@ -5116,6 +5156,8 @@ SQL_QUERIES = {
     "lang_pivot": q_lang_pivot,
     # fuzzy pairs -> components -> canonical names (entity resolution)
     "fuzzy_keep_list": q_fuzzy_keep_list,
+    # JSONL sink -> source integrity vs parquet recompute
+    "jsonl_roundtrip": q_jsonl_roundtrip,
     # per-user lag() transition counts
     "event_transitions": q_event_transitions,
     # Efraimidis-Spirakis weighted sample, bit-exact hex-priority oracle
@@ -5136,6 +5178,13 @@ ORACLE_SQL.update({
                CAST(a.c * b.c AS BIGINT) AS n_id_pairs
         FROM n a JOIN n b ON a.p_name < b.p_name
         WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    # expected integrity recomputed from the parquet source of truth
+    "jsonl_roundtrip": """
+        SELECT doc_id, lang,
+               CAST(length(text) AS BIGINT) AS n_chars_roundtrip,
+               md5(text) AS text_md5
+        FROM documents
     """,
     # levenshtein edges + recursive-CTE closure, LEAST/MIN on VARCHAR
     "fuzzy_keep_list": """

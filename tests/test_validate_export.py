@@ -164,3 +164,19 @@ class TestSessions:
 
         want = dict(con.execute(ORACLE_SQL["user_sessions"]).fetchall())
         assert got == want
+
+
+class TestJsonlRoundtrip:
+    def test_unicode_newlines_survive(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from pappermate_ray.io.export import read_jsonl, write_jsonl
+
+        rows = [{"doc_id": 0, "text": "plain"},
+                {"doc_id": 1, "text": "中文 φράση é́"},
+                {"doc_id": 2, "text": "line1\nline2\ttab \"quoted\" \\slash"},
+                {"doc_id": 3, "text": ""}]
+        out = str(tmp_path / "jl")
+        write_jsonl(rd.from_items(rows, override_num_blocks=2), out)
+        got = {r["doc_id"]: r["text"] for r in read_jsonl(out).take_all()}
+        assert got == {r["doc_id"]: r["text"] for r in rows}
