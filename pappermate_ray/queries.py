@@ -2759,6 +2759,22 @@ def q_fuzzy_token_match(sf_dir: str):
         ds, "tok", ["red", "blue", "cold", "small", "new"], max_dist=1)
 
 
+def q_grouped_quantiles_approx(sf_dir: str):
+    """Per-language HDR quantiles of n_chars (stages/sketch.
+    grouped_approx_quantiles): the skew-immune scale path — one fixed
+    32 KiB histogram per group×block shuffles, never values; integer-
+    exact monotone bucketing makes the approximation BIT-EXACT equal to
+    SQL quantile_disc over the hdr edge expression per group (the
+    approx_quantiles property, grouped)."""
+    from .stages.sketch import grouped_approx_quantiles
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "n_chars"])
+    return grouped_approx_quantiles(docs, "lang", "n_chars",
+                                    [0.25, 0.5, 0.75],
+                                    ["p25", "p50", "p75"])
+
+
 def q_jsonl_roundtrip(sf_dir: str):
     """JSONL interchange end-to-end (io/export.write_jsonl/read_jsonl):
     documents → Ray's file-per-block JSONL sink → parallel JSONL source
@@ -5158,6 +5174,8 @@ SQL_QUERIES = {
     "fuzzy_keep_list": q_fuzzy_keep_list,
     # JSONL sink -> source integrity vs parquet recompute
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    # grouped HDR quantiles, bit-exact vs quantile_disc over hdr edges
+    "grouped_quantiles_approx": q_grouped_quantiles_approx,
     # per-user lag() transition counts
     "event_transitions": q_event_transitions,
     # Efraimidis-Spirakis weighted sample, bit-exact hex-priority oracle
@@ -5178,6 +5196,20 @@ ORACLE_SQL.update({
                CAST(a.c * b.c AS BIGINT) AS n_id_pairs
         FROM n a JOIN n b ON a.p_name < b.p_name
         WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    # the global approx_quantiles hdr-edge oracle, GROUP BY lang
+    "grouped_quantiles_approx": """
+        WITH e AS (
+          SELECT lang,
+                 CASE WHEN n_chars < 64 THEN n_chars
+                 ELSE ((64 | ((n_chars >> (length(printf('%b', n_chars)) - 7)) & 63))
+                       << (length(printf('%b', n_chars)) - 7)) END AS edge
+          FROM documents)
+        SELECT lang,
+               quantile_disc(edge, 0.25) AS p25,
+               quantile_disc(edge, 0.50) AS p50,
+               quantile_disc(edge, 0.75) AS p75
+        FROM e GROUP BY lang
     """,
     # expected integrity recomputed from the parquet source of truth
     "jsonl_roundtrip": """

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import hashlib
 from collections import Counter
-from typing import Iterable, List, Tuple
+from typing import Iterable, List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -300,6 +300,69 @@ def approx_quantiles(
         key = int(np.searchsorted(cum, idx + 1))
         out.append(hdr_edge(key))
     return out, len(rows)
+
+
+def grouped_approx_quantiles(
+    ds: "rd.Dataset",
+    group_col: str,
+    value_col: str,
+    qs: List[float],
+    out_names: Optional[List[str]] = None,
+) -> "rd.Dataset":
+    """Per-group HDR quantiles — the skew-immune scale path for
+    ``ops/quantiles.grouped_quantiles`` when value-count compression
+    stops compressing (huge/continuous domains): ONE fixed 32 KiB
+    histogram per (group × block) shuffles, never the values, and a hot
+    group still costs one histogram row per block, not its cardinality.
+    Per-group merge is vector addition; the answer uses the same
+    ceil-rank rule over bucket lower edges, so it is BIT-EXACT equal to
+    SQL ``quantile_disc`` over the hdr edge expression per group (the
+    global ``approx_quantiles`` property, grouped)."""
+    import math
+
+    names = out_names or [f"p{int(round(q * 100)):02d}" for q in qs]
+    if len(names) != len(qs):
+        raise ValueError("out_names must match qs length")
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        garr = np.array(t[group_col].to_pylist(), dtype=object)
+        vals = np.asarray(t[value_col], np.int64)
+        order = np.argsort(garr, kind="stable")
+        gs, vs = garr[order], vals[order]
+        n = len(gs)
+        out_g: list = []
+        out_h: list = []
+        if n:
+            change = np.ones(n, bool)
+            change[1:] = gs[1:] != gs[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            for s, e in zip(starts, ends):
+                keys = hdr_keys(vs[s:e])
+                out_g.append(gs[s])
+                out_h.append(np.bincount(
+                    keys, minlength=_HDR_SLOTS).astype(np.int64).tobytes())
+        return pa.table({
+            group_col: pa.array(out_g, t[group_col].type),
+            "h": pa.array(out_h, pa.binary()),
+        })
+
+    def finish(g: pa.Table) -> pa.Table:
+        hist = np.zeros(_HDR_SLOTS, dtype=np.int64)
+        for r in g["h"].to_pylist():
+            hist += np.frombuffer(r, dtype=np.int64)
+        cum = np.cumsum(hist)
+        n = int(cum[-1])
+        cols = {group_col: g[group_col].slice(0, 1)}
+        for q, name in zip(qs, names):
+            idx = max(0, math.ceil(q * n) - 1)
+            key = int(np.searchsorted(cum, idx + 1))
+            cols[name] = pa.array([hdr_edge(key)], pa.int64())
+        return pa.table(cols)
+
+    return (ds.map_batches(sketch_batch, batch_format="pyarrow")
+            .groupby(group_col)
+            .map_groups(finish, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------

@@ -312,3 +312,44 @@ class TestGroupedDistinct:
             rd.from_items(rows, override_num_blocks=7), "lang",
             _words).take_all()}
         assert a == b  # register max-merge is layout-independent
+
+
+class TestGroupedApproxQuantiles:
+    def test_small_values_exact_and_grouped(self, ray_session):
+        from pappermate_ray.stages.sketch import grouped_approx_quantiles
+
+        # values < 64 are EXACT hdr buckets -> equals exact quantiles
+        rows = [{"g": "a", "v": v} for v in [5, 1, 3, 3, 9]]
+        rows += [{"g": "b", "v": v} for v in [10, 20, 30, 40]]
+        ds = rd.from_items(rows, override_num_blocks=3)
+        out = {r["g"]: (r["q1"], r["q2"], r["q3"])
+               for r in grouped_approx_quantiles(
+                   ds, "g", "v", [0.25, 0.5, 0.75],
+                   ["q1", "q2", "q3"]).take_all()}
+        assert out["a"] == (3, 3, 5)      # same hand CDF as the exact op
+        assert out["b"] == (10, 20, 30)
+
+    def test_relative_error_bound_large_values(self, ray_session):
+        from pappermate_ray.stages.sketch import grouped_approx_quantiles
+
+        rng = np.random.default_rng(11)
+        vals = rng.integers(1, 1_000_000, 4000)
+        ds = rd.from_items([{"g": "x", "v": int(v)} for v in vals],
+                           override_num_blocks=5)
+        out = grouped_approx_quantiles(ds, "g", "v", [0.5], ["p50"]).take_all()
+        est = out[0]["p50"]
+        true = int(np.sort(vals)[max(0, int(np.ceil(0.5 * len(vals))) - 1)])
+        assert abs(est - true) <= true / 32  # one bucket width (1/64) + slack
+
+    def test_layout_invariance(self, ray_session):
+        from pappermate_ray.stages.sketch import grouped_approx_quantiles
+
+        rows = [{"g": "a" if i % 3 else "b", "v": i * 37 % 100000}
+                for i in range(500)]
+        a = {r["g"]: r["p50"] for r in grouped_approx_quantiles(
+            rd.from_items(rows, override_num_blocks=1), "g", "v",
+            [0.5]).take_all()}
+        b = {r["g"]: r["p50"] for r in grouped_approx_quantiles(
+            rd.from_items(rows, override_num_blocks=9), "g", "v",
+            [0.5]).take_all()}
+        assert a == b
