@@ -81,3 +81,10 @@ def read_jsonl(paths, **kwargs) -> "rd.Dataset":
     BASELINE.md). Schema is inferred per file; keep JSONL shards
     homogeneous or pass an explicit schema via kwargs."""
     return rd.read_json(paths, **kwargs)
+
+
+def read_csv(paths, **kwargs) -> "rd.Dataset":
+    """CSV source (pyarrow reader under Ray): embedded newlines, quotes
+    and unicode roundtrip with ``Dataset.write_csv`` — integrity-gated
+    by q:csv_roundtrip. Parallelism = file count (source-block rule)."""
+    return rd.read_csv(paths, **kwargs)

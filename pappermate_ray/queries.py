@@ -2759,6 +2759,44 @@ def q_fuzzy_token_match(sf_dir: str):
         ds, "tok", ["red", "blue", "cold", "small", "new"], max_dist=1)
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """CSV source end-to-end (io/export.read_csv + Dataset.write_csv):
+    same integrity pattern as jsonl_roundtrip/warc_roundtrip — the
+    oracle recomputes char count + md5 from parquet, so quoting,
+    embedded-newline or unicode drift in the CSV path hash-mismatches."""
+    import hashlib as _hl
+    import os
+
+    from .io.export import read_csv
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"/tmp/csv_src_v1_{tag}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+        docs.write_csv(out)
+        with open(os.path.join(out, "_SUCCESS"), "w"):
+            pass
+
+    files = [os.path.join(out, f) for f in sorted(os.listdir(out))
+             if f.endswith(".csv")]
+    ds = read_csv(files)
+
+    def integrity(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang": t["lang"],
+            "n_chars_roundtrip": pa.array(
+                [len(x or "") for x in texts], pa.int64()),
+            "text_md5": pa.array(
+                [_hl.md5((x or "").encode("utf-8")).hexdigest()
+                 for x in texts], pa.string()),
+        })
+
+    return ds.map_batches(integrity, batch_format="pyarrow")
+
+
 def q_grouped_quantiles_approx(sf_dir: str):
     """Per-language HDR quantiles of n_chars (stages/sketch.
     grouped_approx_quantiles): the skew-immune scale path — one fixed
@@ -5176,6 +5214,8 @@ SQL_QUERIES = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     # grouped HDR quantiles, bit-exact vs quantile_disc over hdr edges
     "grouped_quantiles_approx": q_grouped_quantiles_approx,
+    # CSV sink -> source integrity vs parquet recompute
+    "csv_roundtrip": q_csv_roundtrip,
     # per-user lag() transition counts
     "event_transitions": q_event_transitions,
     # Efraimidis-Spirakis weighted sample, bit-exact hex-priority oracle
@@ -5210,6 +5250,13 @@ ORACLE_SQL.update({
                quantile_disc(edge, 0.50) AS p50,
                quantile_disc(edge, 0.75) AS p75
         FROM e GROUP BY lang
+    """,
+    # same parquet-truth integrity oracle as jsonl_roundtrip
+    "csv_roundtrip": """
+        SELECT doc_id, lang,
+               CAST(length(text) AS BIGINT) AS n_chars_roundtrip,
+               md5(text) AS text_md5
+        FROM documents
     """,
     # expected integrity recomputed from the parquet source of truth
     "jsonl_roundtrip": """

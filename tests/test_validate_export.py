@@ -180,3 +180,19 @@ class TestJsonlRoundtrip:
         write_jsonl(rd.from_items(rows, override_num_blocks=2), out)
         got = {r["doc_id"]: r["text"] for r in read_jsonl(out).take_all()}
         assert got == {r["doc_id"]: r["text"] for r in rows}
+
+
+class TestCsvRoundtrip:
+    def test_quotes_newlines_unicode_survive(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from pappermate_ray.io.export import read_csv
+
+        rows = [{"doc_id": 0, "text": "plain"},
+                {"doc_id": 1, "text": "中文 φράση é"},
+                {"doc_id": 2, "text": 'a,comma "quoted"\nsecond line'},
+                {"doc_id": 3, "text": "semi;colon\ttab"}]
+        out = str(tmp_path / "csv")
+        rd.from_items(rows, override_num_blocks=2).write_csv(out)
+        got = {r["doc_id"]: r["text"] for r in read_csv(out).take_all()}
+        assert got == {r["doc_id"]: r["text"] for r in rows}
