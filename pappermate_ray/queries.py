@@ -2759,6 +2759,24 @@ def q_fuzzy_token_match(sf_dir: str):
         ds, "tok", ["red", "blue", "cold", "small", "new"], max_dist=1)
 
 
+def q_join_cardinality(sf_dir: str):
+    """Exact join-size estimation WITHOUT the join (ops/estimate.
+    join_cardinality): |orders ⋈ lineitem| from the two per-key count
+    histograms — two narrow aggregate exchanges + a broadcast
+    multiply — the planner question ('how big would this join be')
+    answered at a fraction of the join's cost. Oracle computes the same
+    Σ c_L(k)·c_R(k) in SQL; also equals COUNT(*) of the actual join."""
+    from .ops.estimate import join_cardinality
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+    lineitem = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey"])
+    n = join_cardinality(orders, lineitem, on="o_orderkey",
+                         right_on="l_orderkey")
+    return pa.table({"n_join_rows": pa.array([n], pa.int64())})
+
+
 def q_csv_roundtrip(sf_dir: str):
     """CSV source end-to-end (io/export.read_csv + Dataset.write_csv):
     same integrity pattern as jsonl_roundtrip/warc_roundtrip — the
@@ -5216,6 +5234,8 @@ SQL_QUERIES = {
     "grouped_quantiles_approx": q_grouped_quantiles_approx,
     # CSV sink -> source integrity vs parquet recompute
     "csv_roundtrip": q_csv_roundtrip,
+    # exact join size from key histograms, no join executed
+    "join_cardinality": q_join_cardinality,
     # per-user lag() transition counts
     "event_transitions": q_event_transitions,
     # Efraimidis-Spirakis weighted sample, bit-exact hex-priority oracle
@@ -5250,6 +5270,11 @@ ORACLE_SQL.update({
                quantile_disc(edge, 0.50) AS p50,
                quantile_disc(edge, 0.75) AS p75
         FROM e GROUP BY lang
+    """,
+    # the same histogram product, which equals the true join count
+    "join_cardinality": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_join_rows
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     """,
     # same parquet-truth integrity oracle as jsonl_roundtrip
     "csv_roundtrip": """

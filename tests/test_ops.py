@@ -901,3 +901,30 @@ class TestPivot:
         gots = {r["s"]: (r["x"], r["y"])
                 for r in pivot_sum(ds, "s", "g", "v", ["x", "y"]).take_all()}
         assert gots == {"a": (4.0, 4.0), "b": (0.0, 8.0)}
+
+
+class TestJoinCardinality:
+    def test_exact_fanout_count(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.ops.estimate import join_cardinality
+
+        left = rd.from_items(
+            [{"k": k} for k in [1, 1, 1, 2, 2, 3, 9]],
+            override_num_blocks=2)
+        right = rd.from_items(
+            [{"rk": k} for k in [1, 1, 2, 3, 3, 3, 7]],
+            override_num_blocks=2)
+        # 1: 3*2=6, 2: 2*1=2, 3: 1*3=3 -> 11; 9 and 7 don't match
+        assert join_cardinality(left, right, on="k", right_on="rk") == 11
+
+    def test_limit_guard(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from pappermate_ray.ops.estimate import join_cardinality
+
+        left = rd.from_items([{"k": i} for i in range(10)])
+        right = rd.from_items([{"k": i} for i in range(10)])
+        with _pytest.raises(ValueError, match="broadcast_limit"):
+            join_cardinality(left, right, on="k", broadcast_limit=5)
