@@ -297,3 +297,100 @@ def anti_join(
     return hash_join(left, right, on=on, num_partitions=num_partitions,
                      join_type="left_anti",
                      left_schema=left_schema, right_schema=right_schema)
+
+
+def broadcast_join(
+    left: "ray.data.Dataset",
+    right_table: pa.Table,
+    on: str,
+    right_on: Optional[str] = None,
+) -> "ray.data.Dataset":
+    """INNER join against a driver-small BROADCAST right table: the
+    table is put in the object store ONCE; per batch the unique-key
+    fast path is fully vectorized (``pc.index_in`` + ``take``), and
+    duplicate right keys fall back to a precomputed key→row-indices
+    expansion (fan-out preserved). Zero exchanges — the streaming
+    sibling of ``hash_join(join_type='inner')`` for small sides, with
+    identical output rows (right key column dropped, as Acero does).
+    Use ``auto_join`` to pick between the two by measured size."""
+    import numpy as np
+
+    rkey = right_on or on
+    keys = right_table[rkey].combine_chunks()
+    n_distinct = pc.count_distinct(keys).as_py()
+    unique = n_distinct == right_table.num_rows
+    payload = right_table.drop_columns([rkey])
+    if unique:
+        ref = ray.put((keys, payload))
+
+        def join_batch(t: pa.Table) -> pa.Table:
+            ks, rt = ray.get(ref)
+            idx = pc.index_in(t[on], value_set=ks)
+            mask = pc.is_valid(idx)
+            lt = t.filter(mask)
+            rsel = rt.take(idx.filter(mask))
+            out = lt
+            for name in rsel.schema.names:
+                out = out.append_column(name, rsel[name])
+            return out
+    else:
+        # key -> right row indices, built once and broadcast
+        karr = np.array(keys.to_pylist(), dtype=object)
+        order = np.argsort(karr, kind="stable")
+        ks_sorted = karr[order]
+        change = np.ones(len(ks_sorted), bool)
+        if len(ks_sorted):
+            change[1:] = ks_sorted[1:] != ks_sorted[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(ks_sorted))
+        index_map = {ks_sorted[s]: order[s:e] for s, e in zip(starts, ends)}
+        ref = ray.put((index_map, payload))
+
+        def join_batch(t: pa.Table) -> pa.Table:
+            imap, rt = ray.get(ref)
+            li, ri = [], []
+            for r, k in enumerate(t[on].to_pylist()):
+                hit = imap.get(k)
+                if hit is not None:
+                    li.extend([r] * len(hit))
+                    ri.extend(hit)
+            lt = t.take(pa.array(li, pa.int64()))
+            rsel = rt.take(pa.array(ri, pa.int64()))
+            out = lt
+            for name in rsel.schema.names:
+                out = out.append_column(name, rsel[name])
+            return out
+
+    return left.map_batches(join_batch, batch_format="pyarrow")
+
+
+def auto_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    right_on: Optional[str] = None,
+    broadcast_rows: int = 200_000,
+    n_right_hint: Optional[int] = None,
+    left_schema: Optional[pa.Schema] = None,
+    right_schema: Optional[pa.Schema] = None,
+) -> "ray.data.Dataset":
+    """Adaptive INNER join: measure the right side (``count()`` —
+    metadata-cheap for parquet reads; pass ``n_right_hint`` when the
+    lineage is expensive) and pick the plan — ≤ ``broadcast_rows``
+    collects the right side once (exact Arrow blocks, no row-dict
+    conversion) and streams a zero-exchange ``broadcast_join``;
+    above it, the armored partitioned ``hash_join``. The small-side
+    join is THE 100 TB hot path (dimension tables, keep-lists,
+    manifests), and paying an all-to-all for it is the classic planner
+    mistake this removes."""
+    n_right = n_right_hint if n_right_hint is not None else right.count()
+    if n_right <= broadcast_rows:
+        blocks = ray.get(right.to_arrow_refs())
+        blocks = [b for b in blocks if b.num_rows] or blocks[:1]
+        if not blocks:
+            blocks = [pa.table({(right_on or on): pa.array([], pa.int64())})]
+        return broadcast_join(left, pa.concat_tables(blocks), on,
+                              right_on=right_on)
+    return hash_join(left, right, on=on, right_on=right_on,
+                     num_partitions=adaptive_partitions(n_right),
+                     left_schema=left_schema, right_schema=right_schema)

@@ -2759,6 +2759,32 @@ def q_fuzzy_token_match(sf_dir: str):
         ds, "tok", ["red", "blue", "cold", "small", "new"], max_dist=1)
 
 
+def q_brand_revenue(sf_dir: str):
+    """Fact × dimension through the ADAPTIVE join (ops/joins.auto_join):
+    the part table measures under the broadcast bound, so the plan is
+    the zero-exchange broadcast join (put once, vectorized index_in per
+    batch) — the 100 TB dimension-table hot path — followed by a narrow
+    grouped revenue sum. Above the bound the same call becomes the
+    armored partitioned hash join (equivalence pinned in tests)."""
+    from .ops.joins import auto_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"])
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    joined = auto_join(li, part, on="l_partkey", right_on="p_partkey")
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"p_brand": t["p_brand"], "rev": r})
+
+    agg = (joined.map_batches(rev, batch_format="pyarrow")
+           .groupby("p_brand").aggregate(Sum("rev", alias_name="revenue")))
+    return _round_cols(agg, {"revenue": 2})
+
+
 def q_join_cardinality(sf_dir: str):
     """Exact join-size estimation WITHOUT the join (ops/estimate.
     join_cardinality): |orders ⋈ lineitem| from the two per-key count
@@ -5236,6 +5262,8 @@ SQL_QUERIES = {
     "csv_roundtrip": q_csv_roundtrip,
     # exact join size from key histograms, no join executed
     "join_cardinality": q_join_cardinality,
+    # adaptive join picks the broadcast plan for the dimension table
+    "brand_revenue": q_brand_revenue,
     # per-user lag() transition counts
     "event_transitions": q_event_transitions,
     # Efraimidis-Spirakis weighted sample, bit-exact hex-priority oracle
@@ -5270,6 +5298,13 @@ ORACLE_SQL.update({
                quantile_disc(edge, 0.50) AS p50,
                quantile_disc(edge, 0.75) AS p75
         FROM e GROUP BY lang
+    """,
+    # plain fact-dimension join + grouped revenue, shared rounding
+    "brand_revenue": """
+        SELECT p_brand,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
     """,
     # the same histogram product, which equals the true join count
     "join_cardinality": """

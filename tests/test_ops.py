@@ -928,3 +928,55 @@ class TestJoinCardinality:
         right = rd.from_items([{"k": i} for i in range(10)])
         with _pytest.raises(ValueError, match="broadcast_limit"):
             join_cardinality(left, right, on="k", broadcast_limit=5)
+
+
+class TestAutoJoin:
+    def _sides(self):
+        import ray.data as rd
+
+        left = rd.from_items([{"k": i % 5, "a": i} for i in range(20)],
+                             override_num_blocks=3)
+        right = rd.from_items([{"rk": 0, "b": "x"}, {"rk": 1, "b": "y"},
+                               {"rk": 1, "b": "z"},  # dup key: fan-out
+                               {"rk": 9, "b": "w"}], override_num_blocks=2)
+        return left, right
+
+    def _want(self):
+        rmap = {0: ["x"], 1: ["y", "z"], 9: ["w"]}
+        out = []
+        for i in range(20):
+            for b in rmap.get(i % 5, []):
+                out.append((i % 5, i, b))
+        return sorted(out)
+
+    def test_broadcast_path_equals_hash_path(self, ray_session):
+        from pappermate_ray.ops.joins import auto_join, hash_join
+
+        left, right = self._sides()
+        bc = auto_join(left, right, on="k", right_on="rk",
+                       broadcast_rows=100)
+        assert sorted((r["k"], r["a"], r["b"])
+                      for r in bc.take_all()) == self._want()
+        hj = hash_join(left, right, on="k", right_on="rk")
+        assert sorted((r["k"], r["a"], r["b"])
+                      for r in hj.take_all()) == self._want()
+
+    def test_threshold_flips_to_hash(self, ray_session):
+        from pappermate_ray.ops.joins import auto_join
+
+        left, right = self._sides()
+        out = auto_join(left, right, on="k", right_on="rk",
+                        broadcast_rows=1)  # force the shuffle plan
+        assert sorted((r["k"], r["a"], r["b"])
+                      for r in out.take_all()) == self._want()
+
+    def test_unique_key_fast_path(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.ops.joins import auto_join
+
+        left = rd.from_items([{"k": i, "a": i * 2} for i in range(8)])
+        right = rd.from_items([{"k": i, "c": i * 10} for i in range(4, 12)])
+        out = auto_join(left, right, on="k", broadcast_rows=100).take_all()
+        assert sorted((r["k"], r["a"], r["c"]) for r in out) == [
+            (4, 8, 40), (5, 10, 50), (6, 12, 60), (7, 14, 70)]
