@@ -2759,6 +2759,44 @@ def q_fuzzy_token_match(sf_dir: str):
         ds, "tok", ["red", "blue", "cold", "small", "new"], max_dist=1)
 
 
+def q_events_hourly_store(sf_dir: str):
+    """Materialized-view maintenance (stages/statstore): the hourly
+    event counters land in TWO increments (event_id parity split) of
+    grouped partials on parquet; the merged view is one tiny additive
+    groupby over partial rows — the events are never re-read — and
+    EXACTLY equals the one-shot events_hourly aggregate, whose oracle
+    it shares verbatim (the bm25_index_topk pattern for stats)."""
+    import os
+
+    from .stages.statstore import save_stats_increment, stored_stats
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    store = f"/tmp/stats_store_v1_{tag}"
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "event_type", "ts",
+                                      "value"])
+
+        def prep(mod):
+            def f(t: pa.Table) -> pa.Table:
+                sel = t.filter(pc.equal(_pc_mod(t["event_id"], 2), mod))
+                w = pc.floor_temporal(sel["ts"], unit="hour")
+                return pa.table({"event_type": sel["event_type"],
+                                 "window_start": w,
+                                 "value": sel["value"]})
+            return f
+
+        for mod in (0, 1):
+            save_stats_increment(
+                ev.map_batches(prep(mod), batch_format="pyarrow"), store,
+                ["event_type", "window_start"], "value")
+        with open(os.path.join(store, "_SUCCESS"), "w"):
+            pass
+
+    merged = stored_stats(store, ["event_type", "window_start"])
+    return _round_cols(merged, {"sum_value": 2})
+
+
 def q_brand_revenue(sf_dir: str):
     """Fact × dimension through the ADAPTIVE join (ops/joins.auto_join):
     the part table measures under the broadcast bound, so the plan is
@@ -5264,6 +5302,8 @@ SQL_QUERIES = {
     "join_cardinality": q_join_cardinality,
     # adaptive join picks the broadcast plan for the dimension table
     "brand_revenue": q_brand_revenue,
+    # persisted additive-stats store == one-shot aggregate (shared oracle)
+    "events_hourly_store": q_events_hourly_store,
     # per-user lag() transition counts
     "event_transitions": q_event_transitions,
     # Efraimidis-Spirakis weighted sample, bit-exact hex-priority oracle
@@ -5706,3 +5746,7 @@ ORACLE_SQL.update({
 # the persisted-index probe reproduces fuzzy_token_match exactly —
 # shares its oracle verbatim (must follow the update that defines it)
 ORACLE_SQL["fuzzy_index_match"] = ORACLE_SQL["fuzzy_token_match"]
+
+# the merged stats store equals events_hourly over the union of its
+# increments — shares that oracle verbatim
+ORACLE_SQL["events_hourly_store"] = ORACLE_SQL["events_hourly"]

@@ -353,3 +353,43 @@ class TestGroupedApproxQuantiles:
             rd.from_items(rows, override_num_blocks=9), "g", "v",
             [0.5]).take_all()}
         assert a == b
+
+
+class TestStatsStore:
+    """Additive-stats store: increment merge == one-shot aggregate,
+    read-only merged view, append-only growth."""
+
+    def test_two_increments_equal_oneshot(self, ray_session, tmp_path):
+        from ray.data.aggregate import Count as _C, Sum as _S
+
+        from pappermate_ray.stages.statstore import (save_stats_increment,
+                                                     stored_stats)
+
+        rows = [{"g": "a" if i % 3 else "b", "v": float(i % 7)}
+                for i in range(300)]
+        store = str(tmp_path / "stats")
+        save_stats_increment(rd.from_items(rows[:180]), store, ["g"], "v")
+        save_stats_increment(rd.from_items(rows[180:]), store, ["g"], "v")
+        merged = {r["g"]: (r["n_events"], round(r["sum_value"], 6))
+                  for r in stored_stats(store, ["g"]).take_all()}
+        oneshot = {r["g"]: (r["n_events"], round(r["sum_value"], 6))
+                   for r in rd.from_items(rows).groupby("g").aggregate(
+                       _C(alias_name="n_events"),
+                       _S("v", alias_name="sum_value")).take_all()}
+        assert merged == oneshot
+
+    def test_merge_is_read_only(self, ray_session, tmp_path):
+        import os
+
+        from pappermate_ray.stages.statstore import (save_stats_increment,
+                                                     stored_stats)
+
+        store = str(tmp_path / "ro")
+        save_stats_increment(
+            rd.from_items([{"g": "x", "v": 1.0}]), store, ["g"], "v")
+        before = sorted(os.path.join(dp, f)
+                        for dp, _, fs in os.walk(store) for f in fs)
+        stored_stats(store, ["g"]).take_all()
+        after = sorted(os.path.join(dp, f)
+                       for dp, _, fs in os.walk(store) for f in fs)
+        assert before == after
