@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Max, Min, Sum
 
 _UNIT_US = {"hour": 3_600_000_000, "day": 86_400_000_000}
 
@@ -65,21 +65,25 @@ def cohort_retention(
                 [np.zeros(n0, np.int8), np.ones(n1, np.int8)])),
         })
 
-    def presence(g: pa.Table) -> pa.Table:
-        sides = g["_side"].to_numpy(zero_copy_only=False)
-        active = bool((sides == 0).any())
-        if not active:  # only the shifted marker: user wasn't active at w
-            return pa.table({out_col: pa.chunked_array([g["w"].slice(0, 0)]),
-                             "_act": pa.array([], pa.int64()),
-                             "_ret": pa.array([], pa.int64())})
-        retained = int((sides == 1).any())
-        return pa.table({out_col: g["w"].slice(0, 1),
-                         "_act": pa.array([1], pa.int64()),
-                         "_ret": pa.array([retained], pa.int64())})
+    # presence as Min/Max AGGREGATES, not per-group python: min(_side)==0
+    # means active at w; max(_side)==1 on an active row means also active
+    # at w+1. Vectorized end to end — at web scale the (user, window)
+    # group count is rows-sized, and a python fn per group would be the
+    # hot path.
+    per_uw = (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby([id_col, "w"])
+              .aggregate(Min("_side", alias_name="_smin"),
+                         Max("_side", alias_name="_smax")))
 
-    per_user = (ds.map_batches(tag, batch_format="pyarrow")
-                .groupby([id_col, "w"])
-                .map_groups(presence, batch_format="pyarrow"))
-    return per_user.groupby(out_col).aggregate(
-        Sum("_act", alias_name="n_active"),
-        Sum("_ret", alias_name="n_retained"))
+    def presence(t: pa.Table) -> pa.Table:
+        active = pc.equal(t["_smin"], 0)
+        sel = t.filter(active)
+        retained = pc.cast(pc.equal(sel["_smax"], 1), pa.int64())
+        return pa.table({out_col: sel["w"],
+                         "_act": pa.array(np.ones(sel.num_rows, np.int64)),
+                         "_ret": retained})
+
+    return (per_uw.map_batches(presence, batch_format="pyarrow")
+            .groupby(out_col).aggregate(
+                Sum("_act", alias_name="n_active"),
+                Sum("_ret", alias_name="n_retained")))
