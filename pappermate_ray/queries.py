@@ -2759,6 +2759,39 @@ def q_fuzzy_token_match(sf_dir: str):
         ds, "tok", ["red", "blue", "cold", "small", "new"], max_dist=1)
 
 
+def q_stored_quantiles_check(sf_dir: str):
+    """Persisted HDR store (stages/sketch.save_hdr_increment /
+    stored_quantiles): the n_chars distribution lands in TWO increments
+    (doc_id parity); the merged quantiles equal the one-shot sketch
+    exactly (histograms ADD) and therefore share approx_quantiles'
+    bit-exact hdr-edge oracle verbatim — the quantile member of the
+    persisted-store family (HLL=distinct, stats=sum/count,
+    HDR=distribution)."""
+    import os
+
+    from .stages.sketch import save_hdr_increment, stored_quantiles
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    store = f"/tmp/hdr_store_v1_{tag}"
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+        for mod in (0, 1):
+            part = docs.map_batches(
+                lambda t, m=mod: t.filter(
+                    pc.equal(_pc_mod(t["doc_id"], 2), m)),
+                batch_format="pyarrow")
+            save_hdr_increment(part, "n_chars", store)
+        with open(os.path.join(store, "_SUCCESS"), "w"):
+            pass
+
+    edges = stored_quantiles(store, [0.25, 0.5, 0.75, 0.95])
+    return pa.table({
+        name: pa.array([v], pa.int64())
+        for name, v in zip(["p25", "p50", "p75", "p95"], edges)
+    })
+
+
 def q_events_hourly_store(sf_dir: str):
     """Materialized-view maintenance (stages/statstore): the hourly
     event counters land in TWO increments (event_id parity split) of
@@ -5304,6 +5337,8 @@ SQL_QUERIES = {
     "brand_revenue": q_brand_revenue,
     # persisted additive-stats store == one-shot aggregate (shared oracle)
     "events_hourly_store": q_events_hourly_store,
+    # persisted HDR store == one-shot sketch (shared bit-exact oracle)
+    "stored_quantiles_check": q_stored_quantiles_check,
     # per-user lag() transition counts
     "event_transitions": q_event_transitions,
     # Efraimidis-Spirakis weighted sample, bit-exact hex-priority oracle
@@ -5750,3 +5785,6 @@ ORACLE_SQL["fuzzy_index_match"] = ORACLE_SQL["fuzzy_token_match"]
 # the merged stats store equals events_hourly over the union of its
 # increments — shares that oracle verbatim
 ORACLE_SQL["events_hourly_store"] = ORACLE_SQL["events_hourly"]
+# HDR histograms add exactly, so the merged store equals the one-shot
+# sketch — shares approx_quantiles' bit-exact hdr-edge oracle
+ORACLE_SQL["stored_quantiles_check"] = ORACLE_SQL["approx_quantiles"]

@@ -302,6 +302,54 @@ def approx_quantiles(
     return out, len(rows)
 
 
+def save_hdr_increment(
+    ds: "rd.Dataset", value_col: str, store_dir: str,
+) -> str:
+    """Sketch ONE corpus increment's value distribution and append it to
+    ``store_dir`` as a single 32 KiB histogram row — HDR histograms add,
+    so the merge across increments is EXACT w.r.t. the sketch: quantiles
+    over a growing stream never re-scan old increments (the quantile
+    member of the persisted-store family: HLL=distinct, stats=sum/count,
+    HDR=distribution)."""
+    from .search import _next_increment
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        keys = hdr_keys(np.asarray(t[value_col], np.int64))
+        counts = np.bincount(keys, minlength=_HDR_SLOTS).astype(np.int64)
+        return pa.table({"h": pa.array([counts.tobytes()], pa.binary())})
+
+    rows = ds.map_batches(sketch_batch, batch_format="pyarrow").take_all()
+    hist = np.zeros(_HDR_SLOTS, dtype=np.int64)
+    for r in rows:
+        hist += np.frombuffer(r["h"], dtype=np.int64)
+    rd.from_arrow(pa.table({"h": pa.array([hist.tobytes()], pa.binary())})
+                  ).write_parquet(_next_increment(store_dir, "hdr"))
+    return store_dir
+
+
+def stored_quantiles(store_dir: str, qs: List[float]) -> List[int]:
+    """Quantiles over the UNION of every stored increment — vector-add
+    the histogram rows (O(increments) 32 KiB reads), then the same
+    ceil-rank rule; bit-exact equal to ``approx_quantiles`` over the
+    concatenated corpora."""
+    import math
+
+    import pyarrow.parquet as pqt
+
+    t = pqt.read_table(f"{store_dir}/hdr")
+    hist = np.zeros(_HDR_SLOTS, dtype=np.int64)
+    for r in t["h"].to_pylist():
+        hist += np.frombuffer(r, dtype=np.int64)
+    cum = np.cumsum(hist)
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        idx = max(0, math.ceil(q * n) - 1)
+        key = int(np.searchsorted(cum, idx + 1))
+        out.append(hdr_edge(key))
+    return out
+
+
 def grouped_approx_quantiles(
     ds: "rd.Dataset",
     group_col: str,

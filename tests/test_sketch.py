@@ -393,3 +393,40 @@ class TestStatsStore:
         after = sorted(os.path.join(dp, f)
                        for dp, _, fs in os.walk(store) for f in fs)
         assert before == after
+
+
+class TestHdrStore:
+    """Persisted HDR store: increment merge == one-shot sketch,
+    read-only reads, append-only growth."""
+
+    def test_increments_equal_oneshot(self, ray_session, tmp_path):
+        from pappermate_ray.stages.sketch import (approx_quantiles,
+                                                  save_hdr_increment,
+                                                  stored_quantiles)
+
+        rng = np.random.default_rng(5)
+        vals = [int(v) for v in rng.integers(1, 500_000, 3000)]
+        store = str(tmp_path / "hdr")
+        save_hdr_increment(
+            rd.from_items([{"v": v} for v in vals[:1700]]), "v", store)
+        save_hdr_increment(
+            rd.from_items([{"v": v} for v in vals[1700:]]), "v", store)
+        merged = stored_quantiles(store, [0.25, 0.5, 0.9])
+        oneshot, _ = approx_quantiles(
+            rd.from_items([{"v": v} for v in vals]), "v", [0.25, 0.5, 0.9])
+        assert merged == oneshot  # histogram addition is exact
+
+    def test_read_only(self, ray_session, tmp_path):
+        import os
+
+        from pappermate_ray.stages.sketch import (save_hdr_increment,
+                                                  stored_quantiles)
+
+        store = str(tmp_path / "ro")
+        save_hdr_increment(rd.from_items([{"v": 7}]), "v", store)
+        before = sorted(os.path.join(dp, f)
+                        for dp, _, fs in os.walk(store) for f in fs)
+        assert stored_quantiles(store, [0.5]) == [7]
+        after = sorted(os.path.join(dp, f)
+                       for dp, _, fs in os.walk(store) for f in fs)
+        assert before == after
