@@ -233,8 +233,8 @@ def hash_join(
     should use every reducer); skewed keys should be salted before
     calling (SURVEY.md §4). ``armor`` (see module notes) hardens both
     sides against Ray's schema-less-empty-partition crash; supported for
-    the join types this engine uses (inner / left_semi / left_anti /
-    left_outer).
+    every join type this engine uses (inner / left_semi / left_anti /
+    left_outer / right_outer / full_outer).
     Pass ``left_schema``/``right_schema`` when a side's lineage contains
     an aggregate/sort — otherwise the armor's schema probe executes that
     whole lineage once before the join executes it again.
@@ -242,10 +242,12 @@ def hash_join(
     np_ = num_partitions or default_num_partitions()
     on_t = _on_tuple(on)
     right_on_t = _on_tuple(right_on) if right_on else on_t
-    left_sent = None
-    if armor and join_type in ("inner", "left_semi", "left_anti", "left_outer"):
+    left_sent = right_sent = None
+    if armor and join_type in ("inner", "left_semi", "left_anti",
+                               "left_outer", "right_outer", "full_outer"):
         left, left_sent = _armored(left, on_t, np_, side=0, schema=left_schema)
-        right, _ = _armored(right, right_on_t, np_, side=1, schema=right_schema)
+        right, right_sent = _armored(right, right_on_t, np_, side=1,
+                                     schema=right_schema)
     out = left.join(
         right,
         join_type=join_type,
@@ -253,15 +255,28 @@ def hash_join(
         on=on_t,
         right_on=right_on_t if right_on else None,
     )
-    # left sentinels survive any join that keeps unmatched left rows
-    if join_type in ("left_anti", "left_outer") and left_sent is not None:
-        vals, typ = left_sent
+
+    def _strip(ds_out, col0, sent_lists):
+        vals = [v for s in sent_lists if s is not None for v in s[0]]
+        if not vals:
+            return ds_out
+        typ = next(s[1] for s in sent_lists if s is not None)
         sent_arr = pa.array(vals, typ)
-        col0 = on_t[0]
-        out = out.map_batches(
+        return ds_out.map_batches(
             lambda t: t.filter(pc.invert(pc.is_in(t[col0], value_set=sent_arr))),
             batch_format="pyarrow",
         )
+
+    # sentinels survive any join that keeps unmatched rows from their
+    # side; full_outer coalesces both key sets into the LEFT key name,
+    # right_outer keeps only the RIGHT key name (Ray 2.49 semantics,
+    # probed in tests/test_join_equivalence.py)
+    if join_type in ("left_anti", "left_outer"):
+        out = _strip(out, on_t[0], [left_sent])
+    elif join_type == "full_outer":
+        out = _strip(out, on_t[0], [left_sent, right_sent])
+    elif join_type == "right_outer":
+        out = _strip(out, right_on_t[0], [right_sent])
     return out
 
 

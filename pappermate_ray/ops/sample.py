@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import List, Union
 
 import pandas as pd
+import pyarrow as pa
 
 import ray
 
@@ -42,16 +43,30 @@ def grouped_topk(
     k: int,
 ) -> "ray.data.Dataset":
     """Per-group top-k by value desc (tie-break asc) — the grouped analog
-    of T4's global top-k. One hash shuffle on the group key; per-group
-    work is sort+head."""
+    of T4's global top-k.
+
+    Combiner push-down (round 3): every input block first trims to ITS
+    OWN per-group top-k inside ``map_batches`` — a row outside its
+    block's local top-k cannot be in the global top-k — so the single
+    group-key exchange moves ≤ k rows per (block, group) instead of the
+    corpus; the per-group finisher then re-sorts ≤ k·blocks rows."""
     cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def _local_trim(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values([value_col, tiebreak_col],
+                            ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby(cols, sort=False).head(k),
+            preserve_index=False, schema=t.schema)
 
     def _top(group: pd.DataFrame) -> pd.DataFrame:
         return group.sort_values(
             [value_col, tiebreak_col], ascending=[False, True], kind="mergesort"
         ).head(k)
 
-    return ds.groupby(cols).map_groups(_top, batch_format="pandas")
+    return (ds.map_batches(_local_trim, batch_format="pyarrow")
+            .groupby(cols).map_groups(_top, batch_format="pandas"))
 
 
 def bottomk_sample(

@@ -106,3 +106,64 @@ def test_asof_block_count_invariant(ray_session):
                         right_ts="ts", left_id="lid", right_id="rid")
         runs.append(sorted((x["left_id"], x["right_id"]) for x in got.take_all()))
     assert runs[0] == runs[1]
+
+
+# --- outer joins (full_outer / right_outer armored paths) -----------
+
+def _outer_frames(seed=11):
+    rng = np.random.default_rng(seed)
+    l = pd.DataFrame({
+        "k": rng.integers(0, 30, 200),        # some keys only on left
+        "a": np.arange(200, dtype=np.int64),
+    })
+    r = pd.DataFrame({
+        "k2": rng.integers(15, 45, 120),      # some keys only on right
+        "b": np.arange(120, dtype=np.int64),
+    })
+    return l, r
+
+
+def test_full_outer_matches_pandas(ray_session):
+    from pappermate_ray.ops.joins import hash_join
+
+    l, r = _outer_frames()
+    got = hash_join(_ds(l, 6), _ds(r, 5), on="k", right_on="k2",
+                    join_type="full_outer", num_partitions=5).to_pandas()
+    want = l.merge(r, left_on="k", right_on="k2", how="outer")
+    want["k"] = want["k"].fillna(want["k2"])  # Ray coalesces into left key
+    got_set = sorted(map(tuple, got[["k", "a", "b"]]
+                         .fillna(-1).astype(np.int64).to_numpy()))
+    want_set = sorted(map(tuple, want[["k", "a", "b"]]
+                          .fillna(-1).astype(np.int64).to_numpy()))
+    assert got_set == want_set
+
+
+def test_right_outer_matches_pandas(ray_session):
+    from pappermate_ray.ops.joins import hash_join
+
+    l, r = _outer_frames(seed=5)
+    got = hash_join(_ds(l, 4), _ds(r, 7), on="k", right_on="k2",
+                    join_type="right_outer", num_partitions=4).to_pandas()
+    want = l.merge(r, left_on="k", right_on="k2", how="right")
+    got_set = sorted(map(tuple, got[["k2", "a", "b"]]
+                         .fillna(-1).astype(np.int64).to_numpy()))
+    want_set = sorted(map(tuple, want[["k2", "a", "b"]]
+                          .fillna(-1).astype(np.int64).to_numpy()))
+    assert got_set == want_set
+
+
+def test_full_outer_one_side_empty(ray_session):
+    """The armor's reason to exist: a side whose every block is empty
+    (schema never broadcast) must not crash, and the other side must
+    survive in full."""
+    from pappermate_ray.ops.joins import hash_join
+
+    l, r = _outer_frames(seed=7)
+    empty_r = _ds(r, 3).filter(lambda row: False)
+    got = hash_join(
+        _ds(l, 3), empty_r, on="k", right_on="k2",
+        join_type="full_outer", num_partitions=3,
+        right_schema=pa.schema([("k2", pa.int64()), ("b", pa.int64())]),
+    ).to_pandas()
+    assert sorted(got["a"].astype(np.int64)) == list(range(200))
+    assert got["b"].isna().all()
