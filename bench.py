@@ -157,7 +157,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "temperature_sample", "lang_pivot", "fuzzy_keep_list",
         "jsonl_roundtrip", "grouped_quantiles_approx", "csv_roundtrip",
         "join_cardinality", "brand_revenue", "events_hourly_store",
-        "stored_quantiles_check",
+        "stored_quantiles_check", "session_summaries", "running_value",
+        "grouped_topk", "value_outliers", "segment_balance_fullouter",
+        "incremental_refresh",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

@@ -5788,3 +5788,290 @@ ORACLE_SQL["events_hourly_store"] = ORACLE_SQL["events_hourly"]
 # HDR histograms add exactly, so the merged store equals the one-shot
 # sketch — shares approx_quantiles' bit-exact hdr-edge oracle
 ORACLE_SQL["stored_quantiles_check"] = ORACLE_SQL["approx_quantiles"]
+
+
+# --- ordered-window wave (ops/window.py): sessionization, running ---
+# aggregates, top-k per group, grouped z-score outliers — the SQL
+# window-function family restated as one-hash-exchange Dataset scans.
+
+def q_session_summaries(sf_dir: str):
+    """Gap-based sessionization (ops/window.sessionize): one row per
+    (user, session) under a 12-hour inactivity gap — lag()/cumulative-
+    sum window cascade restated as a per-user sorted scan; session
+    summaries (not per-event rows) leave the group task."""
+    from .ops.window import sessionize
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    return sessionize(ds, "user_id", "ts", 12 * 3600, "event_id")
+
+
+def q_running_value(sf_dir: str):
+    """Per-event running + trailing-5 sums of integer cents per user
+    (ops/window.running_window): SUM() OVER (PARTITION BY user ORDER BY
+    ts, event_id ROWS …) with exact int64 math (floor(value*100)), so
+    the cumulative aggregates are bit-identical to the SQL window."""
+    from .ops.window import running_window
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+    return running_window(ds, "user_id", "ts", "value", 5, "event_id")
+
+
+
+def q_value_outliers(sf_dir: str):
+    """Grouped z-score outliers (ops/window.zscore_outliers): events
+    whose value sits > 2 sample-stddevs from its event_type mean. One
+    narrow (n, Σv, Σv²) aggregate broadcasts; the corpus rides no
+    exchange. Boundary margin measured ≥ 4e-5 relative at sf0.1 vs the
+    ~1e-12 float divergence between the two sides."""
+    from .ops.window import zscore_outliers
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    return zscore_outliers(ds, "event_type", "value", 2.0)
+
+
+SQL_QUERIES.update({
+    "session_summaries": q_session_summaries,
+    "running_value": q_running_value,
+    "value_outliers": q_value_outliers,
+})
+
+ORACLE_SQL.update({
+    "session_summaries": """
+        WITH o AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > INTERVAL 12 HOUR
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT user_id, ts,
+                 SUM(brk) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+          FROM o)
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, session_idx
+    """,
+    "running_value": """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS moving_cents
+        FROM events
+    """,
+    # same closed-form (n, Σv, Σv²) the operator broadcasts
+    "value_outliers": """
+        WITH st AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+                           SUM(value) AS s, SUM(value * value) AS s2
+                    FROM events GROUP BY event_type),
+        x AS (SELECT e.event_id, e.event_type, e.value,
+                     s.s / s.n AS m,
+                     sqrt(greatest((s.s2 - s.n * (s.s/s.n) * (s.s/s.n))
+                                   / greatest(s.n - 1, 1), 0)) AS sd
+              FROM events e JOIN st s USING (event_type))
+        SELECT event_id, event_type, value
+        FROM x WHERE abs(value - m) > 2.0 * sd
+    """,
+})
+
+
+def q_segment_balance_fullouter(sf_dir: str):
+    """FULL OUTER join surface (ops/joins.hash_join join_type=
+    'full_outer', both sides armored, both sentinel sets stripped from
+    the coalesced key): per-customer order totals (exact integer cents)
+    ⟗ BUILDING-segment membership — unmatched rows survive from BOTH
+    sides (orders by non-BUILDING customers; BUILDING customers with no
+    orders). Left side is an aggregate lineage, so its schema is passed
+    to keep the armor probe from re-executing it."""
+    from ray.data.aggregate import Count, Sum
+
+    from .ops.joins import hash_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.multiply(
+            pc.cast(t["o_totalprice"], pa.float64()), 100.0)), pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"], "_c": c})
+
+    agg = (orders.map_batches(cents, batch_format="pyarrow")
+           .groupby("o_custkey")
+           .aggregate(Sum("_c", alias_name="total_cents"),
+                      Count(alias_name="n_orders")))
+
+    def seg_fn(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        return pa.table({
+            "c_custkey": f["c_custkey"],
+            "in_segment": pa.array([True] * len(f), pa.bool_()),
+        })
+
+    seg = (rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+           .map_batches(seg_fn, batch_format="pyarrow"))
+
+    out = hash_join(
+        agg, seg, on="o_custkey", right_on="c_custkey",
+        join_type="full_outer",
+        left_schema=pa.schema([("o_custkey", pa.int64()),
+                               ("total_cents", pa.int64()),
+                               ("n_orders", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("in_segment", pa.bool_())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": t["o_custkey"],
+            "total_cents": pc.fill_null(t["total_cents"], 0),
+            "n_orders": pc.fill_null(t["n_orders"], 0),
+            "in_segment": pc.fill_null(t["in_segment"], False),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_QUERIES.update({
+    "segment_balance_fullouter": q_segment_balance_fullouter,
+})
+
+ORACLE_SQL.update({
+    "segment_balance_fullouter": """
+        WITH agg AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS total_cents,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY o_custkey),
+        seg AS (
+          SELECT c_custkey, TRUE AS in_segment
+          FROM customer WHERE c_mktsegment = 'BUILDING')
+        SELECT COALESCE(a.o_custkey, s.c_custkey) AS custkey,
+               COALESCE(a.total_cents, 0) AS total_cents,
+               COALESCE(a.n_orders, 0) AS n_orders,
+               COALESCE(s.in_segment, FALSE) AS in_segment
+        FROM agg a FULL OUTER JOIN seg s ON a.o_custkey = s.c_custkey
+    """,
+})
+
+
+def q_incremental_refresh(sf_dir: str):
+    """Composed incremental-refresh flagship (pipelines/refresh.
+    incremental_refresh): day-1 recrawl (every %3 doc edited, %7 urls
+    missing, %13 genuinely new pages) diffed against the day-0 corpus →
+    added/changed work-list → token counts → near-dup match against the
+    day-0 corpus's PERSISTED MinHash index (the base corpus is never
+    re-read) → (url, status, n_tokens, base_dup) manifest. Every
+    exchange is increment-sized; ONE WITH-chain oracle value-gates the
+    whole composition."""
+    from .pipelines.refresh import incremental_refresh
+
+    index_dir = _minhash_index_dir(sf_dir)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def as_old(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "url": pa.array([f"u{d}" for d in ids], pa.string()),
+            "doc_id": t["doc_id"],
+            "text": t["text"],
+        })
+
+    def as_new(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        urls, out_ids, out_txt = [], [], []
+        for d, x in zip(ids, texts):
+            if d % 7 != 0:
+                urls.append(f"u{d}")
+                out_ids.append(int(d))
+                out_txt.append((x or "") + (" updated v2" if d % 3 == 0
+                                            else ""))
+            if d % 13 == 0:
+                urls.append(f"a{d}")
+                out_ids.append(int(d) + 4_000_000)
+                out_txt.append(f"fresh page about topic {d} "
+                               f"with deterministic content {d * 7}")
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "text": pa.array(out_txt, pa.string()),
+        })
+
+    return incremental_refresh(
+        docs.map_batches(as_old, batch_format="pyarrow"),
+        docs.map_batches(as_new, batch_format="pyarrow"),
+        index_dir)
+
+
+SQL_QUERIES.update({
+    "incremental_refresh": q_incremental_refresh,
+})
+
+ORACLE_SQL.update({
+    "incremental_refresh": r"""
+        WITH oldc AS (
+          SELECT doc_id, 'u' || CAST(doc_id AS VARCHAR) AS url, text
+          FROM documents),
+        newc AS (
+          SELECT doc_id, 'u' || CAST(doc_id AS VARCHAR) AS url,
+                 text || CASE WHEN doc_id % 3 = 0
+                              THEN ' updated v2' ELSE '' END AS text
+          FROM documents WHERE doc_id % 7 <> 0
+          UNION ALL
+          SELECT doc_id + 4000000, 'a' || CAST(doc_id AS VARCHAR),
+                 'fresh page about topic ' || CAST(doc_id AS VARCHAR)
+                   || ' with deterministic content '
+                   || CAST(doc_id * 7 AS VARCHAR)
+          FROM documents WHERE doc_id % 13 = 0),
+        work AS (
+          SELECT n.doc_id, n.url, n.text,
+                 CASE WHEN o.url IS NULL THEN 'added'
+                      ELSE 'changed' END AS status
+          FROM newc n LEFT JOIN oldc o USING (url)
+          WHERE o.url IS NULL OR o.text <> n.text),
+        old_words AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+          FROM oldc WHERE trim(text) <> ''),
+        old_sets AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) >= 3
+                      THEN list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                      ELSE [array_to_string(w, ' ')] END AS ws
+          FROM old_words),
+        new_words AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+          FROM work WHERE trim(text) <> ''),
+        new_sets AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) >= 3
+                      THEN list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                      ELSE [array_to_string(w, ' ')] END AS ws
+          FROM new_words),
+        dups AS (
+          SELECT DISTINCT n.doc_id
+          FROM new_sets n JOIN old_sets o
+            ON len(list_intersect(n.ws, o.ws)) * 1.0
+               / (len(n.ws) + len(o.ws) - len(list_intersect(n.ws, o.ws)))
+               >= 0.8)
+        SELECT w.url, w.status,
+               CASE WHEN trim(w.text) = '' THEN 0
+                    ELSE CAST(len(regexp_split_to_array(trim(w.text), '\s+'))
+                              AS BIGINT) END AS n_tokens,
+               (w.doc_id IN (SELECT doc_id FROM dups)) AS base_dup
+        FROM work w
+    """,
+})
