@@ -159,7 +159,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "join_cardinality", "brand_revenue", "events_hourly_store",
         "stored_quantiles_check", "session_summaries", "running_value",
         "grouped_topk", "value_outliers", "segment_balance_fullouter",
-        "incremental_refresh",
+        "incremental_refresh", "user_active_time", "url_versions",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

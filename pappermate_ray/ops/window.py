@@ -12,6 +12,10 @@ nothing joins; nothing collects on the driver.
 (Per-group top-k lives in `ops/sample.grouped_topk`, which gained the
 local-trim combiner push-down in the same round.)
 
+`interval_union` (merged-coverage time) and `scd2_history` (validity-
+interval version table from capture streams) extend the family to
+interval analytics — same one-exchange, per-key-scan shape.
+
 Money-valued running sums use integer cents (``floor(value·100)``) so
 the cumulative aggregates are exact int64 and bit-identical to the
 DuckDB window oracle — no float-accumulation-order hazard.
@@ -106,6 +110,85 @@ def running_window(
 
     return (ds.groupby(id_col)
             .map_groups(scan, batch_format="pandas"))
+
+
+def interval_union(
+    ds: "rd.Dataset",
+    id_col: str,
+    start_col: str,
+    end_col: str,
+) -> "rd.Dataset":
+    """Total covered length per entity of the UNION of its
+    ``[start, end)`` intervals (epoch-µs int64 columns) — overlapping
+    and touching intervals merge (an interval starting exactly at the
+    running max end CONTINUES the island; only ``start > max_end_so_
+    far`` opens a new one, the same rule as the SQL islands oracle).
+
+    The dwell-time / uptime primitive: sessions overlap when a user has
+    concurrent tabs, crawls overlap when fetch windows retry. Per-entity
+    sorted scan under one hash exchange; output is entity-grained.
+    """
+
+    def cover(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([start_col, end_col], kind="mergesort")
+        s = g[start_col].to_numpy(dtype=np.int64)
+        e = g[end_col].to_numpy(dtype=np.int64)
+        cm = np.maximum.accumulate(e)
+        new_island = np.ones(len(g), bool)
+        new_island[1:] = s[1:] > cm[:-1]
+        isl = np.cumsum(new_island) - 1
+        # per-island max end − min start; islands are contiguous runs
+        starts = np.flatnonzero(new_island)
+        ends = np.append(starts[1:], len(g))
+        covered = sum(int(cm[hi - 1] - s[lo]) for lo, hi in zip(starts, ends))
+        del isl
+        return pd.DataFrame({
+            id_col: [g[id_col].iloc[0]],
+            "covered_us": np.array([covered], np.int64),
+        })
+
+    return ds.groupby(id_col).map_groups(cover, batch_format="pandas")
+
+
+def scd2_history(
+    ds: "rd.Dataset",
+    key_col: str,
+    ts_col: str,
+    digest_col: str,
+    tiebreak_col: str,
+    open_end: "object" = None,
+) -> "rd.Dataset":
+    """Slowly-changing-dimension (type 2) version history from raw
+    capture rows: consecutive captures with an unchanged digest
+    compact away; each surviving version gets a 1-based ``version``,
+    ``valid_from`` (its first capture ts) and ``valid_to`` (the next
+    version's valid_from; ``open_end`` for the current version —
+    a sentinel rather than NULL so the row value-hashes stably).
+
+    The crawl-recency primitive behind latest_by_url: the same capture
+    stream, kept as a queryable validity-interval table instead of a
+    winner set. One hash exchange on the key; per-key sorted scan;
+    output is version-grained (repeat captures — the crawl-scale
+    majority — never leave the group task).
+    """
+
+    def versions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, tiebreak_col], kind="mergesort")
+        dig = g[digest_col].to_numpy()
+        keep = np.ones(len(g), bool)
+        keep[1:] = dig[1:] != dig[:-1]
+        v = g[keep]
+        vf = v[ts_col].to_numpy()
+        vt = np.append(vf[1:], np.asarray([open_end], dtype=vf.dtype))
+        return pd.DataFrame({
+            key_col: v[key_col].to_numpy(),
+            "version": np.arange(1, len(v) + 1, dtype=np.int64),
+            "valid_from": vf,
+            "valid_to": vt,
+            digest_col: v[digest_col].to_numpy(),
+        })
+
+    return ds.groupby(key_col).map_groups(versions, batch_format="pandas")
 
 
 def zscore_outliers(

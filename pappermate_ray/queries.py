@@ -6075,3 +6075,123 @@ ORACLE_SQL.update({
         FROM work w
     """,
 })
+
+
+def q_user_active_time(sf_dir: str):
+    """Interval-union coverage (ops/window.interval_union): each event
+    opens a [ts, ts + (floor(value)+1) min) activity interval; overlaps
+    and touches merge; output = exact covered µs per user. The SQL
+    islands technique (windowed running MAX + gap flags) replayed as a
+    per-user sorted scan — integer µs end to end."""
+    from .ops.window import interval_union
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def iv(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["ts"], pa.int64())
+        dur = pc.multiply(
+            pc.add(pc.cast(pc.floor(t["value"]), pa.int64()), 1),
+            pa.scalar(60_000_000, pa.int64()))
+        return pa.table({"user_id": t["user_id"], "s": s,
+                         "e": pc.add(s, dur)})
+
+    return interval_union(ds.map_batches(iv, batch_format="pyarrow"),
+                          "user_id", "s", "e")
+
+
+def q_url_versions(sf_dir: str):
+    """SCD2 crawl version history (ops/window.scd2_history): a 4-capture
+    stream per url (content changes at capture 2 for every 4th doc;
+    repeat captures compact away) → (url, version, valid_from,
+    valid_to, digest) validity intervals, open end pinned to a sentinel
+    timestamp so current versions value-hash stably. Oracle = the
+    lag()/lead() window formulation."""
+    from .ops.window import scd2_history
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def captures(t: pa.Table) -> pa.Table:
+        base = np.datetime64("2024-01-01", "us")
+        urls, ts, cap, dig = [], [], [], []
+        for d in t["doc_id"].to_pylist():
+            for k in range(4):
+                urls.append(f"u{d}")
+                ts.append(base + np.timedelta64(d % 11, "h")
+                          + np.timedelta64(k, "D"))
+                cap.append(d * 10 + k)
+                dig.append(f"v1-{d}" if k >= 2 and d % 4 == 0
+                           else f"v0-{d}")
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "ts": pa.array(np.array(ts, "datetime64[us]"),
+                           pa.timestamp("us")),
+            "cap_id": pa.array(cap, pa.int64()),
+            "digest": pa.array(dig, pa.string()),
+        })
+
+    caps = docs.map_batches(captures, batch_format="pyarrow")
+    return scd2_history(caps, "url", "ts", "digest", "cap_id",
+                        open_end=pd.Timestamp("2200-01-01"))
+
+
+SQL_QUERIES.update({
+    "user_active_time": q_user_active_time,
+    "url_versions": q_url_versions,
+})
+
+ORACLE_SQL.update({
+    "user_active_time": """
+        WITH i AS (
+          SELECT user_id, epoch_us(ts) AS s,
+                 epoch_us(ts)
+                   + (CAST(FLOOR(value) AS BIGINT) + 1) * 60000000 AS e
+          FROM events),
+        m AS (
+          SELECT user_id, s, e,
+                 MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pm
+          FROM i),
+        g AS (
+          SELECT user_id, s, e,
+                 SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY s, e
+                         ROWS UNBOUNDED PRECEDING) AS isl
+          FROM m),
+        a AS (SELECT user_id, isl, MAX(e) - MIN(s) AS len
+              FROM g GROUP BY user_id, isl)
+        SELECT user_id, CAST(SUM(len) AS BIGINT) AS covered_us
+        FROM a GROUP BY user_id
+    """,
+    "url_versions": """
+        WITH caps AS (
+          SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                 TIMESTAMP '2024-01-01' + to_hours(doc_id % 11)
+                   + to_days(CAST(k AS INT)) AS ts,
+                 doc_id * 10 + k AS cap_id,
+                 CASE WHEN k >= 2 AND doc_id % 4 = 0
+                      THEN 'v1-' || CAST(doc_id AS VARCHAR)
+                      ELSE 'v0-' || CAST(doc_id AS VARCHAR) END AS digest
+          FROM documents, range(4) r(k)),
+        o AS (
+          SELECT url, ts, digest,
+                 lag(digest) OVER (PARTITION BY url
+                                   ORDER BY ts, cap_id) AS pd
+          FROM caps),
+        v AS (SELECT url, ts AS valid_from, digest
+              FROM o WHERE pd IS NULL OR digest <> pd),
+        w AS (
+          SELECT url, valid_from, digest,
+                 COALESCE(lead(valid_from) OVER (PARTITION BY url
+                                                 ORDER BY valid_from),
+                          TIMESTAMP '2200-01-01') AS valid_to,
+                 row_number() OVER (PARTITION BY url
+                                    ORDER BY valid_from) AS version
+          FROM v)
+        SELECT url, CAST(version AS BIGINT) AS version,
+               valid_from, valid_to, digest
+        FROM w
+    """,
+})

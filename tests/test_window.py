@@ -122,3 +122,50 @@ def test_zscore_outliers_planted(ray_session):
     ds = rd.from_pandas(t)
     out = zscore_outliers(ds, "event_type", "value", 2.0).to_pandas()
     assert list(out.event_id) == [40]  # solo group: sd=0 and |v-m|=0
+
+
+def test_interval_union_touch_nest_disjoint(ray_session):
+    from pappermate_ray.ops.window import interval_union
+    t = pa.table({
+        "uid": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        # [0,10) [10,20) touch-merge; [12,15) nested; [30,40) disjoint
+        "s": pa.array([0, 10, 12, 30, 5], pa.int64()),
+        "e": pa.array([10, 20, 15, 40, 6], pa.int64()),
+    })
+    out = {r["uid"]: r["covered_us"] for r in
+           interval_union(rd.from_arrow(t), "uid", "s", "e").take_all()}
+    assert out == {1: 30, 2: 1}   # 20 (merged) + 10; and 1
+
+
+def test_scd2_history_compaction_and_open_end(ray_session):
+    from pappermate_ray.ops.window import scd2_history
+    rows = [
+        # url X: d0, d0 (repeat compacts), d1, d1 -> two versions
+        ("X", 0, 0, "d0"), ("X", 1, 1, "d0"),
+        ("X", 2, 2, "d1"), ("X", 3, 3, "d1"),
+        # url Y: flip back and forth -> three versions
+        ("Y", 0, 4, "a"), ("Y", 1, 5, "b"), ("Y", 2, 6, "a"),
+        # url Z: equal-ts captures ordered by cap_id: d0 then d1
+        ("Z", 0, 7, "d0"), ("Z", 0, 8, "d1"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "ts": pa.array([E + dt.timedelta(days=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "cap_id": pa.array([r[2] for r in rows], pa.int64()),
+        "digest": pa.array([r[3] for r in rows], pa.string()),
+    }))
+    open_end = pd.Timestamp("2200-01-01")
+    got = (scd2_history(ds, "url", "ts", "digest", "cap_id",
+                        open_end=open_end)
+           .to_pandas().sort_values(["url", "version"])
+           .reset_index(drop=True))
+    x = got[got.url == "X"]
+    assert list(x.digest) == ["d0", "d1"]
+    assert x.iloc[0].valid_to == x.iloc[1].valid_from == E + dt.timedelta(days=2)
+    assert x.iloc[1].valid_to == open_end
+    y = got[got.url == "Y"]
+    assert list(y.digest) == ["a", "b", "a"]   # flip-back is a NEW version
+    z = got[got.url == "Z"]
+    assert list(z.digest) == ["d0", "d1"]      # tie broken by cap_id
+    assert list(z.version) == [1, 2]
