@@ -1,20 +1,21 @@
 """Ordered-window analytics: sessionization, per-key running/moving
-aggregates, top-k per group, and grouped z-score outliers.
+aggregates, interval union, SCD2 version history, and grouped z-score
+outliers.
 
 The SQL-window-function family (``SUM() OVER (PARTITION BY … ORDER BY
-… ROWS …)``, ``row_number()``, gap-based sessionization) restated for
-a streaming Dataset. Shared scale shape with `ops/funnel.py` /
-`ops/retention.py`: ONE hash exchange on the partition key, then a
-per-key sorted scan where the key's history — thousands of rows, never
-the corpus — is the unit of work. A hot key skews only its own group;
-nothing joins; nothing collects on the driver.
+… ROWS …)``, gap sessionization, islands, ``lag()``/``lead()``
+compaction) restated for a streaming Dataset. Scale shape: ONE
+partition-grouped hash exchange (`ops/grouping.partition_grouped` —
+``hash(key) mod P`` groups, NOT one pandas group per key, which at
+billions of keys pays ~1 ms dispatch per 1–50-row group: the
+latest_by_url anti-pattern, round-1 verdict #5), then each partition
+group processes ALL its keys in one vectorized pass — mergesort once,
+then numpy segment ops / pandas Cython group kernels (cummax, diff)
+over the whole partition. All rows of one key co-locate, so per-key
+semantics are unchanged; a hot key skews only its partition.
 
 (Per-group top-k lives in `ops/sample.grouped_topk`, which gained the
 local-trim combiner push-down in the same round.)
-
-`interval_union` (merged-coverage time) and `scd2_history` (validity-
-interval version table from capture streams) extend the family to
-interval analytics — same one-exchange, per-key-scan shape.
 
 Money-valued running sums use integer cents (``floor(value·100)``) so
 the cumulative aggregates are exact int64 and bit-identical to the
@@ -30,6 +31,18 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+
+
+def _sorted_partition(g: pd.DataFrame, id_col: str, order_cols: list):
+    """Sort one partition group by (key, *order) and return the frame
+    plus the per-row new-key flag and row index — the shared segment
+    scaffolding for every vectorized per-key scan below."""
+    g = g.sort_values([id_col, *order_cols], kind="mergesort")
+    codes, _ = pd.factorize(g[id_col], sort=False)
+    n = len(g)
+    new_key = np.ones(n, bool)
+    new_key[1:] = codes[1:] != codes[:-1]
+    return g, codes, new_key
 
 
 def sessionize(
@@ -48,32 +61,39 @@ def sessionize(
     Equal-timestamp events can never open a session (gap 0), so the
     tiebreak only pins scan order, not membership.
 
-    Output is session-grained (≪ input), computed inside the per-entity
+    Output is session-grained (≪ input), computed inside the partition
     scan — per-event rows never leave the group task.
     """
-    gap = pd.Timedelta(seconds=gap_seconds)
+    from .grouping import partition_grouped
+
+    gap = pd.Timedelta(seconds=gap_seconds).to_timedelta64()
 
     def summarize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, tiebreak_col], kind="mergesort")
-        ts = g[ts_col]
-        brk = ts.diff().gt(gap).to_numpy()
-        brk[0] = True
-        sid = np.cumsum(brk)
-        out = g.assign(_sid=sid).groupby("_sid", sort=True).agg(
-            session_start=(ts_col, "min"),
-            session_end=(ts_col, "max"),
-            n_events=(ts_col, "size"),
-        ).reset_index()
+        g, codes, new_key = _sorted_partition(
+            g, id_col, [ts_col, tiebreak_col])
+        n = len(g)
+        ts = g[ts_col].to_numpy()
+        brk = new_key.copy()
+        brk[1:] |= (ts[1:] - ts[:-1]) > gap
+        starts = np.flatnonzero(brk)
+        last = np.append(starts[1:], n) - 1
+        # session_idx = 1-based ordinal of the session within its key
+        key_of_sess = codes[starts]
+        nk = np.ones(len(starts), bool)
+        nk[1:] = key_of_sess[1:] != key_of_sess[:-1]
+        first = np.maximum.accumulate(
+            np.where(nk, np.arange(len(starts)), 0))
         return pd.DataFrame({
-            id_col: g[id_col].iloc[0],
-            "session_idx": out["_sid"].astype(np.int64),
-            "session_start": out["session_start"],
-            "session_end": out["session_end"],
-            "n_events": out["n_events"].astype(np.int64),
+            id_col: g[id_col].to_numpy()[starts],
+            "session_idx": (np.arange(len(starts)) - first + 1
+                            ).astype(np.int64),
+            "session_start": ts[starts],
+            "session_end": ts[last],
+            "n_events": np.diff(np.append(starts, n)).astype(np.int64),
         })
 
-    return (ds.groupby(id_col)
-            .map_groups(summarize, batch_format="pandas"))
+    pds, pcols = partition_grouped(ds, [id_col])
+    return pds.groupby(pcols).map_groups(summarize, batch_format="pandas")
 
 
 def running_window(
@@ -92,24 +112,31 @@ def running_window(
     ROWS [UNBOUNDED | window-1] PRECEDING)`` with exact int64 math.
 
     Output is row-grained (same cardinality as input) but stays a
-    streaming Dataset; the only exchange is the entity hash partition.
+    streaming Dataset; the only exchange is the partition-grouped hash.
+    The scan is one global cumsum + two gathers — no per-key anything.
     """
+    from .grouping import partition_grouped
 
     def scan(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, tiebreak_col], kind="mergesort")
+        g, codes, new_key = _sorted_partition(
+            g, id_col, [ts_col, tiebreak_col])
+        n = len(g)
+        idx = np.arange(n)
         cents = np.floor(g[val_col].to_numpy() * 100.0).astype(np.int64)
-        run = np.cumsum(cents)
-        mov = run - np.concatenate(
-            [np.zeros(min(window, len(run)), np.int64), run[:-window]])
+        rg = np.cumsum(cents)
+        ksi = np.maximum.accumulate(np.where(new_key, idx, 0))
+        base = np.where(ksi > 0, rg[np.maximum(ksi - 1, 0)], 0)
+        prev = idx - window
+        pbase = np.where(prev >= ksi, rg[np.clip(prev, 0, None)], base)
         return pd.DataFrame({
             tiebreak_col: g[tiebreak_col].to_numpy(),
             id_col: g[id_col].to_numpy(),
-            "running_cents": run,
-            "moving_cents": mov,
+            "running_cents": rg - base,
+            "moving_cents": rg - pbase,
         })
 
-    return (ds.groupby(id_col)
-            .map_groups(scan, batch_format="pandas"))
+    pds, pcols = partition_grouped(ds, [id_col])
+    return pds.groupby(pcols).map_groups(scan, batch_format="pandas")
 
 
 def interval_union(
@@ -125,29 +152,36 @@ def interval_union(
     far`` opens a new one, the same rule as the SQL islands oracle).
 
     The dwell-time / uptime primitive: sessions overlap when a user has
-    concurrent tabs, crawls overlap when fetch windows retry. Per-entity
-    sorted scan under one hash exchange; output is entity-grained.
+    concurrent tabs, crawls overlap when fetch windows retry. One
+    partition-grouped exchange; the per-key running max is pandas'
+    Cython group-cummax over the whole partition; output is
+    entity-grained.
     """
+    from .grouping import partition_grouped
 
     def cover(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([start_col, end_col], kind="mergesort")
+        g, codes, new_key = _sorted_partition(
+            g, id_col, [start_col, end_col])
+        n = len(g)
         s = g[start_col].to_numpy(dtype=np.int64)
         e = g[end_col].to_numpy(dtype=np.int64)
-        cm = np.maximum.accumulate(e)
-        new_island = np.ones(len(g), bool)
-        new_island[1:] = s[1:] > cm[:-1]
-        isl = np.cumsum(new_island) - 1
-        # per-island max end − min start; islands are contiguous runs
+        cm = pd.Series(e).groupby(codes).cummax().to_numpy()
+        new_island = new_key.copy()
+        new_island[1:] |= s[1:] > cm[:-1]
         starts = np.flatnonzero(new_island)
-        ends = np.append(starts[1:], len(g))
-        covered = sum(int(cm[hi - 1] - s[lo]) for lo, hi in zip(starts, ends))
-        del isl
+        last = np.append(starts[1:], n) - 1
+        lens = cm[last] - s[starts]
+        key_of_isl = codes[starts]
+        nk = np.ones(len(starts), bool)
+        nk[1:] = key_of_isl[1:] != key_of_isl[:-1]
+        kstarts = np.flatnonzero(nk)
         return pd.DataFrame({
-            id_col: [g[id_col].iloc[0]],
-            "covered_us": np.array([covered], np.int64),
+            id_col: g[id_col].to_numpy()[starts][kstarts],
+            "covered_us": np.add.reduceat(lens, kstarts).astype(np.int64),
         })
 
-    return ds.groupby(id_col).map_groups(cover, batch_format="pandas")
+    pds, pcols = partition_grouped(ds, [id_col])
+    return pds.groupby(pcols).map_groups(cover, batch_format="pandas")
 
 
 def scd2_history(
@@ -167,28 +201,40 @@ def scd2_history(
 
     The crawl-recency primitive behind latest_by_url: the same capture
     stream, kept as a queryable validity-interval table instead of a
-    winner set. One hash exchange on the key; per-key sorted scan;
-    output is version-grained (repeat captures — the crawl-scale
-    majority — never leave the group task).
+    winner set. One partition-grouped exchange; per-key compaction is
+    one vectorized neighbor compare; repeat captures — the crawl-scale
+    majority — never leave the group task.
     """
+    from .grouping import partition_grouped
 
     def versions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, tiebreak_col], kind="mergesort")
+        g, codes, new_key = _sorted_partition(
+            g, key_col, [ts_col, tiebreak_col])
         dig = g[digest_col].to_numpy()
-        keep = np.ones(len(g), bool)
-        keep[1:] = dig[1:] != dig[:-1]
-        v = g[keep]
-        vf = v[ts_col].to_numpy()
+        keep = new_key.copy()
+        keep[1:] |= dig[1:] != dig[:-1]
+        kidx = np.flatnonzero(keep)
+        vf = g[ts_col].to_numpy()[kidx]
+        kcodes = codes[kidx]
+        nk = np.ones(len(kidx), bool)
+        nk[1:] = kcodes[1:] != kcodes[:-1]
+        # version ordinal within key
+        first = np.maximum.accumulate(np.where(nk, np.arange(len(kidx)), 0))
+        version = (np.arange(len(kidx)) - first + 1).astype(np.int64)
+        # valid_to = next version's valid_from within the key, else open
         vt = np.append(vf[1:], np.asarray([open_end], dtype=vf.dtype))
+        last_of_key = np.append(nk[1:], True)
+        vt[last_of_key] = np.asarray(open_end, dtype=vf.dtype)
         return pd.DataFrame({
-            key_col: v[key_col].to_numpy(),
-            "version": np.arange(1, len(v) + 1, dtype=np.int64),
+            key_col: g[key_col].to_numpy()[kidx],
+            "version": version,
             "valid_from": vf,
             "valid_to": vt,
-            digest_col: v[digest_col].to_numpy(),
+            digest_col: dig[kidx],
         })
 
-    return ds.groupby(key_col).map_groups(versions, batch_format="pandas")
+    pds, pcols = partition_grouped(ds, [key_col])
+    return pds.groupby(pcols).map_groups(versions, batch_format="pandas")
 
 
 def zscore_outliers(

@@ -169,3 +169,34 @@ def test_scd2_history_compaction_and_open_end(ray_session):
     z = got[got.url == "Z"]
     assert list(z.digest) == ["d0", "d1"]      # tie broken by cap_id
     assert list(z.version) == [1, 2]
+
+
+def test_window_ops_hot_key_skew(ray_session):
+    """One user holds 50% of events (boilerplate-storm shape): the
+    partition-grouped scans must complete and agree with a pandas
+    brute force on both session counts and running sums."""
+    from pappermate_ray.ops.window import running_window, sessionize
+    n = 4000
+    rows = [(i, 7 if i % 2 == 0 else 100 + (i % 50), i * 3, float(i % 9))
+            for i in range(n)]
+    ds = _events(rows).repartition(11)
+    sess = sessionize(ds, "user_id", "ts", 60, "event_id").to_pandas()
+    df = _events(rows).to_pandas().sort_values(["user_id", "ts", "event_id"])
+    brk = (df.groupby("user_id")["ts"].diff()
+           > pd.Timedelta(seconds=60)) | df.groupby("user_id")["ts"].diff().isna()
+    df["_sid"] = brk.cumsum()
+    want = (df.groupby(["user_id", "_sid"]).size()
+            .groupby("user_id").size())     # sessions per user
+    got = sess.groupby("user_id").session_idx.max()
+    assert got.sort_index().to_dict() == want.sort_index().to_dict()
+
+    run = (running_window(ds, "user_id", "ts", "value", 3, "event_id")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    df["_c"] = np.floor(df["value"].to_numpy() * 100).astype(np.int64)
+    df["want_run"] = df.groupby("user_id")["_c"].cumsum()
+    df["want_mov"] = (df.groupby("user_id")["_c"]
+                      .rolling(3, min_periods=1).sum()
+                      .reset_index(level=0, drop=True))
+    w = df.sort_values("event_id").reset_index(drop=True)
+    assert list(run.running_cents) == list(w.want_run)
+    assert list(run.moving_cents) == [int(x) for x in w.want_mov]
