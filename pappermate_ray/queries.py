@@ -6195,3 +6195,70 @@ ORACLE_SQL.update({
         FROM w
     """,
 })
+
+
+def q_webdataset_roundtrip(sf_dir: str):
+    """WebDataset tar-shard interchange end-to-end (io/webdataset.py):
+    documents → content-keyed deterministic tar shards (md5(key) mod S
+    membership, pinned tar metadata — re-runs are byte-identical) →
+    streamed tar source → per-doc integrity row. Oracle recomputes
+    length + md5 straight from parquet, so any sample-grouping,
+    encoding or ordering drift in the tar path hash-mismatches."""
+    import hashlib as _hl
+    import os
+
+    from .io.webdataset import read_webdataset, write_webdataset
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"/tmp/wds_v1_{tag}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+
+        def keyed(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "key": pa.array([f"{d:010d}" for d in
+                                 t["doc_id"].to_pylist()], pa.string()),
+                "text": t["text"],
+                "lang": t["lang"],
+            })
+
+        manifest = write_webdataset(
+            docs.map_batches(keyed, batch_format="pyarrow"), out,
+            "key", text_cols=("text", "lang"))
+        assert manifest.count() > 0
+        with open(os.path.join(out, "_SUCCESS"), "w"):
+            pass
+
+    shards = [os.path.join(out, f) for f in sorted(os.listdir(out))
+              if f.endswith(".tar")]
+    ds = read_webdataset(shards, "key", text_cols=("text", "lang"))
+
+    def integrity(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array([int(k) for k in t["key"].to_pylist()],
+                               pa.int64()),
+            "lang": t["lang"],
+            "n_chars_roundtrip": pc.cast(pc.utf8_length(t["text"]),
+                                         pa.int64()),
+            "text_md5": pa.array(
+                [_hl.md5((x or "").encode()).hexdigest() for x in texts],
+                pa.string()),
+        })
+
+    return ds.map_batches(integrity, batch_format="pyarrow")
+
+
+SQL_QUERIES.update({
+    "webdataset_roundtrip": q_webdataset_roundtrip,
+})
+
+ORACLE_SQL.update({
+    "webdataset_roundtrip": """
+        SELECT doc_id, lang,
+               CAST(length(text) AS BIGINT) AS n_chars_roundtrip,
+               md5(text) AS text_md5
+        FROM documents
+    """,
+})
