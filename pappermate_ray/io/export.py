@@ -88,3 +88,66 @@ def read_csv(paths, **kwargs) -> "rd.Dataset":
     and unicode roundtrip with ``Dataset.write_csv`` — integrity-gated
     by q:csv_roundtrip. Parallelism = file count (source-block rule)."""
     return rd.read_csv(paths, **kwargs)
+
+
+def write_jsonl_gz(
+    ds: "rd.Dataset",
+    out_dir: str,
+    key_col: str,
+    num_shards: int = 8,
+) -> "rd.Dataset":
+    """Gzip-compressed JSONL shards — the Common-Crawl-style wire format
+    (crawl dumps ship as .jsonl.gz/.warc.gz). Same determinism/resume
+    contract as io/webdataset.py: shard membership is content-keyed
+    (md5(key) mod S, stable under repartitioning and retries), rows are
+    key-sorted, JSON encoding is canonical (sorted keys, no ASCII
+    escaping) and the gzip header mtime is pinned to 0 — so re-runs are
+    byte-identical; shards land via atomic rename and existing shards
+    are skipped. Returns the (lazy) manifest (shard, path, n_rows,
+    md5); consuming it performs the write."""
+    import gzip
+    import hashlib
+    import io as _io
+    import json
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def assign(t: pa.Table) -> pa.Table:
+        sh = pa.array(
+            [int.from_bytes(hashlib.md5(str(k).encode()).digest()[:8],
+                            "little") % num_shards
+             for k in t[key_col].to_pylist()], pa.int64())
+        return t.append_column("_shard", sh)
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        sid = int(g["_shard"].iloc[0])
+        path = os.path.join(out_dir, f"shard-{sid:05d}.jsonl.gz")
+        if not os.path.exists(path):
+            g = g.sort_values(key_col, kind="mergesort")
+            buf = _io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as zf:
+                for rec in g.drop(columns=["_shard"]).to_dict("records"):
+                    zf.write(json.dumps(rec, sort_keys=True,
+                                        ensure_ascii=False,
+                                        separators=(",", ":"))
+                             .encode("utf-8"))
+                    zf.write(b"\n")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(buf.getvalue())
+            os.replace(tmp, path)
+        with open(path, "rb") as f:
+            data = f.read()
+        return pd.DataFrame([{
+            "shard": sid,
+            "path": path,
+            "n_rows": int(len(g)),
+            "md5": hashlib.md5(data).hexdigest(),
+        }])
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("_shard")
+            .map_groups(write_shard, batch_format="pandas"))

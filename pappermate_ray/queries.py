@@ -6262,3 +6262,48 @@ ORACLE_SQL.update({
         FROM documents
     """,
 })
+
+
+def q_jsonl_gz_roundtrip(sf_dir: str):
+    """Gzip JSONL interchange (io/export.write_jsonl_gz): documents →
+    content-keyed deterministic .jsonl.gz shards (canonical JSON, gzip
+    mtime pinned, atomic-rename resume) → parallel gz-aware source →
+    per-doc integrity row; shares the jsonl_roundtrip parquet-truth
+    oracle verbatim."""
+    import hashlib as _hl
+    import os
+
+    from .io.export import read_jsonl, write_jsonl_gz
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"/tmp/jlgz_v1_{tag}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+        assert write_jsonl_gz(docs, out, "doc_id").count() > 0
+        with open(os.path.join(out, "_SUCCESS"), "w"):
+            pass
+
+    files = [os.path.join(out, f) for f in sorted(os.listdir(out))
+             if f.endswith(".jsonl.gz")]
+    ds = read_jsonl(files)
+
+    def integrity(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang": t["lang"],
+            "n_chars_roundtrip": pc.cast(pc.utf8_length(t["text"]),
+                                         pa.int64()),
+            "text_md5": pa.array(
+                [_hl.md5((x or "").encode()).hexdigest() for x in texts],
+                pa.string()),
+        })
+
+    return ds.map_batches(integrity, batch_format="pyarrow")
+
+
+SQL_QUERIES.update({
+    "jsonl_gz_roundtrip": q_jsonl_gz_roundtrip,
+})
+ORACLE_SQL["jsonl_gz_roundtrip"] = ORACLE_SQL["jsonl_roundtrip"]

@@ -60,3 +60,41 @@ def test_resume_skips_existing_shards(ray_session, tmp_path):
     m2 = _write(_ds(), out)   # re-run: must not rewrite
     assert m1 == m2
     assert {p.name: os.stat(p).st_mtime_ns for p in shard_files} == mtimes
+
+
+class TestJsonlGz:
+    def _ds(self, blocks=1):
+        t = pa.table({
+            "doc_id": pa.array(list(range(8)), pa.int64()),
+            "text": pa.array(["中文 φ\nnl", 'q"uote', "", "\\slash",
+                              "tab\there", "plain", "é́ combining", "end"],
+                             pa.string()),
+        })
+        ds = rd.from_arrow(t)
+        return ds.repartition(blocks) if blocks > 1 else ds
+
+    def _write(self, ds, out):
+        from pappermate_ray.io.export import write_jsonl_gz
+        m = write_jsonl_gz(ds, str(out), "doc_id", num_shards=3)
+        return {r["shard"]: r["md5"] for r in m.take_all()}
+
+    def test_roundtrip_and_determinism(self, ray_session, tmp_path):
+        from pappermate_ray.io.export import read_jsonl
+        m1 = self._write(self._ds(1), tmp_path / "a")
+        m2 = self._write(self._ds(4), tmp_path / "b")
+        assert m1 == m2   # byte-identical across partitionings
+        files = sorted(str(p) for p in (tmp_path / "a").iterdir()
+                       if p.name.endswith(".jsonl.gz"))
+        got = {r["doc_id"]: r["text"] for r in read_jsonl(files).take_all()}
+        want = {r["doc_id"]: r["text"]
+                for r in self._ds(1).take_all()}
+        assert got == want
+
+    def test_resume_skips_existing(self, ray_session, tmp_path):
+        out = tmp_path / "r"
+        m1 = self._write(self._ds(), out)
+        files = sorted(p for p in out.iterdir()
+                       if p.name.endswith(".jsonl.gz"))
+        mt = {p.name: os.stat(p).st_mtime_ns for p in files}
+        assert self._write(self._ds(), out) == m1
+        assert {p.name: os.stat(p).st_mtime_ns for p in files} == mt
