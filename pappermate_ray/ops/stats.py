@@ -1,0 +1,136 @@
+"""Grouped statistics operators: robust (median/MAD) outlier detection
+and closed-form per-group linear regression.
+
+Both share the narrow-aggregate scale shape: the corpus rides NO
+exchange — only per-group sums / distinct-value counts do — and the
+resulting group-sized tables broadcast via ``ray.put``.
+
+Exactness contracts (what makes these oracle-checkable):
+
+- `mad_outliers` works on INTEGER values (callers derive cents/counts
+  first): medians come from the exact discrete-quantile machinery
+  (`ops/quantiles.grouped_quantiles`, value-count compression — rows
+  never sort), deviations and the ``|v − med| > k·MAD`` comparison are
+  pure int64, so the flagged set is bit-identical to SQL.
+- `grouped_linreg` aggregates exact int64 (n, Σx, Σy, Σxy, Σx²), then
+  computes slope/intercept with ONE pinned float64 expression — each
+  sum cast to double first, identical operation tree both engines —
+  so even the float outputs value-hash. Callers should rebase x to a
+  small origin (hours since the corpus epoch, not since 1970) so the
+  Σxy/Σx² products stay far from int64 range at corpus scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def mad_outliers(
+    ds: "rd.Dataset",
+    group_col: str,
+    val_col: str,
+    k: int = 5,
+) -> "rd.Dataset":
+    """Rows whose integer value deviates from its group MEDIAN by more
+    than ``k`` × the group's median absolute deviation — the robust
+    sibling of `ops/window.zscore_outliers` (one planted 1e9 row moves
+    a mean/stddev gate; it cannot move a median/MAD gate).
+
+    Two narrow distinct-value exchanges (median pass, then MAD pass
+    over derived |v − med|), two group-sized broadcasts, one streaming
+    filter. Integer math end to end.
+    """
+    from .quantiles import grouped_quantiles
+
+    med_rows = grouped_quantiles(
+        ds.map_batches(lambda t: t.select([group_col, val_col]),
+                       batch_format="pyarrow"),
+        group_col, val_col, [0.5], ["med"]).to_pandas()
+    med_map = dict(zip(med_rows[group_col], med_rows["med"].astype(np.int64)))
+    med_ref = ray.put(med_map)
+
+    def dev(t: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        ser = t[group_col].to_pandas()
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.abs(v - ser.map(m).to_numpy(dtype=np.int64))
+        return pa.table({group_col: t[group_col],
+                         "_dev": pa.array(d, pa.int64())})
+
+    mad_rows = grouped_quantiles(
+        ds.map_batches(dev, batch_format="pyarrow"),
+        group_col, "_dev", [0.5], ["mad"]).to_pandas()
+    mad_map = dict(zip(mad_rows[group_col], mad_rows["mad"].astype(np.int64)))
+    mad_ref = ray.put(mad_map)
+
+    def flag(t: pa.Table) -> pa.Table:
+        med = ray.get(med_ref)
+        mad = ray.get(mad_ref)
+        ser = t[group_col].to_pandas()
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.abs(v - ser.map(med).to_numpy(dtype=np.int64))
+        keep = d > k * ser.map(mad).to_numpy(dtype=np.int64)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def grouped_linreg(
+    ds: "rd.Dataset",
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> "rd.Dataset":
+    """(group, slope, intercept, n) — least-squares fit of integer
+    ``y`` on integer ``x`` per group, from ONE narrow aggregate of
+    exact int64 (n, Σx, Σy, Σxy, Σx²). The trend-detection primitive
+    (is this host's quality drifting? is this event type's value
+    rising per hour?). Groups with a degenerate x (all equal, or a
+    single row) emit slope = intercept = 0.0 by contract.
+    """
+
+    def narrow(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            group_col: t[group_col],
+            "_x": pa.array(x, pa.int64()),
+            "_y": pa.array(y, pa.int64()),
+            "_xy": pa.array(x * y, pa.int64()),
+            "_xx": pa.array(x * x, pa.int64()),
+        })
+
+    agg = (ds.map_batches(narrow, batch_format="pyarrow")
+           .groupby(group_col)
+           .aggregate(Count(alias_name="n"),
+                      Sum("_x", alias_name="sx"),
+                      Sum("_y", alias_name="sy"),
+                      Sum("_xy", alias_name="sxy"),
+                      Sum("_xx", alias_name="sxx")))
+
+    def fit(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = t["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        denom = n * sxx - sx * sx
+        ok = denom != 0.0
+        slope = np.where(ok, (n * sxy - sx * sy)
+                         / np.where(ok, denom, 1.0), 0.0)
+        intercept = np.where(ok, (sy - slope * sx) / n, 0.0)
+        return pa.table({
+            group_col: t[group_col],
+            "slope": pa.array(slope, pa.float64()),
+            "intercept": pa.array(intercept, pa.float64()),
+            "n": pc.cast(t["n"], pa.int64()),
+        })
+
+    return agg.map_batches(fit, batch_format="pyarrow")

@@ -6307,3 +6307,100 @@ SQL_QUERIES.update({
     "jsonl_gz_roundtrip": q_jsonl_gz_roundtrip,
 })
 ORACLE_SQL["jsonl_gz_roundtrip"] = ORACLE_SQL["jsonl_roundtrip"]
+
+
+def q_value_mad_outliers(sf_dir: str):
+    """Robust grouped outliers (ops/stats.mad_outliers): events whose
+    integer-cents value deviates from its event_type MEDIAN by > 5×
+    the group MAD — the mean-proof sibling of value_outliers. Two
+    narrow distinct-value exchanges + broadcasts; the corpus rides no
+    exchange; integer math end to end (bit-exact vs quantile_disc)."""
+    from .ops.stats import mad_outliers
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return t.append_column("cents", pc.cast(
+            pc.floor(pc.multiply(pc.cast(t["value"], pa.float64()), 100.0)),
+            pa.int64()))
+
+    flagged = mad_outliers(ds.map_batches(cents, batch_format="pyarrow"),
+                           "event_type", "cents", k=5)
+    return flagged.map_batches(
+        lambda t: t.select(["event_id", "event_type", "value"]),
+        batch_format="pyarrow")
+
+
+def q_value_trend(sf_dir: str):
+    """Per-group least-squares trend (ops/stats.grouped_linreg): cents
+    regressed on hours-since-corpus-epoch per event_type, from ONE
+    narrow exact-int64 (n, Σx, Σy, Σxy, Σx²) aggregate; slope and
+    intercept derive via one pinned float64 expression so even the
+    float outputs value-hash against SQL."""
+    from .ops.stats import grouped_linreg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    origin = np.datetime64("2024-01-01", "us").astype(np.int64)
+
+    def xy(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = (us - origin) // 3_600_000_000
+        y = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "x": pa.array(x, pa.int64()),
+                         "y": pa.array(y, pa.int64())})
+
+    return grouped_linreg(ds.map_batches(xy, batch_format="pyarrow"),
+                          "event_type", "x", "y")
+
+
+SQL_QUERIES.update({
+    "value_mad_outliers": q_value_mad_outliers,
+    "value_trend": q_value_trend,
+})
+
+ORACLE_SQL.update({
+    "value_mad_outliers": """
+        WITH c AS (SELECT event_id, event_type, value,
+                          CAST(FLOOR(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        m AS (SELECT event_type, quantile_disc(cents, 0.5) AS med
+              FROM c GROUP BY event_type),
+        d AS (SELECT c.event_id, c.event_type, c.value,
+                     abs(c.cents - m.med) AS dev
+              FROM c JOIN m USING (event_type)),
+        md AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+               FROM d GROUP BY event_type)
+        SELECT d.event_id, d.event_type, d.value
+        FROM d JOIN md USING (event_type)
+        WHERE d.dev > 5 * md.mad
+    """,
+    "value_trend": """
+        WITH c AS (
+          SELECT event_type,
+                 (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                   // 3600000000 AS x,
+                 CAST(FLOOR(value * 100) AS BIGINT) AS y
+          FROM events),
+        s AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(x) AS DOUBLE) AS sx,
+                 CAST(SUM(y) AS DOUBLE) AS sy,
+                 CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                 CAST(SUM(x * x) AS DOUBLE) AS sxx
+          FROM c GROUP BY event_type)
+        SELECT event_type,
+               CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                    ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                    END AS slope,
+               CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                    ELSE (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                          * sx) / n END AS intercept,
+               CAST(n AS BIGINT) AS n
+        FROM s
+    """,
+})
