@@ -161,7 +161,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "grouped_topk", "value_outliers", "segment_balance_fullouter",
         "incremental_refresh", "user_active_time", "url_versions",
         "webdataset_roundtrip", "jsonl_gz_roundtrip", "value_mad_outliers",
-        "value_trend",
+        "value_trend", "length_mode",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

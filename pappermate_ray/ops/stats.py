@@ -134,3 +134,47 @@ def grouped_linreg(
         })
 
     return agg.map_batches(fit, batch_format="pyarrow")
+
+
+def grouped_mode(
+    ds: "rd.Dataset",
+    group_col: str,
+    val_col: str,
+) -> "rd.Dataset":
+    """(group, mode_value, n): each group's most frequent value, ties
+    broken by the SMALLEST value — SQL's ``row_number() OVER (PARTITION
+    BY g ORDER BY n DESC, v) = 1`` over the value-count table.
+
+    Scale shape borrowed from the exact-quantile machinery: blocks
+    pre-compress to per-block (group, value, count) partials, ONE
+    narrow exchange sums them, and the partition-grouped finisher takes
+    each group's argmax vectorized (lexsort + first-of-run) — rows
+    never shuffle, group count never drives Python dispatch.
+    """
+    from .grouping import partition_grouped
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = (t.select([group_col, val_col])
+             .group_by([group_col, val_col])
+             .aggregate([(val_col, "count")]))
+        return g.rename_columns([group_col, val_col, "n_part"])
+
+    counts = (ds.map_batches(_partial, batch_format="pyarrow")
+              .groupby([group_col, val_col])
+              .aggregate(Sum("n_part", alias_name="n")))
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, "n", val_col],
+                          ascending=[True, False, True], kind="mergesort")
+        keys = g[group_col].to_numpy()
+        first = np.ones(len(g), bool)
+        first[1:] = keys[1:] != keys[:-1]
+        top = g[first]
+        return pd.DataFrame({
+            group_col: top[group_col].to_numpy(),
+            "mode_value": top[val_col].to_numpy(),
+            "n": top["n"].to_numpy().astype(np.int64),
+        })
+
+    pds, pcols = partition_grouped(counts, [group_col])
+    return pds.groupby(pcols).map_groups(argmax, batch_format="pandas")

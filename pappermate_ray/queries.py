@@ -6404,3 +6404,30 @@ ORACLE_SQL.update({
         FROM s
     """,
 })
+
+
+def q_length_mode(sf_dir: str):
+    """Grouped mode (ops/stats.grouped_mode): each language's most
+    frequent doc length — blocks pre-compress to (lang, n_chars, count)
+    partials, one narrow exchange, partition-grouped vectorized argmax
+    with the ties→smallest rule pinned both sides."""
+    from .ops.stats import grouped_mode
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "n_chars"])
+    return grouped_mode(docs, "lang", "n_chars")
+
+
+SQL_QUERIES.update({"length_mode": q_length_mode})
+ORACLE_SQL.update({
+    "length_mode": """
+        WITH c AS (SELECT lang, n_chars AS v, COUNT(*) AS n
+                   FROM documents GROUP BY lang, n_chars),
+        r AS (SELECT lang, v, n,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n DESC, v) AS rk
+              FROM c)
+        SELECT lang, v AS mode_value, CAST(n AS BIGINT) AS n
+        FROM r WHERE rk = 1
+    """,
+})

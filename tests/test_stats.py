@@ -46,3 +46,16 @@ def test_grouped_linreg_exact_fit_and_degenerate(ray_session):
     assert out["a"]["slope"] == 3.0 and out["a"]["intercept"] == 7.0
     assert out["a"]["n"] == 10
     assert out["b"]["slope"] == 0.0 and out["b"]["intercept"] == 0.0
+
+
+def test_grouped_mode_tie_smallest_and_multiblock(ray_session):
+    from pappermate_ray.ops.stats import grouped_mode
+    # group 'a': 3 and 5 both appear twice -> tie breaks to 3
+    t = pa.table({
+        "g": pa.array(["a"] * 5 + ["b"] * 3, pa.string()),
+        "v": pa.array([5, 3, 5, 3, 1, 9, 9, 2], pa.int64()),
+    })
+    out = {r["g"]: (r["mode_value"], r["n"]) for r in
+           grouped_mode(rd.from_arrow(t).repartition(4), "g", "v")
+           .take_all()}
+    assert out == {"a": (3, 2), "b": (9, 2)}
