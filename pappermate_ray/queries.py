@@ -5892,10 +5892,13 @@ def q_segment_balance_fullouter(sf_dir: str):
     ⟗ BUILDING-segment membership — unmatched rows survive from BOTH
     sides (orders by non-BUILDING customers; BUILDING customers with no
     orders). Left side is an aggregate lineage, so its schema is passed
-    to keep the armor probe from re-executing it."""
+    to keep the armor probe from re-executing it; partitions track the
+    KNOWN key cardinality (≤ |customer|, metadata-cheap) instead of
+    spinning 32 aggregators for a keyset-sized exchange — the
+    CLAUDE.md adaptive_partitions pattern."""
     from ray.data.aggregate import Count, Sum
 
-    from .ops.joins import hash_join
+    from .ops.joins import adaptive_partitions, hash_join
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
@@ -5921,9 +5924,12 @@ def q_segment_balance_fullouter(sf_dir: str):
                            columns=["c_custkey", "c_mktsegment"])
            .map_batches(seg_fn, batch_format="pyarrow"))
 
+    n_cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey"]).count()
     out = hash_join(
         agg, seg, on="o_custkey", right_on="c_custkey",
         join_type="full_outer",
+        num_partitions=adaptive_partitions(n_cust),
         left_schema=pa.schema([("o_custkey", pa.int64()),
                                ("total_cents", pa.int64()),
                                ("n_orders", pa.int64())]),
