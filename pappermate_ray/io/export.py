@@ -103,51 +103,33 @@ def write_jsonl_gz(
     key-sorted, JSON encoding is canonical (sorted keys, no ASCII
     escaping) and the gzip header mtime is pinned to 0 — so re-runs are
     byte-identical; shards land via atomic rename and existing shards
-    are skipped. Returns the (lazy) manifest (shard, path, n_rows,
-    md5); consuming it performs the write."""
+    are skipped (their manifest row derives from the existing file).
+    Returns the (lazy) manifest (shard, path, n_rows, md5); consuming
+    it performs the write."""
     import gzip
-    import hashlib
     import io as _io
     import json
-    import os
 
     import pandas as pd
 
-    os.makedirs(out_dir, exist_ok=True)
+    from .webdataset import content_keyed_shard_sink
 
-    def assign(t: pa.Table) -> pa.Table:
-        sh = pa.array(
-            [int.from_bytes(hashlib.md5(str(k).encode()).digest()[:8],
-                            "little") % num_shards
-             for k in t[key_col].to_pylist()], pa.int64())
-        return t.append_column("_shard", sh)
+    def encode(g: pd.DataFrame) -> bytes:
+        buf = _io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as zf:
+            for rec in g.to_dict("records"):
+                zf.write(json.dumps(rec, sort_keys=True,
+                                    ensure_ascii=False,
+                                    separators=(",", ":")).encode("utf-8"))
+                zf.write(b"\n")
+        return buf.getvalue()
 
-    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
-        sid = int(g["_shard"].iloc[0])
-        path = os.path.join(out_dir, f"shard-{sid:05d}.jsonl.gz")
-        if not os.path.exists(path):
-            g = g.sort_values(key_col, kind="mergesort")
-            buf = _io.BytesIO()
-            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as zf:
-                for rec in g.drop(columns=["_shard"]).to_dict("records"):
-                    zf.write(json.dumps(rec, sort_keys=True,
-                                        ensure_ascii=False,
-                                        separators=(",", ":"))
-                             .encode("utf-8"))
-                    zf.write(b"\n")
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(buf.getvalue())
-            os.replace(tmp, path)
-        with open(path, "rb") as f:
-            data = f.read()
-        return pd.DataFrame([{
-            "shard": sid,
-            "path": path,
-            "n_rows": int(len(g)),
-            "md5": hashlib.md5(data).hexdigest(),
-        }])
+    def count_existing(path: str) -> int:
+        with gzip.open(path, "rb") as f:
+            return sum(1 for _ in f)
 
-    return (ds.map_batches(assign, batch_format="pyarrow")
-            .groupby("_shard")
-            .map_groups(write_shard, batch_format="pandas"))
+    return content_keyed_shard_sink(
+        ds, out_dir, key_col, num_shards,
+        filename=lambda sid: f"shard-{sid:05d}.jsonl.gz",
+        encode=encode, count_existing=count_existing,
+        count_name="n_rows")

@@ -39,6 +39,62 @@ def _shard_of(key: str, num_shards: int) -> int:
                           "little") % num_shards
 
 
+def content_keyed_shard_sink(
+    ds: "rd.Dataset",
+    out_dir: str,
+    key_col: str,
+    num_shards: int,
+    filename,
+    encode,
+    count_existing,
+    count_name: str = "n_samples",
+) -> "rd.Dataset":
+    """Shared scaffolding for deterministic, resumable shard sinks
+    (WebDataset tars, gzip JSONL): content-keyed membership
+    (``md5(key) mod S`` — stable under repartitioning/retries), rows
+    key-sorted into ``encode(group) -> bytes``, atomic tmp+rename
+    landing, skip-if-exists resume. The manifest row for a skipped
+    shard is derived ENTIRELY from the existing file
+    (``count_existing(path)`` + its md5), never from the current run's
+    group — so a stale shard can't produce an internally inconsistent
+    manifest. Resume means "finish THIS corpus's interrupted write";
+    pointing a CHANGED corpus at an existing out_dir serves the
+    existing bytes — use a fresh directory per corpus version.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+
+    def assign(t: pa.Table) -> pa.Table:
+        sh = pa.array([_shard_of(str(k), num_shards)
+                       for k in t[key_col].to_pylist()], pa.int64())
+        return t.append_column("_shard", sh)
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        sid = int(g["_shard"].iloc[0])
+        path = os.path.join(out_dir, filename(sid))
+        if not os.path.exists(path):
+            g = g.sort_values(key_col, kind="mergesort")
+            data = encode(g.drop(columns=["_shard"]))
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
+            n = int(len(g))
+        else:
+            n = int(count_existing(path))
+        with open(path, "rb") as f:
+            data = f.read()
+        return pd.DataFrame([{
+            "shard": sid,
+            "path": path,
+            count_name: n,
+            "md5": hashlib.md5(data).hexdigest(),
+        }])
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("_shard")
+            .map_groups(write_shard, batch_format="pandas"))
+
+
 def write_webdataset(
     ds: "rd.Dataset",
     out_dir: str,
@@ -50,46 +106,31 @@ def write_webdataset(
     """Write tar shards under ``out_dir``; returns the (lazy) manifest
     Dataset ``(shard, path, n_samples, md5)`` — consuming it performs
     the write. Keys must be unique strings (use a zero-padded id)."""
-    os.makedirs(out_dir, exist_ok=True)
     cols = [key_col, *text_cols, *binary_cols]
+    members_per_sample = len(text_cols) + len(binary_cols)
 
-    def assign(t: pa.Table) -> pa.Table:
-        keys = [str(x) for x in t[key_col].to_pylist()]
-        sh = pa.array([_shard_of(k, num_shards) for k in keys], pa.int64())
-        return t.select(cols).append_column("_shard", sh)
+    def encode(g: pd.DataFrame) -> bytes:
+        buf = _io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as tf:
+            for _, row in g.iterrows():
+                key = str(row[key_col])
+                for c in text_cols:
+                    _add(tf, f"{key}.{c}.txt",
+                         (row[c] or "").encode("utf-8"))
+                for c in binary_cols:
+                    _add(tf, f"{key}.{c}.bin", bytes(row[c] or b""))
+        return buf.getvalue()
 
-    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
-        sid = int(g["_shard"].iloc[0])
-        path = os.path.join(out_dir, f"shard-{sid:05d}.tar")
-        if not os.path.exists(path):
-            g = g.sort_values(key_col, kind="mergesort")
-            buf = _io.BytesIO()
-            with tarfile.open(fileobj=buf, mode="w",
-                              format=tarfile.USTAR_FORMAT) as tf:
-                for _, row in g.iterrows():
-                    key = str(row[key_col])
-                    for c in text_cols:
-                        _add(tf, f"{key}.{c}.txt",
-                             (row[c] or "").encode("utf-8"))
-                    for c in binary_cols:
-                        _add(tf, f"{key}.{c}.bin", bytes(row[c] or b""))
-            data = buf.getvalue()
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(data)
-            os.replace(tmp, path)
-        with open(path, "rb") as f:
-            data = f.read()
-        return pd.DataFrame([{
-            "shard": sid,
-            "path": path,
-            "n_samples": int(len(g)),
-            "md5": hashlib.md5(data).hexdigest(),
-        }])
+    def count_existing(path: str) -> int:
+        with tarfile.open(path) as tf:
+            return sum(1 for _ in tf) // max(1, members_per_sample)
 
-    return (ds.map_batches(assign, batch_format="pyarrow")
-            .groupby("_shard")
-            .map_groups(write_shard, batch_format="pandas"))
+    return content_keyed_shard_sink(
+        ds.map_batches(lambda t: t.select(cols), batch_format="pyarrow"),
+        out_dir, key_col, num_shards,
+        filename=lambda sid: f"shard-{sid:05d}.tar",
+        encode=encode, count_existing=count_existing)
 
 
 def _add(tf: "tarfile.TarFile", name: str, payload: bytes) -> None:

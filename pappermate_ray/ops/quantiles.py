@@ -34,35 +34,48 @@ import ray
 from ray.data.aggregate import Sum
 
 
-def grouped_quantiles(
-    ds: "ray.data.Dataset",
+def value_count_partials(t: pa.Table, group_col: str,
+                         val_col: str) -> pa.Table:
+    """Per-block ``(group, value) -> n_part`` compressor — the shared
+    front end of grouped_quantiles and ops/stats.grouped_mode. Null
+    VALUES are dropped up front (both consumers' oracles —
+    ``quantile_disc`` and the mode window with ``v IS NOT NULL`` —
+    ignore them); surviving rows are counted with ``count_all`` so the
+    partial is an exact row count, not a non-null-cell count."""
+    sub = t.select([group_col, val_col])
+    sub = sub.filter(pa.compute.is_valid(sub[val_col]))
+    g = sub.group_by([group_col, val_col]).aggregate([([], "count_all")])
+    return g.rename_columns([group_col, val_col, "n_part"])
+
+
+def grouped_value_counts(
+    ds: "ray.data.Dataset", group_col: str, value_col: str
+) -> "ray.data.Dataset":
+    """ONE narrow exchange summing the block partials → the exact
+    distinct ``(group, value, n)`` table. Distinct-sized, so callers
+    may materialize it and derive several statistics without
+    re-scanning the corpus (ops/stats.mad_outliers does)."""
+    return (
+        ds.map_batches(lambda t: value_count_partials(t, group_col, value_col),
+                       batch_format="pyarrow")
+        .groupby([group_col, value_col])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+
+def grouped_quantiles_from_counts(
+    counts: "ray.data.Dataset",
     group_col: str,
     value_col: str,
     qs: Sequence[float],
     out_names: Optional[List[str]] = None,
 ) -> "ray.data.Dataset":
-    """Exact per-group discrete quantiles of ``value_col``.
-
-    ``out_names`` names the output columns (default ``p25``-style from
-    the q values); output has one row per group: ``group_col, *out_names``.
-    """
+    """Per-group discrete quantiles read off an already-built
+    ``(group, value, n)`` count table (``grouped_value_counts``
+    output, or any weighted value multiset)."""
     names = out_names or [f"p{int(round(q * 100)):02d}" for q in qs]
     if len(names) != len(qs):
         raise ValueError("out_names must match qs length")
-
-    def _partial(t: pa.Table) -> pa.Table:
-        g = (
-            t.select([group_col, value_col])
-            .group_by([group_col, value_col])
-            .aggregate([(value_col, "count")])
-        )
-        return g.rename_columns([group_col, value_col, "n_part"])
-
-    counts = (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby([group_col, value_col])
-        .aggregate(Sum("n_part", alias_name="n"))
-    )
 
     def _finish(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values(value_col, kind="mergesort")
@@ -76,6 +89,23 @@ def grouped_quantiles(
         return pd.DataFrame([row])
 
     return counts.groupby(group_col).map_groups(_finish, batch_format="pandas")
+
+
+def grouped_quantiles(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    qs: Sequence[float],
+    out_names: Optional[List[str]] = None,
+) -> "ray.data.Dataset":
+    """Exact per-group discrete quantiles of ``value_col``.
+
+    ``out_names`` names the output columns (default ``p25``-style from
+    the q values); output has one row per group: ``group_col, *out_names``.
+    """
+    return grouped_quantiles_from_counts(
+        grouped_value_counts(ds, group_col, value_col),
+        group_col, value_col, qs, out_names)
 
 
 def quantile_bucket(

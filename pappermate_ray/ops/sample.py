@@ -49,7 +49,12 @@ def grouped_topk(
     OWN per-group top-k inside ``map_batches`` — a row outside its
     block's local top-k cannot be in the global top-k — so the single
     group-key exchange moves ≤ k rows per (block, group) instead of the
-    corpus; the per-group finisher then re-sorts ≤ k·blocks rows."""
+    corpus; the per-group finisher then re-sorts ≤ k·blocks rows.
+
+    Null group keys survive the trim (``dropna=False``); note Ray
+    2.49's own multi-block groupby sort cannot merge null string keys,
+    so nullable group columns should be coalesced upstream — a
+    limitation of every groupby-based op here, not of the combiner."""
     cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
 
     def _local_trim(t: pa.Table) -> pa.Table:
@@ -57,7 +62,7 @@ def grouped_topk(
         df = df.sort_values([value_col, tiebreak_col],
                             ascending=[False, True], kind="mergesort")
         return pa.Table.from_pandas(
-            df.groupby(cols, sort=False).head(k),
+            df.groupby(cols, sort=False, dropna=False).head(k),
             preserve_index=False, schema=t.schema)
 
     def _top(group: pd.DataFrame) -> pd.DataFrame:

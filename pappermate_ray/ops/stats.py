@@ -43,30 +43,39 @@ def mad_outliers(
     sibling of `ops/window.zscore_outliers` (one planted 1e9 row moves
     a mean/stddev gate; it cannot move a median/MAD gate).
 
-    Two narrow distinct-value exchanges (median pass, then MAD pass
-    over derived |v − med|), two group-sized broadcasts, one streaming
-    filter. Integer math end to end.
+    TWO corpus scans total: one builds the distinct ``(group, value,
+    n)`` count table (ONE narrow exchange; materialized —
+    distinct-sized, never row-sized), from which BOTH the median and
+    the MAD derive (the deviation multiset is a weighted remap of the
+    same counts, re-grouped in a second distinct-sized exchange); the
+    second scan is the streaming flag filter. Integer math end to end.
+    Null values never flag (dropped from the count table by the
+    `ops/quantiles.value_count_partials` contract).
     """
-    from .quantiles import grouped_quantiles
+    from .quantiles import grouped_quantiles_from_counts, grouped_value_counts
 
-    med_rows = grouped_quantiles(
-        ds.map_batches(lambda t: t.select([group_col, val_col]),
-                       batch_format="pyarrow"),
-        group_col, val_col, [0.5], ["med"]).to_pandas()
+    counts = grouped_value_counts(ds, group_col, val_col).materialize()
+
+    med_rows = grouped_quantiles_from_counts(
+        counts, group_col, val_col, [0.5], ["med"]).to_pandas()
     med_map = dict(zip(med_rows[group_col], med_rows["med"].astype(np.int64)))
     med_ref = ray.put(med_map)
 
     def dev(t: pa.Table) -> pa.Table:
+        # remap the COUNT table (not the corpus) to |v − med| weights
         m = ray.get(med_ref)
         ser = t[group_col].to_pandas()
         v = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
         d = np.abs(v - ser.map(m).to_numpy(dtype=np.int64))
         return pa.table({group_col: t[group_col],
-                         "_dev": pa.array(d, pa.int64())})
+                         "_dev": pa.array(d, pa.int64()),
+                         "n_part": t["n"]})
 
-    mad_rows = grouped_quantiles(
-        ds.map_batches(dev, batch_format="pyarrow"),
-        group_col, "_dev", [0.5], ["mad"]).to_pandas()
+    dev_counts = (counts.map_batches(dev, batch_format="pyarrow")
+                  .groupby([group_col, "_dev"])
+                  .aggregate(Sum("n_part", alias_name="n")))
+    mad_rows = grouped_quantiles_from_counts(
+        dev_counts, group_col, "_dev", [0.5], ["mad"]).to_pandas()
     mad_map = dict(zip(mad_rows[group_col], mad_rows["mad"].astype(np.int64)))
     mad_ref = ray.put(mad_map)
 
@@ -145,23 +154,18 @@ def grouped_mode(
     broken by the SMALLEST value — SQL's ``row_number() OVER (PARTITION
     BY g ORDER BY n DESC, v) = 1`` over the value-count table.
 
-    Scale shape borrowed from the exact-quantile machinery: blocks
-    pre-compress to per-block (group, value, count) partials, ONE
-    narrow exchange sums them, and the partition-grouped finisher takes
-    each group's argmax vectorized (lexsort + first-of-run) — rows
-    never shuffle, group count never drives Python dispatch.
+    Scale shape IS the exact-quantile machinery's front end
+    (`ops/quantiles.grouped_value_counts`): blocks pre-compress to
+    (group, value, count) partials, ONE narrow exchange sums them, and
+    the partition-grouped finisher takes each group's argmax vectorized
+    (lexsort + first-of-run) — rows never shuffle, group count never
+    drives Python dispatch. Null values are dropped by the shared
+    partials contract (a null can never be the mode).
     """
     from .grouping import partition_grouped
+    from .quantiles import grouped_value_counts
 
-    def _partial(t: pa.Table) -> pa.Table:
-        g = (t.select([group_col, val_col])
-             .group_by([group_col, val_col])
-             .aggregate([(val_col, "count")]))
-        return g.rename_columns([group_col, val_col, "n_part"])
-
-    counts = (ds.map_batches(_partial, batch_format="pyarrow")
-              .groupby([group_col, val_col])
-              .aggregate(Sum("n_part", alias_name="n")))
+    counts = grouped_value_counts(ds, group_col, val_col)
 
     def argmax(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([group_col, "n", val_col],

@@ -78,31 +78,34 @@ def incremental_refresh(
         ).select(["url", "status"]),
         batch_format="pyarrow")
 
-    def tokens(t: pa.Table) -> pa.Table:
-        # trim SPACES only — DuckDB's trim(s) semantics, so the token
-        # count replays exactly (a trailing \n counts as a run edge in
-        # both engines)
-        txt = pc.utf8_trim(pc.cast(t[text_col], pa.string()), " ")
-        runs = pc.count_substring_regex(txt, r"\s+")
-        n = pc.if_else(pc.equal(txt, ""), pa.scalar(0, pa.int64()),
-                       pc.cast(pc.add(runs, 1), pa.int64()))
+    def project(t: pa.Table) -> pa.Table:
         return pa.table({
             "url": pc.cast(t[url_col], pa.string()),
             id_col: t[id_col],
             text_col: t[text_col],
-            "n_tokens": n,
         })
 
     refreshed = hash_join(
-        new_pages.map_batches(tokens, batch_format="pyarrow"),
+        new_pages.map_batches(project, batch_format="pyarrow"),
         work, on="url",
         left_schema=pa.schema([("url", pa.string()),
                                (id_col, pa.int64()),
-                               (text_col, pa.string()),
-                               ("n_tokens", pa.int64())]),
+                               (text_col, pa.string())]),
         right_schema=pa.schema([("url", pa.string()),
                                 ("status", pa.string())]),
     ).materialize()  # two consumers below (match input + manifest base)
+
+    def tokens(t: pa.Table) -> pa.Table:
+        # computed AFTER the work-list join, so the regex pass touches
+        # only the increment, never the unchanged crawl majority. Trim
+        # SPACES only — DuckDB's trim(s) semantics, so the token count
+        # replays exactly (a trailing \n counts as a run edge in both
+        # engines).
+        txt = pc.utf8_trim(pc.cast(t[text_col], pa.string()), " ")
+        runs = pc.count_substring_regex(txt, r"\s+")
+        n = pc.if_else(pc.equal(txt, ""), pa.scalar(0, pa.int64()),
+                       pc.cast(pc.add(runs, 1), pa.int64()))
+        return t.append_column("n_tokens", n)
 
     pairs = match_against_index(
         refreshed.map_batches(
@@ -117,7 +120,7 @@ def incremental_refresh(
         .groupby(id_col).max("_hit"))
 
     out = hash_join(
-        refreshed.map_batches(
+        refreshed.map_batches(tokens, batch_format="pyarrow").map_batches(
             lambda t: t.select(["url", id_col, "status", "n_tokens"]),
             batch_format="pyarrow"),
         dup_ids, on=id_col, join_type="left_outer",

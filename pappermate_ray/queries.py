@@ -6428,7 +6428,8 @@ SQL_QUERIES.update({"length_mode": q_length_mode})
 ORACLE_SQL.update({
     "length_mode": """
         WITH c AS (SELECT lang, n_chars AS v, COUNT(*) AS n
-                   FROM documents GROUP BY lang, n_chars),
+                   FROM documents WHERE n_chars IS NOT NULL
+                   GROUP BY lang, n_chars),
         r AS (SELECT lang, v, n,
                      row_number() OVER (PARTITION BY lang
                                         ORDER BY n DESC, v) AS rk

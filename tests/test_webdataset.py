@@ -98,3 +98,23 @@ class TestJsonlGz:
         mt = {p.name: os.stat(p).st_mtime_ns for p in files}
         assert self._write(self._ds(), out) == m1
         assert {p.name: os.stat(p).st_mtime_ns for p in files} == mt
+
+
+def test_skip_manifest_reflects_existing_file(ray_session, tmp_path):
+    """Resume with a CHANGED upstream: the skipped shard's manifest row
+    must describe the file on disk (old n + old md5), never pair the
+    new group's count with the old bytes."""
+    out = tmp_path / "s"
+    m1 = {r["shard"]: (r["n_samples"], r["md5"]) for r in
+          write_webdataset(_ds(), str(out), "key", text_cols=("text",),
+                           binary_cols=("blob",), num_shards=1).take_all()}
+    t2 = pa.table({  # grown corpus, same out_dir
+        "key": pa.array([r[0] for r in ROWS] + ["k999"], pa.string()),
+        "text": pa.array([r[1] for r in ROWS] + ["extra"], pa.string()),
+        "blob": pa.array([r[2] for r in ROWS] + [b"x"], pa.binary()),
+    })
+    m2 = {r["shard"]: (r["n_samples"], r["md5"]) for r in
+          write_webdataset(rd.from_arrow(t2), str(out), "key",
+                           text_cols=("text",), binary_cols=("blob",),
+                           num_shards=1).take_all()}
+    assert m2 == m1   # file untouched; manifest describes the FILE

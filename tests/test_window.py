@@ -200,3 +200,22 @@ def test_window_ops_hot_key_skew(ray_session):
     w = df.sort_values("event_id").reset_index(drop=True)
     assert list(run.running_cents) == list(w.want_run)
     assert list(run.moving_cents) == [int(x) for x in w.want_mov]
+
+
+def test_grouped_topk_keeps_null_group(ray_session):
+    """Regression: the local-trim combiner must not drop null-keyed
+    groups (pandas groupby defaults to dropna=True). Single block:
+    Ray 2.49's own multi-block groupby sort crashes on null string
+    keys ('<' between None and str), so multi-block null groups are
+    out of the engine's contract for every groupby-based op."""
+    t = pa.table({
+        "lang": pa.array(["en", "en", None, None, None], pa.string()),
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "n_chars": pa.array([10, 20, 30, 40, 50], pa.int64()),
+    })
+    out = (grouped_topk(rd.from_arrow(t),
+                        "lang", "n_chars", "doc_id", 2)
+           .to_pandas())
+    nulls = out[out.lang.isna()]
+    assert sorted(nulls.doc_id) == [4, 5]
+    assert sorted(out[out.lang == "en"].doc_id) == [1, 2]
