@@ -83,9 +83,16 @@ def mad_outliers(
         med = ray.get(med_ref)
         mad = ray.get(mad_ref)
         ser = t[group_col].to_pandas()
-        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = np.abs(v - ser.map(med).to_numpy(dtype=np.int64))
-        keep = d > k * ser.map(mad).to_numpy(dtype=np.int64)
+        # null values never flag; groups absent from the count table
+        # (all-null groups) never flag either — mask both before the
+        # int64 casts (NaN→int64 is undefined / raises)
+        valid = (pc.is_valid(t[val_col]).to_numpy(zero_copy_only=False)
+                 & ser.isin(med.keys()).to_numpy())
+        v = np.where(valid, t[val_col].to_numpy(zero_copy_only=False), 0).astype(np.int64)
+        g_med = ser.map(med).fillna(0).to_numpy(dtype=np.int64)
+        g_mad = ser.map(mad).fillna(0).to_numpy(dtype=np.int64)
+        d = np.abs(v - g_med)
+        keep = valid & (d > k * g_mad)
         return t.filter(pa.array(keep))
 
     return ds.map_batches(flag, batch_format="pyarrow")

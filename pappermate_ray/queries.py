@@ -6215,8 +6215,10 @@ def q_webdataset_roundtrip(sf_dir: str):
 
     from .io.webdataset import read_webdataset, write_webdataset
 
+    from .fixtures import FIXTURES_VERSION
+
     tag = sf_dir.strip("/").replace("/", "_")
-    out = f"/tmp/wds_v1_{tag}"
+    out = f"/tmp/wds_v{FIXTURES_VERSION}_{tag}"
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "lang", "text"])
@@ -6281,8 +6283,10 @@ def q_jsonl_gz_roundtrip(sf_dir: str):
 
     from .io.export import read_jsonl, write_jsonl_gz
 
+    from .fixtures import FIXTURES_VERSION
+
     tag = sf_dir.strip("/").replace("/", "_")
-    out = f"/tmp/jlgz_v1_{tag}"
+    out = f"/tmp/jlgz_v{FIXTURES_VERSION}_{tag}"
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "lang", "text"])

@@ -33,6 +33,20 @@ def test_mad_outliers_constant_group_flags_nothing_but_deviants(ray_session):
     assert list(out.v) == [6]
 
 
+def test_mad_outliers_null_values_and_all_null_group(ray_session):
+    """Null values never flag; a group whose values are ALL null is
+    absent from the med/mad maps and must not crash the flag pass."""
+    t = pa.table({
+        "g": pa.array(["a"] * 8 + ["z", "z"], pa.string()),
+        "id": pa.array(range(10), pa.int64()),
+        "v": pa.array([100, 101, 102, 100, 101, None, 10_000, 100,
+                       None, None], pa.int64()),
+    })
+    out = mad_outliers(rd.from_arrow(t), "g", "v", k=5).to_pandas()
+    assert list(out.v) == [10_000]
+    assert list(out.g) == ["a"]
+
+
 def test_grouped_linreg_exact_fit_and_degenerate(ray_session):
     # group 'a': y = 3x + 7 exactly; group 'b': single point -> zeros
     xs = np.arange(10, dtype=np.int64)
