@@ -44,7 +44,11 @@ _DIGITS = re.compile(r"\d+")
 
 
 def is_pdf_payload(data: Optional[bytes]) -> bool:
-    return bool(data) and data[: len(PDF_MAGIC)] == PDF_MAGIC
+    """PDFSYN or real PDF bytes (both route through this module)."""
+    if not data:
+        return False
+    return (data[: len(PDF_MAGIC)] == PDF_MAGIC
+            or data[:5] == b"%PDF-")
 
 
 def _median(vals: List[float]) -> float:
@@ -132,15 +136,32 @@ def table_cells(table_lines: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
 
 
 def parse_pdf_layout(payload: bytes) -> Tuple[List[Dict[str, Any]], str]:
-    """PDFSYN payload → (ordered blocks [{type,text,page,order}], error).
+    """PDF payload → (ordered blocks [{type,text,page,order}], error).
 
+    PDFSYN payloads decode their JSON page model; REAL PDF bytes go
+    through the text-object reader (`functions/pdfreal.py`) to the
+    same page model — one shared geometry pipeline after that.
     Soft-fails: returns ([], message) on malformed payloads.
     """
+    if payload[: len(PDF_MAGIC)] != PDF_MAGIC and payload[:5] == b"%PDF-":
+        from .pdfreal import parse_real_pdf_pages
+
+        pages, err = parse_real_pdf_pages(payload)
+        if err:
+            return [], err
+        return _blocks_from_pages(pages)
     try:
         doc = json.loads(payload[len(PDF_MAGIC):].decode("utf-8"))
         pages = doc["pages"]
     except Exception as e:
         return [], f"pdf parse error: {type(e).__name__}"
+    return _blocks_from_pages(pages)
+
+
+def _blocks_from_pages(
+    pages: List[Dict[str, Any]],
+) -> Tuple[List[Dict[str, Any]], str]:
+    """Shared geometry pipeline: page model → ordered blocks."""
     furniture = detect_furniture(pages)
     blocks: List[Dict[str, Any]] = []
     order = 0

@@ -174,20 +174,24 @@ def hits(
 def _hits_dense(nodes, edges, node_col, src_col, dst_col, iters, n):
     import ray
 
+    from .vecreduce import dense_vector_sum
+
+    # the edge list is the loop invariant — pin it once so the 1+2·iters
+    # reductions below never re-execute upstream lineage
+    edges = edges.materialize()
+
     # one degree-counting edge scan up front feeds the overflow guard:
-    # per-block packed bincount partials, same bounded-rows contract as
-    # the score partials below
-    def deg_part(t: pa.Table) -> pa.Table:
+    # in/out bincounts packed into ONE 2n vector, reduced via the
+    # bounded partials contract (ops/vecreduce.py) — driver transit is
+    # O(N) per reduction, never O(edge blocks × N)
+    def deg_vec(t: pa.Table) -> np.ndarray:
         din = np.bincount(np.asarray(t[dst_col], np.int64), minlength=n)
         dout = np.bincount(np.asarray(t[src_col], np.int64), minlength=n)
-        return pa.table({"v": pa.array(
-            [np.stack([din, dout]).astype(np.int64).tobytes()], pa.binary())})
+        return np.concatenate([din, dout])
 
-    deg = np.zeros((2, n), dtype=np.int64)
-    for r in edges.map_batches(deg_part, batch_format="pyarrow").take_all():
-        deg += np.frombuffer(r["v"], dtype=np.int64).reshape(2, n)
-    d_in = int(deg[0].max(initial=0))
-    d_out = int(deg[1].max(initial=0))
+    deg = dense_vector_sum(edges, deg_vec, 2 * n, np.int64)
+    d_in = int(deg[:n].max(initial=0))
+    d_out = int(deg[n:].max(initial=0))
 
     hub = np.ones(n, dtype=np.int64)
     auth = np.zeros(n, dtype=np.int64)
@@ -195,29 +199,25 @@ def _hits_dense(nodes, edges, node_col, src_col, dst_col, iters, n):
         _overflow_guard(int(hub.max(initial=0)), d_in, rnd)
         href = ray.put(hub)
 
-        def a_part(t: pa.Table) -> pa.Table:
+        def a_part(t: pa.Table) -> np.ndarray:
             h = ray.get(href)
             vec = np.zeros(n, dtype=np.int64)
             np.add.at(vec, np.asarray(t[dst_col], np.int64),
                       h[np.asarray(t[src_col], np.int64)])
-            return pa.table({"v": pa.array([vec.tobytes()], pa.binary())})
+            return vec
 
-        auth = np.zeros(n, dtype=np.int64)
-        for r in edges.map_batches(a_part, batch_format="pyarrow").take_all():
-            auth += np.frombuffer(r["v"], dtype=np.int64)
+        auth = dense_vector_sum(edges, a_part, n, np.int64)
         _overflow_guard(int(auth.max(initial=0)), d_out, rnd)
         aref = ray.put(auth)
 
-        def h_part(t: pa.Table) -> pa.Table:
+        def h_part(t: pa.Table) -> np.ndarray:
             a = ray.get(aref)
             vec = np.zeros(n, dtype=np.int64)
             np.add.at(vec, np.asarray(t[src_col], np.int64),
                       a[np.asarray(t[dst_col], np.int64)])
-            return pa.table({"v": pa.array([vec.tobytes()], pa.binary())})
+            return vec
 
-        hub = np.zeros(n, dtype=np.int64)
-        for r in edges.map_batches(h_part, batch_format="pyarrow").take_all():
-            hub += np.frombuffer(r["v"], dtype=np.int64)
+        hub = dense_vector_sum(edges, h_part, n, np.int64)
 
     fref = ray.put(np.stack([auth, hub]))
 

@@ -60,7 +60,9 @@ def pagerank(
     hybrid rule as webclean's bounded bucket prune): the rank vector is
     the ``ray.put`` small side, each round is ONE streaming pass over
     edges emitting a per-block dense inflow vector, and vectors merge
-    by addition O(blocks × N) — zero joins, zero shuffles. Beyond the
+    by addition in the object store via the bounded partials contract
+    (`ops/vecreduce.dense_vector_sum`: driver transit O(N), never
+    O(edge blocks × N)). Beyond the
     bound (or with arbitrary ids) the join path below is the 100 TB
     shape. Both paths are asserted equal in tests.
     """
@@ -140,14 +142,19 @@ def _pagerank_dense(
 ):
     import ray
 
-    # out-degree vector: per-block bincounts merged by addition
-    def od_part(t: pa.Table) -> pa.Table:
-        v = np.bincount(np.asarray(t[src_col], np.int64), minlength=n)
-        return pa.table({"v": pa.array([v.astype(np.int64).tobytes()], pa.binary())})
+    from .vecreduce import dense_vector_sum
 
-    od = np.zeros(n, dtype=np.int64)
-    for r in edges.map_batches(od_part, batch_format="pyarrow").take_all():
-        od += np.frombuffer(r["v"], dtype=np.int64)
+    # the edge list is the loop invariant — pin it once so the 1+iters
+    # reductions below never re-execute upstream lineage
+    edges = edges.materialize()
+
+    # out-degree vector: per-block bincounts, reduced via the bounded
+    # partials contract (ops/vecreduce.py) — driver transit is O(N),
+    # never O(edge blocks × N)
+    od = dense_vector_sum(
+        edges,
+        lambda t: np.bincount(np.asarray(t[src_col], np.int64), minlength=n),
+        n, np.int64)
 
     base = (1.0 - damping) / n
     ranks = np.full(n, 1.0 / n)
@@ -155,17 +162,15 @@ def _pagerank_dense(
     for _ in range(iters):
         rref = ray.put(ranks)
 
-        def contrib(t: pa.Table) -> pa.Table:
+        def contrib(t: pa.Table) -> np.ndarray:
             r, o = ray.get(rref), ray.get(oref)
             src = np.asarray(t[src_col], np.int64)
             dst = np.asarray(t[dst_col], np.int64)
             vec = np.zeros(n)
             np.add.at(vec, dst, r[src] / o[src])
-            return pa.table({"v": pa.array([vec.tobytes()], pa.binary())})
+            return vec
 
-        inflow = np.zeros(n)
-        for r in edges.map_batches(contrib, batch_format="pyarrow").take_all():
-            inflow += np.frombuffer(r["v"], dtype=np.float64)
+        inflow = dense_vector_sum(edges, contrib, n, np.float64)
         ranks = base + damping * inflow
 
     fref = ray.put(np.round(ranks, round_to) if round_to is not None else ranks)

@@ -56,14 +56,26 @@ def pivot_sum(
 
 def _widen(finest, row_col, cat_col, val_col, categories, out_prefix,
            cell_type):
-    py_cast = float if cell_type == pa.float64() else int
+    import numpy as np
+    import pandas as pd
 
-    def widen(g: pa.Table) -> pa.Table:
-        m = dict(zip(g[cat_col].to_pylist(), g[val_col].to_pylist()))
-        cols = {row_col: g[row_col].slice(0, 1)}
+    from .grouping import partition_grouped
+
+    np_type = np.float64 if cell_type == pa.float64() else np.int64
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        # partition-grouped gather: ALL row keys of this partition in
+        # one vectorized pandas pivot (the finest aggregate guarantees
+        # unique (row, category) pairs) — never one dispatch per
+        # distinct row_col value (ops/grouping.py contract; a pivot
+        # keyed on url would otherwise crawl).
+        w = (g.pivot(index=row_col, columns=cat_col, values=val_col)
+             .reindex(columns=categories))
+        out = {row_col: w.index.to_numpy()}
         for c in categories:
-            cols[f"{out_prefix}{c}"] = pa.array(
-                [py_cast(m.get(c, 0))], cell_type)
-        return pa.table(cols)
+            out[f"{out_prefix}{c}"] = (
+                w[c].fillna(0).to_numpy().astype(np_type))
+        return pd.DataFrame(out)
 
-    return finest.groupby(row_col).map_groups(widen, batch_format="pyarrow")
+    pds, pcols = partition_grouped(finest, [row_col])
+    return pds.groupby(pcols).map_groups(widen, batch_format="pandas")

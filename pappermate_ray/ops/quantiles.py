@@ -23,7 +23,6 @@ is what makes the operator SQL-oracle-checkable.
 
 from __future__ import annotations
 
-import math
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -77,18 +76,33 @@ def grouped_quantiles_from_counts(
     if len(names) != len(qs):
         raise ValueError("out_names must match qs length")
 
-    def _finish(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(value_col, kind="mergesort")
-        vals = group[value_col].to_numpy()
-        cum = group["n"].to_numpy().cumsum()
-        n = int(cum[-1])
-        row = {group_col: group[group_col].iloc[0]}
-        for q, name in zip(qs, names):
-            idx = max(0, math.ceil(q * n) - 1)
-            row[name] = vals[int(np.searchsorted(cum, idx + 1))]
-        return pd.DataFrame([row])
+    from .grouping import partition_grouped
 
-    return counts.groupby(group_col).map_groups(_finish, batch_format="pandas")
+    def _finish(g: pd.DataFrame) -> pd.DataFrame:
+        # partition-grouped finisher: ALL groups in the partition at
+        # once — lexsort, run boundaries, then ONE global searchsorted
+        # per quantile (the global cumsum is strictly increasing, so a
+        # group's target rank resolves inside its own run). No per-key
+        # dispatch (ops/grouping.py contract).
+        g = g.sort_values([group_col, value_col], kind="mergesort")
+        keys = g[group_col].to_numpy()
+        vals = g[value_col].to_numpy()
+        cum = g["n"].to_numpy(dtype=np.int64).cumsum()
+        first = np.ones(len(g), bool)
+        first[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(g))
+        before = np.where(starts > 0, cum[starts - 1], 0)
+        tot = cum[ends - 1] - before
+        out = {group_col: keys[starts]}
+        for q, name in zip(qs, names):
+            idx = np.maximum(0, np.ceil(q * tot).astype(np.int64) - 1)
+            pos = np.searchsorted(cum, before + idx + 1, side="left")
+            out[name] = vals[pos]
+        return pd.DataFrame(out)
+
+    pds, pcols = partition_grouped(counts, [group_col])
+    return pds.groupby(pcols).map_groups(_finish, batch_format="pandas")
 
 
 def grouped_quantiles(

@@ -29,10 +29,17 @@ def stratified_head(
     """
     strata_list = [strata] if isinstance(strata, str) else list(strata)
 
-    def _head(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(sort_key, kind="mergesort").head(k)
+    from .grouping import partition_grouped
 
-    return ds.groupby(strata_list).map_groups(_head, batch_format="pandas")
+    def _head(g: pd.DataFrame) -> pd.DataFrame:
+        # all strata of the partition in one sort + Cython group-head —
+        # no per-key dispatch (ops/grouping.py contract)
+        g = g.sort_values([*strata_list, sort_key], kind="mergesort")
+        return (g.groupby(strata_list, sort=False, dropna=False).head(k)
+                .drop(columns=["_pkey"]))
+
+    pds, pcols = partition_grouped(ds, strata_list)
+    return pds.groupby(pcols).map_groups(_head, batch_format="pandas")
 
 
 def grouped_topk(
@@ -51,10 +58,10 @@ def grouped_topk(
     group-key exchange moves ≤ k rows per (block, group) instead of the
     corpus; the per-group finisher then re-sorts ≤ k·blocks rows.
 
-    Null group keys survive the trim (``dropna=False``); note Ray
-    2.49's own multi-block groupby sort cannot merge null string keys,
-    so nullable group columns should be coalesced upstream — a
-    limitation of every groupby-based op here, not of the combiner."""
+    Null group keys survive the trim (``dropna=False``), and the single
+    exchange groups on the int ``_pkey`` (partition_grouped), which
+    also sidesteps Ray 2.49's null-string groupby sort crash for
+    string group columns."""
     cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
 
     def _local_trim(t: pa.Table) -> pa.Table:
@@ -65,13 +72,20 @@ def grouped_topk(
             df.groupby(cols, sort=False, dropna=False).head(k),
             preserve_index=False, schema=t.schema)
 
-    def _top(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(
-            [value_col, tiebreak_col], ascending=[False, True], kind="mergesort"
-        ).head(k)
+    from .grouping import partition_grouped
 
-    return (ds.map_batches(_local_trim, batch_format="pyarrow")
-            .groupby(cols).map_groups(_top, batch_format="pandas"))
+    def _top(g: pd.DataFrame) -> pd.DataFrame:
+        # partition-grouped finisher: one sort + Cython group-head over
+        # ALL groups in the partition — no per-key dispatch
+        g = g.sort_values([*cols, value_col, tiebreak_col],
+                          ascending=[True] * len(cols) + [False, True],
+                          kind="mergesort")
+        return (g.groupby(cols, sort=False, dropna=False).head(k)
+                .drop(columns=["_pkey"]))
+
+    trimmed = ds.map_batches(_local_trim, batch_format="pyarrow")
+    pds, pcols = partition_grouped(trimmed, cols)
+    return pds.groupby(pcols).map_groups(_top, batch_format="pandas")
 
 
 def bottomk_sample(
@@ -153,11 +167,17 @@ def grouped_bottomk_sample(
             "_prio", pa.array([prios[i] for i in keep], pa.string())
         )
 
+    from .grouping import partition_grouped
+
     def finish(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("_prio", kind="mergesort").head(k).drop(columns=["_prio"])
+        # all groups of the partition in one sort + Cython group-head
+        g = g.sort_values([group_col, "_prio"], kind="mergesort")
+        return (g.groupby(group_col, sort=False, dropna=False).head(k)
+                .drop(columns=["_prio", "_pkey"]))
 
     partials = ds.map_batches(local, batch_format="pyarrow")
-    return partials.groupby(group_col).map_groups(finish, batch_format="pandas")
+    pds, pcols = partition_grouped(partials, [group_col])
+    return pds.groupby(pcols).map_groups(finish, batch_format="pandas")
 
 
 def weighted_bottomk_sample(

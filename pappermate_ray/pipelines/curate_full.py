@@ -119,13 +119,29 @@ def _quality_gate(ds: "rd.Dataset", min_words: int,
     1000·n_distinct ≥ min_distinct_permille·n_words (exact-integer so
     the SQL mirror cannot drift)."""
 
+    import pandas as pd
+
     def gate(t: pa.Table) -> pa.Table:
-        mask = []
-        for x in t["text"].to_pylist():
-            w = (x or "").split()
-            mask.append(len(w) >= min_words
-                        and 1000 * len(set(w)) >= min_distinct_permille * len(w))
-        return t.filter(pa.array(mask, pa.bool_()))
+        # stages/webclean.py's flat-token idiom (split_pattern →
+        # list_flatten → segment bincounts), plus a factorize +
+        # unique-(doc, code) pass for the distinct count — no Python
+        # row loop. Separator " " mirrors .split() exactly on this
+        # corpus (single-space, no leading/trailing whitespace; an
+        # empty text scores n_words=1 < min_words either way).
+        n = t.num_rows
+        if n == 0:
+            return t
+        toks = pc.split_pattern(pc.fill_null(t["text"], ""),
+                                " ").combine_chunks()
+        nw = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), nw)
+        codes = pd.factorize(flat.to_pandas())[0].astype(np.int64)
+        ncodes = int(codes.max()) + 1 if len(codes) else 1
+        uniq = np.unique(doc_idx * ncodes + codes)
+        ndist = np.bincount(uniq // ncodes, minlength=n)
+        keep = (nw >= min_words) & (1000 * ndist >= min_distinct_permille * nw)
+        return t.filter(pa.array(keep))
 
     return ds.map_batches(gate, batch_format="pyarrow")
 
@@ -136,18 +152,22 @@ def _paragraph_prep(ds: "rd.Dataset") -> "rd.Dataset":
     on doc_id%13 — the nav/footer furniture paragraph_dedup removes."""
 
     def prep(t: pa.Table) -> pa.Table:
-        ids, paras = [], []
-        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            w = (x or "").split()
-            ps = [" ".join(w[j:j + 12]) for j in range(0, len(w), 12)]
-            if d % 7 == 0:
-                ps = [_BP1] + ps
-            if d % 13 == 0:
-                ps = ps + [_BP2]
-            ids.append(d)
-            paras.append("\n".join(ps))
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "text": pa.array(paras, pa.string())})
+        # vectorized 12-word chunking: on single-space text, "chunk
+        # into 12-word paragraphs" ≡ "replace every 12th space with a
+        # newline" — ONE RE2 GlobalReplace (non-overlapping matches
+        # advance 12 words at a time). Texts here are non-empty (the
+        # quality gate precedes), so the BP plants concatenate with an
+        # unconditional '\n' seam, element-wise.
+        chunked = pc.replace_substring_regex(
+            pc.fill_null(t["text"], ""),
+            r"((?:[^ ]+ ){11}[^ ]+) ", "\\1\n")
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pre = np.where(ids % 7 == 0, _BP1 + "\n", "").astype(object)
+        post = np.where(ids % 13 == 0, "\n" + _BP2, "").astype(object)
+        paras = pc.binary_join_element_wise(
+            pa.array(pre, pa.string()), chunked,
+            pa.array(post, pa.string()), "")
+        return pa.table({"doc_id": t["doc_id"], "text": paras})
 
     return ds.map_batches(prep, batch_format="pyarrow")
 
@@ -199,9 +219,11 @@ def curate_full(
     winners = latest_by_url(synth_captures(sf_dir), payload_col="html")
 
     # 2. domain blocklist (source is recoverable from the url host)
+    _hosts = np.array([f"src{i}" for i in range(20)], dtype=object)
+
     def add_host(t: pa.Table) -> pa.Table:
         base = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
-        host = [f"src{int(b) % _COPY_BASE % 20}" for b in base]
+        host = _hosts[base % _COPY_BASE % 20]  # 20-entry gather, no row loop
         return t.append_column("host", pa.array(host, pa.string()))
 
     hosted = winners.map_batches(add_host, batch_format="pyarrow")
@@ -287,8 +309,11 @@ def curate_full(
     # 8. sequence packing: global token offsets via distributed prefix
     #    scan in doc_id order, then first/last training sequence
     def toklen(t: pa.Table) -> pa.Table:
-        ns = [len((x or "").split()) for x in t["clean_text"].to_pylist()]
-        t = t.append_column("n_tokens", pa.array(ns, pa.int64()))
+        # len(x.split()) ≡ number of maximal non-whitespace runs — ONE
+        # RE2 count kernel (text is ASCII ' '/'\n'-separated here)
+        ns = pc.count_substring_regex(
+            pc.fill_null(t["clean_text"], ""), r"\S+").cast(pa.int64())
+        t = t.append_column("n_tokens", ns)
         return t.filter(pc.greater(t["n_tokens"], 0)).drop_columns(["clean_text"])
 
     # second phase checkpoint: the payload is GONE here (toklen drops

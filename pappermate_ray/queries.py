@@ -6442,3 +6442,62 @@ ORACLE_SQL.update({
         FROM r WHERE rk = 1
     """,
 })
+
+
+def q_pdf_extract_roundtrip(sf_dir: str):
+    """REAL-PDF extraction round trip (functions/pdfreal.py → the shared
+    layout geometry in functions/layout.py): every document is serialized
+    as genuine PDF 1.4 bytes (text objects, Flate-compressed streams, one
+    8-word line per text object, 4 body lines per page, a repeated
+    'Corpus Report Page' header planted on every page of multi-page docs)
+    and re-extracted through the full is_pdf_payload dispatch. Geometry
+    places each line in its own 24-pt furniture band (y = 40+24·(5i+p)),
+    so the header — identical text in band 0 on every page — is the ONLY
+    furniture; every body line exits as its own block, so the extracted
+    text is exactly the source text with every 8th space turned into a
+    newline, which the oracle reproduces with one regexp_replace. Any
+    drift in the PDF tokenizer, Flate path, furniture detector or
+    reading order hash-mismatches."""
+    from .functions.layout import extract_pdf_text
+    from .functions.pdfreal import build_pdf
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        out = []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            words = (x or "").split(" ")
+            chunks = [" ".join(words[j:j + 8])
+                      for j in range(0, len(words), 8)]
+            npages = (len(chunks) + 3) // 4
+            pages = []
+            for p in range(npages):
+                lines = []
+                if npages >= 2:
+                    lines.append({"x": 50, "y": 10, "h": 10,
+                                  "text": "Corpus Report Page"})
+                for i, c in enumerate(chunks[p * 4:(p + 1) * 4]):
+                    lines.append({"x": 50, "y": 40 + 24 * (5 * i + p),
+                                  "h": 10, "text": c})
+                pages.append({"width": 612, "height": 792, "lines": lines})
+            text, _, status, err = extract_pdf_text(
+                build_pdf(pages, compress=True))
+            out.append((d, text if status == "converted" else ""))
+        return pa.table({
+            "doc_id": pa.array([d for d, _ in out], pa.int64()),
+            "text": pa.array([s for _, s in out], pa.string()),
+        })
+
+    return docs.map_batches(roundtrip, batch_format="pyarrow")
+
+
+SQL_QUERIES.update({"pdf_extract_roundtrip": q_pdf_extract_roundtrip})
+ORACLE_SQL.update({
+    "pdf_extract_roundtrip": r"""
+        SELECT doc_id,
+               regexp_replace(text, '((\S+ ){7}\S+) ',
+                              '\1' || chr(10), 'g') AS text
+        FROM documents
+    """,
+})

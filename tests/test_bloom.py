@@ -72,3 +72,24 @@ def test_bitmap_is_block_order_invariant(ray_session):
     b, m2, k2 = build_bloom(_keys_ds(list(reversed(keys)), blocks=9),
                             "key", 300)
     assert (a, m, k) == (b, m2, k2)
+
+
+def test_tagged_split_equals_double_scan(ray_session):
+    from pappermate_ray.ops.bloom import bloom_split_tagged
+
+    seen = _keys_ds([f"s{i}" for i in range(200)], blocks=3)
+    mixed = _keys_ds([f"s{i}" for i in range(100)]
+                     + [f"n{i}" for i in range(150)], blocks=4,
+                     extra={"payload": pa.array(
+                         [f"p{i}" for i in range(250)], pa.string())})
+    bm, m, k = build_bloom(seen, "key", 200)
+    a_new, a_maybe = bloom_split(mixed, "key", bm, m, k)
+    b_new, b_maybe = bloom_split_tagged(mixed, "key", bm, m, k)
+
+    def rows(ds):
+        return sorted((r["key"], r["payload"]) for r in ds.take_all())
+
+    assert rows(a_new) == rows(b_new)
+    assert rows(a_maybe) == rows(b_maybe)
+    # schema preserved: no tag column leaks
+    assert b_new.schema().names == ["key", "payload"]
