@@ -168,6 +168,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "incremental_refresh", "user_active_time", "url_versions",
         "webdataset_roundtrip", "jsonl_gz_roundtrip", "value_mad_outliers",
         "value_trend", "length_mode",
+        "pdf_extract_roundtrip", "hamming_near_dups_planted",
+        "ivf_knn_recall_check", "random_sample_check",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

@@ -174,22 +174,23 @@ def hits(
 def _hits_dense(nodes, edges, node_col, src_col, dst_col, iters, n):
     import ray
 
-    from .vecreduce import dense_vector_sum
+    from .vecreduce import vector_sum
 
     # the edge list is the loop invariant — pin it once so the 1+2·iters
     # reductions below never re-execute upstream lineage
     edges = edges.materialize()
+    n_edges = edges.count()
 
     # one degree-counting edge scan up front feeds the overflow guard:
     # in/out bincounts packed into ONE 2n vector, reduced via the
-    # bounded partials contract (ops/vecreduce.py) — driver transit is
-    # O(N) per reduction, never O(edge blocks × N)
+    # bounded partials contract (ops/vecreduce.py auto tier) — driver
+    # transit is O(N) per reduction, never O(edge blocks × N)
     def deg_vec(t: pa.Table) -> np.ndarray:
         din = np.bincount(np.asarray(t[dst_col], np.int64), minlength=n)
         dout = np.bincount(np.asarray(t[src_col], np.int64), minlength=n)
         return np.concatenate([din, dout])
 
-    deg = dense_vector_sum(edges, deg_vec, 2 * n, np.int64)
+    deg = vector_sum(edges, deg_vec, 2 * n, np.int64, n_src_rows=n_edges)
     d_in = int(deg[:n].max(initial=0))
     d_out = int(deg[n:].max(initial=0))
 
@@ -206,7 +207,7 @@ def _hits_dense(nodes, edges, node_col, src_col, dst_col, iters, n):
                       h[np.asarray(t[src_col], np.int64)])
             return vec
 
-        auth = dense_vector_sum(edges, a_part, n, np.int64)
+        auth = vector_sum(edges, a_part, n, np.int64, n_src_rows=n_edges)
         _overflow_guard(int(auth.max(initial=0)), d_out, rnd)
         aref = ray.put(auth)
 
@@ -217,7 +218,7 @@ def _hits_dense(nodes, edges, node_col, src_col, dst_col, iters, n):
                       a[np.asarray(t[dst_col], np.int64)])
             return vec
 
-        hub = dense_vector_sum(edges, h_part, n, np.int64)
+        hub = vector_sum(edges, h_part, n, np.int64, n_src_rows=n_edges)
 
     fref = ray.put(np.stack([auth, hub]))
 

@@ -142,19 +142,21 @@ def _pagerank_dense(
 ):
     import ray
 
-    from .vecreduce import dense_vector_sum
+    from .vecreduce import vector_sum
 
     # the edge list is the loop invariant — pin it once so the 1+iters
     # reductions below never re-execute upstream lineage
     edges = edges.materialize()
+    n_edges = edges.count()
 
     # out-degree vector: per-block bincounts, reduced via the bounded
-    # partials contract (ops/vecreduce.py) — driver transit is O(N),
-    # never O(edge blocks × N)
-    od = dense_vector_sum(
+    # partials contract (ops/vecreduce.py auto tier: chunked grouped
+    # vectors for dense blocks, narrow (index, value) rows for sparse
+    # graphs) — driver transit is O(N), never O(edge blocks × N)
+    od = vector_sum(
         edges,
         lambda t: np.bincount(np.asarray(t[src_col], np.int64), minlength=n),
-        n, np.int64)
+        n, np.int64, n_src_rows=n_edges)
 
     base = (1.0 - damping) / n
     ranks = np.full(n, 1.0 / n)
@@ -170,7 +172,8 @@ def _pagerank_dense(
             np.add.at(vec, dst, r[src] / o[src])
             return vec
 
-        inflow = dense_vector_sum(edges, contrib, n, np.float64)
+        inflow = vector_sum(edges, contrib, n, np.float64,
+                            n_src_rows=n_edges)
         ranks = base + damping * inflow
 
     fref = ray.put(np.round(ranks, round_to) if round_to is not None else ranks)

@@ -6501,3 +6501,160 @@ ORACLE_SQL.update({
         FROM documents
     """,
 })
+
+
+def q_hamming_near_dups_planted(sf_dir: str):
+    """Hash-level oracle for the phash near-dup machinery (round-3
+    verdict #6): SQL can't decode BMPs, but it CAN xor/bit_count 64-bit
+    integers — so the fingerprints are planted by doc-id arithmetic
+    (md5 first-8-bytes, big-endian; every 10th doc gains a companion
+    one bit-flip away) and `stages/multimodal.hamming_near_dup_pairs`
+    (the band-explode / bucket / popcount-verify / min-dedup core that
+    phash_near_dups feeds after decode) runs the full distributed path.
+    Recall is EXACT for max_hamming < bands, so the pair set — organic
+    md5 collisions included, if any — equals DuckDB's brute-force
+    bit_count(xor(...)) join verbatim."""
+    import hashlib as _hl
+
+    from .stages.multimodal import hamming_near_dup_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.array([int.from_bytes(
+            _hl.md5(str(int(d)).encode()).digest()[:8], "big")
+            for d in ids], dtype=np.uint64)
+        twins = ids % 10 == 0
+        tid = ids[twins] + 100_000
+        th = h[twins] ^ (np.uint64(1) << (ids[twins] % 64).astype(np.uint64))
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([ids, tid]), pa.int64()),
+            "h": pa.array(np.concatenate([h, th]), pa.uint64()),
+        })
+
+    hashed = docs.map_batches(plant, batch_format="pyarrow")
+    return hamming_near_dup_pairs(hashed, id_col="doc_id", hash_col="h",
+                                  max_hamming=3, bands=4)
+
+
+def q_ivf_knn_recall_check(sf_dir: str):
+    """Band oracle for the APPROXIMATE IVF path (round-3 verdict #6) on
+    a PLANTED-CLUSTER corpus — IVF's designed regime (the embeddings
+    table is near-uniform, where pruning loses neighbors by
+    construction; measured 1-5/5 across n_probe there). Vectors are
+    doc-id arithmetic (8-dim: 10·onehot(doc_id%8) + 0.01·((doc_id·(j+1))%7)
+    jitter), so DuckDB reconstructs them VERBATIM and its exact cosine
+    window is the truth; Ray runs BOTH the exact scatter-gather kNN
+    (id-sum value-hash-gated) and the pruned ivf_knn (n_probe=4 of 16)
+    whose recall ≥ 0.8 boolean the oracle pins TRUE — cluster margins
+    (~1 vs ~0.01 cosine) make the band robust at every sf."""
+    from .stages.similarity import ivf_knn, knn_scatter_gather
+
+    def vecs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.arange(8)
+        v = (10.0 * (ids[:, None] % 8 == j[None, :])
+             + 0.01 * ((ids[:, None] * (j[None, :] + 1)) % 7))
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(list(v), pa.list_(pa.float64())),
+        })
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    ds = docs.map_batches(vecs, batch_format="pyarrow")
+    qids = np.array([0, 1, 2], dtype=np.int64)
+    j = np.arange(8)
+    Q = (10.0 * (qids[:, None] % 8 == j[None, :])
+         + 0.01 * ((qids[:, None] * (j[None, :] + 1)) % 7))
+    exact = {}
+    for r in knn_scatter_gather(ds, Q, qids, k=5).take_all():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in ivf_knn(ds, Q, qids, k=5, n_centroids=16,
+                     n_probe=4).take_all():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    rows = []
+    for q in sorted(exact):
+        hits = len(exact[q] & approx.get(q, set()))
+        rows.append((q, sum(exact[q]), hits >= 4))  # recall ≥ 0.8 of k=5
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "exact_id_sum": pa.array([r[1] for r in rows], pa.int64()),
+        "recall_ok": pa.array([r[2] for r in rows], pa.bool_()),
+    })
+
+
+def q_random_sample_check(sf_dir: str):
+    """Count-band oracle for T5's seeded ``random_sample`` (round-3
+    verdict #6): the realized sample fraction must sit within ±0.05 of
+    the requested 0.1 (≫ 3σ of Binomial(n, 0.1) at every sf); DuckDB
+    pins (COUNT(*), TRUE). The sampled ROWS stay engine-defined — this
+    gates the contract a sampler actually promises, the rate."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+    total = ds.count()
+    n = ds.random_sample(0.1, seed=42).count()
+    ok = abs(n / total - 0.1) <= 0.05
+    return pa.table({
+        "n_total": pa.array([total], pa.int64()),
+        "frac_ok": pa.array([bool(ok)], pa.bool_()),
+    })
+
+
+SQL_QUERIES.update({
+    "hamming_near_dups_planted": q_hamming_near_dups_planted,
+    "ivf_knn_recall_check": q_ivf_knn_recall_check,
+    "random_sample_check": q_random_sample_check,
+})
+
+ORACLE_SQL.update({
+    "hamming_near_dups_planted": """
+        WITH h AS (
+          SELECT doc_id AS id,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 16)) AS UBIGINT) AS h
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 100000,
+                 xor(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 16)) AS UBIGINT),
+                     CAST(1 AS UBIGINT) << (doc_id % 64))
+          FROM documents WHERE doc_id % 10 = 0)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        FROM h a JOIN h b ON a.id < b.id
+        WHERE bit_count(xor(a.h, b.h)) <= 3
+    """,
+    "ivf_knn_recall_check": """
+        WITH v AS (
+          SELECT doc_id AS id,
+                 [10.0 * (CASE WHEN doc_id % 8 = 0 THEN 1 ELSE 0 END) + 0.01 * ((doc_id * 1) % 7),
+                  10.0 * (CASE WHEN doc_id % 8 = 1 THEN 1 ELSE 0 END) + 0.01 * ((doc_id * 2) % 7),
+                  10.0 * (CASE WHEN doc_id % 8 = 2 THEN 1 ELSE 0 END) + 0.01 * ((doc_id * 3) % 7),
+                  10.0 * (CASE WHEN doc_id % 8 = 3 THEN 1 ELSE 0 END) + 0.01 * ((doc_id * 4) % 7),
+                  10.0 * (CASE WHEN doc_id % 8 = 4 THEN 1 ELSE 0 END) + 0.01 * ((doc_id * 5) % 7),
+                  10.0 * (CASE WHEN doc_id % 8 = 5 THEN 1 ELSE 0 END) + 0.01 * ((doc_id * 6) % 7),
+                  10.0 * (CASE WHEN doc_id % 8 = 6 THEN 1 ELSE 0 END) + 0.01 * ((doc_id * 7) % 7),
+                  10.0 * (CASE WHEN doc_id % 8 = 7 THEN 1 ELSE 0 END) + 0.01 * ((doc_id * 8) % 7)]
+                 AS emb
+          FROM documents),
+        exact AS (
+          SELECT a.id AS query_id, b.id AS neighbor_id
+          FROM v a, v b
+          WHERE a.id < 3 AND b.id <> a.id
+          QUALIFY row_number() OVER (
+              PARTITION BY a.id
+              ORDER BY list_cosine_similarity(a.emb, b.emb) DESC, b.id
+          ) <= 5)
+        SELECT query_id, CAST(SUM(neighbor_id) AS BIGINT) AS exact_id_sum,
+               TRUE AS recall_ok
+        FROM exact GROUP BY query_id
+    """,
+    "random_sample_check": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total, TRUE AS frac_ok
+        FROM documents
+    """,
+})

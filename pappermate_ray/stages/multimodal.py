@@ -314,18 +314,7 @@ def phash_near_dups(
     Exchanges: one band-key grouped exchange over 24-byte rows + one
     pair dedup; both O(images), never O(pixels).
     """
-    import ray.data as rd  # noqa: F401  (documents the Dataset contract)
-    from ray.data.aggregate import Min
-
     from ..functions.media import ahash64
-    from ..ops.grouping import partition_grouped
-
-    if not (0 <= max_hamming < bands):
-        raise ValueError("recall guarantee needs max_hamming < bands")
-    if 64 % bands:
-        raise ValueError("bands must divide 64")
-    width = 64 // bands
-    mask = (1 << width) - 1
 
     def hashes(t: pa.Table) -> pa.Table:
         ids, hs = [], []
@@ -339,8 +328,41 @@ def phash_near_dups(
         return pa.table({id_col: pa.array(ids, pa.int64()),
                          "phash": pa.array(hs, pa.uint64())})
 
+    hashed = ds.map_batches(hashes, batch_format="pyarrow")
+    return hamming_near_dup_pairs(hashed, id_col=id_col, hash_col="phash",
+                                  max_hamming=max_hamming, bands=bands,
+                                  max_bucket=max_bucket)
+
+
+def hamming_near_dup_pairs(
+    hashed,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 4096,
+) -> "object":
+    """Hash-level core of ``phash_near_dups``: (id_a, id_b, hamming)
+    for every pair of 64-bit fingerprints differing in ≤ ``max_hamming``
+    bits, from an already-hashed ``(id_col, hash_col uint64)`` Dataset.
+    Exposed so SQL-expressible hash plants can oracle the whole band /
+    bucket / popcount-verify / dedup machinery (the decode stage is
+    what keeps the image variant rows-only) — see queries.py
+    ``hamming_near_dups_planted``. Recall is exact for
+    ``max_hamming < bands`` (pigeonhole over disjoint bands)."""
+    from ray.data.aggregate import Min
+
+    from ..ops.grouping import partition_grouped
+
+    if not (0 <= max_hamming < bands):
+        raise ValueError("recall guarantee needs max_hamming < bands")
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+
     def explode_bands(t: pa.Table) -> pa.Table:
-        h = t["phash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = t[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         keys, oids, ohs = [], [], []
         for b in range(bands):
@@ -351,10 +373,9 @@ def phash_near_dups(
         return pa.table({
             "band_key": pa.array(np.concatenate(keys) if keys else [], pa.int64()),
             id_col: pa.array(np.concatenate(oids) if oids else [], pa.int64()),
-            "phash": pa.array(np.concatenate(ohs) if ohs else [], pa.uint64()),
+            hash_col: pa.array(np.concatenate(ohs) if ohs else [], pa.uint64()),
         })
 
-    hashed = ds.map_batches(hashes, batch_format="pyarrow")
     banded = hashed.map_batches(explode_bands, batch_format="pyarrow")
     parted, gcols = partition_grouped(banded, ["band_key"])
 
@@ -363,7 +384,7 @@ def phash_near_dups(
         df = df.sort_values(["band_key", id_col], kind="mergesort")
         bk = df["band_key"].to_numpy()
         ids = df[id_col].to_numpy().astype(np.int64)
-        hs = df["phash"].to_numpy().astype(np.uint64)
+        hs = df[hash_col].to_numpy().astype(np.uint64)
         starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
         ends = np.r_[starts[1:], len(bk)]
         out_a, out_b, out_d = [], [], []

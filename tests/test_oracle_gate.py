@@ -28,6 +28,9 @@ FAST_QUERIES = [
     # round-3: formerly rows-only, now oracled (verdict item #6)
     "embedding_near_dups", "hll_bigrams_check", "party_histogram_golden",
     "link_graph",
+    # round-4: real-PDF reader round trip + newly-oracled approx family
+    "pdf_extract_roundtrip", "hamming_near_dups_planted",
+    "ivf_knn_recall_check", "random_sample_check",
 ]
 
 

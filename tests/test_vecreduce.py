@@ -73,3 +73,40 @@ def test_all_zero_input(ray_session):
     ds = rd.from_arrow(t)
     got = dense_vector_sum(ds, lambda _: np.zeros(16), 16, np.float64)
     assert not got.any()
+
+
+def test_sparse_and_auto_tiers_equal(ray_session):
+    from pappermate_ray.ops.vecreduce import sparse_vector_sum, vector_sum
+
+    n = 50_000  # sparse regime: 5k rows over 6 blocks -> rows < blocks*n/2
+    ds = _edges(5000, n, blocks=6).materialize()
+
+    def vec(t: pa.Table) -> np.ndarray:
+        return np.bincount(np.asarray(t["src"], np.int64), minlength=n)
+
+    want = np.bincount(
+        np.asarray(ds.to_pandas()["src"], np.int64), minlength=n)
+    # sparse grouped path (driver_rows=0 forces the exchange), sparse
+    # driver path, and the auto tier (which must pick sparse here)
+    a = sparse_vector_sum(ds, vec, n, np.int64, driver_rows=0)
+    b = sparse_vector_sum(ds, vec, n, np.int64, driver_rows=10**9)
+    c = vector_sum(ds, vec, n, np.int64)
+    d = dense_vector_sum(ds, vec, n, np.int64, driver_rows=0)
+    for got in (a, b, c, d):
+        assert (got == want).all()
+
+
+def test_sparse_float_path(ray_session):
+    from pappermate_ray.ops.vecreduce import sparse_vector_sum
+
+    n = 10_000
+    t = pa.table({"src": pa.array(list(range(0, 64)) * 4, pa.int64())})
+    ds = rd.from_arrow(t).repartition(4)
+
+    def vec(tab: pa.Table) -> np.ndarray:
+        v = np.zeros(n)
+        np.add.at(v, np.asarray(tab["src"], np.int64), 0.25)
+        return v
+
+    got = sparse_vector_sum(ds, vec, n, np.float64, driver_rows=0)
+    assert got[:64].sum() == 64.0 and not got[64:].any()

@@ -39,7 +39,8 @@ def main() -> None:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from pappermate_ray.ops.vecreduce import dense_vector_sum
+    from pappermate_ray.ops.vecreduce import (dense_vector_sum,
+                                              sparse_vector_sum)
 
     rng = np.random.default_rng(11)
     t = pa.table({
@@ -57,14 +58,26 @@ def main() -> None:
                   r[np.asarray(tab["src"], np.int64)])
         return vec
 
+    paths = (
+        # (label, callable) — sparse is what the auto rule picks for
+        # E < blocks·N/2 (this bench's regime); chunked-grouped and the
+        # old driver-sequential sum are the dense-block alternatives
+        ("sparse", lambda: sparse_vector_sum(edges, contrib, n, np.float64,
+                                             driver_rows=0)),
+        ("chunked_grouped", lambda: dense_vector_sum(edges, contrib, n,
+                                                     np.float64,
+                                                     driver_rows=0)),
+        ("driver_seq", lambda: dense_vector_sum(edges, contrib, n,
+                                                np.float64,
+                                                driver_rows=1 << 30)),
+    )
     results = {}
     want = None
-    for label, driver_rows in (("grouped", 0), ("driver_seq", 1 << 30)):
+    for label, fn in paths:
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
-            out = dense_vector_sum(edges, contrib, n, np.float64,
-                                   driver_rows=driver_rows)
+            out = fn()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         if want is None:
@@ -78,9 +91,8 @@ def main() -> None:
         "metric": "dense_vector_sum_sec",
         "n_nodes": n, "n_edges": n_edges, "blocks": blocks,
         "num_cpus": cpus,
-        "grouped_sec": results["grouped"],
-        "driver_seq_sec": results["driver_seq"],
-        "driver_transit_bytes_grouped": n * 8,
+        **{f"{k}_sec": v for k, v in results.items()},
+        "driver_transit_bytes_exchange_paths": n * 8,
         "driver_transit_bytes_driver_seq": blocks * n * 8,
     }))
 
