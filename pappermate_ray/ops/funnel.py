@@ -2,11 +2,14 @@
 transition counts.
 
 Both operators share one scale shape: a single hash exchange on the
-entity id, then a per-entity sorted scan (an entity's history is the
-unit of work — thousands of events, never the corpus), then a tiny
-count exchange. Nothing joins, nothing materializes; a hot entity skews
-only its own group. Beyond-reference scope (the reference has no event
-analytics); the events table is the driver-brief fixture for it.
+entity id via ``ops/grouping.partition_grouped`` (never one pandas
+group per entity — per-key dispatch at web-scale user counts is the
+anti-pattern the repo's grouping module exists to kill), then a
+partition-wide vectorized scan over all entities' sorted runs, then a
+tiny count exchange. Nothing joins, nothing materializes; a hot entity
+skews only its own partition. Beyond-reference scope (the reference
+has no event analytics); the events table is the driver-brief fixture
+for it.
 
 Tie rules are pinned so the operators stay SQL-oracle-checkable:
 funnel steps advance on STRICTLY later timestamps (an event sharing
@@ -41,24 +44,45 @@ def funnel_counts(
     if not steps:
         raise ValueError("steps must be non-empty")
 
+    from .grouping import partition_grouped
+
     def depth(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
+        # ALL entities of the partition at once: sorted (id, ts) runs,
+        # then one minimum.reduceat per funnel step finds every
+        # entity's first qualifying hit — len(steps) vectorized passes,
+        # zero per-entity dispatch. The cascade uses only the HIT's
+        # timestamp VALUE, so equal-ts ties cannot change the depth.
+        g = g.sort_values([id_col, ts_col], kind="mergesort")
+        ids = g[id_col].to_numpy()
         types = g[type_col].to_numpy()
         ts = g[ts_col].to_numpy()
-        d = 0
-        t_prev = None
+        first = np.r_[True, ids[1:] != ids[:-1]]
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:], len(g)]
+        uidx = np.cumsum(first) - 1  # entity index per row
+        nuser = len(starts)
+        d = np.zeros(nuser, np.int64)
+        alive = np.ones(nuser, bool)
+        t_prev = np.empty(nuser, dtype=ts.dtype)  # valid where depth ≥ 1
+        have_prev = False
         for s in steps:
-            mask = types == s
-            if t_prev is not None:
-                mask &= ts > t_prev
-            hit = np.flatnonzero(mask)
-            if not len(hit):
+            cand = (types == s) & alive[uidx]
+            if have_prev:
+                cand &= ts > t_prev[uidx]
+            rowid = np.where(cand, np.arange(len(g)), len(g))
+            firsts = np.minimum.reduceat(rowid, starts) if len(g) else \
+                np.zeros(0, np.int64)
+            hit = firsts < ends
+            alive &= hit
+            if not alive.any():
                 break
-            t_prev = ts[hit[0]]
-            d += 1
-        return pd.DataFrame([{"_depth": d}])
+            t_prev[alive] = ts[firsts[alive]]
+            d[alive] += 1
+            have_prev = True
+        return pd.DataFrame({"_depth": d})
 
-    depths = (ds.groupby(id_col)
+    pds, pcols = partition_grouped(ds, [id_col])
+    depths = (pds.groupby(pcols)
               .map_groups(depth, batch_format="pandas")
               .groupby("_depth")
               .aggregate(Count(alias_name="n"))
@@ -90,8 +114,15 @@ def event_transitions(
     transition PARTIALS (local value counts), so the final exchange
     carries (prev, next, n) triples, not one row per event."""
 
+    from .grouping import partition_grouped
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, tiebreak_col], kind="mergesort")
+        # one partition-wide sorted scan: adjacent rows of the SAME
+        # entity are the transitions; per-entity boundaries mask out
+        # cross-entity pairs. Local value_counts is the combiner.
+        g = g.sort_values([id_col, ts_col, tiebreak_col],
+                          kind="mergesort")
+        ids = g[id_col].to_numpy()
         t = g[type_col].to_numpy()
         if len(t) < 2:
             return pd.DataFrame({
@@ -99,11 +130,15 @@ def event_transitions(
                 "next_type": pd.Series([], dtype=object),
                 "n": pd.Series([], dtype="int64"),
             })
-        df = pd.DataFrame({"prev_type": t[:-1], "next_type": t[1:]})
+        same = ids[1:] == ids[:-1]
+        df = pd.DataFrame({"prev_type": t[:-1][same],
+                           "next_type": t[1:][same]})
         out = df.value_counts().reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
         return out
 
-    return (ds.groupby(id_col)
+    pds, pcols = partition_grouped(ds, [id_col])
+    return (pds.groupby(pcols)
             .map_groups(pairs, batch_format="pandas")
             .groupby(["prev_type", "next_type"])
             .aggregate(Sum("n", alias_name="n")))

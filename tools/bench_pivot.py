@@ -28,11 +28,13 @@ CATS = ["en", "de", "es", "fr", "zh"]
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    keys_list = [int(a) for a in args] or [100_000, 1_000_000]
+    argv = sys.argv[1:]
     cpus = 32
-    if "--cpus" in sys.argv:
-        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+    if "--cpus" in argv:
+        i = argv.index("--cpus")
+        cpus = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    keys_list = [int(a) for a in argv] or [100_000, 1_000_000]
 
     import ray
     import ray.data as rd
