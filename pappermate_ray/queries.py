@@ -6658,3 +6658,98 @@ ORACLE_SQL.update({
         FROM documents
     """,
 })
+
+
+# --------------------------------------------------------------------------
+# Crawl URL canonicalization (functions/urlnorm.py)
+# --------------------------------------------------------------------------
+
+
+def q_canonical_urls(sf_dir: str):
+    """Crawl URL canonicalization (functions/urlnorm.py): the pre-dedup
+    normalization pass — fragment strip, scheme/host lowercase, default-
+    port drop, tracking-param removal, empty-path '/'. The messy corpus
+    is reconstructed from doc_id arithmetic (mixed-case hosts every 5th
+    row, explicit default ports every 4th, utm/fbclid params by mod-3
+    class, fragments on even ids); the oracle rebuilds the SAME strings
+    and applies the SAME RE2 chain (DuckDB regexp_replace == Arrow
+    replace_substring_regex, both RE2), so the whole kernel chain is
+    value-hash-gated."""
+    from .functions.urlnorm import canonicalize_urls
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def messy(t: pa.Table) -> pa.Table:
+        urls = []
+        for i in t["doc_id"].to_pylist():
+            up, http = i % 5 == 0, i % 10 == 1
+            scheme = ("HTTP" if up else "http") if http else ("HTTPS" if up else "https")
+            host = ("Site" if up else "site") + str(i % 97) + (".Example" if up else ".example")
+            port = ((":80" if http else ":443") if i % 4 == 0 else "")
+            path = "" if i % 11 == 0 else f"/doc/{i}"
+            q = i % 3
+            query = (f"?utm_source=feed&id={i}&utm_medium=x" if q == 0
+                     else f"?id={i}" if q == 1 else "?utm_campaign=only")
+            frag = f"#sec{i % 7}" if i % 2 == 0 else ""
+            urls.append(f"{scheme}://{host}{port}{path}{query}{frag}")
+        return pa.table({"doc_id": t["doc_id"],
+                         "url": pa.array(urls, pa.string())})
+
+    return canonicalize_urls(
+        ds.map_batches(messy, batch_format="pyarrow"))
+
+
+SQL_QUERIES.update({"canonical_urls": q_canonical_urls})
+
+ORACLE_SQL.update({
+    "canonical_urls": r"""
+        WITH m AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 5 = 0
+                  THEN (CASE WHEN doc_id % 10 = 1 THEN 'HTTP' ELSE 'HTTPS' END)
+                  ELSE (CASE WHEN doc_id % 10 = 1 THEN 'http' ELSE 'https' END) END)
+            || '://'
+            || (CASE WHEN doc_id % 5 = 0 THEN 'Site' ELSE 'site' END)
+            || CAST(doc_id % 97 AS VARCHAR)
+            || (CASE WHEN doc_id % 5 = 0 THEN '.Example' ELSE '.example' END)
+            || (CASE WHEN doc_id % 4 = 0
+                     THEN (CASE WHEN doc_id % 10 = 1 THEN ':80' ELSE ':443' END)
+                     ELSE '' END)
+            || (CASE WHEN doc_id % 11 = 0 THEN ''
+                     ELSE '/doc/' || CAST(doc_id AS VARCHAR) END)
+            || (CASE doc_id % 3
+                WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&utm_medium=x'
+                WHEN 1 THEN '?id=' || CAST(doc_id AS VARCHAR)
+                ELSE '?utm_campaign=only' END)
+            || (CASE WHEN doc_id % 2 = 0 THEN '#sec' || CAST(doc_id % 7 AS VARCHAR)
+                     ELSE '' END) AS url
+          FROM documents),
+        s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM m),
+        s2 AS (
+          SELECT doc_id, url, u,
+            regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)(.*)$', 1) AS head,
+            regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)(.*)$', 2) AS rest,
+            regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*') AS ok
+          FROM s1),
+        s3 AS (
+          SELECT doc_id, url, u, ok,
+            regexp_replace(regexp_replace(lower(head),
+                '^(http://[^/:?#]+):80$', '\1'),
+                '^(https://[^/:?#]+):443$', '\1') AS head,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(rest, '\?', '?&'),
+                  '&(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)=[^&#]*', '', 'g'),
+                '\?&', '?'),
+              '\?$', '') AS rest
+          FROM s2),
+        s4 AS (
+          SELECT doc_id, url, ok, u, head,
+            regexp_replace(rest, '^(?:$|\?)', '/\0') AS rest
+          FROM s3)
+        SELECT doc_id, url,
+               CASE WHEN ok THEN head || rest ELSE u END AS canonical_url
+        FROM s4
+    """,
+})
