@@ -6753,3 +6753,138 @@ ORACLE_SQL.update({
         FROM s4
     """,
 })
+
+
+# --------------------------------------------------------------------------
+# Text-analysis value gate (functions/quality.py batch kernels)
+# --------------------------------------------------------------------------
+
+
+def q_text_metrics_check(sf_dir: str):
+    """Value-hash gate for the text-analysis family (the SQL-expressible
+    core of q:text_analysis, which stays rows-only for its FNV
+    fingerprint): per-doc token/BPE/punct/upper/stopword counters as
+    exact integers, the language-ID verdict, and the UNROUNDED quality
+    composite (one pinned IEEE expression over exact integer counters on
+    both sides — the grouped_linreg float pattern; the scalar path's
+    round(x, 6) is skipped here because DuckDB rounds half-away while
+    Python rounds half-even). Exactness precondition (verified for all
+    sf tiers): the documents corpus is pure ASCII, where Python re and
+    DuckDB RE2 agree on \\w/\\s/\\d and the CJK branch is unreachable."""
+    from .functions.quality import detect_language_batch, text_metrics_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def metrics(t: pa.Table) -> pa.Table:
+        texts = [x or "" for x in t["text"].to_pylist()]
+        m = text_metrics_batch(texts)
+        n = m["n_chars"].astype(np.float64)
+        ntok = m["n_tokens"].astype(np.float64)
+        valid = (m["n_chars"] > 0) & (m["n_tokens"] > 0)
+        safe_n = np.where(valid, n, 1.0)
+        safe_t = np.where(valid, ntok, 1.0)
+        length_c = np.minimum(n / 500.0, 1.0)
+        mwl = m["n_nonws"] / safe_t
+        mwl_c = ((mwl >= 3.0) & (mwl <= 12.0)).astype(np.float64)
+        punct_c = (m["n_punct"] / safe_n <= 0.25).astype(np.float64)
+        stop_c = np.minimum(4.0 * m["stop_hits"] / safe_t, 1.0)
+        upper_c = (m["n_upper"] / safe_n <= 0.3).astype(np.float64)
+        qraw = np.where(
+            valid, (length_c + mwl_c + punct_c + stop_c + upper_c) / 5.0, 0.0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "pred_lang": pa.array(detect_language_batch(texts), pa.string()),
+            "n_tokens": pa.array(m["n_tokens"], pa.int64()),
+            "n_bpe_tokens": pa.array(m["n_bpe_tokens"], pa.int64()),
+            "n_punct": pa.array(m["n_punct"], pa.int64()),
+            "n_upper": pa.array(m["n_upper"], pa.int64()),
+            "stop_hits": pa.array(m["stop_hits"], pa.int64()),
+            "quality_raw": pa.array(qraw, pa.float64()),
+        })
+
+    return ds.map_batches(metrics, batch_format="pyarrow")
+
+
+SQL_QUERIES.update({"text_metrics_check": q_text_metrics_check})
+
+_STOP_SQL = ("'the','and','of','to','a','in','is','it','you','that','he',"
+             "'was','for','on','are','with','as','i','his','they','be','at',"
+             "'de','o','que','e','do','da','em','um','para','é','com','não',"
+             "'uma','os','no','se','na','por','mais','as','dos',"
+             "'la','el','y','los','del','las','un','con','una','su','al',"
+             "'lo','como',"
+             "'le','et','les','des','du','une','est','pour','qui','dans',"
+             "'par','plus','pas','au',"
+             "'der','die','und','den','von','zu','das','mit','sich','des',"
+             "'auf','für','ist','im','dem','nicht','ein'")
+
+
+def _lang_hits_sql(lang_words: str) -> str:
+    return ("len(list_filter(words, w -> w IN (" + lang_words + ")))")
+
+
+_LW = {
+    "de": "'der','die','und','in','den','von','zu','das','mit','sich','des','auf','für','ist','im','dem','nicht','ein'",
+    "en": "'the','and','of','to','a','in','is','it','you','that','he','was','for','on','are','with','as','i','his','they','be','at'",
+    "es": "'de','la','que','el','en','y','a','los','del','se','las','por','un','para','con','no','una','su','al','lo','como'",
+    "fr": "'de','la','le','et','les','des','en','un','du','une','que','est','pour','qui','dans','a','par','plus','pas','au'",
+    "pt": "'de','a','o','que','e','do','da','em','um','para','é','com','não','uma','os','no','se','na','por','mais','as','dos'",
+}
+
+ORACLE_SQL.update({
+    "text_metrics_check": rf"""
+        WITH base AS (
+          SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        w AS (
+          SELECT doc_id, text,
+            regexp_extract_all(lower(substr(text, 1, 1000)),
+                               '[a-zà-ÿäöüß]+') AS words
+          FROM base),
+        sc AS (
+          SELECT doc_id, text,
+            len(words) AS nw,
+            {_lang_hits_sql(_LW["de"])} / len(words) AS s_de,
+            {_lang_hits_sql(_LW["en"])} / len(words) AS s_en,
+            {_lang_hits_sql(_LW["es"])} / len(words) AS s_es,
+            {_lang_hits_sql(_LW["fr"])} / len(words) AS s_fr,
+            {_lang_hits_sql(_LW["pt"])} / len(words) AS s_pt
+          FROM w),
+        m AS (
+          SELECT doc_id, text,
+            CASE WHEN nw = 0 THEN 'unknown'
+                 WHEN greatest(s_de, s_en, s_es, s_fr, s_pt) <= 0.02
+                   THEN 'unknown'
+                 WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'de'
+                 WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'en'
+                 WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'es'
+                 WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'fr'
+                 ELSE 'pt' END AS pred_lang,
+            CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+            CAST(len(regexp_extract_all(text,
+                 '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS BIGINT) AS n_bpe_tokens,
+            CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+            CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+            CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                 t -> t <> '' AND lower(t) IN ({_STOP_SQL}))) AS BIGINT)
+                 AS stop_hits,
+            CAST(len(regexp_extract_all(text, '\S')) AS BIGINT) AS n_nonws,
+            CAST(length(text) AS BIGINT) AS n_chars
+          FROM sc)
+        SELECT doc_id, pred_lang, n_tokens, n_bpe_tokens, n_punct, n_upper,
+               stop_hits,
+               CASE WHEN n_chars = 0 OR n_tokens = 0 THEN 0.0
+                    ELSE (least(n_chars / 500.0, 1.0)
+                          + (CASE WHEN n_nonws / CAST(n_tokens AS DOUBLE)
+                                       BETWEEN 3.0 AND 12.0
+                                  THEN 1.0 ELSE 0.0 END)
+                          + (CASE WHEN n_punct / CAST(n_chars AS DOUBLE)
+                                       <= 0.25 THEN 1.0 ELSE 0.0 END)
+                          + least(4.0 * stop_hits / CAST(n_tokens AS DOUBLE),
+                                  1.0)
+                          + (CASE WHEN n_upper / CAST(n_chars AS DOUBLE)
+                                       <= 0.3 THEN 1.0 ELSE 0.0 END)) / 5.0
+               END AS quality_raw
+        FROM m
+    """,
+})

@@ -1,8 +1,15 @@
 """Text-analysis stage: language-ID, quality, token counts, fingerprints.
 
-One fused ``map_batches`` pass (single scan, no shuffle) adding four
+One fused ``map_batches`` pass (single scan, no shuffle) adding five
 columns — the cheap-per-row ops are batched together so the corpus is
 read once (at 100 TB a second pass is the expensive part, not the ops).
+
+The kernels are the vectorized batch section of ``functions/quality.py``
+(flat-codepoint masks + batch FNV; property-tested byte-equal to the
+scalar functions): the metrics scan runs ONCE and quality derives from
+it, so the per-row Python cost is one language-scoring findall and one
+stopword findall — everything else is numpy over the whole batch
+(measured 2.4× the scalar loop at 5k docs, 9× on the fingerprint).
 """
 
 from __future__ import annotations
@@ -10,27 +17,25 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..functions.quality import (
-    bpe_ish_token_count,
-    detect_language,
-    fingerprint,
-    quality_score,
-    token_count,
+    detect_language_batch,
+    fingerprint_batch,
+    quality_score_batch,
+    text_metrics_batch,
 )
 
 
 def analyze_text_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    texts = batch[text_col].to_pylist()
-    langs, quals, toks, btoks, fps = [], [], [], [], []
-    for t in texts:
-        t = t or ""
-        langs.append(detect_language(t))
-        quals.append(quality_score(t))
-        toks.append(token_count(t))
-        btoks.append(bpe_ish_token_count(t))
-        fps.append(fingerprint(t))
-    out = batch.append_column("pred_lang", pa.array(langs, pa.string()))
-    out = out.append_column("quality", pa.array(quals, pa.float64()))
-    out = out.append_column("n_tokens", pa.array(toks, pa.int64()))
-    out = out.append_column("n_bpe_tokens", pa.array(btoks, pa.int64()))
-    out = out.append_column("fingerprint", pa.array(fps, pa.int64()))
+    texts = [t or "" for t in batch[text_col].to_pylist()]
+    metrics = text_metrics_batch(texts)
+    out = batch.append_column(
+        "pred_lang", pa.array(detect_language_batch(texts), pa.string()))
+    out = out.append_column(
+        "quality",
+        pa.array(quality_score_batch(texts, metrics=metrics), pa.float64()))
+    out = out.append_column(
+        "n_tokens", pa.array(metrics["n_tokens"], pa.int64()))
+    out = out.append_column(
+        "n_bpe_tokens", pa.array(metrics["n_bpe_tokens"], pa.int64()))
+    out = out.append_column(
+        "fingerprint", pa.array(fingerprint_batch(texts), pa.int64()))
     return out

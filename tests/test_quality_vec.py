@@ -1,0 +1,91 @@
+"""Vectorized text-analysis kernels (functions/quality.py batch section)
+must be EXACTLY equal to the scalar functions — on arbitrary unicode, not
+just the ASCII corpus."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pappermate_ray.functions.quality import (
+    bpe_ish_token_count,
+    detect_language,
+    detect_language_batch,
+    fingerprint,
+    fingerprint_batch,
+    quality_score,
+    quality_score_batch,
+    text_metrics_batch,
+    token_count,
+)
+
+_TEXTS = st.lists(
+    st.one_of(
+        st.text(max_size=200),
+        st.text(alphabet="aeiou 的一是了人丁 ぁあぃイ .,;!?\t\n ABCdef123", max_size=300),
+        st.just(""),
+        st.none(),
+    ),
+    min_size=0, max_size=20,
+)
+
+
+@given(_TEXTS)
+@settings(max_examples=200, deadline=None)
+def test_metrics_equal_scalar(texts):
+    m = text_metrics_batch(texts)
+    for i, t in enumerate(texts):
+        t = t or ""
+        assert m["n_chars"][i] == len(t)
+        assert m["n_tokens"][i] == token_count(t)
+        assert m["n_bpe_tokens"][i] == bpe_ish_token_count(t)
+
+
+@given(_TEXTS)
+@settings(max_examples=200, deadline=None)
+def test_quality_equal_scalar(texts):
+    q = quality_score_batch(texts)
+    for i, t in enumerate(texts):
+        assert q[i] == quality_score(t or ""), repr(t)
+
+
+@given(_TEXTS)
+@settings(max_examples=200, deadline=None)
+def test_lang_equal_scalar(texts):
+    langs = detect_language_batch(texts)
+    for i, t in enumerate(texts):
+        assert langs[i] == detect_language(t or ""), repr(t)
+
+
+@given(_TEXTS)
+@settings(max_examples=200, deadline=None)
+def test_fingerprint_equal_scalar(texts):
+    fps = fingerprint_batch(texts)
+    for i, t in enumerate(texts):
+        assert fps[i] == fingerprint(t or ""), repr(t)
+
+
+def test_long_doc_scalar_tail():
+    # one 100k-char doc among shorties exercises the scalar-tail branch
+    texts = ["word " * 20_000] + ["short text"] * 5
+    fps = fingerprint_batch(texts)
+    for i, t in enumerate(texts):
+        assert fps[i] == fingerprint(t)
+
+
+def test_corpus_equality_sf0001():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["text"])
+    texts = t["text"].to_pylist()
+    m = text_metrics_batch(texts)
+    q = quality_score_batch(texts)
+    langs = detect_language_batch(texts)
+    fps = fingerprint_batch(texts)
+    for i, x in enumerate(texts):
+        x = x or ""
+        assert m["n_tokens"][i] == token_count(x)
+        assert m["n_bpe_tokens"][i] == bpe_ish_token_count(x)
+        assert q[i] == quality_score(x)
+        assert langs[i] == detect_language(x)
+        assert fps[i] == fingerprint(x)
