@@ -6888,3 +6888,35 @@ ORACLE_SQL.update({
         FROM m
     """,
 })
+
+
+def q_extraction_status_golden(sf_dir: str):
+    """Oracled status report (A3 tally + A5 mean): status_report over the
+    golden-frozen extraction outputs, n_chars recomputed from the frozen
+    text so the oracle (same parquet, COUNT + AVG(length)) mirrors it
+    exactly — integer char sums stay < 2^53, so Ray's float64 Mean and
+    DuckDB's HUGEINT AVG agree bit-exactly. The live-extraction variant
+    stays rows-only (``extraction_status``)."""
+    from .pipelines.reports import status_report
+
+    ds = rd.read_parquet(_GOLDENS_PARQUET,
+                         columns=["url", "status", "extracted_text"])
+
+    def with_chars(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "n_chars",
+            pc.cast(pc.utf8_length(t["extracted_text"]), pa.int64()))
+
+    return status_report(ds.map_batches(with_chars, batch_format="pyarrow"))
+
+
+SQL_QUERIES.update({"extraction_status_golden": q_extraction_status_golden})
+
+ORACLE_SQL.update({
+    "extraction_status_golden": f"""
+        SELECT status, COUNT(*) AS n_docs,
+               AVG(length(extracted_text)) AS avg_chars
+        FROM '{_GOLDENS_PARQUET}'
+        GROUP BY status
+    """,
+})
