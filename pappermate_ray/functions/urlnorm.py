@@ -83,3 +83,70 @@ def canonicalize_urls(ds, url_col: str = "url", out_col: str = "canonical_url"):
         return t.append_column(out_col, canonicalize_url_array(t[url_col]))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Registrable-domain (public-suffix) extraction
+# --------------------------------------------------------------------------
+
+# Pinned snapshot of common public suffixes (the full Mozilla PSL is an
+# external artifact this sandbox can't fetch; the operator takes the live
+# list as a parameter and this deterministic subset is the default).
+# Multi-label entries make the longest-suffix-wins rule observable.
+DEFAULT_PUBLIC_SUFFIXES = frozenset({
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "ai", "dev",
+    "app", "info", "biz", "example",
+    "de", "fr", "es", "it", "nl", "se", "no", "fi", "dk", "pl", "ru",
+    "jp", "cn", "kr", "in", "br", "mx", "ar", "ca", "ch", "at", "be",
+    "uk", "au",
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk",
+    "com.au", "net.au", "org.au", "edu.au",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "co.kr", "or.kr", "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "co.in", "net.in", "org.in",
+})
+
+
+def registrable_domain_array(hosts, suffixes=None):
+    """Vectorized eTLD+1: the registrable domain of each host under the
+    longest-matching public suffix (suffix + one label), or null when the
+    host IS a bare suffix / matches no suffix. Pure Arrow kernels: three
+    fixed-width tail extractions + set membership — no Python rows, no
+    per-host loops; suffix snapshots to ~2 labels (the overwhelming PSL
+    case; pass a wider ``suffixes`` list and extend the tails if a
+    3-label zone ever matters)."""
+    sufs = sorted(suffixes if suffixes is not None else DEFAULT_PUBLIC_SUFFIXES)
+    one = pa.array([s for s in sufs if "." not in s], pa.string())
+    two = pa.array([s for s in sufs if s.count(".") == 1], pa.string())
+    t1 = pc.struct_field(pc.extract_regex(hosts, r"(?P<d>[^.]+)$"), "d")
+    t2 = pc.struct_field(pc.extract_regex(hosts, r"(?P<d>[^.]+\.[^.]+)$"), "d")
+    t3 = pc.struct_field(
+        pc.extract_regex(hosts, r"(?P<d>[^.]+\.[^.]+\.[^.]+)$"), "d")
+    # longest suffix wins: a 2-label public suffix ⇒ registrable = last 3
+    # labels; else a 1-label suffix ⇒ last 2; else null. A host equal to
+    # the suffix itself has no registrable domain (tail extraction of the
+    # wider window is null), which if_else propagates naturally.
+    is2 = pc.fill_null(pc.is_in(t2, value_set=two), False)
+    is1 = pc.fill_null(pc.is_in(t1, value_set=one), False)
+    null_str = pa.scalar(None, pa.string())
+    return pc.if_else(is2, t3, pc.if_else(is1, t2, null_str))
+
+
+def add_registrable_domain(ds, url_col: str = "url",
+                           out_col: str = "registrable_domain",
+                           suffixes=None):
+    """Dataset stage: host extracted from ``url_col`` (lowercased,
+    port-stripped), then the eTLD+1 under the suffix snapshot. One
+    streaming pass, zero exchange — the grouping key every host-level
+    aggregate (host_quality, domain_cap) should prefer over raw hosts."""
+
+    def f(t: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(t[url_col], r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<h>[^/:?#]*)"),
+            "h")
+        host = pc.utf8_lower(host)
+        return t.append_column(
+            out_col, registrable_domain_array(host, suffixes=suffixes))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -6920,3 +6920,94 @@ ORACLE_SQL.update({
         GROUP BY status
     """,
 })
+
+
+def q_registrable_domains(sf_dir: str):
+    """eTLD+1 extraction (functions/urlnorm.add_registrable_domain):
+    host from URL, longest-matching public suffix from the pinned
+    snapshot, registrable = suffix + one label. The messy-host corpus
+    comes from doc_id arithmetic (multi-label suffixes, ports, bare-TLD
+    and no-suffix rows); the oracle rebuilds the URLs and mirrors the
+    tail-regex + IN-list logic (NULLIF('') for DuckDB's empty-string
+    no-match vs Arrow's null). Nulls (no registrable domain) coalesce
+    to '' on both sides."""
+    from .functions.urlnorm import add_registrable_domain
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def urls(t: pa.Table) -> pa.Table:
+        out = []
+        for i in t["doc_id"].to_pylist():
+            k = i % 5
+            if k == 0:
+                out.append(f"https://www.shop{i}.co.uk/p/{i}")
+            elif k == 1:
+                out.append(f"https://site{i}.example/doc/{i}")
+            elif k == 2:
+                out.append(f"http://a.b.news{i}.com.br:8080/x")
+            elif k == 3:
+                out.append(f"https://CDN{i % 50}.io/lib.js")
+            else:
+                out.append(f"https://intranet{i}.localnet/x")
+        return pa.table({"doc_id": t["doc_id"],
+                         "url": pa.array(out, pa.string())})
+
+    out = add_registrable_domain(
+        ds.map_batches(urls, batch_format="pyarrow"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"], "url": t["url"],
+            "registrable_domain": pc.fill_null(t["registrable_domain"], ""),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_QUERIES.update({"registrable_domains": q_registrable_domains})
+
+ORACLE_SQL.update({
+    "registrable_domains": r"""
+        WITH m AS (
+          SELECT doc_id,
+            CASE doc_id % 5
+              WHEN 0 THEN 'https://www.shop' || CAST(doc_id AS VARCHAR)
+                          || '.co.uk/p/' || CAST(doc_id AS VARCHAR)
+              WHEN 1 THEN 'https://site' || CAST(doc_id AS VARCHAR)
+                          || '.example/doc/' || CAST(doc_id AS VARCHAR)
+              WHEN 2 THEN 'http://a.b.news' || CAST(doc_id AS VARCHAR)
+                          || '.com.br:8080/x'
+              WHEN 3 THEN 'https://CDN' || CAST(doc_id % 50 AS VARCHAR)
+                          || '.io/lib.js'
+              ELSE 'https://intranet' || CAST(doc_id AS VARCHAR)
+                   || '.localnet/x' END AS url
+          FROM documents),
+        h AS (
+          SELECT doc_id, url,
+            lower(regexp_extract(url,
+                '^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]*)', 1)) AS host
+          FROM m),
+        t AS (
+          SELECT doc_id, url,
+            NULLIF(regexp_extract(host, '([^.]+)$', 1), '') AS t1,
+            NULLIF(regexp_extract(host, '([^.]+\.[^.]+)$', 1), '') AS t2,
+            NULLIF(regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1), '')
+                AS t3
+          FROM h)
+        SELECT doc_id, url,
+          COALESCE(CASE
+            WHEN t2 IN ('ac.jp','ac.uk','co.in','co.jp','co.kr','co.uk',
+                        'com.ar','com.au','com.br','com.cn','com.mx',
+                        'edu.au','go.jp','gov.br','gov.cn','gov.uk',
+                        'me.uk','ne.jp','net.au','net.br','net.cn',
+                        'net.in','or.jp','or.kr','org.au','org.br',
+                        'org.cn','org.in','org.uk') THEN t3
+            WHEN t1 IN ('ai','app','ar','at','au','be','biz','br','ca',
+                        'ch','cn','com','de','dev','dk','edu','es',
+                        'example','fi','fr','gov','in','info','int','io',
+                        'it','jp','kr','mil','mx','net','nl','no','org',
+                        'pl','ru','se','uk') THEN t2
+            ELSE NULL END, '') AS registrable_domain
+        FROM t
+    """,
+})

@@ -88,3 +88,47 @@ def test_dataset_stage(ray_session):
     out = canonicalize_urls(ds).take_all()
     assert out[0]["canonical_url"] == "https://a.example/x?id=2"
     assert out[0]["url"].startswith("HTTPS://")
+
+
+# ---------------------------------------------------------------------------
+# Registrable-domain (eTLD+1) extraction
+# ---------------------------------------------------------------------------
+
+from pappermate_ray.functions.urlnorm import (  # noqa: E402
+    add_registrable_domain,
+    registrable_domain_array,
+)
+
+
+@pytest.mark.parametrize("host,want", [
+    ("www.shop5.co.uk", "shop5.co.uk"),        # 2-label suffix wins
+    ("a.b.news3.com.br", "news3.com.br"),      # deep subdomains collapse
+    ("site1.example", "site1.example"),        # 1-label suffix
+    ("example.co.uk", "example.co.uk"),        # exactly registrable
+    ("co.uk", None),                            # bare public suffix
+    ("uk", None),                               # bare TLD
+    ("weird.zone", None),                       # unknown suffix
+    ("localhost", None),
+    (None, None),
+])
+def test_registrable(host, want):
+    out = registrable_domain_array(pa.array([host], pa.string()))
+    assert out[0].as_py() == want
+
+
+def test_registrable_custom_suffixes():
+    out = registrable_domain_array(
+        pa.array(["x.y.zone"], pa.string()), suffixes=["zone"])
+    assert out[0].as_py() == "y.zone"
+
+
+def test_add_registrable_domain_stage(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"url": pa.array(
+        ["HTTPS://WWW.Shop1.CO.UK:443/p", "https://cdn.io/x", "nope"],
+        pa.string())}))
+    rows = add_registrable_domain(ds).take_all()
+    assert rows[0]["registrable_domain"] == "shop1.co.uk"
+    assert rows[1]["registrable_domain"] == "cdn.io"
+    assert rows[2]["registrable_domain"] is None
