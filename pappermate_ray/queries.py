@@ -6661,101 +6661,6 @@ ORACLE_SQL.update({
 
 
 # --------------------------------------------------------------------------
-# Crawl URL canonicalization (functions/urlnorm.py)
-# --------------------------------------------------------------------------
-
-
-def q_canonical_urls(sf_dir: str):
-    """Crawl URL canonicalization (functions/urlnorm.py): the pre-dedup
-    normalization pass — fragment strip, scheme/host lowercase, default-
-    port drop, tracking-param removal, empty-path '/'. The messy corpus
-    is reconstructed from doc_id arithmetic (mixed-case hosts every 5th
-    row, explicit default ports every 4th, utm/fbclid params by mod-3
-    class, fragments on even ids); the oracle rebuilds the SAME strings
-    and applies the SAME RE2 chain (DuckDB regexp_replace == Arrow
-    replace_substring_regex, both RE2), so the whole kernel chain is
-    value-hash-gated."""
-    from .functions.urlnorm import canonicalize_urls
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-
-    def messy(t: pa.Table) -> pa.Table:
-        urls = []
-        for i in t["doc_id"].to_pylist():
-            up, http = i % 5 == 0, i % 10 == 1
-            scheme = ("HTTP" if up else "http") if http else ("HTTPS" if up else "https")
-            host = ("Site" if up else "site") + str(i % 97) + (".Example" if up else ".example")
-            port = ((":80" if http else ":443") if i % 4 == 0 else "")
-            path = "" if i % 11 == 0 else f"/doc/{i}"
-            q = i % 3
-            query = (f"?utm_source=feed&id={i}&utm_medium=x" if q == 0
-                     else f"?id={i}" if q == 1 else "?utm_campaign=only")
-            frag = f"#sec{i % 7}" if i % 2 == 0 else ""
-            urls.append(f"{scheme}://{host}{port}{path}{query}{frag}")
-        return pa.table({"doc_id": t["doc_id"],
-                         "url": pa.array(urls, pa.string())})
-
-    return canonicalize_urls(
-        ds.map_batches(messy, batch_format="pyarrow"))
-
-
-SQL_QUERIES.update({"canonical_urls": q_canonical_urls})
-
-ORACLE_SQL.update({
-    "canonical_urls": r"""
-        WITH m AS (
-          SELECT doc_id,
-            (CASE WHEN doc_id % 5 = 0
-                  THEN (CASE WHEN doc_id % 10 = 1 THEN 'HTTP' ELSE 'HTTPS' END)
-                  ELSE (CASE WHEN doc_id % 10 = 1 THEN 'http' ELSE 'https' END) END)
-            || '://'
-            || (CASE WHEN doc_id % 5 = 0 THEN 'Site' ELSE 'site' END)
-            || CAST(doc_id % 97 AS VARCHAR)
-            || (CASE WHEN doc_id % 5 = 0 THEN '.Example' ELSE '.example' END)
-            || (CASE WHEN doc_id % 4 = 0
-                     THEN (CASE WHEN doc_id % 10 = 1 THEN ':80' ELSE ':443' END)
-                     ELSE '' END)
-            || (CASE WHEN doc_id % 11 = 0 THEN ''
-                     ELSE '/doc/' || CAST(doc_id AS VARCHAR) END)
-            || (CASE doc_id % 3
-                WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&utm_medium=x'
-                WHEN 1 THEN '?id=' || CAST(doc_id AS VARCHAR)
-                ELSE '?utm_campaign=only' END)
-            || (CASE WHEN doc_id % 2 = 0 THEN '#sec' || CAST(doc_id % 7 AS VARCHAR)
-                     ELSE '' END) AS url
-          FROM documents),
-        s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM m),
-        s2 AS (
-          SELECT doc_id, url, u,
-            regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)(.*)$', 1) AS head,
-            regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)(.*)$', 2) AS rest,
-            regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*') AS ok
-          FROM s1),
-        s3 AS (
-          SELECT doc_id, url, u, ok,
-            regexp_replace(regexp_replace(lower(head),
-                '^(http://[^/:?#]+):80$', '\1'),
-                '^(https://[^/:?#]+):443$', '\1') AS head,
-            regexp_replace(
-              regexp_replace(
-                regexp_replace(
-                  regexp_replace(rest, '\?', '?&'),
-                  '&(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)=[^&#]*', '', 'g'),
-                '\?&', '?'),
-              '\?$', '') AS rest
-          FROM s2),
-        s4 AS (
-          SELECT doc_id, url, ok, u, head,
-            regexp_replace(rest, '^(?:$|\?)', '/\0') AS rest
-          FROM s3)
-        SELECT doc_id, url,
-               CASE WHEN ok THEN head || rest ELSE u END AS canonical_url
-        FROM s4
-    """,
-})
-
-
-# --------------------------------------------------------------------------
 # Text-analysis value gate (functions/quality.py batch kernels)
 # --------------------------------------------------------------------------
 
@@ -6918,96 +6823,5 @@ ORACLE_SQL.update({
                AVG(length(extracted_text)) AS avg_chars
         FROM '{_GOLDENS_PARQUET}'
         GROUP BY status
-    """,
-})
-
-
-def q_registrable_domains(sf_dir: str):
-    """eTLD+1 extraction (functions/urlnorm.add_registrable_domain):
-    host from URL, longest-matching public suffix from the pinned
-    snapshot, registrable = suffix + one label. The messy-host corpus
-    comes from doc_id arithmetic (multi-label suffixes, ports, bare-TLD
-    and no-suffix rows); the oracle rebuilds the URLs and mirrors the
-    tail-regex + IN-list logic (NULLIF('') for DuckDB's empty-string
-    no-match vs Arrow's null). Nulls (no registrable domain) coalesce
-    to '' on both sides."""
-    from .functions.urlnorm import add_registrable_domain
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-
-    def urls(t: pa.Table) -> pa.Table:
-        out = []
-        for i in t["doc_id"].to_pylist():
-            k = i % 5
-            if k == 0:
-                out.append(f"https://www.shop{i}.co.uk/p/{i}")
-            elif k == 1:
-                out.append(f"https://site{i}.example/doc/{i}")
-            elif k == 2:
-                out.append(f"http://a.b.news{i}.com.br:8080/x")
-            elif k == 3:
-                out.append(f"https://CDN{i % 50}.io/lib.js")
-            else:
-                out.append(f"https://intranet{i}.localnet/x")
-        return pa.table({"doc_id": t["doc_id"],
-                         "url": pa.array(out, pa.string())})
-
-    out = add_registrable_domain(
-        ds.map_batches(urls, batch_format="pyarrow"))
-
-    def fin(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": t["doc_id"], "url": t["url"],
-            "registrable_domain": pc.fill_null(t["registrable_domain"], ""),
-        })
-
-    return out.map_batches(fin, batch_format="pyarrow")
-
-
-SQL_QUERIES.update({"registrable_domains": q_registrable_domains})
-
-ORACLE_SQL.update({
-    "registrable_domains": r"""
-        WITH m AS (
-          SELECT doc_id,
-            CASE doc_id % 5
-              WHEN 0 THEN 'https://www.shop' || CAST(doc_id AS VARCHAR)
-                          || '.co.uk/p/' || CAST(doc_id AS VARCHAR)
-              WHEN 1 THEN 'https://site' || CAST(doc_id AS VARCHAR)
-                          || '.example/doc/' || CAST(doc_id AS VARCHAR)
-              WHEN 2 THEN 'http://a.b.news' || CAST(doc_id AS VARCHAR)
-                          || '.com.br:8080/x'
-              WHEN 3 THEN 'https://CDN' || CAST(doc_id % 50 AS VARCHAR)
-                          || '.io/lib.js'
-              ELSE 'https://intranet' || CAST(doc_id AS VARCHAR)
-                   || '.localnet/x' END AS url
-          FROM documents),
-        h AS (
-          SELECT doc_id, url,
-            lower(regexp_extract(url,
-                '^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]*)', 1)) AS host
-          FROM m),
-        t AS (
-          SELECT doc_id, url,
-            NULLIF(regexp_extract(host, '([^.]+)$', 1), '') AS t1,
-            NULLIF(regexp_extract(host, '([^.]+\.[^.]+)$', 1), '') AS t2,
-            NULLIF(regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1), '')
-                AS t3
-          FROM h)
-        SELECT doc_id, url,
-          COALESCE(CASE
-            WHEN t2 IN ('ac.jp','ac.uk','co.in','co.jp','co.kr','co.uk',
-                        'com.ar','com.au','com.br','com.cn','com.mx',
-                        'edu.au','go.jp','gov.br','gov.cn','gov.uk',
-                        'me.uk','ne.jp','net.au','net.br','net.cn',
-                        'net.in','or.jp','or.kr','org.au','org.br',
-                        'org.cn','org.in','org.uk') THEN t3
-            WHEN t1 IN ('ai','app','ar','at','au','be','biz','br','ca',
-                        'ch','cn','com','de','dev','dk','edu','es',
-                        'example','fi','fr','gov','in','info','int','io',
-                        'it','jp','kr','mil','mx','net','nl','no','org',
-                        'pl','ru','se','uk') THEN t2
-            ELSE NULL END, '') AS registrable_domain
-        FROM t
     """,
 })

@@ -181,3 +181,37 @@ def test_robots_filter_paths_identical(ray_session):
                   robots_filter(pages, rules, broadcast_bound=0).take_all())
     assert bc == dist
     assert 0 < len(bc) < 60
+
+
+def test_canonicalize_idempotent():
+    """canonicalize(canonicalize(u)) == canonicalize(u) — the canonical
+    form is a fixpoint (re-ingesting an already-cleaned frontier must be
+    a no-op)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    urlish = st.builds(
+        lambda scheme, host, port, path, params, frag:
+            f"{scheme}://{host}{port}{path}"
+            + ("?" + "&".join(params) if params else "") + frag,
+        scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+        host=st.sampled_from(["A.Example.COM", "sub.site7.co.uk", "X.ORG"]),
+        port=st.sampled_from(["", ":80", ":443", ":8080"]),
+        path=st.sampled_from(["", "/x", "/Doc/5", "/p/"]),
+        params=st.lists(st.sampled_from(
+            ["id=1", "a=2", "b=1", "utm_source=f", "ref=tw", "fbclid=z",
+             "flag", "z=a=b"]), max_size=4, unique=True),
+        frag=st.sampled_from(["", "#s", "#Sec/2?x=1"]),
+    )
+
+    @given(urlish)
+    @settings(max_examples=300, deadline=None)
+    def check(u):
+        once = canonicalize_batch(_t([u]))["canonical_url"].to_pylist()[0]
+        twice = canonicalize_batch(_t([once]))["canonical_url"].to_pylist()[0]
+        assert twice == once
+        assert "#" not in once
+        for p in ("utm_", "fbclid", "gclid", "msclkid", "ref="):
+            assert ("?" + p) not in once and ("&" + p) not in once
+
+    check()
