@@ -240,11 +240,15 @@ def main() -> None:
 
     res = run_bench(sf_dir, num_cpus)
     full_queries = res.pop("queries")
-    # full record: stderr + sidecar file (driver tail-captures stdout only)
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_queries.json")
+    # full record: stderr + sidecar file (driver tail-captures stdout only).
+    # GRAFT_SKIP_QUERIES runs (the scaling subprocesses) must NOT clobber
+    # the last real battery's sidecar with an empty dict.
     full = dict(res, queries=full_queries)
-    with open(sidecar, "w") as f:
-        json.dump(full, f, indent=1)
+    if full_queries:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_queries.json")
+        with open(sidecar, "w") as f:
+            json.dump(full, f, indent=1)
     print(json.dumps(full), file=sys.stderr)
     # compact final stdout line: headline + a short curated subset so the
     # driver's tail capture never truncates the head keys again
