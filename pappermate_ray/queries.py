@@ -6825,3 +6825,68 @@ ORACLE_SQL.update({
         GROUP BY status
     """,
 })
+
+
+def _columnar_roundtrip(sf_dir: str, fmt: str):
+    """Shared body for the IPC/ORC interchange gates (io/ipc.py):
+    documents → content-keyed deterministic columnar shards → streamed
+    source → per-doc integrity row; shares the jsonl_roundtrip
+    parquet-truth oracle verbatim, so any shard-membership, encoding,
+    dtype-drift or ordering bug hash-mismatches."""
+    import hashlib as _hl
+    import os
+
+    from .io.ipc import read_ipc, read_orc, write_ipc_shards, write_orc_shards
+
+    from .fixtures import FIXTURES_VERSION
+
+    write, read, ext = {
+        "ipc": (write_ipc_shards, read_ipc, ".arrow"),
+        "orc": (write_orc_shards, read_orc, ".orc"),
+    }[fmt]
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"/tmp/{fmt}_v{FIXTURES_VERSION}_{tag}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+        assert write(docs, out, "doc_id").count() > 0
+        with open(os.path.join(out, "_SUCCESS"), "w"):
+            pass
+
+    files = [os.path.join(out, f) for f in sorted(os.listdir(out))
+             if f.endswith(ext)]
+    ds = read(files)
+
+    def integrity(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang": t["lang"],
+            "n_chars_roundtrip": pc.cast(pc.utf8_length(t["text"]),
+                                         pa.int64()),
+            "text_md5": pa.array(
+                [_hl.md5((x or "").encode()).hexdigest() for x in texts],
+                pa.string()),
+        })
+
+    return ds.map_batches(integrity, batch_format="pyarrow")
+
+
+def q_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather v2, zstd-compressed) shard interchange
+    end-to-end — the Arrow-native hand-off format (io/ipc.py)."""
+    return _columnar_roundtrip(sf_dir, "ipc")
+
+
+def q_orc_roundtrip(sf_dir: str):
+    """ORC shard interchange end-to-end — the Hive/Trino warehouse
+    ingest format (io/ipc.py)."""
+    return _columnar_roundtrip(sf_dir, "orc")
+
+
+SQL_QUERIES.update({
+    "ipc_roundtrip": q_ipc_roundtrip,
+    "orc_roundtrip": q_orc_roundtrip,
+})
+ORACLE_SQL["ipc_roundtrip"] = ORACLE_SQL["jsonl_roundtrip"]
+ORACLE_SQL["orc_roundtrip"] = ORACLE_SQL["jsonl_roundtrip"]
