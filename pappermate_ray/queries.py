@@ -29,6 +29,16 @@ from .ops.joins import broadcast_anti, broadcast_lookup, broadcast_semi, hash_jo
 from .ops.sample import stratified_head
 
 
+def _tmp_cache(prefix: str, sf_dir: str) -> str:
+    """/tmp cache dir for a gate artifact derived from ``sf_dir``'s
+    parquet, keyed on fixtures.FIXTURES_VERSION so regenerated corpora
+    never serve a stale artifact (the _minhash_index_dir pattern)."""
+    from .fixtures import FIXTURES_VERSION
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    return f"/tmp/{prefix}_v{FIXTURES_VERSION}_{tag}"
+
+
 def _round_cols(ds: "rd.Dataset", spec: Dict[str, int]) -> "rd.Dataset":
     def _r(batch: pa.Table) -> pa.Table:
         for col, nd in spec.items():
@@ -1454,8 +1464,7 @@ def q_pq_knn_lossless(sf_dir: str):
 
     from .stages.similarity import build_pq_index, pq_search_index
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    idx = f"/tmp/pq_index_v1_{tag}"
+    idx = _tmp_cache("pq_index", sf_dir)
     marker = os.path.join(idx, "_SUCCESS")
     if not os.path.exists(marker):
         ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -2601,8 +2610,7 @@ def q_hll_store_check(sf_dir: str):
 
     words_fn = lambda t: [w for x in t["text"].to_pylist()  # noqa: E731
                           for w in (x or "").split()]
-    tag = sf_dir.strip("/").replace("/", "_")
-    store = f"/tmp/hll_store_v1_{tag}"
+    store = _tmp_cache("hll_store", sf_dir)
     marker = os.path.join(store, "_SUCCESS")
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
@@ -2662,7 +2670,6 @@ def q_corpus_overlap_check(sf_dir: str):
 
     words_fn = lambda t: [w for x in t["text"].to_pylist()  # noqa: E731
                           for w in (x or "").split()]
-    tag = sf_dir.strip("/").replace("/", "_")
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
@@ -2674,7 +2681,7 @@ def q_corpus_overlap_check(sf_dir: str):
 
     stores = {}
     for name, (mod, res) in {"a": (2, 0), "b": (3, 0)}.items():
-        store = f"/tmp/hll_ovl_{name}_v1_{tag}"
+        store = _tmp_cache(f"hll_ovl_{name}", sf_dir)
         if not os.path.exists(os.path.join(store, "_SUCCESS")):
             save_hll_increment(part(mod, res), words_fn, store)
             with open(os.path.join(store, "_SUCCESS"), "w"):
@@ -2771,8 +2778,7 @@ def q_stored_quantiles_check(sf_dir: str):
 
     from .stages.sketch import save_hdr_increment, stored_quantiles
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    store = f"/tmp/hdr_store_v1_{tag}"
+    store = _tmp_cache("hdr_store", sf_dir)
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "n_chars"])
@@ -2803,8 +2809,7 @@ def q_events_hourly_store(sf_dir: str):
 
     from .stages.statstore import save_stats_increment, stored_stats
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    store = f"/tmp/stats_store_v1_{tag}"
+    store = _tmp_cache("stats_store", sf_dir)
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
         ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                              columns=["event_id", "event_type", "ts",
@@ -2884,8 +2889,7 @@ def q_csv_roundtrip(sf_dir: str):
 
     from .io.export import read_csv
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    out = f"/tmp/csv_src_v1_{tag}"
+    out = _tmp_cache("csv_src", sf_dir)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "lang", "text"])
@@ -2941,8 +2945,7 @@ def q_jsonl_roundtrip(sf_dir: str):
 
     from .io.export import read_jsonl, write_jsonl
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    out = f"/tmp/jsonl_src_v1_{tag}"
+    out = _tmp_cache("jsonl_src", sf_dir)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "lang", "text"])
@@ -3106,8 +3109,7 @@ def q_fuzzy_index_match(sf_dir: str):
     from .stages.fuzzy import (build_fuzzy_index, fuzzy_index_add,
                                fuzzy_match_index)
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    idx = f"/tmp/fuzzy_idx_v1_{tag}"
+    idx = _tmp_cache("fuzzy_idx", sf_dir)
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         build_fuzzy_index(
             rd.from_items([{"word": "red"}, {"word": "blue"}]), idx,
@@ -3516,8 +3518,7 @@ def q_bm25_index_topk(sf_dir: str):
 
     from .stages.search import bm25_search_index, text_index_add
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    idx = f"/tmp/text_index_v1_{tag}"
+    idx = _tmp_cache("text_index", sf_dir)
     marker = os.path.join(idx, "_SUCCESS")
     if not os.path.exists(marker):
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
