@@ -6891,3 +6891,259 @@ SQL_QUERIES.update({
 })
 ORACLE_SQL["ipc_roundtrip"] = ORACLE_SQL["jsonl_roundtrip"]
 ORACLE_SQL["orc_roundtrip"] = ORACLE_SQL["jsonl_roundtrip"]
+
+
+def q_validate_golden(sf_dir: str):
+    """Oracled business-rule validation (§3.3): validate_contracts_batch
+    over the golden-frozen parse outputs, with ``contract_name`` adapted
+    from ``client_name`` (the goldens freeze the parsed fields, not the
+    derived display name — the adapter is mirrored verbatim in SQL).
+    Every reference rule string (validation/schema.py:169-230) is
+    value-hash-gated: the error-branch messages on the 20 frozen error
+    rows and the four name/number/party rules on the 186 rows with
+    missing parties. The live-extraction variant stays rows-only
+    (``validate``)."""
+    from .stages.validate import validate_contracts_batch
+
+    ds = rd.read_parquet(_GOLDENS_PARQUET, columns=[
+        "url", "status", "error", "contract_number", "client_name",
+        "vendor_name", "effective_date", "expiration_date",
+        "total_value", "currency"])
+
+    def adapt(t: pa.Table) -> pa.Table:
+        return t.append_column("contract_name", t["client_name"])
+
+    out = ds.map_batches(adapt, batch_format="pyarrow").map_batches(
+        validate_contracts_batch, batch_format="pyarrow")
+
+    def stringify(t: pa.Table) -> pa.Table:
+        errs = ["; ".join(e or []) for e in t["validation_errors"].to_pylist()]
+        return pa.table({"url": t["url"], "is_valid": t["is_valid"],
+                         "validation_errors": pa.array(errs, pa.string())})
+
+    return out.map_batches(stringify, batch_format="pyarrow")
+
+
+def _plant_names_batch(t: pa.Table) -> pa.Table:
+    """Deterministic CJK-name fixture shared by translate_names_check:
+    lang/name derive from doc_id alone (mirrored 1:1 in the oracle's
+    WITH-clause). Stems contain NO split_filename delimiters, so
+    map_cjk_terms reduces to the pure ordered replace chain — the part
+    the oracle can express as nested replace() calls."""
+    did = t["doc_id"].to_numpy(zero_copy_only=False)
+    langs = np.array(["ja", "zh", "en"], dtype=object)[did % 3]
+    stems = np.array(["御見積書システム", "契約書運用", "报价系统支持", "Plain"],
+                     dtype=object)[did % 4]
+    names = [s + str(d) for s, d in zip(stems, did)]
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "lang": pa.array(langs, pa.string()),
+        "contract_name": pa.array(names, pa.string()),
+    })
+
+
+def q_translate_names_check(sf_dir: str):
+    """Oracled cached-translator gate (M21/ST5): CachedTranslator (the
+    per-actor-LRU stage, same callable as ``translate_names``) over a
+    deterministic planted-name table; the oracle rebuilds the identical
+    names in SQL and mirrors functions/naming.CJK_TERM_MAP as a nested
+    replace() chain in exact insertion order, plus the ja/zh gate and
+    the passthrough semantics. The live-extraction variant stays
+    rows-only (``translate_names``)."""
+    from .stages.translate import CachedTranslator
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = ds.map_batches(_plant_names_batch, batch_format="pyarrow").map_batches(
+        CachedTranslator, batch_format="pyarrow", batch_size=1024, concurrency=2,
+    )
+    return out.select_columns(["doc_id", "lang", "translated_name",
+                               "was_translated"])
+
+
+def _cjk_replace_chain_sql(expr: str) -> str:
+    """expr → nested replace() calls mirroring CJK_TERM_MAP insertion
+    order (Python str.replace and DuckDB replace() both replace ALL
+    occurrences, so the chains are equivalent)."""
+    from .functions.naming import CJK_TERM_MAP
+
+    for k, v in CJK_TERM_MAP.items():
+        expr = f"replace({expr}, '{k}', '{v}')"
+    return expr
+
+
+SQL_QUERIES.update({
+    "validate_golden": q_validate_golden,
+    "translate_names_check": q_translate_names_check,
+})
+
+ORACLE_SQL.update({
+    "validate_golden": f"""
+        WITH g AS (
+            SELECT url, status, error, contract_number,
+                   client_name AS contract_name, client_name, vendor_name,
+                   effective_date, expiration_date, total_value, currency
+            FROM '{_GOLDENS_PARQUET}'
+        ),
+        v AS (
+            SELECT url,
+                   CASE WHEN status = 'error' THEN
+                       CASE WHEN error IS NULL OR error = ''
+                            THEN 'Document must have a positive file size'
+                            ELSE 'Document conversion failed: ' || error END
+                   ELSE COALESCE(array_to_string(list_filter([
+                       CASE WHEN contract_name IS NULL
+                                 OR contract_name IN ('', 'N/A')
+                            THEN 'Contract must have a valid name' END,
+                       CASE WHEN contract_number IS NULL
+                                 OR contract_number IN ('', 'N/A')
+                            THEN 'Contract must have a valid contract number' END,
+                       CASE WHEN client_name IS NULL
+                                 OR client_name IN ('', 'N/A')
+                            THEN 'Contract must have a valid client name' END,
+                       CASE WHEN vendor_name IS NULL
+                                 OR vendor_name IN ('', 'N/A')
+                            THEN 'Contract must have a valid vendor name' END,
+                       CASE WHEN effective_date IS NOT NULL
+                                 AND expiration_date IS NOT NULL
+                                 AND effective_date >= expiration_date
+                            THEN 'Effective date must be before expiration date' END,
+                       CASE WHEN total_value IS NOT NULL AND total_value <= 0
+                            THEN 'Contract total value must be positive' END,
+                       CASE WHEN total_value IS NOT NULL
+                                 AND (currency IS NULL OR currency = '')
+                            THEN 'Contract must have currency when value is specified' END
+                   ], x -> x IS NOT NULL), '; '), '') END AS validation_errors
+            FROM g
+        )
+        SELECT url, validation_errors = '' AS is_valid, validation_errors
+        FROM v
+    """,
+    "translate_names_check": f"""
+        WITH n AS (
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'ja' WHEN 1 THEN 'zh'
+                        ELSE 'en' END AS lang,
+                   (CASE doc_id % 4 WHEN 0 THEN '御見積書システム'
+                         WHEN 1 THEN '契約書運用'
+                         WHEN 2 THEN '报价系统支持'
+                         ELSE 'Plain' END)
+                       || CAST(doc_id AS VARCHAR) AS name
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, lang, name,
+                   CASE WHEN lang IN ('ja', 'zh')
+                        THEN {{CJK_CHAIN}}
+                        ELSE name END AS translated_name
+            FROM n
+        )
+        SELECT doc_id, lang, translated_name,
+               translated_name <> name AS was_translated
+        FROM t
+    """.replace("{CJK_CHAIN}", _cjk_replace_chain_sql("name")),
+})
+
+
+def _range_export_cached(sf_dir: str):
+    """Shared range-sorted lineitem export for the two rangesort gates:
+    (manifest pyarrow Table, out_dir). Cached under a FIXTURES_VERSION-
+    keyed /tmp dir with a _SUCCESS marker (the _tmp_cache pattern);
+    the manifest itself persists as manifest.parquet so re-runs never
+    re-shuffle."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from .ops.rangesort import range_sorted_export
+
+    out = _tmp_cache("rangesort", sf_dir)
+    mpath = os.path.join(out, "manifest.parquet")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_orderkey", "l_partkey",
+                                      "l_linenumber"])
+        manifest = range_sorted_export(ds, "l_orderkey", out, partitions=8)
+        batches = list(manifest.iter_batches(batch_size=65536,
+                                             batch_format="pyarrow"))
+        _pq.write_table(pa.concat_tables(batches), mpath)
+        with open(os.path.join(out, "_SUCCESS"), "w"):
+            pass
+    return _pq.read_table(mpath), out
+
+
+def q_range_sorted_export(sf_dir: str):
+    """Range-partitioned sorted export (ops/rangesort.py, the TeraSort
+    shape): lineitem sorted by l_orderkey into 8 ranges, one internally-
+    sorted Parquet file each; the returned manifest (range_id, n_rows,
+    key_min, key_max) is value-hash-gated against a quantile_disc edge
+    reconstruction in SQL — any boundary-rule, assignment or loss bug
+    mismatches. File-level sortedness and resume are pinned in
+    tests/test_rangesort.py."""
+    manifest, _ = _range_export_cached(sf_dir)
+    return manifest.select(["range_id", "n_rows", "key_min", "key_max"])
+
+
+def q_range_scan_check(sf_dir: str):
+    """Manifest-pruned range scan over the sorted export: open ONLY the
+    files whose [key_min, key_max] intersects the probe range, trim the
+    boundary files, and return the surviving rows — gated against the
+    plain SQL BETWEEN over the source table (membership equality proves
+    the pruning read loses and invents nothing)."""
+    from .ops.rangesort import read_sorted_range
+
+    manifest, _ = _range_export_cached(sf_dir)
+    rows = {r["range_id"]: r for r in manifest.to_pylist()}
+    # probe = exactly ranges 2..4: scale-independent, and equal-key
+    # straddling is impossible (one key value -> one range), so the SQL
+    # mirror is range_id BETWEEN 2 AND 4 over the same edge CTE
+    lo, hi = rows[2]["key_min"], rows[4]["key_max"]
+    ds = read_sorted_range(manifest.to_pylist(), lo, hi)
+
+    def trim(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"]
+        keep = pc.and_(pc.greater_equal(k, lo), pc.less_equal(k, hi))
+        return t.filter(keep)
+
+    return ds.map_batches(trim, batch_format="pyarrow")
+
+
+SQL_QUERIES.update({
+    "range_sorted_export": q_range_sorted_export,
+    "range_scan_check": q_range_scan_check,
+})
+
+ORACLE_SQL.update({
+    "range_sorted_export": """
+        WITH e AS (
+            SELECT unnest(quantile_disc(l_orderkey,
+                [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])) AS edge
+            FROM lineitem
+        ),
+        a AS (
+            SELECT l_orderkey AS key,
+                   (SELECT COUNT(*) FROM e WHERE e.edge < l.l_orderkey)
+                       AS range_id
+            FROM lineitem l
+            WHERE l_orderkey IS NOT NULL
+        )
+        SELECT range_id, COUNT(*) AS n_rows,
+               MIN(key) AS key_min, MAX(key) AS key_max
+        FROM a GROUP BY range_id
+    """,
+    "range_scan_check": """
+        WITH e AS (
+            SELECT unnest(quantile_disc(l_orderkey,
+                [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])) AS edge
+            FROM lineitem
+        ),
+        a AS (
+            SELECT l_orderkey, l_partkey, l_linenumber,
+                   (SELECT COUNT(*) FROM e WHERE e.edge < l.l_orderkey)
+                       AS range_id
+            FROM lineitem l
+            WHERE l_orderkey IS NOT NULL
+        )
+        SELECT l_orderkey, l_partkey, l_linenumber
+        FROM a WHERE range_id BETWEEN 2 AND 4
+    """,
+})

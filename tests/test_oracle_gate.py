@@ -31,6 +31,10 @@ FAST_QUERIES = [
     # round-4: real-PDF reader round trip + newly-oracled approx family
     "pdf_extract_roundtrip", "hamming_near_dups_planted",
     "ivf_knn_recall_check", "random_sample_check",
+    # round-4 continuation: golden-twin validation + translator gates
+    "validate_golden", "translate_names_check",
+    # round-4 continuation: range-partitioned sorted export (TeraSort shape)
+    "range_sorted_export", "range_scan_check",
 ]
 
 

@@ -1,0 +1,126 @@
+"""Range-partitioned sorted export (ops/rangesort.py): the file-level
+invariants the oracle gate can't see — internal sortedness, cross-file
+range ordering, resume via deterministic atomic file names, string
+keys, hash-sampled boundaries, and manifest-pruned range scans."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from pappermate_ray.ops.rangesort import (
+    range_edges,
+    range_sorted_export,
+    read_sorted_range,
+)
+
+
+def _table(n=5000, seed=7):
+    rng = np.random.RandomState(seed)
+    keys = rng.randint(0, 900, size=n)  # heavy duplicates across edges
+    return pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "payload": pa.array(rng.randint(0, 10**9, size=n), pa.int64()),
+    })
+
+
+def _manifest_rows(ds):
+    return sorted(ds.take_all(), key=lambda r: r["range_id"])
+
+
+def _check_layout(rows, key_col="k"):
+    """Internal sortedness + cross-file ordering + manifest accuracy."""
+    prev_max = None
+    for r in rows:
+        t = pq.read_table(r["path"])
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        assert len(k) == r["n_rows"]
+        assert (k[:-1] <= k[1:]).all(), "file not internally sorted"
+        assert k[0] == r["key_min"] and k[-1] == r["key_max"]
+        if prev_max is not None:
+            assert r["key_min"] >= prev_max, "ranges overlap"
+        prev_max = r["key_max"]
+
+
+def test_export_is_globally_sorted(ray_session, tmp_path):
+    t = _table()
+    ds = rd.from_arrow(t).repartition(8)
+    rows = _manifest_rows(range_sorted_export(ds, "k", str(tmp_path), 6))
+    assert sum(r["n_rows"] for r in rows) == t.num_rows
+    _check_layout(rows)
+    # concatenating files in range order IS the global sort
+    cat = pa.concat_tables([pq.read_table(r["path"]) for r in rows])
+    got = cat["k"].to_numpy(zero_copy_only=False)
+    assert (got == np.sort(t["k"].to_numpy())).all()
+
+
+def test_null_keys_dropped(ray_session, tmp_path):
+    t = pa.table({"k": pa.array([3, None, 1, None, 2], pa.int64()),
+                  "v": pa.array([0, 1, 2, 3, 4], pa.int64())})
+    rows = _manifest_rows(range_sorted_export(rd.from_arrow(t),
+                                              "k", str(tmp_path), 2))
+    assert sum(r["n_rows"] for r in rows) == 3
+    _check_layout(rows)
+
+
+def test_string_keys(ray_session, tmp_path):
+    words = [f"w{i:04d}" for i in range(400)] * 3
+    t = pa.table({"k": pa.array(words, pa.string()),
+                  "v": pa.array(range(len(words)), pa.int64())})
+    rows = _manifest_rows(range_sorted_export(rd.from_arrow(t).repartition(4),
+                                              "k", str(tmp_path), 4))
+    _check_layout(rows)
+    assert sum(r["n_rows"] for r in rows) == len(words)
+
+
+def test_resume_rewrites_only_missing_ranges(ray_session, tmp_path):
+    ds = rd.from_arrow(_table()).repartition(4)
+    rows1 = _manifest_rows(range_sorted_export(ds, "k", str(tmp_path), 4))
+    victim = rows1[2]["path"]
+    keep_bytes = {r["path"]: os.path.getsize(r["path"]) for r in rows1}
+    os.remove(victim)
+    rows2 = _manifest_rows(range_sorted_export(ds, "k", str(tmp_path), 4))
+    # deterministic: second run reproduces the identical layout
+    assert [r["path"] for r in rows2] == [r["path"] for r in rows1]
+    for r in rows2:
+        assert os.path.getsize(r["path"]) == keep_bytes[r["path"]]
+    _check_layout(rows2)
+
+
+def test_sampled_edges_still_partition(ray_session, tmp_path):
+    ds = rd.from_arrow(_table(n=8000)).repartition(8)
+    exact = range_edges(ds, "k", 8)
+    sampled = range_edges(ds, "k", 8, sample_mod=4)
+    assert len(exact) == len(sampled) == 7
+    # sampled edges are real key values and ordered
+    assert sampled == sorted(sampled)
+    rows = _manifest_rows(
+        range_sorted_export(ds, "k", str(tmp_path), 8, sample_mod=4))
+    _check_layout(rows)
+    assert sum(r["n_rows"] for r in rows) == 8000
+
+
+def test_range_scan_prunes_files(ray_session, tmp_path):
+    t = _table()
+    ds = rd.from_arrow(t).repartition(8)
+    rows = _manifest_rows(range_sorted_export(ds, "k", str(tmp_path), 6))
+    lo, hi = 300, 450
+    scan = read_sorted_range(rows, lo, hi)
+    opened = {r["path"] for r in rows
+              if r["key_max"] >= lo and r["key_min"] <= hi}
+    assert 0 < len(opened) < len(rows), "probe should prune some files"
+    got = pa.concat_tables(
+        scan.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    k = got["k"].to_numpy(zero_copy_only=False)
+    inside = (k >= lo) & (k <= hi)
+    want_n = int(((t["k"].to_numpy() >= lo) & (t["k"].to_numpy() <= hi)).sum())
+    assert int(inside.sum()) == want_n, "pruned scan lost in-range rows"
+
+
+def test_partitions_validation():
+    with pytest.raises(ValueError):
+        range_edges(rd.from_arrow(_table(10)), "k", 1)
