@@ -94,6 +94,7 @@ def range_sorted_export(
     out_dir: str,
     partitions: int = 16,
     sample_mod: Optional[int] = None,
+    edges: Optional[List] = None,
 ) -> "rd.Dataset":
     """Write ``ds`` as range-partitioned, internally-sorted Parquet
     under ``out_dir`` and return the manifest Dataset
@@ -101,9 +102,13 @@ def range_sorted_export(
     non-empty range. Rows with a null key are dropped (a sort order is
     undefined for them; filter or impute upstream). Ties on the key
     keep block order (stable mergesort), so equal-key payload order is
-    deterministic for a deterministic upstream lineage."""
+    deterministic for a deterministic upstream lineage. Pass ``edges``
+    (e.g. persisted from a prior export) to pin the range intervals;
+    otherwise they are computed via ``range_edges``."""
     os.makedirs(out_dir, exist_ok=True)
-    edges = np.array(range_edges(ds, key_col, partitions, sample_mod))
+    if edges is None:
+        edges = range_edges(ds, key_col, partitions, sample_mod)
+    edges = np.array(edges)
 
     def assign(t: pa.Table) -> pa.Table:
         t = t.filter(pa.compute.is_valid(t[key_col]))
@@ -150,3 +155,114 @@ def read_sorted_range(
     if not paths:
         return rd.from_arrow(pa.table({}))
     return rd.read_parquet(paths)
+
+
+def merge_sorted_layout(
+    base_manifest: List[dict],
+    edges,
+    increment: "rd.Dataset",
+    key_col: str,
+    out_dir: str,
+) -> "rd.Dataset":
+    """LSM-style incremental merge: fold a (small) increment into an
+    existing sorted layout, touching ONLY the ranges the increment's
+    keys land in. Returns the manifest of the merged layout — updated
+    rows carry new files under ``out_dir``; untouched ranges keep their
+    ORIGINAL paths (a delta layout: the 100 TB base is never rewritten,
+    let alone re-sorted).
+
+    Assignment uses the BASE edges (the export's pinned
+    ``searchsorted(side='left')`` rule), so the merged layout has the
+    same range intervals as the base and stays a valid sorted layout:
+    per-file sortedness and cross-range ordering both survive (proved
+    in tests). Ties between base and increment rows keep base-first
+    order (stable sort over [base; increment]).
+
+    Scale shape: ONE exchange over the INCREMENT only (range_id
+    groupby); each touched range does a local
+    read-base-file + concat + stable-sort + atomic write. Daily
+    operating cost tracks the increment and the number of ranges it
+    touches — the ``incremental_refresh`` contract applied to storage
+    layout.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    edges = np.array(edges)
+    by_id = {int(r["range_id"]): r for r in base_manifest}
+
+    def assign(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.is_valid(t[key_col]))
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        rid = np.searchsorted(edges, k, side="left").astype(np.int64)
+        return t.append_column("_range_id", pa.array(rid, pa.int64()))
+
+    def merge_range(g: pa.Table) -> pa.Table:
+        rid = int(g["_range_id"][0].as_py())
+        inc = g.drop_columns(["_range_id"])
+        base_row = by_id.get(rid)
+        if base_row is not None:
+            base = pq.read_table(base_row["path"], columns=inc.schema.names)
+            body = pa.concat_tables([base, inc.select(base.schema.names)])
+        else:
+            body = inc  # increment opened a previously-empty range
+        order = np.argsort(body[key_col].to_numpy(zero_copy_only=False),
+                           kind="stable")
+        body = body.take(pa.array(order))
+        path = os.path.join(out_dir, f"part-{rid:05d}.parquet")
+        pq.write_table(body, path + ".tmp")
+        os.replace(path + ".tmp", path)
+        keys = body[key_col]
+        return pa.table({
+            "range_id": pa.array([rid], pa.int64()),
+            "n_rows": pa.array([body.num_rows], pa.int64()),
+            "key_min": pa.array([keys[0].as_py()]),
+            "key_max": pa.array([keys[-1].as_py()]),
+            "path": pa.array([path], pa.string()),
+        })
+
+    touched = increment.map_batches(assign, batch_format="pyarrow").groupby(
+        "_range_id").map_groups(merge_range, batch_format="pyarrow")
+    touched_rows = touched.take_all()  # O(ranges touched), manifest-sized
+    touched_ids = {r["range_id"] for r in touched_rows}
+    kept = [r for r in base_manifest if r["range_id"] not in touched_ids]
+    merged = sorted(kept + touched_rows, key=lambda r: r["range_id"])
+    return rd.from_arrow(pa.Table.from_pylist(merged))
+
+
+def compact_layout(
+    manifest: List[dict],
+    out_dir: str,
+    target_rows: int,
+) -> "rd.Dataset":
+    """Small-file compaction: coalesce adjacent ranges into files of
+    ~``target_rows`` without re-sorting (adjacent runs are already
+    ordered, so compaction is pure concatenation). Output file
+    ``out_id = floor(cum_rows_before / target_rows)`` — a window-cumsum
+    rule, deterministic from the manifest alone (and therefore
+    SQL-mirrorable on top of the export oracle). The planning pass is
+    O(ranges) on the driver; each output file is one task reading only
+    its input runs."""
+    os.makedirs(out_dir, exist_ok=True)
+    rows = sorted(manifest, key=lambda r: r["range_id"])
+    plan, cum = [], 0
+    for r in rows:
+        plan.append({"out_id": cum // target_rows, "path": r["path"],
+                     "range_id": r["range_id"]})
+        cum += r["n_rows"]
+    plan_ds = rd.from_arrow(pa.Table.from_pylist(plan))
+
+    def write_out(g: pa.Table) -> pa.Table:
+        oid = int(g["out_id"][0].as_py())
+        paths = sorted(zip(g["range_id"].to_pylist(), g["path"].to_pylist()))
+        body = pa.concat_tables([pq.read_table(p) for _, p in paths])
+        path = os.path.join(out_dir, f"compact-{oid:05d}.parquet")
+        pq.write_table(body, path + ".tmp")
+        os.replace(path + ".tmp", path)
+        return pa.table({
+            "out_id": pa.array([oid], pa.int64()),
+            "n_rows": pa.array([body.num_rows], pa.int64()),
+            "n_inputs": pa.array([len(paths)], pa.int64()),
+            "path": pa.array([path], pa.string()),
+        })
+
+    return plan_ds.groupby("out_id").map_groups(
+        write_out, batch_format="pyarrow")

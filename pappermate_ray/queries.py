@@ -7054,18 +7054,21 @@ def _range_export_cached(sf_dir: str):
 
     import pyarrow.parquet as _pq
 
-    from .ops.rangesort import range_sorted_export
+    from .ops.rangesort import range_edges, range_sorted_export
 
-    out = _tmp_cache("rangesort", sf_dir)
+    out = _tmp_cache("rangesort2", sf_dir)
     mpath = os.path.join(out, "manifest.parquet")
+    epath = os.path.join(out, "edges.parquet")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                              columns=["l_orderkey", "l_partkey",
                                       "l_linenumber"])
-        manifest = range_sorted_export(ds, "l_orderkey", out, partitions=8)
+        edges = range_edges(ds, "l_orderkey", 8)
+        manifest = range_sorted_export(ds, "l_orderkey", out, edges=edges)
         batches = list(manifest.iter_batches(batch_size=65536,
                                              batch_format="pyarrow"))
         _pq.write_table(pa.concat_tables(batches), mpath)
+        _pq.write_table(pa.table({"edge": pa.array(edges)}), epath)
         with open(os.path.join(out, "_SUCCESS"), "w"):
             pass
     return _pq.read_table(mpath), out
@@ -7145,5 +7148,117 @@ ORACLE_SQL.update({
         )
         SELECT l_orderkey, l_partkey, l_linenumber
         FROM a WHERE range_id BETWEEN 2 AND 4
+    """,
+})
+
+
+def q_lsm_merge_check(sf_dir: str):
+    """LSM-style incremental merge of a deterministic increment (every
+    l_linenumber=1 row re-keyed to l_orderkey+3, marked linenumber 99)
+    into the cached sorted lineitem layout (ops/rangesort.
+    merge_sorted_layout). Only the ranges the increment touches are
+    rewritten; the merged manifest is value-hash-gated against the SQL
+    union re-assigned by the SAME base edges — any assignment, loss,
+    duplication or base-file-read bug mismatches. Layout invariants and
+    untouched-path reuse are pinned in tests/test_rangesort.py."""
+    import pyarrow.parquet as _pq
+
+    from .ops.rangesort import merge_sorted_layout
+
+    manifest, out = _range_export_cached(sf_dir)
+    edges = _pq.read_table(f"{out}/edges.parquet")["edge"].to_pylist()
+
+    inc = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_orderkey", "l_partkey",
+                                   "l_linenumber"])
+
+    def rekey(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_linenumber"], 1))
+        return pa.table({
+            "l_orderkey": pc.add(t["l_orderkey"], 3),
+            "l_partkey": t["l_partkey"],
+            "l_linenumber": pa.array(
+                np.full(t.num_rows, 99, np.int32), pa.int32()),
+        })
+
+    merged = merge_sorted_layout(
+        manifest.to_pylist(), edges,
+        inc.map_batches(rekey, batch_format="pyarrow"),
+        "l_orderkey", _tmp_cache("lsmmerge", sf_dir))
+    return merged.map_batches(
+        lambda t: t.select(["range_id", "n_rows", "key_min", "key_max"]),
+        batch_format="pyarrow")
+
+
+def q_compaction_check(sf_dir: str):
+    """Small-file compaction over the cached sorted layout
+    (ops/rangesort.compact_layout): adjacent ranges coalesce into
+    ~25k-row files by the window-cumsum rule
+    ``out_id = floor(cum_rows_before / target)`` — mirrored in SQL as a
+    window over the per-range counts the export oracle already
+    reconstructs. Order preservation (concatenation, never a re-sort)
+    is pinned in tests/test_rangesort.py."""
+    from .ops.rangesort import compact_layout
+
+    manifest, _ = _range_export_cached(sf_dir)
+    out = compact_layout(manifest.to_pylist(),
+                         _tmp_cache("compact", sf_dir), 25_000)
+    return out.map_batches(
+        lambda t: t.select(["out_id", "n_rows", "n_inputs"]),
+        batch_format="pyarrow")
+
+
+SQL_QUERIES.update({
+    "lsm_merge_check": q_lsm_merge_check,
+    "compaction_check": q_compaction_check,
+})
+
+ORACLE_SQL.update({
+    "lsm_merge_check": """
+        WITH e AS (
+            SELECT unnest(quantile_disc(l_orderkey,
+                [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])) AS edge
+            FROM lineitem
+        ),
+        u AS (
+            SELECT l_orderkey FROM lineitem
+            UNION ALL
+            SELECT l_orderkey + 3 FROM lineitem WHERE l_linenumber = 1
+        ),
+        a AS (
+            SELECT l_orderkey AS key,
+                   (SELECT COUNT(*) FROM e WHERE e.edge < u.l_orderkey)
+                       AS range_id
+            FROM u WHERE l_orderkey IS NOT NULL
+        )
+        SELECT range_id, COUNT(*) AS n_rows,
+               MIN(key) AS key_min, MAX(key) AS key_max
+        FROM a GROUP BY range_id
+    """,
+    "compaction_check": """
+        WITH e AS (
+            SELECT unnest(quantile_disc(l_orderkey,
+                [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])) AS edge
+            FROM lineitem
+        ),
+        a AS (
+            SELECT (SELECT COUNT(*) FROM e WHERE e.edge < l.l_orderkey)
+                       AS range_id
+            FROM lineitem l WHERE l_orderkey IS NOT NULL
+        ),
+        m AS (
+            SELECT range_id, COUNT(*) AS n FROM a GROUP BY range_id
+        ),
+        w AS (
+            SELECT range_id, n,
+                   CAST(COALESCE(SUM(n) OVER (
+                       ORDER BY range_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum
+            FROM m
+        )
+        SELECT cum // 25000 AS out_id, CAST(SUM(n) AS BIGINT) AS n_rows,
+               COUNT(*) AS n_inputs
+        FROM w GROUP BY out_id
     """,
 })

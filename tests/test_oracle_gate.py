@@ -35,6 +35,8 @@ FAST_QUERIES = [
     "validate_golden", "translate_names_check",
     # round-4 continuation: range-partitioned sorted export (TeraSort shape)
     "range_sorted_export", "range_scan_check",
+    # round-4 continuation: LSM merge + compaction over the sorted layout
+    "lsm_merge_check", "compaction_check",
 ]
 
 

@@ -124,3 +124,89 @@ def test_range_scan_prunes_files(ray_session, tmp_path):
 def test_partitions_validation():
     with pytest.raises(ValueError):
         range_edges(rd.from_arrow(_table(10)), "k", 1)
+
+
+# ---- LSM merge + compaction (round-4 continuation) ----
+
+from pappermate_ray.ops.rangesort import compact_layout, merge_sorted_layout
+
+
+def test_lsm_merge_preserves_layout_and_rows(ray_session, tmp_path):
+    base_t = _table(n=6000, seed=11)
+    base_dir, merge_dir = str(tmp_path / "base"), str(tmp_path / "merged")
+    ds = rd.from_arrow(base_t).repartition(8)
+    edges = range_edges(ds, "k", 6)
+    base_rows = _manifest_rows(
+        range_sorted_export(ds, "k", base_dir, edges=edges))
+
+    # increment hits a narrow key band -> only some ranges touched
+    inc_t = pa.table({"k": pa.array([300, 301, 305, 310] * 50, pa.int64()),
+                      "payload": pa.array(range(200), pa.int64())})
+    merged = _manifest_rows(merge_sorted_layout(
+        base_rows, edges, rd.from_arrow(inc_t), "k", merge_dir))
+
+    assert sum(r["n_rows"] for r in merged) == base_t.num_rows + inc_t.num_rows
+    _check_layout(merged)
+    touched = {r["range_id"] for r in merged if r["path"].startswith(merge_dir)}
+    untouched = {r["range_id"] for r in merged
+                 if not r["path"].startswith(merge_dir)}
+    assert touched and untouched, "a narrow increment must not rewrite all"
+    # untouched ranges keep their ORIGINAL base files verbatim
+    base_by_id = {r["range_id"]: r for r in base_rows}
+    for r in merged:
+        if r["range_id"] in untouched:
+            assert r["path"] == base_by_id[r["range_id"]]["path"]
+
+    # merged concatenation == sorted union
+    cat = pa.concat_tables([pq.read_table(r["path"]) for r in merged])
+    want = np.sort(np.concatenate([base_t["k"].to_numpy(),
+                                   inc_t["k"].to_numpy()]))
+    assert (cat["k"].to_numpy(zero_copy_only=False) == want).all()
+
+
+def test_lsm_merge_ties_keep_base_first(ray_session, tmp_path):
+    base_t = pa.table({"k": pa.array([5, 5, 9], pa.int64()),
+                       "src": pa.array(["base"] * 3, pa.string())})
+    inc_t = pa.table({"k": pa.array([5], pa.int64()),
+                      "src": pa.array(["inc"], pa.string())})
+    ds = rd.from_arrow(base_t)
+    edges = range_edges(ds, "k", 2)
+    rows = _manifest_rows(range_sorted_export(
+        ds, "k", str(tmp_path / "b"), edges=edges))
+    merged = _manifest_rows(merge_sorted_layout(
+        rows, edges, rd.from_arrow(inc_t), "k", str(tmp_path / "m")))
+    cat = pa.concat_tables([pq.read_table(r["path"]) for r in merged])
+    srcs = [s for k, s in zip(cat["k"].to_pylist(), cat["src"].to_pylist())
+            if k == 5]
+    assert srcs == ["base", "base", "inc"]
+
+
+def test_lsm_merge_opens_empty_range(ray_session, tmp_path):
+    # all base keys equal -> every edge == that key -> only range 0 exists
+    base_t = pa.table({"k": pa.array([7] * 40, pa.int64())})
+    ds = rd.from_arrow(base_t)
+    edges = range_edges(ds, "k", 4)
+    rows = _manifest_rows(range_sorted_export(
+        ds, "k", str(tmp_path / "b"), edges=edges))
+    assert [r["range_id"] for r in rows] == [0]
+    inc_t = pa.table({"k": pa.array([100, 200], pa.int64())})
+    merged = _manifest_rows(merge_sorted_layout(
+        rows, edges, rd.from_arrow(inc_t), "k", str(tmp_path / "m")))
+    assert sum(r["n_rows"] for r in merged) == 42
+    _check_layout(merged)
+
+
+def test_compaction_concatenates_in_order(ray_session, tmp_path):
+    t = _table(n=9000, seed=3)
+    ds = rd.from_arrow(t).repartition(8)
+    rows = _manifest_rows(range_sorted_export(ds, "k",
+                                              str(tmp_path / "b"), 9))
+    out = sorted(compact_layout(rows, str(tmp_path / "c"), 2500).take_all(),
+                 key=lambda r: r["out_id"])
+    assert sum(r["n_rows"] for r in out) == t.num_rows
+    assert sum(r["n_inputs"] for r in out) == len(rows)
+    assert len(out) < len(rows), "compaction must reduce file count"
+    cat = pa.concat_tables([pq.read_table(r["path"]) for r in out])
+    got = cat["k"].to_numpy(zero_copy_only=False)
+    assert (got == np.sort(t["k"].to_numpy())).all(), \
+        "compaction must preserve the global sort"
