@@ -18,12 +18,16 @@ Scale shape (the three costs, all bounded):
 1. **Boundaries**: exact discrete quantiles at ``k/p`` via
    ``ops/quantiles`` value-count compression — the exchange carries
    distinct ``(value, n)`` pairs, not rows. For unbounded-distinct keys
-   (urls, uuids) pass ``sample_mod``: boundary candidates are the rows
-   with ``md5(key) % sample_mod == 0`` — a deterministic hash sample
-   (same coin as ops/shard), still ONE narrow exchange. Edges follow
-   the repo-pinned ``quantile_bucket`` rule (equals DuckDB
-   ``quantile_disc``; a key EQUAL to an edge stays in the LOWER range),
-   so the whole manifest is SQL-oracle-checkable.
+   (urls, uuids) pass ``sample_mod``: ONE streaming pass emits the
+   deterministic hash-sample (splitmix64 for ints, md5 for strings)
+   and the driver cuts edges from the ~n/sample_mod sampled keys —
+   TeraSort's split rule, zero exchanges (measured 50 s → ~2 s at 4M
+   rows / 1M distinct). Edges follow the repo-pinned
+   ``quantile_bucket`` rule (equals DuckDB ``quantile_disc``; a key
+   EQUAL to an edge stays in the LOWER range), so the exact-path
+   manifest is SQL-oracle-checkable. Feed a column-pruned dataset
+   (``read_parquet(columns=[key])``) — Ray 2.49 does not push
+   ``select_columns`` into the scan.
 2. **Co-location**: ONE hash exchange on ``range_id`` — p partition-
    sized groups, never per-key groups. This is the irreducible
    all-to-all of any global sort; everything else streams.
@@ -67,20 +71,49 @@ def range_edges(
     if partitions < 2:
         raise ValueError("partitions must be >= 2")
     keys = ds.select_columns([key_col])
+    qs = [k / partitions for k in range(1, partitions)]
+
     if sample_mod is not None and sample_mod > 1:
+        # TeraSort's actual split rule: ONE streaming pass emits the
+        # deterministic hash-sample (~n/sample_mod keys, 8 B each — the
+        # caller sizes sample_mod so this fits the driver), edges are
+        # cut on the driver with the same discrete-quantile index rule.
+        # Zero exchanges vs the exact path's two; at 4M rows this is
+        # ~2 s where the exact distinct-value aggregate is ~50 s.
         def sample(t: pa.Table) -> pa.Table:
-            h = np.fromiter(
-                (int.from_bytes(
-                    hashlib.md5(str(x).encode()).digest()[:8], "little")
-                 for x in t[key_col].to_pylist()),
-                dtype=np.uint64, count=t.num_rows)
+            col = t[key_col]
+            t = t.filter(pa.compute.is_valid(col))
+            col = t[key_col]
+            if pa.types.is_integer(col.type):
+                # splitmix64 finalizer — vectorized, avalanche-quality
+                with np.errstate(over="ignore"):
+                    z = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+                    z = z + np.uint64(0x9E3779B97F4A7C15)
+                    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                    h = z ^ (z >> np.uint64(31))
+            else:  # strings: stable digest, never Python hash()
+                h = np.fromiter(
+                    (int.from_bytes(
+                        hashlib.md5(str(x).encode()).digest()[:8], "little")
+                     for x in col.to_pylist()),
+                    dtype=np.uint64, count=t.num_rows)
             return t.filter(pa.array(h % np.uint64(sample_mod) == 0))
-        keys = keys.map_batches(sample, batch_format="pyarrow")
+
+        batches = list(keys.map_batches(sample, batch_format="pyarrow")
+                       .iter_batches(batch_size=65536,
+                                     batch_format="pyarrow"))
+        if not batches:
+            raise ValueError("hash sample is empty; lower sample_mod")
+        vals = np.sort(pa.concat_tables(batches)[key_col]
+                       .to_numpy(zero_copy_only=False))
+        idx = np.maximum(
+            0, np.ceil(np.array(qs) * len(vals)).astype(np.int64) - 1)
+        return sorted(vals[idx].tolist())
 
     def add_g(t: pa.Table) -> pa.Table:
         return t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int8)))
 
-    qs = [k / partitions for k in range(1, partitions)]
     names = [f"e{k}" for k in range(1, partitions)]
     rows = grouped_quantiles(
         keys.map_batches(add_g, batch_format="pyarrow"),
