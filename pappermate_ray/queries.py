@@ -7262,3 +7262,121 @@ ORACLE_SQL.update({
         FROM w GROUP BY out_id
     """,
 })
+
+
+_ORG_GOLDEN_COLS = ["url", "vendor_name", "contract_type",
+                    "effective_date", "expiration_date", "contract_number"]
+
+# Shared SQL mirror of pipelines/organize.add_organize_columns over the
+# goldens (ASCII vendor/type/number values, so Python's unicode isalnum
+# reduces to [A-Za-z0-9] exactly): normalize_supplier_name,
+# canonical_contract_filename, extract_year (str(datetime) ==
+# CAST(ts AS VARCHAR) in DuckDB) and the ascii operation router.
+_ORG_GOLDEN_CTE = f"""
+    g AS (
+        SELECT url, vendor_name, contract_type,
+               effective_date AS eff, expiration_date AS exp,
+               contract_number
+        FROM '{{GOLDENS}}'
+    ),
+    c AS (
+        SELECT url,
+            CASE WHEN vendor_name IS NULL OR vendor_name = ''
+                 THEN 'Unknown'
+                 ELSE substr(regexp_replace(
+                          replace(replace(vendor_name, ' ', '_'), '-', '_'),
+                          '[^A-Za-z0-9_]', '', 'g'), 1, 50) END AS sup,
+            CASE WHEN vendor_name IS NULL OR vendor_name IN ('', 'N/A')
+                 THEN 'Unknown'
+                 ELSE substr(regexp_replace(
+                          replace(replace(vendor_name, ' ', '_'), '-', '_'),
+                          '[^A-Za-z0-9_]', '', 'g'), 1, 50) END AS supplier_dir,
+            CASE WHEN contract_type IS NULL OR contract_type = ''
+                 THEN 'UNKNOWN' ELSE upper(contract_type) END AS ctyp,
+            CASE WHEN eff IS NULL THEN ''
+                 ELSE regexp_extract(CAST(eff AS VARCHAR),
+                                     '\\b(19|20)[0-9][0-9]\\b') END AS sy,
+            CASE WHEN exp IS NULL THEN ''
+                 ELSE regexp_extract(CAST(exp AS VARCHAR),
+                                     '\\b(19|20)[0-9][0-9]\\b') END AS ey0,
+            replace(replace(replace(COALESCE(contract_number, ''),
+                ' ', '_'), '/', '_'), '-', '_') AS cid0,
+            CASE WHEN regexp_matches(regexp_extract(url, '[^/]*$'),
+                                     '^[\\x00-\\x7f]*$')
+                 THEN 'rename' ELSE 'translate' END AS operation
+        FROM g
+    ),
+    d AS (
+        SELECT url, sup, supplier_dir, ctyp, operation,
+               CASE WHEN ey0 = '' THEN sy ELSE ey0 END AS ey, sy,
+               CASE WHEN cid0 = '' OR cid0 = 'null'
+                    THEN 'UNKNOWN_ID' ELSE cid0 END AS cid
+        FROM c
+    ),
+    f AS (
+        SELECT url, supplier_dir, operation,
+               regexp_replace(
+                   sup || '_' || ctyp || '_'
+                   || (CASE WHEN sy = ey THEN sy
+                            ELSE sy || '_' || ey END)
+                   || '_' || cid || '.pdf',
+                   '[^A-Za-z0-9._-]', '', 'g') AS canonical_filename
+        FROM d
+    )
+""".replace("{GOLDENS}", _GOLDENS_PARQUET)
+
+
+def q_organize_golden(sf_dir: str):
+    """Oracled organize projection (M27-M30): canonical filename +
+    supplier partition + rename/translate routing over the golden-frozen
+    parse outputs; the oracle mirrors normalize_supplier_name /
+    canonical_contract_filename / extract_year / the ascii router
+    character-class for character-class. The live-extraction variant
+    stays rows-only (``organize``)."""
+    from .pipelines.organize import organize
+
+    ds = rd.read_parquet(_GOLDENS_PARQUET, columns=_ORG_GOLDEN_COLS)
+    return organize(ds).select_columns(
+        ["url", "canonical_filename", "supplier_dir", "operation"])
+
+
+def q_unique_filenames_golden(sf_dir: str):
+    """Oracled D4 collision-free filenames: partition-grouped
+    enumeration (ordered by url within each canonical-name collision
+    group, ``_k`` before the extension) over the goldens, mirrored by a
+    SQL window row_number + backreference regexp. The live variant
+    stays rows-only (``unique_filenames``)."""
+    from .pipelines.organize import disambiguate_filenames, organize
+
+    ds = rd.read_parquet(_GOLDENS_PARQUET, columns=_ORG_GOLDEN_COLS)
+    return disambiguate_filenames(organize(ds)).select_columns(
+        ["url", "canonical_filename", "final_filename"])
+
+
+SQL_QUERIES.update({
+    "organize_golden": q_organize_golden,
+    "unique_filenames_golden": q_unique_filenames_golden,
+})
+
+ORACLE_SQL.update({
+    "organize_golden": f"""
+        WITH {_ORG_GOLDEN_CTE}
+        SELECT url, canonical_filename, supplier_dir, operation FROM f
+    """,
+    "unique_filenames_golden": f"""
+        WITH {_ORG_GOLDEN_CTE},
+        r AS (
+            SELECT url, canonical_filename,
+                   ROW_NUMBER() OVER (PARTITION BY canonical_filename
+                                      ORDER BY url) - 1 AS rn
+            FROM f
+        )
+        SELECT url, canonical_filename,
+               CASE WHEN rn = 0 THEN canonical_filename
+                    ELSE regexp_replace(canonical_filename,
+                        '\\.([^.]*)$',
+                        '_' || CAST(rn AS VARCHAR) || '.\\1') END
+                   AS final_filename
+        FROM r
+    """,
+})

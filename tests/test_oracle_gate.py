@@ -37,6 +37,8 @@ FAST_QUERIES = [
     "range_sorted_export", "range_scan_check",
     # round-4 continuation: LSM merge + compaction over the sorted layout
     "lsm_merge_check", "compaction_check",
+    # round-4 continuation: organize-family golden twins
+    "organize_golden", "unique_filenames_golden",
 ]
 
 
