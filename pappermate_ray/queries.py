@@ -7380,3 +7380,108 @@ ORACLE_SQL.update({
         FROM r
     """,
 })
+
+
+def q_compression_filter_check(sf_dir: str):
+    """Compression-ratio quality filter (stages/webclean.
+    compression_quality_filter — the RedPajama-v2/Dolma repetition
+    proxy): even doc_ids get a planted 120×-repeated token (deflate
+    ratio ≈ 0.03), odd ones a planted md5-hex stream (≈ 0.57); the
+    filter at min_ratio=0.25 must keep exactly the odd class. The
+    oracle mirrors the PLANT (class from doc_id), which is what makes
+    the zlib side gateable without SQL zlib; ratio ordering and
+    threshold behavior are pinned in tests/test_webclean_more.py."""
+    import hashlib as _hl
+
+    from .stages.webclean import compression_quality_filter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts, cls = [], []
+        for did in ids:
+            if did % 2 == 0:
+                texts.append(f"tok{did % 7} " * 120)
+                cls.append("repeat")
+            else:
+                texts.append("".join(
+                    _hl.md5(f"{did}:{i}".encode()).hexdigest()
+                    for i in range(20)))
+                cls.append("random")
+        return pa.table({"doc_id": t["doc_id"],
+                         "doc_class": pa.array(cls, pa.string()),
+                         "text": pa.array(texts, pa.string())})
+
+    out = compression_quality_filter(
+        ds.map_batches(plant, batch_format="pyarrow"), "text",
+        min_ratio=0.25)
+    return out.select_columns(["doc_id", "doc_class"])
+
+
+SQL_QUERIES.update({"compression_filter_check": q_compression_filter_check})
+ORACLE_SQL.update({
+    "compression_filter_check": """
+        SELECT doc_id, 'random' AS doc_class
+        FROM documents WHERE doc_id % 2 = 1
+    """,
+})
+
+
+def q_sanitize_names_check(sf_dir: str):
+    """Oracled M14/M17 sanitization gate: sanitize_url_names (the
+    rfind-extension split + ascii passthrough + CJK fallback map +
+    clean_translated_text cleanup) over planted names whose CJK is
+    FULLY consumed by the term map — so the post-map text is pure ASCII
+    and Python's unicode \\w classes coincide with RE2's ASCII ones,
+    making every branch SQL-mirrorable: success passthrough, mapped+
+    cleaned, and the unmapped-CJK 'failed unchanged' branch. The
+    live-extraction variant stays rows-only (``sanitize_names``)."""
+    from .pipelines.organize import sanitize_url_names
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        stems = np.array(["PlainName", '"契約書"', "契約書!システム",
+                          "見積サポート", "日本"], dtype=object)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        names = [s + str(d) for s, d in zip(stems[did % 5], did)]
+        return pa.table({"doc_id": t["doc_id"],
+                         "contract_name": pa.array(names, pa.string())})
+
+    out = sanitize_url_names(ds.map_batches(plant, batch_format="pyarrow"))
+    return out.select_columns(["doc_id", "sanitized_name",
+                               "sanitize_status"])
+
+
+SQL_QUERIES.update({"sanitize_names_check": q_sanitize_names_check})
+
+ORACLE_SQL.update({
+    "sanitize_names_check": """
+        WITH n AS (
+            SELECT doc_id,
+                   (CASE doc_id % 5 WHEN 0 THEN 'PlainName'
+                         WHEN 1 THEN '"契約書"'
+                         WHEN 2 THEN '契約書!システム'
+                         WHEN 3 THEN '見積サポート'
+                         ELSE '日本' END)
+                       || CAST(doc_id AS VARCHAR) AS base
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, base, {CJK_CHAIN} AS mapped FROM n
+        )
+        SELECT doc_id,
+               CASE WHEN regexp_matches(base, '^[\\x00-\\x7f]*$')
+                    THEN base || '.pdf'
+                    WHEN mapped <> base THEN
+                        trim(regexp_replace(regexp_replace(
+                            regexp_replace(mapped, '["''`]', '', 'g'),
+                            '[^A-Za-z0-9_ \t-]', '_', 'g'),
+                            '[ \t]+', '_', 'g'), '_') || '.pdf'
+                    ELSE base || '.pdf' END AS sanitized_name,
+               CASE WHEN regexp_matches(base, '^[\\x00-\\x7f]*$')
+                    THEN 'success' ELSE 'failed' END AS sanitize_status
+        FROM m
+    """.replace("{CJK_CHAIN}", _cjk_replace_chain_sql("base")),
+})

@@ -879,3 +879,46 @@ def badwords_filter(
         return t.filter(pc.fill_null(pc.invert(bad), True))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def compression_ratio_batch(batch: pa.Table, text_col: str = "text",
+                            level: int = 6) -> pa.Table:
+    """+ ``compression_ratio`` (zlib deflate bytes / utf-8 bytes) — the
+    repetition proxy modern curation stacks (RedPajama-v2 / Dolma
+    signals) compute per doc: boilerplate storms, keyword stuffing and
+    template farms compress far below natural prose. Deterministic for
+    a fixed zlib (same guarantee class as the engine's "for a fixed Ray
+    version" seeds); level pinned. Null/empty text gets ratio 1.0
+    (no evidence of repetition — mirrors c4's drop-on-evidence rule).
+
+    Scale: zlib is C-speed (~100 MB/s/core) and per-row independent —
+    a pure streaming map, zero exchange; the ratio column is 8 bytes/doc.
+    """
+    import zlib
+
+    ratios = []
+    for x in batch[text_col].to_pylist():
+        if not x:
+            ratios.append(1.0)
+            continue
+        raw = x.encode("utf-8")
+        ratios.append(len(zlib.compress(raw, level)) / len(raw))
+    return batch.append_column("compression_ratio",
+                               pa.array(ratios, pa.float64()))
+
+
+def compression_quality_filter(
+    ds, text_col: str = "text", min_ratio: float = 0.25, level: int = 6,
+):
+    """Drop docs whose deflate ratio falls BELOW ``min_ratio`` (too
+    repetitive to be natural text). Composes with gopher/c4: those
+    catch rule-expressible degeneracy, this catches long-range
+    repetition they cannot see (a 50-line template repeated 40× passes
+    every per-line rule)."""
+
+    def gate(t: pa.Table) -> pa.Table:
+        t = compression_ratio_batch(t, text_col, level)
+        keep = pc.greater_equal(t["compression_ratio"], min_ratio)
+        return t.filter(keep)
+
+    return ds.map_batches(gate, batch_format="pyarrow")

@@ -39,6 +39,8 @@ FAST_QUERIES = [
     "lsm_merge_check", "compaction_check",
     # round-4 continuation: organize-family golden twins
     "organize_golden", "unique_filenames_golden",
+    # round-4 continuation: compression filter + sanitize planted gates
+    "compression_filter_check", "sanitize_names_check",
 ]
 
 

@@ -418,3 +418,49 @@ def test_badwords_filter_nonword_edge_terms(ray_session):
     }))
     kept = badwords_filter(ds, ["a$$"], text_col="text")
     assert sorted(r["doc_id"] for r in kept.take_all()) == [2, 3]
+
+
+# ---- compression-ratio quality filter (round-4 continuation) ----
+
+def test_compression_ratio_ordering(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from pappermate_ray.stages.webclean import compression_ratio_batch
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": pa.array([
+                      "abc " * 200,                         # pure repeat
+                      "The quick brown fox jumps over the lazy dog. " * 8,
+                      "".join(hashlib.md5(f"{i}".encode()).hexdigest()
+                              for i in range(30)),          # hex stream
+                      None,                                 # null text
+                  ], pa.string())})
+    out = compression_ratio_batch(t, "text")
+    r = out["compression_ratio"].to_pylist()
+    assert r[0] < r[1] < r[2], "repeat < prose < random must hold"
+    assert r[3] == 1.0, "null text is never evidence of repetition"
+
+    ds = rd.from_arrow(t)
+    from pappermate_ray.stages.webclean import compression_quality_filter
+
+    kept = compression_quality_filter(ds, "text", min_ratio=0.25).take_all()
+    assert sorted(row["doc_id"] for row in kept) == [2, 3], \
+        "repeat and short-loop prose drop; random + null survive"
+
+
+def test_compression_filter_threshold_monotone(ray_session):
+    import ray.data as rd
+
+    from pappermate_ray.stages.webclean import compression_quality_filter
+
+    t = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array(
+                      [f"w{i} unique words flow naturally here " * (i + 2)
+                       for i in range(6)], pa.string())})
+    n_loose = compression_quality_filter(
+        rd.from_arrow(t), "text", min_ratio=0.01).count()
+    n_tight = compression_quality_filter(
+        rd.from_arrow(t), "text", min_ratio=0.9).count()
+    assert n_loose == 6 and n_tight == 0
