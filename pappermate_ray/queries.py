@@ -7485,3 +7485,50 @@ ORACLE_SQL.update({
         FROM m
     """.replace("{CJK_CHAIN}", _cjk_replace_chain_sql("base")),
 })
+
+
+def q_pattern_probe_check(sf_dir: str):
+    """Oracled J4 probe gate: PatternProbe (broadcast hashed-BoW
+    pattern matrix × docs, argmax segment) over planted docs — each
+    pattern phrase verbatim plus noise docs — at threshold 0.99, where
+    ONLY identical word-bags survive (max cross-phrase cosine measured
+    0.817; min self-cosine 1.0 - 2e-16). The oracle enumerates the
+    expected (url, entity_type, pattern, 1.0, phrase) rows from the
+    same BASE_PATTERNS constants, so a similarity, thresholding,
+    argmax-segment or false-positive bug mismatches. The full-corpus
+    variant stays rows-only (``pattern_probe``)."""
+    from .functions.spans import BASE_PATTERNS
+    from .stages.patternprobe import PatternProbe
+
+    rows = []
+    j = 0
+    for etype, phrases in BASE_PATTERNS.items():
+        for p in phrases:
+            rows.append({"url": f"pattern:{j}", "text": p})
+            j += 1
+    for i in range(10):
+        rows.append({"url": f"noise:{i}",
+                     "text": f"zxq{i} wvu{i} unrelated nonsense tokens"})
+
+    docs = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    ref = ray.put(BASE_PATTERNS)
+    return docs.map_batches(
+        PatternProbe, batch_format="pyarrow", batch_size=16, concurrency=2,
+        fn_constructor_kwargs={"patterns_ref": ref, "threshold": 0.99},
+    )
+
+
+def _pattern_probe_check_sql() -> str:
+    from .functions.spans import BASE_PATTERNS
+
+    vals, j = [], 0
+    for etype, phrases in BASE_PATTERNS.items():
+        for p in phrases:
+            vals.append(f"('pattern:{j}', '{etype}', '{p}', 1.0, '{p}')")
+            j += 1
+    return ("SELECT * FROM (VALUES " + ", ".join(vals)
+            + ") AS t(url, entity_type, pattern, similarity, best_segment)")
+
+
+SQL_QUERIES.update({"pattern_probe_check": q_pattern_probe_check})
+ORACLE_SQL.update({"pattern_probe_check": _pattern_probe_check_sql()})

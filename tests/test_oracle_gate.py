@@ -41,6 +41,7 @@ FAST_QUERIES = [
     "organize_golden", "unique_filenames_golden",
     # round-4 continuation: compression filter + sanitize planted gates
     "compression_filter_check", "sanitize_names_check",
+    "pattern_probe_check",
 ]
 
 
