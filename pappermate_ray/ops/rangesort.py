@@ -118,6 +118,9 @@ def range_edges(
     rows = grouped_quantiles(
         keys.map_batches(add_g, batch_format="pyarrow"),
         "_g", key_col, qs, names).take_all()
+    if not rows:
+        raise ValueError(
+            f"no non-null '{key_col}' values to cut edges from")
     return sorted(rows[0][n] for n in names)
 
 
@@ -299,3 +302,63 @@ def compact_layout(
 
     return plan_ds.groupby("out_id").map_groups(
         write_out, batch_format="pyarrow")
+
+
+def layout_merge_join(
+    manifest_a: List[dict],
+    manifest_b: List[dict],
+    key_a: str,
+    key_b: Optional[str] = None,
+    how: str = "inner",
+) -> "rd.Dataset":
+    """Co-partitioned join over two sorted layouts that share EDGES —
+    the bucketed merge join: because both exports assigned rows with
+    the same boundary rule, all rows of one key value sit in the same
+    ``range_id`` on both sides, so the join decomposes into
+    per-range-id local joins with ZERO exchange. Each task reads two
+    files and joins them; at 100 TB this replaces the all-to-all hash
+    join with embarrassingly-parallel file pairs (the warehouse
+    bucketed-join contract; ``ops/joins.py`` remains the path for
+    un-layouted inputs).
+
+    CONTRACT: both layouts must have been exported with the SAME
+    ``edges`` list (pass ``edges=`` to ``range_sorted_export``);
+    nothing in the manifests can verify that, so the caller owns it.
+    ``how`` supports 'inner' and 'left outer' (pyarrow join semantics);
+    for 'left outer', b-side ranges missing entirely still emit the
+    a-side rows with nulls.
+    """
+    if how not in ("inner", "left outer"):
+        raise ValueError("how must be 'inner' or 'left outer'")
+    key_b = key_b or key_a
+    a_by = {int(r["range_id"]): r["path"] for r in manifest_a}
+    b_by = {int(r["range_id"]): r["path"] for r in manifest_b}
+    ids = sorted(a_by) if how == "left outer" else sorted(
+        set(a_by) & set(b_by))
+    pairs = pa.Table.from_pylist([
+        {"range_id": i, "path_a": a_by[i], "path_b": b_by.get(i, "")}
+        for i in ids
+    ])
+    if pairs.num_rows == 0:
+        return rd.from_arrow(pa.table({}))
+    # one b-side schema so a-only ranges can emit null-padded rows
+    b_schema = pq.read_schema(next(iter(b_by.values()))) if b_by else None
+
+    def join_range(t: pa.Table) -> pa.Table:
+        outs = []
+        for pa_path, pb_path in zip(t["path_a"].to_pylist(),
+                                    t["path_b"].to_pylist()):
+            ta = pq.read_table(pa_path)
+            if pb_path:
+                tb = pq.read_table(pb_path)
+            elif b_schema is not None:
+                tb = b_schema.empty_table()  # left outer, b-range absent
+            else:
+                outs.append(ta)
+                continue
+            outs.append(ta.join(tb, keys=key_a, right_keys=key_b,
+                                join_type=how))
+        return pa.concat_tables(outs, promote_options="default")
+
+    return rd.from_arrow(pairs).map_batches(
+        join_range, batch_size=1, batch_format="pyarrow")

@@ -7532,3 +7532,58 @@ def _pattern_probe_check_sql() -> str:
 
 SQL_QUERIES.update({"pattern_probe_check": q_pattern_probe_check})
 ORACLE_SQL.update({"pattern_probe_check": _pattern_probe_check_sql()})
+
+
+def _orders_export_cached(sf_dir: str):
+    """Orders exported with the SAME edges as the lineitem layout (the
+    co-partitioned contract layout_merge_join requires); cached like
+    _range_export_cached."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from .ops.rangesort import range_sorted_export
+
+    _, li_dir = _range_export_cached(sf_dir)
+    edges = _pq.read_table(f"{li_dir}/edges.parquet")["edge"].to_pylist()
+    out = _tmp_cache("rangesort_orders", sf_dir)
+    mpath = os.path.join(out, "manifest.parquet")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+        manifest = range_sorted_export(ds, "o_orderkey", out, edges=edges)
+        batches = list(manifest.iter_batches(batch_size=65536,
+                                             batch_format="pyarrow"))
+        _pq.write_table(pa.concat_tables(batches), mpath)
+        with open(os.path.join(out, "_SUCCESS"), "w"):
+            pass
+    return _pq.read_table(mpath), out
+
+
+def q_layout_join_check(sf_dir: str):
+    """Co-partitioned bucketed merge join (ops/rangesort.
+    layout_merge_join): lineitem and orders both exported on the SAME
+    edges, joined per range_id with ZERO exchange — each task reads one
+    file pair and joins locally (the warehouse bucketed-join contract;
+    at 100 TB this replaces the all-to-all hash join for layouted
+    corpora). Value-hash-gated against the plain SQL inner join."""
+    from .ops.rangesort import layout_merge_join
+
+    li_manifest, _ = _range_export_cached(sf_dir)
+    o_manifest, _ = _orders_export_cached(sf_dir)
+    out = layout_merge_join(li_manifest.to_pylist(),
+                            o_manifest.to_pylist(),
+                            "l_orderkey", "o_orderkey")
+    return out.map_batches(
+        lambda t: t.select(["l_orderkey", "l_partkey", "l_linenumber",
+                            "o_custkey"]),
+        batch_format="pyarrow")
+
+
+SQL_QUERIES.update({"layout_join_check": q_layout_join_check})
+ORACLE_SQL.update({
+    "layout_join_check": """
+        SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, o.o_custkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+})

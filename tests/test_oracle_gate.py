@@ -42,6 +42,8 @@ FAST_QUERIES = [
     # round-4 continuation: compression filter + sanitize planted gates
     "compression_filter_check", "sanitize_names_check",
     "pattern_probe_check",
+    # round-4 continuation: co-partitioned bucketed merge join
+    "layout_join_check",
 ]
 
 

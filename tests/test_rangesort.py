@@ -210,3 +210,68 @@ def test_compaction_concatenates_in_order(ray_session, tmp_path):
     got = cat["k"].to_numpy(zero_copy_only=False)
     assert (got == np.sort(t["k"].to_numpy())).all(), \
         "compaction must preserve the global sort"
+
+
+def test_empty_input_raises_cleanly(ray_session):
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    with pytest.raises(ValueError, match="no non-null"):
+        range_edges(empty, "k", 4)
+    with pytest.raises(ValueError, match="sample is empty"):
+        range_edges(empty, "k", 4, sample_mod=2)
+
+
+# ---- co-partitioned layout merge join ----
+
+from pappermate_ray.ops.rangesort import layout_merge_join
+
+
+def _two_layouts(tmp_path, n=3000):
+    rng = np.random.RandomState(5)
+    a = pa.table({"k": pa.array(rng.randint(0, 500, n), pa.int64()),
+                  "va": pa.array(rng.randint(0, 10**6, n), pa.int64())})
+    # b: unique keys 0..399 -> keys 400..499 of a are unmatched
+    b = pa.table({"bk": pa.array(np.arange(400), pa.int64()),
+                  "vb": pa.array(np.arange(400) * 7, pa.int64())})
+    dsa, dsb = rd.from_arrow(a).repartition(4), rd.from_arrow(b)
+    edges = range_edges(dsa, "k", 5)
+    ma = _manifest_rows(range_sorted_export(dsa, "k", str(tmp_path / "a"),
+                                            edges=edges))
+    mb = _manifest_rows(range_sorted_export(dsb, "bk", str(tmp_path / "b"),
+                                            edges=edges))
+    return a, b, ma, mb
+
+
+def test_layout_join_inner_equals_pandas(ray_session, tmp_path):
+    import pandas as pd
+
+    a, b, ma, mb = _two_layouts(tmp_path)
+    got = pa.concat_tables(
+        layout_merge_join(ma, mb, "k", "bk")
+        .iter_batches(batch_size=65536, batch_format="pyarrow"),
+        promote_options="default").to_pandas()
+    want = a.to_pandas().merge(b.to_pandas(), left_on="k", right_on="bk")
+    want = want[["k", "va", "vb"]]
+    key = ["k", "va", "vb"]
+    got = got[key].sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_layout_join_left_outer_pads_missing_ranges(ray_session, tmp_path):
+    a, b, ma, mb = _two_layouts(tmp_path)
+    # drop b's top range entirely: left outer must still emit a's rows
+    mb_cut = [r for r in mb if r["range_id"] < max(x["range_id"] for x in mb)]
+    got = pa.concat_tables(
+        layout_merge_join(ma, mb_cut, "k", "bk", how="left outer")
+        .iter_batches(batch_size=65536, batch_format="pyarrow"),
+        promote_options="default")
+    assert got.num_rows == a.num_rows  # b keys unique: no fan-out
+    n_null = got["vb"].null_count
+    want_null = int((a["k"].to_numpy() >= 400).sum())
+    assert n_null >= want_null  # missing range + in-range misses
+
+
+def test_layout_join_validates_how(ray_session, tmp_path):
+    a, b, ma, mb = _two_layouts(tmp_path)
+    with pytest.raises(ValueError, match="how"):
+        layout_merge_join(ma, mb, "k", "bk", how="full outer")
