@@ -7587,3 +7587,64 @@ ORACLE_SQL.update({
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     """,
 })
+
+
+def q_url_layout_check(sf_dir: str):
+    """String-key sorted layout: documents exported by a derived
+    source/doc_id url-style key (the crawl layout — range scans over
+    key prefixes, co-located sources) through the exact quantile_disc
+    edge path; manifest value-hash-gated like range_sorted_export
+    (VARCHAR edges, binary collation on both sides — keys are ASCII).
+    Exercises the string-key branch of assign/sort/manifest the int
+    gate cannot."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from .ops.rangesort import range_sorted_export
+
+    out = _tmp_cache("rangesort_url", sf_dir)
+    mpath = os.path.join(out, "manifest.parquet")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["source", "doc_id"])
+
+        def skey(t: pa.Table) -> pa.Table:
+            k = pc.binary_join_element_wise(
+                t["source"], pc.cast(t["doc_id"], pa.string()), "/")
+            return pa.table({"skey": k, "doc_id": t["doc_id"]})
+
+        ds = ds.map_batches(skey, batch_format="pyarrow")
+        manifest = range_sorted_export(ds, "skey", out, partitions=6)
+        batches = list(manifest.iter_batches(batch_size=65536,
+                                             batch_format="pyarrow"))
+        _pq.write_table(pa.concat_tables(batches), mpath)
+        with open(os.path.join(out, "_SUCCESS"), "w"):
+            pass
+    return _pq.read_table(mpath).select(
+        ["range_id", "n_rows", "key_min", "key_max"])
+
+
+SQL_QUERIES.update({"url_layout_check": q_url_layout_check})
+ORACLE_SQL.update({
+    "url_layout_check": f"""
+        WITH s AS (
+            SELECT source || '/' || CAST(doc_id AS VARCHAR) AS skey
+            FROM documents
+        ),
+        e AS (
+            SELECT unnest(quantile_disc(skey,
+                [{", ".join(repr(k / 6) for k in range(1, 6))}])) AS edge
+            FROM s
+        ),
+        a AS (
+            SELECT skey AS key,
+                   (SELECT COUNT(*) FROM e WHERE e.edge < d.skey)
+                       AS range_id
+            FROM s d WHERE skey IS NOT NULL
+        )
+        SELECT range_id, COUNT(*) AS n_rows,
+               MIN(key) AS key_min, MAX(key) AS key_max
+        FROM a GROUP BY range_id
+    """,
+})

@@ -43,7 +43,7 @@ FAST_QUERIES = [
     "compression_filter_check", "sanitize_names_check",
     "pattern_probe_check",
     # round-4 continuation: co-partitioned bucketed merge join
-    "layout_join_check",
+    "layout_join_check", "url_layout_check",
 ]
 
 
