@@ -170,6 +170,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "value_trend", "length_mode",
         "pdf_extract_roundtrip", "hamming_near_dups_planted",
         "ivf_knn_recall_check", "random_sample_check",
+        "text_metrics_check", "extraction_status_golden",
+        "url_parse", "url_blocklist", "grouped_zscore",
+        "perceptron_quality", "profile_approx_check", "hll_bigrams_check",
+        "ipc_roundtrip", "orc_roundtrip",
+        "range_sorted_export", "range_scan_check", "lsm_merge_check",
+        "compaction_check", "layout_join_check", "url_layout_check",
+        "compression_filter_check", "sanitize_names_check",
+        "pattern_probe_check", "organize_golden", "party_histogram_golden",
+        "unique_filenames_golden", "validate_golden", "translate_names_check",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()
