@@ -62,19 +62,25 @@ def _widen(finest, row_col, cat_col, val_col, categories, out_prefix,
     from .grouping import partition_grouped
 
     np_type = np.float64 if cell_type == pa.float64() else np.int64
+    cat_pos = {c: j for j, c in enumerate(categories)}
 
     def widen(g: pd.DataFrame) -> pd.DataFrame:
         # partition-grouped gather: ALL row keys of this partition in
-        # one vectorized pandas pivot (the finest aggregate guarantees
+        # one vectorized scatter (the finest aggregate guarantees
         # unique (row, category) pairs) — never one dispatch per
         # distinct row_col value (ops/grouping.py contract; a pivot
-        # keyed on url would otherwise crawl).
-        w = (g.pivot(index=row_col, columns=cat_col, values=val_col)
-             .reindex(columns=categories))
-        out = {row_col: w.index.to_numpy()}
-        for c in categories:
-            out[f"{out_prefix}{c}"] = (
-                w[c].fillna(0).to_numpy().astype(np_type))
+        # keyed on url would otherwise crawl). A direct int64 scatter,
+        # NOT pandas pivot: pivot's NaN placeholder forces float64 and
+        # silently rounds int64 cells above 2^53.
+        rows, ridx = np.unique(g[row_col].to_numpy(), return_inverse=True)
+        cidx = g[cat_col].map(cat_pos).to_numpy()
+        valid = ~pd.isna(cidx)  # categories outside the list drop
+        mat = np.zeros((len(rows), len(categories)), dtype=np_type)
+        mat[ridx[valid], cidx[valid].astype(np.int64)] = (
+            g[val_col].to_numpy()[valid].astype(np_type))
+        out = {row_col: rows}
+        for j, c in enumerate(categories):
+            out[f"{out_prefix}{c}"] = mat[:, j]
         return pd.DataFrame(out)
 
     pds, pcols = partition_grouped(finest, [row_col])

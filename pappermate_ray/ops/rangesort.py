@@ -181,16 +181,30 @@ def read_sorted_range(
     manifest: List[dict],
     key_lo,
     key_hi,
+    key_col: Optional[str] = None,
 ) -> "rd.Dataset":
     """Range scan over an exported layout: open ONLY the files whose
     ``[key_min, key_max]`` intersects ``[key_lo, key_hi]`` (the
-    manifest-pruning read that justifies the sorted layout). The final
-    row filter trims the two boundary files."""
+    manifest-pruning read that justifies the sorted layout). With
+    ``key_col`` given, a final streaming row filter trims the two
+    boundary files to exactly ``[key_lo, key_hi]``; without it the
+    whole content of every intersecting file is returned (the caller
+    owns the trim)."""
     paths = [r["path"] for r in manifest
              if r["key_max"] >= key_lo and r["key_min"] <= key_hi]
     if not paths:
         return rd.from_arrow(pa.table({}))
-    return rd.read_parquet(paths)
+    ds = rd.read_parquet(paths)
+    if key_col is None:
+        return ds
+
+    def trim(t: pa.Table) -> pa.Table:
+        k = t[key_col]
+        keep = pa.compute.and_(pa.compute.greater_equal(k, key_lo),
+                               pa.compute.less_equal(k, key_hi))
+        return t.filter(keep)
+
+    return ds.map_batches(trim, batch_format="pyarrow")
 
 
 def merge_sorted_layout(
@@ -236,7 +250,14 @@ def merge_sorted_layout(
         inc = g.drop_columns(["_range_id"])
         base_row = by_id.get(rid)
         if base_row is not None:
-            base = pq.read_table(base_row["path"], columns=inc.schema.names)
+            base = pq.read_table(base_row["path"])
+            if set(base.schema.names) != set(inc.schema.names):
+                # refuse rather than silently drop base columns the
+                # increment lacks (or invent nulls the layout never had)
+                raise ValueError(
+                    "increment schema does not match base layout: "
+                    f"base={sorted(base.schema.names)} "
+                    f"increment={sorted(inc.schema.names)}")
             body = pa.concat_tables([base, inc.select(base.schema.names)])
         else:
             body = inc  # increment opened a previously-empty range
@@ -360,5 +381,8 @@ def layout_merge_join(
                                 join_type=how))
         return pa.concat_tables(outs, promote_options="default")
 
-    return rd.from_arrow(pairs).map_batches(
+    # from_arrow yields ONE block; without the repartition every range
+    # pair would run serially inside a single task (batch_size only
+    # splits within a block's task, it does not add parallelism)
+    return rd.from_arrow(pairs).repartition(pairs.num_rows).map_batches(
         join_range, batch_size=1, batch_format="pyarrow")

@@ -126,16 +126,20 @@ def _quality_gate(ds: "rd.Dataset", min_words: int,
         # list_flatten → segment bincounts), plus a factorize +
         # unique-(doc, code) pass for the distinct count — no Python
         # row loop. Separator " " mirrors .split() exactly on this
-        # corpus (single-space, no leading/trailing whitespace; an
-        # empty text scores n_words=1 < min_words either way).
+        # corpus (single-space, no leading/trailing whitespace) EXCEPT
+        # the empty string, where split_pattern yields one '' token but
+        # .split() yields none — force nw=0 there so empty docs drop at
+        # any min_words >= 1 exactly as the scalar gate did.
         n = t.num_rows
         if n == 0:
             return t
-        toks = pc.split_pattern(pc.fill_null(t["text"], ""),
-                                " ").combine_chunks()
-        nw = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        filled = pc.fill_null(t["text"], "")
+        toks = pc.split_pattern(filled, " ").combine_chunks()
+        raw_nw = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        nw = np.where(
+            pc.equal(filled, "").to_numpy(zero_copy_only=False), 0, raw_nw)
         flat = pc.list_flatten(toks)
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), nw)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), raw_nw)
         codes = pd.factorize(flat.to_pandas())[0].astype(np.int64)
         ncodes = int(codes.max()) + 1 if len(codes) else 1
         uniq = np.unique(doc_idx * ncodes + codes)

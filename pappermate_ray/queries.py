@@ -6216,10 +6216,7 @@ def q_webdataset_roundtrip(sf_dir: str):
 
     from .io.webdataset import read_webdataset, write_webdataset
 
-    from .fixtures import FIXTURES_VERSION
-
-    tag = sf_dir.strip("/").replace("/", "_")
-    out = f"/tmp/wds_v{FIXTURES_VERSION}_{tag}"
+    out = _tmp_cache("wds", sf_dir)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "lang", "text"])
@@ -6284,10 +6281,7 @@ def q_jsonl_gz_roundtrip(sf_dir: str):
 
     from .io.export import read_jsonl, write_jsonl_gz
 
-    from .fixtures import FIXTURES_VERSION
-
-    tag = sf_dir.strip("/").replace("/", "_")
-    out = f"/tmp/jlgz_v{FIXTURES_VERSION}_{tag}"
+    out = _tmp_cache("jlgz", sf_dir)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "lang", "text"])
@@ -6714,16 +6708,13 @@ def q_text_metrics_check(sf_dir: str):
 
 SQL_QUERIES.update({"text_metrics_check": q_text_metrics_check})
 
-_STOP_SQL = ("'the','and','of','to','a','in','is','it','you','that','he',"
-             "'was','for','on','are','with','as','i','his','they','be','at',"
-             "'de','o','que','e','do','da','em','um','para','é','com','não',"
-             "'uma','os','no','se','na','por','mais','as','dos',"
-             "'la','el','y','los','del','las','un','con','una','su','al',"
-             "'lo','como',"
-             "'le','et','les','des','du','une','est','pour','qui','dans',"
-             "'par','plus','pas','au',"
-             "'der','die','und','den','von','zu','das','mit','sich','des',"
-             "'auf','für','ist','im','dem','nicht','ein'")
+# Generated from the kernel's own union so the SQL mirror can never
+# drift from functions/quality._STOPWORDS (a hand-kept copy once lost
+# 'en' — es/fr — which diverged stop_hits on any doc containing it).
+# None of the words contain a quote, so bare '...' literals are safe.
+from .functions.quality import _STOP_UNION as _STOP_UNION_PY
+
+_STOP_SQL = ",".join(f"'{w}'" for w in sorted(_STOP_UNION_PY))
 
 
 def _lang_hits_sql(lang_words: str) -> str:
@@ -6839,14 +6830,11 @@ def _columnar_roundtrip(sf_dir: str, fmt: str):
 
     from .io.ipc import read_ipc, read_orc, write_ipc_shards, write_orc_shards
 
-    from .fixtures import FIXTURES_VERSION
-
     write, read, ext = {
         "ipc": (write_ipc_shards, read_ipc, ".arrow"),
         "orc": (write_orc_shards, read_orc, ".orc"),
     }[fmt]
-    tag = sf_dir.strip("/").replace("/", "_")
-    out = f"/tmp/{fmt}_v{FIXTURES_VERSION}_{tag}"
+    out = _tmp_cache(fmt, sf_dir)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "lang", "text"])
@@ -7100,14 +7088,8 @@ def q_range_scan_check(sf_dir: str):
     # straddling is impossible (one key value -> one range), so the SQL
     # mirror is range_id BETWEEN 2 AND 4 over the same edge CTE
     lo, hi = rows[2]["key_min"], rows[4]["key_max"]
-    ds = read_sorted_range(manifest.to_pylist(), lo, hi)
-
-    def trim(t: pa.Table) -> pa.Table:
-        k = t["l_orderkey"]
-        keep = pc.and_(pc.greater_equal(k, lo), pc.less_equal(k, hi))
-        return t.filter(keep)
-
-    return ds.map_batches(trim, batch_format="pyarrow")
+    return read_sorted_range(manifest.to_pylist(), lo, hi,
+                             key_col="l_orderkey")
 
 
 SQL_QUERIES.update({

@@ -104,3 +104,18 @@ def test_kill_and_resume_byte_identical(ray_session, tmp_path):
     assert completed_parts(out) == (set(m1["part"].to_pylist())
                                     | set(m2["part"].to_pylist()))
     assert rows_of(out) == want
+
+
+def test_quality_gate_drops_empty_text_at_min_words_1(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pappermate_ray.pipelines.curate_full import _quality_gate
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["", "one", None], pa.string()),
+    }))
+    got = _quality_gate(ds, min_words=1, min_distinct_permille=0).take_all()
+    # ''.split() semantics: empty/null texts have 0 words and must drop
+    assert [r["doc_id"] for r in got] == [2]

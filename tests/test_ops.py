@@ -902,6 +902,38 @@ class TestPivot:
                 for r in pivot_sum(ds, "s", "g", "v", ["x", "y"]).take_all()}
         assert gots == {"a": (4.0, 4.0), "b": (0.0, 8.0)}
 
+    def test_pivot_int64_cells_exact_above_2_53(self, ray_session):
+        # the widen path must never route int64 cells through a
+        # float64-NaN placeholder (2^53+1 would come back off by one)
+        import ray.data as rd
+
+        from pappermate_ray.ops.pivot import pivot_counts
+
+        big = (1 << 53) + 1
+        rows = ([{"s": "a", "g": "x"}] * 3) + [{"s": "a", "g": "y"}]
+        ds = rd.from_items(rows)
+        # patch-free check of the scatter itself: run _widen on a
+        # finest table carrying a pre-aggregated count above 2^53
+        import pandas as pd
+
+        from pappermate_ray.ops.pivot import _widen
+        import pyarrow as pa
+
+        finest = rd.from_arrow(pa.table({
+            "s": ["a", "a", "b"],
+            "g": ["x", "y", "x"],
+            "n": pa.array([big, 7, 5], pa.int64()),
+        }))
+        got = {r["s"]: (r["n_x"], r["n_y"])
+               for r in _widen(finest, "s", "g", "n", ["x", "y"],
+                               "n_", pa.int64()).take_all()}
+        assert got == {"a": (big, 7), "b": (5, 0)}
+        # and the public API still counts correctly
+        got2 = {r["s"]: (r["n_x"], r["n_y"])
+                for r in pivot_counts(ds, "s", "g", ["x", "y"],
+                                      out_prefix="n_").take_all()}
+        assert got2 == {"a": (3, 1)}
+
 
 class TestJoinCardinality:
     def test_exact_fanout_count(self, ray_session):

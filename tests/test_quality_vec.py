@@ -89,3 +89,24 @@ def test_corpus_equality_sf0001():
         assert q[i] == quality_score(x)
         assert langs[i] == detect_language(x)
         assert fps[i] == fingerprint(x)
+
+
+def test_stop_sql_mirror_matches_kernel_on_planted_en():
+    """Regression: the hand-kept _STOP_SQL once lacked 'en' (es/fr), so
+    stop_hits diverged on any doc containing it. The mirror is now
+    GENERATED from _STOPWORDS; this pins the planted case through real
+    DuckDB against the batch kernel."""
+    import duckdb
+
+    from pappermate_ray.functions.quality import text_metrics_batch
+    from pappermate_ray.queries import _STOP_SQL
+
+    texts = ["vivimos en la ciudad", "the en of", "plain words only", ""]
+    m = text_metrics_batch(texts)
+    con = duckdb.connect()
+    for i, txt in enumerate(texts):
+        got = con.execute(
+            "SELECT len(list_filter(regexp_split_to_array(?, '\\s+'),"
+            f" t -> t <> '' AND lower(t) IN ({_STOP_SQL})))",
+            [txt]).fetchone()[0]
+        assert got == m["stop_hits"][i], (txt, got, m["stop_hits"][i])

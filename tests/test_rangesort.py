@@ -121,6 +121,20 @@ def test_range_scan_prunes_files(ray_session, tmp_path):
     assert int(inside.sum()) == want_n, "pruned scan lost in-range rows"
 
 
+def test_range_scan_trims_boundary_files(ray_session, tmp_path):
+    t = _table()
+    ds = rd.from_arrow(t).repartition(8)
+    rows = _manifest_rows(range_sorted_export(ds, "k", str(tmp_path), 6))
+    lo, hi = 300, 450
+    got = pa.concat_tables(
+        read_sorted_range(rows, lo, hi, key_col="k")
+        .iter_batches(batch_size=65536, batch_format="pyarrow"))
+    k = np.sort(got["k"].to_numpy(zero_copy_only=False))
+    src = t["k"].to_numpy()
+    want = np.sort(src[(src >= lo) & (src <= hi)])
+    assert (k == want).all(), "trimmed scan != exact BETWEEN"
+
+
 def test_partitions_validation():
     with pytest.raises(ValueError):
         range_edges(rd.from_arrow(_table(10)), "k", 1)
@@ -194,6 +208,22 @@ def test_lsm_merge_opens_empty_range(ray_session, tmp_path):
         rows, edges, rd.from_arrow(inc_t), "k", str(tmp_path / "m")))
     assert sum(r["n_rows"] for r in merged) == 42
     _check_layout(merged)
+
+
+def test_lsm_merge_rejects_schema_mismatch(ray_session, tmp_path):
+    # an increment missing a base column must raise, not silently drop
+    # the column from every touched range
+    base_t = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                       "meta": pa.array(["a", "b", "c"], pa.string())})
+    ds = rd.from_arrow(base_t)
+    edges = range_edges(ds, "k", 2)
+    rows = _manifest_rows(range_sorted_export(
+        ds, "k", str(tmp_path / "b"), edges=edges))
+    inc_t = pa.table({"k": pa.array([2], pa.int64())})
+    with pytest.raises(Exception) as ei:
+        _manifest_rows(merge_sorted_layout(
+            rows, edges, rd.from_arrow(inc_t), "k", str(tmp_path / "m")))
+    assert "schema" in str(ei.value).lower()
 
 
 def test_compaction_concatenates_in_order(ray_session, tmp_path):

@@ -52,8 +52,10 @@ def main() -> None:
         fingerprint_batch(sl)
         best_vec = min(best_vec, time.perf_counter() - t0)
 
-    # distributed pass over a materialized parquet corpus
-    src = f"/tmp/bench_ta_{n_docs}"
+    # distributed pass over a materialized parquet corpus, keyed on
+    # FIXTURES_VERSION so a regenerated sf0.1 never serves stale texts
+    from pappermate_ray.fixtures import FIXTURES_VERSION
+    src = f"/tmp/bench_ta_v{FIXTURES_VERSION}_{n_docs}"
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         os.makedirs(src, exist_ok=True)
         ids = np.arange(n_docs, dtype=np.int64)
