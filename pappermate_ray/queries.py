@@ -6599,10 +6599,105 @@ def q_random_sample_check(sf_dir: str):
     })
 
 
+def q_shared_hash_pairs_planted(sf_dir: str):
+    """Hash-level oracle for the video/audio near-dup pair core
+    (stages/multimodal._shared_hash_pairs — the partition-grouped
+    triu-run exchange both operators feed after decode): SQL cannot
+    decode RVID/WAV, but the pair machinery works on (fhash, id) rows,
+    so the hashes are planted by doc-id arithmetic — every run of 3
+    consecutive doc_ids shares 4 'frame hashes', and every 50th doc
+    additionally carries storm hashes {0, 1} so the ``max_hash_ids``
+    cap (64) is EXERCISED at sf ≥ 0.01 (>64 carriers → the run is
+    skipped and those pairs vanish) and idle below it. DuckDB mirrors
+    the plant, the cap (HAVING ≤ 64) and the min_shared=2 threshold
+    verbatim, so the pair set value-hash-gates the distributed
+    exchange end to end."""
+    from .stages.multimodal import _shared_hash_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.arange(4, dtype=np.int64)
+        gh = ((ids // 3) * 16)[:, None] + j[None, :] + 1000
+        gid = np.repeat(ids, 4)
+        storm = ids[ids % 50 == 0]
+        sh = np.concatenate([np.zeros(len(storm), np.int64),
+                             np.ones(len(storm), np.int64)])
+        sid = np.concatenate([storm, storm])
+        return pa.table({
+            "fhash": pa.array(
+                np.concatenate([gh.ravel(), sh]).astype(np.uint64),
+                pa.uint64()),
+            "media_id": pa.array(np.concatenate([gid, sid]), pa.int64()),
+        })
+
+    hashed = docs.map_batches(plant, batch_format="pyarrow")
+    return _shared_hash_pairs(hashed, "media_id", min_shared=2,
+                              max_hash_ids=64)
+
+
+def q_training_rows_golden(sf_dir: str):
+    """Oracled S10 twin (golden-twin pattern, like party_histogram_
+    golden): io/export.training_rows — the status filter + label/
+    metadata struct assembly — runs over the golden-frozen extraction
+    parquet, struct fields flattened for the value-hash compare; the
+    DuckDB oracle projects the SAME file. lang / n_chars are absent
+    from the goldens, so both sides derive them deterministically
+    (md5(url) 2-char prefix; char length). The live-extraction variant
+    stays rows-only (``training_rows``)."""
+    import hashlib as _hl
+
+    from .io.export import training_rows
+
+    g = rd.read_parquet(_GOLDENS_PARQUET,
+                        columns=["url", "extracted_text", "status",
+                                 "contract_number", "contract_type",
+                                 "client_name", "vendor_name", "currency"])
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        langs = [_hl.md5(u.encode()).hexdigest()[:2]
+                 for u in t["url"].to_pylist()]
+        return pa.table({
+            "url": t["url"],
+            "text": t["extracted_text"],
+            "status": t["status"],
+            "contract_number": t["contract_number"],
+            "contract_type": t["contract_type"],
+            "client_name": t["client_name"],
+            "vendor_name": t["vendor_name"],
+            "currency": t["currency"],
+            "lang": pa.array(langs, pa.string()),
+            "n_chars": pc.cast(pc.utf8_length(t["extracted_text"]),
+                               pa.int64()),
+        })
+
+    rows = training_rows(g.map_batches(to_docs, batch_format="pyarrow"))
+
+    def flat(t: pa.Table) -> pa.Table:
+        lb, mt = t["labels"], t["metadata"]
+        return pa.table({
+            "text": t["text"],
+            "contract_type": pc.struct_field(lb, "contract_type"),
+            "contract_number": pc.struct_field(lb, "contract_number"),
+            "client_name": pc.struct_field(lb, "client_name"),
+            "vendor_name": pc.struct_field(lb, "vendor_name"),
+            "currency": pc.struct_field(lb, "currency"),
+            "url": pc.struct_field(mt, "url"),
+            "lang": pc.struct_field(mt, "lang"),
+            "n_chars": pc.struct_field(mt, "n_chars"),
+        })
+
+    return rows.map_batches(flat, batch_format="pyarrow")
+
+
 SQL_QUERIES.update({
     "hamming_near_dups_planted": q_hamming_near_dups_planted,
     "ivf_knn_recall_check": q_ivf_knn_recall_check,
     "random_sample_check": q_random_sample_check,
+    "shared_hash_pairs_planted": q_shared_hash_pairs_planted,
+    "training_rows_golden": q_training_rows_golden,
 })
 
 ORACLE_SQL.update({
@@ -6651,6 +6746,35 @@ ORACLE_SQL.update({
     "random_sample_check": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_total, TRUE AS frac_ok
         FROM documents
+    """,
+    "training_rows_golden": f"""
+        SELECT extracted_text AS text, contract_type, contract_number,
+               client_name, vendor_name, currency, url,
+               substr(md5(url), 1, 2) AS lang,
+               CAST(length(extracted_text) AS BIGINT) AS n_chars
+        FROM '{_GOLDENS_PARQUET}'
+        WHERE status = 'converted'
+    """,
+    "shared_hash_pairs_planted": """
+        WITH h AS (
+          SELECT CAST(doc_id AS BIGINT) AS id,
+                 (doc_id // 3) * 16 + j + 1000 AS fhash
+          FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+          UNION ALL
+          SELECT CAST(doc_id AS BIGINT), s
+          FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS s)
+          WHERE doc_id % 50 = 0),
+        eligible AS (
+          SELECT fhash FROM h GROUP BY fhash
+          HAVING count(DISTINCT id) BETWEEN 2 AND 64),
+        p AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM h a
+          JOIN h b ON a.fhash = b.fhash AND a.id < b.id
+          JOIN eligible e ON e.fhash = a.fhash
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2
     """,
 })
 
