@@ -3317,6 +3317,40 @@ def q_snapshot_diff(sf_dir: str):
     return snapshot_diff(old, new)
 
 
+def q_recrawl_priority(sf_dir: str):
+    """Recrawl scheduling over a 6-snapshot observation history
+    (ops/snapshot.recrawl_priority): per-url change rate between
+    consecutive OBSERVED appearances → integer-exact priority buckets
+    (new/hot/warm/cold). The history is planted by doc-id arithmetic —
+    url present in snapshot s iff (doc_id+s)%7≠0 (gaps included),
+    digest = (doc_id·31+s)//3 so change cadence varies per url — and
+    DuckDB reconstructs the identical observations, LAGs per url and
+    applies the same permille thresholds. One partition-grouped
+    exchange over (url, snap, digest) rows; payload-free by shape."""
+    from .ops.snapshot import recrawl_priority
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    n_snaps = 6
+
+    def observations(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.arange(n_snaps, dtype=np.int64)
+        did = np.repeat(ids, n_snaps)
+        snap = np.tile(s, len(ids))
+        keep = (did + snap) % 7 != 0
+        did, snap = did[keep], snap[keep]
+        dig = (did * 31 + snap) // 3
+        return pa.table({
+            "url": pa.array([f"u{d}" for d in did], pa.string()),
+            "snap": pa.array(snap, pa.int64()),
+            "digest": pa.array([str(v) for v in dig], pa.string()),
+        })
+
+    obs = docs.map_batches(observations, batch_format="pyarrow")
+    return recrawl_priority(obs)
+
+
 def q_tfidf_keywords(sf_dir: str):
     """Top-5 TF-IDF keywords per doc (stages/keywords.py): distributed
     document-frequency model (one distinct-term exchange) broadcast
@@ -4137,6 +4171,32 @@ ORACLE_SQL.update({
         SELECT ROUND(SUM(pn * ln(pn / po)), 6) AS kl,
                ROUND(0.5 * SUM(ABS(pn - po)), 6) AS tv
         FROM p
+    """,
+    "recrawl_priority": """
+        WITH obs AS (
+          SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                 s,
+                 CAST((CAST(doc_id AS BIGINT) * 31 + s) // 3 AS VARCHAR)
+                   AS digest
+          FROM documents
+          CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5]) AS s)
+          WHERE (doc_id + s) % 7 <> 0),
+        lagged AS (
+          SELECT url, digest,
+                 LAG(digest) OVER (PARTITION BY url ORDER BY s) AS prev
+          FROM obs),
+        agg AS (
+          SELECT url,
+                 CAST(COUNT(*) AS BIGINT) AS n_obs,
+                 CAST(SUM(CASE WHEN prev IS NOT NULL AND digest <> prev
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+          FROM lagged GROUP BY url)
+        SELECT url, n_obs, n_changes,
+               CASE WHEN n_obs = 1 THEN 'new'
+                    WHEN 1000 * n_changes >= 500 * (n_obs - 1) THEN 'hot'
+                    WHEN 1000 * n_changes >= 200 * (n_obs - 1) THEN 'warm'
+                    ELSE 'cold' END AS priority
+        FROM agg
     """,
     "snapshot_diff": """
         WITH o AS (
@@ -5251,6 +5311,7 @@ SQL_QUERIES = {
     "triangle_counts": q_triangle_counts,
     "tfidf_keywords": q_tfidf_keywords,
     "snapshot_diff": q_snapshot_diff,
+    "recrawl_priority": q_recrawl_priority,
     "split_assign": q_split_assign,
     "collocations_pmi": q_collocations_pmi,
     "chunk_documents": q_chunk_documents,

@@ -50,3 +50,54 @@ def test_partitioning_invariance(ray_session):
     assert sum(1 for s, _, _ in a.values() if s == "removed") == 5
     assert sum(1 for s, _, _ in a.values() if s == "added") == 4
     assert all(s in ("added", "removed", "changed") for s, _, _ in a.values())
+
+
+# ---- recrawl_priority (K-snapshot change-rate scheduling) ----
+
+from pappermate_ray.ops.snapshot import recrawl_priority
+
+
+def _prio(rows, blocks=2, **kw):
+    import ray.data as rd
+
+    ds = rd.from_items(rows, override_num_blocks=blocks)
+    return {r["url"]: (r["n_obs"], r["n_changes"], r["priority"])
+            for r in recrawl_priority(ds, **kw).take_all()}
+
+
+def test_recrawl_priority_buckets_and_gaps(ray_session):
+    rows = []
+    # 'hot': observed 5x, changes every step (4/4)
+    rows += [{"url": "hot", "snap": s, "digest": f"d{s}"} for s in range(5)]
+    # 'cold': observed 5x, never changes
+    rows += [{"url": "cold", "snap": s, "digest": "same"} for s in range(5)]
+    # 'warm': 5 obs, exactly 1 change (1/4 = 0.25 >= 0.2)
+    rows += [{"url": "warm", "snap": s, "digest": "a" if s < 3 else "b"}
+             for s in range(5)]
+    # 'new': seen once
+    rows += [{"url": "new", "snap": 3, "digest": "x"}]
+    # gap semantics: observed at snaps 0 and 4 only; digests differ
+    # across the gap -> 1 change over 1 consecutive-observed pair = hot
+    rows += [{"url": "gap", "snap": 0, "digest": "p"},
+             {"url": "gap", "snap": 4, "digest": "q"}]
+    got = _prio(rows)
+    assert got["hot"] == (5, 4, "hot")
+    assert got["cold"] == (5, 0, "cold")
+    assert got["warm"] == (5, 1, "warm")
+    assert got["new"] == (1, 0, "new")
+    assert got["gap"] == (2, 1, "hot")
+
+
+def test_recrawl_priority_partitioning_invariance(ray_session):
+    rows = [{"url": f"u{i % 17}", "snap": s,
+             "digest": f"d{(i % 17) * 31 + s * ((i % 3) == 0)}"}
+            for i in range(17) for s in range(4)]
+    assert _prio(rows, blocks=1) == _prio(rows, blocks=8)
+
+
+def test_recrawl_priority_duplicate_observation_raises(ray_session):
+    rows = [{"url": "u", "snap": 1, "digest": "a"},
+            {"url": "u", "snap": 1, "digest": "b"}]
+    with pytest.raises(Exception) as ei:
+        _prio(rows, blocks=1)
+    assert "observed twice" in str(ei.value)
