@@ -1848,6 +1848,49 @@ def q_paragraph_dedup(sf_dir: str):
     )
 
 
+_RARE_PROMO = "limited time offer visit our partner site for exclusive deals today"
+
+
+def q_host_boilerplate(sf_dir: str):
+    """Site-template boilerplate removal (stages/webclean.
+    host_boilerplate_removal): a nav paragraph planted on ~50% of each
+    host's pages (host = doc_id%23, distinct para text per host) falls
+    to the 400‰ per-host rule, while a cross-host promo para on only
+    doc_id%29 (~34‰ per host) survives — the case a corpus-global
+    min_docs threshold cannot express. Only host-scoped int64 keys
+    ride the exchanges; the oracle recomputes per-host frequencies
+    from the identically-planted corpus."""
+    from .stages.webclean import host_boilerplate_removal
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids, hosts, outs = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            host = f"h{did % 23}"
+            w = (text or "").split(" ")
+            chunks = [" ".join(w[i:i + _PARA_WORDS])
+                      for i in range(0, len(w), _PARA_WORDS)]
+            paras = (([f"HOSTBP {host} navigation menu follow links"]
+                      if did % 2 == 0 else [])
+                     + chunks
+                     + ([_RARE_PROMO] if did % 29 == 0 else []))
+            ids.append(did)
+            hosts.append(host)
+            outs.append("\n".join(paras))
+        return pa.table({
+            "doc_id": pa.array(ids, t["doc_id"].type),
+            "host": pa.array(hosts, pa.string()),
+            "text": pa.array(outs, pa.string()),
+        })
+
+    return host_boilerplate_removal(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        host_col="host", id_col="doc_id", text_col="text",
+        min_host_permille=400, min_docs=2)
+
+
 _DUP_SLOGAN = " ".join(f"dup{i}" for i in range(12))
 
 
@@ -4417,6 +4460,36 @@ ORACLE_SQL.update({
         FROM paras p LEFT JOIN kept k USING (doc_id)
         GROUP BY p.doc_id, len(p.ps)
     """,
+    "host_boilerplate": f"""
+        WITH base AS (SELECT doc_id, 'h' || CAST(doc_id % 23 AS VARCHAR) AS host,
+                             string_split(text, ' ') AS w FROM documents),
+        paras AS (
+          SELECT doc_id, host,
+            (CASE WHEN doc_id % 2 = 0
+                  THEN ['HOSTBP ' || host || ' navigation menu follow links']
+                  ELSE [] END)
+            || list_transform(range(CAST(ceil(len(w) / 12.0) AS BIGINT)),
+                              j -> array_to_string(list_slice(w, j*12 + 1, j*12 + 12), ' '))
+            || (CASE WHEN doc_id % 29 = 0 THEN ['{_RARE_PROMO}'] ELSE [] END) AS ps
+          FROM base),
+        ex AS (SELECT doc_id, host, unnest(ps) AS para,
+                      unnest(range(len(ps))) AS idx FROM paras),
+        host_tot AS (SELECT host, COUNT(*) AS host_docs FROM paras GROUP BY host),
+        freq AS (SELECT host, para, COUNT(DISTINCT doc_id) AS n_docs
+                 FROM ex GROUP BY host, para),
+        hot AS (SELECT f.host, f.para
+                FROM freq f JOIN host_tot t USING (host)
+                WHERE 1000 * f.n_docs >= 400 * t.host_docs AND f.n_docs >= 2),
+        kept AS (SELECT e.* FROM ex e
+                 LEFT JOIN hot h ON e.host = h.host AND e.para = h.para
+                 WHERE h.para IS NULL)
+        SELECT p.doc_id,
+               CAST(len(p.ps) AS BIGINT) AS n_paras,
+               CAST(len(p.ps) - COUNT(k.para) AS BIGINT) AS n_removed,
+               COALESCE(string_agg(k.para, chr(10) ORDER BY k.idx), '') AS clean_text
+        FROM paras p LEFT JOIN kept k USING (doc_id)
+        GROUP BY p.doc_id, len(p.ps)
+    """,
     "repetition_stats": """
         WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         lines AS (SELECT doc_id,
@@ -5290,6 +5363,7 @@ SQL_QUERIES = {
     "table_cells": q_table_cells,
     # round-2 web-corpus curation family (stages/webclean.py)
     "paragraph_dedup": q_paragraph_dedup,
+    "host_boilerplate": q_host_boilerplate,
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
     "substring_dedup": q_substring_dedup,

@@ -6,6 +6,12 @@ standard LLM-training-data cleaning passes over Common-Crawl-style text.
   paragraph occurring in ≥ ``min_docs`` distinct documents is boilerplate
   (nav bars, cookie banners, share footers) and is dropped from every
   document; each doc's surviving paragraphs are rejoined in order.
+- ``host_boilerplate_removal``: the HOST-scoped sibling of
+  ``paragraph_dedup`` (per-site template furniture, trafilatura/jusText
+  semantics at corpus scale) — a paragraph is boilerplate for host h
+  when it appears in ≥ ``min_host_permille``‰ of h's documents, so a
+  small site's nav bar drops even when it is a vanishing fraction of
+  the corpus; identical output contract and hybrid apply path.
 - ``repetition_stats``: Gopher-style within-document repetition counters
   (Rae et al. 2021 §A1.1 quality rules) — duplicate-word, duplicate-line
   and top-word mass, emitted as exact integers so thresholds stay
@@ -249,6 +255,206 @@ def paragraph_dedup(
         rebuild_with(lambda ks: np.zeros(len(ks), bool)), batch_format="pyarrow"
     )
     return touched.map_batches(rebuild_joined, batch_format="pyarrow").union(passthrough)
+
+
+def _host_para_keys(host: str, paras: List[str]) -> np.ndarray:
+    """Host-scoped 64-bit paragraph keys: md5(host \\0 para) prefix,
+    signed int64 (same currency rules as ``_para_keys``). Scoping the
+    digest to the host means ONE key namespace carries the whole
+    (host, paragraph) pair — membership, grouping and the distributed
+    fallback all stay single-int64-column."""
+    hb = (host or "").encode("utf-8") + b"\x00"
+    return np.array(
+        [int.from_bytes(hashlib.md5(hb + p.encode("utf-8")).digest()[:8],
+                        "little", signed=True) for p in paras],
+        dtype=np.int64,
+    )
+
+
+def _host_hash(hosts: List[str]) -> np.ndarray:
+    return np.array(
+        [int.from_bytes(hashlib.md5((h or "").encode("utf-8")).digest()[:8],
+                        "little", signed=True) for h in hosts],
+        dtype=np.int64,
+    )
+
+
+def host_boilerplate_removal(
+    ds: "rd.Dataset",
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_host_permille: int = 400,
+    min_docs: int = 2,
+    broadcast_limit: int = 2_000_000,
+) -> "rd.Dataset":
+    """Site-template boilerplate removal — the HOST-scoped sibling of
+    ``paragraph_dedup`` (trafilatura/jusText's per-site furniture rule
+    at corpus scale): a paragraph is boilerplate for host h when it
+    appears in ≥ ``min_host_permille``‰ of h's documents (and in
+    ≥ ``min_docs`` of them absolutely), so a nav bar shared by 90% of
+    one site's pages drops even when the site is a tiny fraction of the
+    corpus — the case the global ``min_docs`` threshold cannot express
+    without also nuking legitimately-popular cross-site paragraphs.
+
+    Output contract = paragraph_dedup's: one row per input doc —
+    (id_col, n_paras, n_removed, clean_text), survivors rejoined in
+    original order.
+
+    Scale shape, two corpus scans with only int64 keys in any exchange:
+
+      pass 1: per-batch explode → per-doc-DISTINCT (host_key,
+              host-scoped para_key) rows → ONE narrow groupby counts
+              per-host doc frequency; per-host doc totals are a second
+              narrow aggregate (n_hosts rows); an armored hash_join +
+              integer-permille filter yields the hot key set.
+      pass 2: hot-set application — broadcast sorted int64 keys when
+              the boilerplate vocabulary fits ``broadcast_limit``
+              (template furniture is small even on huge corpora), else
+              the fully distributed semi-join / removal-list / rebuild
+              path, identical in shape to paragraph_dedup's fallback.
+    """
+
+    def distinct_rows(t: pa.Table) -> pa.Table:
+        hhs, cks = [], []
+        for host, text in zip(t[host_col].to_pylist(), t[text_col].to_pylist()):
+            ks = np.unique(_host_para_keys(host, (text or "").split(sep)))
+            hhs.append(np.full(len(ks), _host_hash([host])[0], np.int64))
+            cks.append(ks)
+        hh = np.concatenate(hhs) if hhs else np.array([], dtype=np.int64)
+        ck = np.concatenate(cks) if cks else np.array([], dtype=np.int64)
+        return pa.table({"hh": pa.array(hh, pa.int64()),
+                         "ck": pa.array(ck, pa.int64())})
+
+    counts = (ds.map_batches(distinct_rows, batch_format="pyarrow")
+              .groupby(["hh", "ck"]).aggregate(Count(alias_name="n_docs")))
+
+    def host_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"hh": pa.array(
+            _host_hash(t[host_col].to_pylist()), pa.int64())})
+
+    totals = (ds.map_batches(host_rows, batch_format="pyarrow")
+              .groupby("hh").aggregate(Count(alias_name="host_docs")))
+
+    counts_schema = pa.schema([("hh", pa.int64()), ("ck", pa.int64()),
+                               ("n_docs", pa.int64())])
+    totals_schema = pa.schema([("hh", pa.int64()), ("host_docs", pa.int64())])
+    joined = hash_join(counts, totals, on="hh",
+                       left_schema=counts_schema, right_schema=totals_schema)
+
+    def hot_filter(t: pa.Table) -> pa.Table:
+        n = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = t["host_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (1000 * n >= min_host_permille * tot) & (n >= min_docs)
+        return t.filter(pa.array(keep)).select(["ck"])
+
+    hot = joined.map_batches(hot_filter, batch_format="pyarrow").materialize()
+    n_hot = hot.count()
+
+    def rebuild_with(membership):
+        def rebuild(t: pa.Table) -> pa.Table:
+            ids, n_paras, n_removed, cleans = [], [], [], []
+            for did, host, text in zip(t[id_col].to_pylist(),
+                                       t[host_col].to_pylist(),
+                                       t[text_col].to_pylist()):
+                paras = (text or "").split(sep)
+                mask = membership(_host_para_keys(host, paras))
+                ids.append(did)
+                n_paras.append(len(paras))
+                n_removed.append(int(mask.sum()))
+                cleans.append(sep.join(
+                    p for p, m in zip(paras, mask) if not m))
+            return pa.table({
+                id_col: pa.array(ids, t[id_col].type),
+                "n_paras": pa.array(n_paras, pa.int64()),
+                "n_removed": pa.array(n_removed, pa.int64()),
+                "clean_text": pa.array(cleans, pa.string()),
+            })
+        return rebuild
+
+    if n_hot == 0:
+        return ds.map_batches(
+            rebuild_with(lambda ks: np.zeros(len(ks), bool)),
+            batch_format="pyarrow")
+
+    if n_hot <= broadcast_limit:
+        packed = np.sort(np.concatenate([
+            b["ck"].to_numpy(zero_copy_only=False)
+            for b in hot.iter_batches(batch_size=1 << 20,
+                                      batch_format="pyarrow")
+        ]).astype(np.int64))
+        ref = ray.put(packed)
+        return ds.map_batches(
+            rebuild_with(lambda ks: np.isin(ks, ray.get(ref))),
+            batch_format="pyarrow")
+
+    # ---- fully distributed fallback (hot vocabulary beyond broadcast):
+    # paragraph_dedup's shape on the host-scoped key column ----
+    def indexed_key_rows(t: pa.Table) -> pa.Table:
+        ids, idxs, keys = [], [], []
+        for did, host, text in zip(t[id_col].to_pylist(),
+                                   t[host_col].to_pylist(),
+                                   t[text_col].to_pylist()):
+            ks = _host_para_keys(host, (text or "").split(sep))
+            ids.extend([did] * len(ks))
+            idxs.extend(range(len(ks)))
+            keys.append(ks)
+        allk = np.concatenate(keys) if keys else np.array([], dtype=np.int64)
+        return pa.table({
+            id_col: pa.array(ids, t[id_col].type),
+            "para_idx": pa.array(idxs, pa.int32()),
+            "ck": pa.array(allk, pa.int64()),
+        })
+
+    id_type = ds.schema().base_schema.field(id_col).type
+    exploded = ds.map_batches(indexed_key_rows, batch_format="pyarrow")
+    exp_schema = pa.schema([(id_col, id_type), ("para_idx", pa.int32()),
+                            ("ck", pa.int64())])
+    removals = semi_join(
+        exploded, hot, on="ck",
+        num_partitions=adaptive_partitions(max(n_hot, 1) * 4),
+        left_schema=exp_schema,
+        right_schema=pa.schema([("ck", pa.int64())]),
+    )
+    removal_lists = _collect_runs(
+        removals, id_col, "para_idx", "removed_idx").materialize()
+
+    doc_schema = pa.schema([(id_col, id_type), (host_col, pa.string()),
+                            (text_col, pa.string())])
+    docs = ds.map_batches(
+        lambda t: t.select([id_col, host_col, text_col]),
+        batch_format="pyarrow")
+    rem_schema = pa.schema([(id_col, id_type), ("removed_idx", pa.string())])
+    touched = hash_join(docs, removal_lists, on=id_col,
+                        left_schema=doc_schema, right_schema=rem_schema)
+
+    def rebuild_joined(t: pa.Table) -> pa.Table:
+        ids, n_paras, n_removed, cleans = [], [], [], []
+        for did, text, rem in zip(t[id_col].to_pylist(),
+                                  t[text_col].to_pylist(),
+                                  t["removed_idx"].to_pylist()):
+            paras = (text or "").split(sep)
+            drop = set(int(x) for x in rem.split(",")) if rem else set()
+            ids.append(did)
+            n_paras.append(len(paras))
+            n_removed.append(len(drop))
+            cleans.append(sep.join(
+                p for i, p in enumerate(paras) if i not in drop))
+        return pa.table({
+            id_col: pa.array(ids, t[id_col].type),
+            "n_paras": pa.array(n_paras, pa.int64()),
+            "n_removed": pa.array(n_removed, pa.int64()),
+            "clean_text": pa.array(cleans, pa.string()),
+        })
+
+    untouched = anti_join(docs, removal_lists, on=id_col,
+                          left_schema=doc_schema, right_schema=rem_schema)
+    passthrough = untouched.map_batches(
+        rebuild_with(lambda ks: np.zeros(len(ks), bool)),
+        batch_format="pyarrow")
+    return touched.map_batches(
+        rebuild_joined, batch_format="pyarrow").union(passthrough)
 
 
 def repetition_stats_batch(batch: pa.Table, id_col: str = "doc_id",

@@ -464,3 +464,103 @@ def test_compression_filter_threshold_monotone(ray_session):
     n_tight = compression_quality_filter(
         rd.from_arrow(t), "text", min_ratio=0.9).count()
     assert n_loose == 6 and n_tight == 0
+
+
+def _host_corpus():
+    """Two hosts: hostA (10 docs) with a nav para on 6/10 docs (60% —
+    above the 400‰ rule), hostB (10 docs) carrying the SAME nav text on
+    only 2/10 docs (20% — below). Host-scoping must remove it from A's
+    docs but keep it on B's."""
+    import ray.data as rd
+
+    ids, hosts, texts = [], [], []
+    nav = "shared navigation menu home about contact"
+    for i in range(10):
+        paras = ([nav] if i < 6 else []) + [f"hostA body paragraph {i}"]
+        ids.append(i)
+        hosts.append("a.example.com")
+        texts.append("\n".join(paras))
+    for i in range(10):
+        paras = ([nav] if i < 2 else []) + [f"hostB body paragraph {i}"]
+        ids.append(100 + i)
+        hosts.append("b.example.com")
+        texts.append("\n".join(paras))
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "host": pa.array(hosts, pa.string()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+def test_host_boilerplate_scoped_to_host(ray_session):
+    from pappermate_ray.stages.webclean import host_boilerplate_removal
+
+    out = _collect(host_boilerplate_removal(
+        _host_corpus(), host_col="host", id_col="doc_id", text_col="text",
+        min_host_permille=400, min_docs=2)).sort_values("doc_id")
+    out = out.reset_index(drop=True)
+    assert len(out) == 20
+    for _, r in out.iterrows():
+        i = int(r["doc_id"])
+        if i < 100:  # hostA: nav (on docs 0-5) is hot there
+            carried = i < 6
+            assert r["n_removed"] == (1 if carried else 0), i
+            assert r["clean_text"] == f"hostA body paragraph {i}"
+        else:  # hostB: same nav text survives (2/10 = 200‰ < 400‰)
+            j = i - 100
+            carried = j < 2
+            assert r["n_removed"] == 0, i
+            expect = (("shared navigation menu home about contact\n")
+                      if carried else "") + f"hostB body paragraph {j}"
+            assert r["clean_text"] == expect
+
+
+def test_host_boilerplate_min_docs_guard(ray_session):
+    """A 2-doc host where a para sits on 1 doc (500‰ ≥ 400‰) must keep
+    it: the absolute min_docs=2 floor vetoes the ratio."""
+    import ray.data as rd
+
+    from pappermate_ray.stages.webclean import host_boilerplate_removal
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "host": pa.array(["tiny.example", "tiny.example"], pa.string()),
+        "text": pa.array(["lonely banner\nreal content one",
+                          "real content two"], pa.string()),
+    }))
+    out = _collect(host_boilerplate_removal(
+        ds, min_host_permille=400, min_docs=2)).sort_values("doc_id")
+    assert out["n_removed"].tolist() == [0, 0]
+    assert out["clean_text"].tolist() == [
+        "lonely banner\nreal content one", "real content two"]
+
+
+def test_host_boilerplate_distributed_path_identical(ray_session):
+    """broadcast_limit=0 forces the semi-join + rebuild-join fallback;
+    output must match the broadcast fast path exactly."""
+    from pappermate_ray.stages.webclean import host_boilerplate_removal
+
+    fast = _collect(host_boilerplate_removal(
+        _host_corpus(), min_host_permille=400, min_docs=2))
+    dist = _collect(host_boilerplate_removal(
+        _host_corpus(), min_host_permille=400, min_docs=2,
+        broadcast_limit=0))
+    fast = fast.sort_values("doc_id").reset_index(drop=True)
+    dist = dist.sort_values("doc_id").reset_index(drop=True)[fast.columns]
+    pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_host_boilerplate_no_hot_passthrough(ray_session):
+    """All paragraphs unique: nothing removed anywhere."""
+    import ray.data as rd
+
+    from pappermate_ray.stages.webclean import host_boilerplate_removal
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "host": pa.array(["x", "y"], pa.string()),
+        "text": pa.array(["alpha beta", "gamma delta"], pa.string()),
+    }))
+    out = _collect(host_boilerplate_removal(ds)).sort_values("doc_id")
+    assert out["n_removed"].tolist() == [0, 0]
+    assert out["clean_text"].tolist() == ["alpha beta", "gamma delta"]
