@@ -7889,3 +7889,169 @@ ORACLE_SQL.update({
         FROM a GROUP BY range_id
     """,
 })
+
+
+def q_head_metadata(sf_dir: str):
+    """HTML head-metadata extraction (stages/headmeta.html_head_metadata):
+    title / meta description / rel=canonical / robots directives /
+    html lang parsed from crawl page heads by compiled-RE2 pyarrow
+    kernels over a 64 KiB head slice. The corpus plants ten deterministic
+    head variants keyed on doc_id%10 — quote styles, attribute order,
+    uppercase tags, unquoted lang/href, whitespace-collapsed titles,
+    raw-entity capture, duplicate tags (first wins), robots combos and
+    all-absent pages — and DuckDB reconstructs the expected fields by
+    the same doc-id arithmetic, so pair equality gates the parser, the
+    normalization contract and the crawler-default robots flags at once.
+    One stateless map_batches pass; zero exchanges."""
+    from .stages.headmeta import html_head_metadata
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def pages(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        urls, htmls = [], []
+        for i in ids:
+            m = i % 10
+            if m == 0:
+                h = (f'<html lang="en"><head><title>Page {i} report</title>'
+                     f'<meta name="description" content="Summary {i} of the page">'
+                     f'<link rel="canonical" href="https://canon.example/p/{i}">'
+                     f'</head><body>b</body></html>')
+            elif m == 1:
+                h = (f"<html lang=pt><head><title>Pagina {i}</title>"
+                     f"<meta content='Resumo {i}' name='description'>"
+                     f'<link href="https://canon.example/q/{i}" rel="canonical">'
+                     f"</head><body>b</body></html>")
+            elif m == 2:
+                h = (f'<HTML LANG="DE"><HEAD><TITLE>Seite {i}</TITLE>'
+                     f'<META NAME="DESCRIPTION" CONTENT="Inhalt {i}"></HEAD>'
+                     f'<body>b</body></HTML>')
+            elif m == 3:
+                h = ('<html><head><meta name="robots" content="noindex">'
+                     '</head><body>b</body></html>')
+            elif m == 4:
+                h = (f"<html><head><title>\n  Multi   line\ttitle {i}\n "
+                     f"</title></head><body>b</body></html>")
+            elif m == 5:
+                h = ('<html><head>'
+                     '<meta content="noindex, nofollow" name="robots">'
+                     f'<title>Blocked {i}</title></head><body>b</body></html>')
+            elif m == 6:
+                h = (f"<html><head><meta content='First {i}' name='description'>"
+                     f'<link rel="canonical" href=https://c.example/{i}>'
+                     f'</head><body>b</body></html>')
+            elif m == 7:
+                h = '<html><head></head><body>no head fields</body></html>'
+            elif m == 8:
+                h = (f'<html lang="pt-BR"><head><title>A &amp; B {i}</title>'
+                     f'</head><body>b</body></html>')
+            else:
+                h = (f'<html><head><title>First {i}</title>'
+                     f'<title>Second</title>'
+                     f'<meta name="description" content="D1 {i}">'
+                     f'<meta name="description" content="D2">'
+                     f'</head><body>b</body></html>')
+            urls.append(f"https://pages.example/{i}")
+            htmls.append(h.encode("utf-8"))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    out = html_head_metadata(docs.map_batches(pages, batch_format="pyarrow"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        # absent → '' for the hash compare only (the operator keeps nulls)
+        cols = {"url": t["url"]}
+        for c in ("title", "meta_description", "canonical_url"):
+            cols[c] = pc.fill_null(t[c], "")
+        cols["robots_noindex"] = t["robots_noindex"]
+        cols["robots_nofollow"] = t["robots_nofollow"]
+        cols["html_lang"] = pc.fill_null(t["html_lang"], "")
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_QUERIES.update({"head_metadata": q_head_metadata})
+ORACLE_SQL.update({
+    "head_metadata": """
+        WITH m AS (
+          SELECT doc_id, CAST(doc_id AS VARCHAR) AS i, doc_id % 10 AS k
+          FROM documents)
+        SELECT
+          'https://pages.example/' || i AS url,
+          CASE k WHEN 0 THEN 'Page ' || i || ' report'
+                 WHEN 1 THEN 'Pagina ' || i
+                 WHEN 2 THEN 'Seite ' || i
+                 WHEN 4 THEN 'Multi line title ' || i
+                 WHEN 5 THEN 'Blocked ' || i
+                 WHEN 8 THEN 'A &amp; B ' || i
+                 WHEN 9 THEN 'First ' || i
+                 ELSE '' END AS title,
+          CASE k WHEN 0 THEN 'Summary ' || i || ' of the page'
+                 WHEN 1 THEN 'Resumo ' || i
+                 WHEN 2 THEN 'Inhalt ' || i
+                 WHEN 6 THEN 'First ' || i
+                 WHEN 9 THEN 'D1 ' || i
+                 ELSE '' END AS meta_description,
+          CASE k WHEN 0 THEN 'https://canon.example/p/' || i
+                 WHEN 1 THEN 'https://canon.example/q/' || i
+                 WHEN 6 THEN 'https://c.example/' || i
+                 ELSE '' END AS canonical_url,
+          k IN (3, 5) AS robots_noindex,
+          k = 5 AS robots_nofollow,
+          CASE k WHEN 0 THEN 'en' WHEN 1 THEN 'pt' WHEN 2 THEN 'DE'
+                 WHEN 8 THEN 'pt-BR' ELSE '' END AS html_lang
+        FROM m
+    """,
+})
+
+
+def q_follow_edges(sf_dir: str):
+    """Endorsement-only link harvest (stages/links.extract_links with
+    respect_nofollow=True): anchors whose rel carries the nofollow token
+    (all three quoting forms planted) drop, and pages whose robots meta
+    says nofollow contribute no edges at all — the crawl-graph hygiene
+    rule PageRank-grade graphs need. Each planted page carries one
+    followable link and one nofollow ad link; every 7th page is
+    robots-nofollow; DuckDB emits the surviving edge set directly from
+    the same doc-id arithmetic. Streaming map, zero exchanges."""
+    from .stages.links import extract_links
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def pages(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        urls, htmls = [], []
+        for i in ids:
+            rel = ('rel="nofollow sponsored"', "rel='nofollow'",
+                   "rel=nofollow")[i % 3]
+            robots = ('<meta name="robots" content="index, nofollow">'
+                      if i % 7 == 0 else "")
+            h = (f"<html><head>{robots}</head><body>"
+                 f'<a href="https://s{(i + 1) % 50}.example/p/{i + 1}">'
+                 f"next {i}</a>"
+                 f'<a href="https://spam.example/{i}" {rel}>ad {i}</a>'
+                 f"</body></html>")
+            urls.append(f"https://s{i % 50}.example/p/{i}")
+            htmls.append(h.encode("utf-8"))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    return extract_links(docs.map_batches(pages, batch_format="pyarrow"),
+                         respect_nofollow=True)
+
+
+SQL_QUERIES.update({"follow_edges": q_follow_edges})
+ORACLE_SQL.update({
+    "follow_edges": """
+        SELECT 'https://s' || CAST(doc_id % 50 AS VARCHAR) ||
+                   '.example/p/' || CAST(doc_id AS VARCHAR) AS src_url,
+               'https://s' || CAST((doc_id + 1) % 50 AS VARCHAR) ||
+                   '.example/p/' || CAST(doc_id + 1 AS VARCHAR) AS dst_url,
+               'next ' || CAST(doc_id AS VARCHAR) AS anchor
+        FROM documents
+        WHERE doc_id % 7 <> 0
+    """,
+})

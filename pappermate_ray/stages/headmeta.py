@@ -1,0 +1,139 @@
+"""HTML head-metadata extraction — title / meta description / canonical /
+robots directives / document language from crawl pages.
+
+Beyond-reference webtext operator (no PapperMate analog; the reference
+extracts body text only — ``services/pdf_converter.py`` /
+``contract_parser.py``). Every Common-Crawl-style curation stack keeps
+page-level head metadata next to the extracted text: the title and meta
+description feed quality/relevance scoring, ``rel=canonical`` feeds the
+redirect/duplicate graph (``ops/pointer.py``), and ``<meta name=robots>``
+``noindex``/``nofollow`` gate whether a page may enter the corpus or
+contribute outlinks (``stages/links.py``).
+
+Scale shape
+-----------
+One stateless ``map_batches`` pass, zero exchanges. Only the first
+``head_bytes`` (default 64 KiB) of each page is scanned — the head
+always precedes the body, so cost per page is bounded regardless of
+document size (a 200 MB PDF-sized page costs the same as a 10 KB one).
+All parsing is compiled-RE2 pyarrow kernels over the sliced head; no
+Python-per-row work anywhere (a lossy-decode fallback exists for blocks
+containing invalid-UTF-8 pages, rare in practice).
+
+Parsing rules (documented contract, pinned by tests):
+
+- first match wins when a tag repeats (leftmost RE2 match);
+- title whitespace is collapsed to single spaces and trimmed;
+- attribute values must be quoted (single or double) except for
+  ``<html lang=...>`` and bare canonical hrefs; attribute order within
+  ``<meta>`` / ``<link>`` may vary (name-first and content-first forms
+  both parse); tag and attribute names are case-insensitive;
+- HTML entities are NOT unescaped (raw capture — byte-faithful to the
+  page, matching the goldens discipline for body text);
+- ``robots_noindex`` / ``robots_nofollow`` are False when no robots
+  meta exists (crawler default: index, follow).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# All groups named: pyarrow extract_regex requires it. RE2 syntax only
+# (no lookaround / backreferences).
+_TITLE_RE = r"(?is)<title[^>]*>\s*(?P<v>[^<]*?)\s*</title>"
+
+# <meta name="description" content="..."> in both attribute orders and
+# both quote styles; [^>]* keeps the scan inside one tag.
+_DESC_RES = (
+    r'(?is)<meta[^>]*name\s*=\s*["\']description["\'][^>]*content\s*=\s*"(?P<v>[^"]*)"',
+    r"(?is)<meta[^>]*name\s*=\s*['\"]description['\"][^>]*content\s*=\s*'(?P<v>[^']*)'",
+    r'(?is)<meta[^>]*content\s*=\s*"(?P<v>[^"]*)"[^>]*name\s*=\s*["\']description["\']',
+    r"(?is)<meta[^>]*content\s*=\s*'(?P<v>[^']*)'[^>]*name\s*=\s*['\"]description['\"]",
+)
+
+_CANON_RES = (
+    r'(?is)<link[^>]*rel\s*=\s*["\']canonical["\'][^>]*href\s*=\s*["\']?(?P<v>[^"\' >]+)',
+    r'(?is)<link[^>]*href\s*=\s*["\']?(?P<v>[^"\' >]+)["\']?[^>]*rel\s*=\s*["\']canonical["\']',
+)
+
+_ROBOTS_RES = (
+    r'(?is)<meta[^>]*name\s*=\s*["\']robots["\'][^>]*content\s*=\s*["\'](?P<v>[^"\']*)',
+    r'(?is)<meta[^>]*content\s*=\s*["\'](?P<v>[^"\']*)["\'][^>]*name\s*=\s*["\']robots["\']',
+)
+
+_LANG_RE = r'(?is)<html[^>]*?\slang\s*=\s*["\']?(?P<v>[A-Za-z][A-Za-z0-9-]*)'
+
+FIELDS = ("title", "meta_description", "canonical_url",
+          "robots_noindex", "robots_nofollow", "html_lang")
+
+
+def _head_str(html: pa.ChunkedArray | pa.Array, head_bytes: int) -> pa.Array:
+    """First ``head_bytes`` of each page as a utf8 array (lossy on the
+    rare invalid-UTF-8 page — truncated/corrupt crawl payloads)."""
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    head = pc.binary_slice(html, 0, head_bytes)
+    try:
+        return pc.cast(head, pa.string())
+    except pa.ArrowInvalid:
+        return pa.array(
+            [None if v is None else v.decode("utf-8", "replace")
+             for v in head.to_pylist()],
+            pa.string(),
+        )
+
+
+def _first_group(s: pa.Array, patterns) -> pa.Array:
+    """Coalesce the named group ``v`` across alternative patterns
+    (attribute-order / quote-style variants); per-page first match wins
+    within each pattern (leftmost RE2 semantics)."""
+    out = None
+    for pat in patterns:
+        g = pc.struct_field(pc.extract_regex(s, pattern=pat), "v")
+        out = g if out is None else pc.coalesce(out, g)
+    return out
+
+
+def head_metadata_batch(
+    t: pa.Table,
+    html_col: str = "html",
+    url_col: str = "url",
+    head_bytes: int = 65536,
+) -> pa.Table:
+    """Pure-Arrow kernel: one row per page with the six head fields."""
+    s = _head_str(t[html_col], head_bytes)
+
+    title = pc.struct_field(pc.extract_regex(s, pattern=_TITLE_RE), "v")
+    title = pc.replace_substring_regex(title, pattern=r"\s+",
+                                       replacement=" ")
+    desc = _first_group(s, _DESC_RES)
+    canon = _first_group(s, _CANON_RES)
+    robots = _first_group(s, _ROBOTS_RES)
+    noindex = pc.fill_null(
+        pc.match_substring_regex(robots, pattern=r"(?i)noindex"), False)
+    nofollow = pc.fill_null(
+        pc.match_substring_regex(robots, pattern=r"(?i)nofollow"), False)
+    lang = pc.struct_field(pc.extract_regex(s, pattern=_LANG_RE), "v")
+
+    return pa.table({
+        url_col: t[url_col],
+        "title": title,
+        "meta_description": desc,
+        "canonical_url": canon,
+        "robots_noindex": noindex,
+        "robots_nofollow": nofollow,
+        "html_lang": lang,
+    })
+
+
+def html_head_metadata(ds, html_col: str = "html", url_col: str = "url",
+                       head_bytes: int = 65536):
+    """Dataset wrapper: (url, title, meta_description, canonical_url,
+    robots_noindex, robots_nofollow, html_lang), one row per input page."""
+
+    def batch(t: pa.Table) -> pa.Table:
+        return head_metadata_batch(t, html_col=html_col, url_col=url_col,
+                                   head_bytes=head_bytes)
+
+    return ds.map_batches(batch, batch_format="pyarrow")

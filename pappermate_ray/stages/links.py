@@ -32,6 +32,37 @@ _TAG_RE = re.compile(r"<[^>]*>")
 _WS_RE = re.compile(r"\s+")
 _ROOT_RE = re.compile(r"^(https?://[^/?#]*)", re.IGNORECASE)
 
+# rel attribute of one <a ...> opening tag (quoted either way or bare);
+# nofollow is checked token-wise on the captured value, so rel="ugc
+# nofollow" counts and rel="nofollowish" does not.
+_REL_RE = re.compile(
+    r"rel\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))", re.IGNORECASE)
+
+# page-level <meta name=robots content=...nofollow...> — same patterns as
+# stages/headmeta.py (RE2-safe inline-flag syntax works in Python re too),
+# scanned over the head slice only.
+_ROBOTS_PAGE_RES = tuple(re.compile(p) for p in (
+    r'(?is)<meta[^>]*name\s*=\s*["\']robots["\'][^>]*content\s*=\s*["\']([^"\']*)',
+    r'(?is)<meta[^>]*content\s*=\s*["\']([^"\']*)["\'][^>]*name\s*=\s*["\']robots["\']',
+))
+
+
+def _anchor_nofollow(open_tag: str) -> bool:
+    m = _REL_RE.search(open_tag)
+    if not m:
+        return False
+    val = m.group(1) or m.group(2) or m.group(3) or ""
+    return "nofollow" in val.lower().split()
+
+
+def _page_nofollow(html: str, head_bytes: int = 65536) -> bool:
+    head = html[:head_bytes]
+    for pat in _ROBOTS_PAGE_RES:
+        m = pat.search(head)
+        if m:
+            return "nofollow" in m.group(1).lower()
+    return False
+
 
 def _unescape(s: str) -> str:
     return (s.replace("&lt;", "<").replace("&gt;", ">")
@@ -42,8 +73,16 @@ def extract_links(
     ds: "rd.Dataset",
     url_col: str = "url",
     html_col: str = "html",
+    respect_nofollow: bool = False,
 ) -> "rd.Dataset":
-    """``(src_url, dst_url, anchor)`` — one row per resolvable <a href>."""
+    """``(src_url, dst_url, anchor)`` — one row per resolvable <a href>.
+
+    ``respect_nofollow=True`` applies the crawl-graph hygiene rule every
+    PageRank-grade link graph needs (nofollow edges carry no endorsement):
+    anchors whose ``rel`` contains the ``nofollow`` token drop, and pages
+    whose ``<meta name=robots>`` contains ``nofollow`` contribute no
+    edges at all. Default False — the original harvest is golden for the
+    existing link-graph oracles."""
 
     def batch(t: pa.Table) -> pa.Table:
         out_s, out_d, out_a = [], [], []
@@ -54,9 +93,14 @@ def extract_links(
                 html = raw.decode("utf-8") if isinstance(raw, bytes) else str(raw)
             except UnicodeDecodeError:
                 html = raw.decode("utf-8", errors="ignore")
+            if respect_nofollow and _page_nofollow(html):
+                continue
             m = _ROOT_RE.match(src or "")
             root = m.group(1) if m else None
             for hit in _A_RE.finditer(html):
+                if respect_nofollow and _anchor_nofollow(
+                        hit.group(0)[:hit.group(0).index(">") + 1]):
+                    continue
                 href = hit.group(2) or hit.group(3) or hit.group(4) or ""
                 href = href.split("#", 1)[0].strip()
                 if not href or href.startswith(("javascript:", "mailto:", "data:")):

@@ -1,0 +1,120 @@
+"""HTML head-metadata extraction (stages/headmeta.py) — parsing contract
+pins: quote styles, attribute order, case-insensitivity, first-match-wins,
+title whitespace collapse, raw-entity capture, crawler-default robots
+flags, the 64 KiB head bound and the invalid-UTF-8 fallback."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from pappermate_ray.stages.headmeta import (head_metadata_batch,
+                                            html_head_metadata)
+
+
+def _meta(html: str | bytes, **kw):
+    b = html.encode("utf-8") if isinstance(html, str) else html
+    t = pa.table({"url": pa.array(["u"], pa.string()),
+                  "html": pa.array([b], pa.binary())})
+    out = head_metadata_batch(t, **kw)
+    return {c: out[c][0].as_py() for c in out.column_names}
+
+
+def test_plain_double_quoted_head():
+    r = _meta('<html lang="en"><head><title>T one</title>'
+              '<meta name="description" content="D one">'
+              '<link rel="canonical" href="https://c.example/1"></head>')
+    assert r["title"] == "T one"
+    assert r["meta_description"] == "D one"
+    assert r["canonical_url"] == "https://c.example/1"
+    assert r["html_lang"] == "en"
+    assert r["robots_noindex"] is False and r["robots_nofollow"] is False
+
+
+def test_attribute_order_and_single_quotes():
+    r = _meta("<html lang=pt><head>"
+              "<meta content='rev desc' name='description'>"
+              '<link href="https://c.example/2" rel="canonical"></head>')
+    assert r["meta_description"] == "rev desc"
+    assert r["canonical_url"] == "https://c.example/2"
+    assert r["html_lang"] == "pt"
+
+
+def test_uppercase_tags_and_unquoted_href():
+    r = _meta('<HTML LANG="DE"><HEAD><TITLE>Gross</TITLE>'
+              '<META NAME="DESCRIPTION" CONTENT="Inhalt">'
+              "<link rel='canonical' href=https://c.example/3></HEAD>")
+    assert r["title"] == "Gross"
+    assert r["meta_description"] == "Inhalt"
+    assert r["canonical_url"] == "https://c.example/3"
+    assert r["html_lang"] == "DE"  # raw capture, no case normalization
+
+
+def test_title_whitespace_collapsed_and_entities_raw():
+    r = _meta("<html><head><title>\n  A   &amp;\tB \n</title></head>")
+    assert r["title"] == "A &amp; B"  # collapsed, NOT unescaped
+
+
+def test_first_match_wins_on_duplicates():
+    r = _meta('<html><head><title>First</title><title>Second</title>'
+              '<meta name="description" content="D1">'
+              '<meta name="description" content="D2"></head>')
+    assert r["title"] == "First"
+    assert r["meta_description"] == "D1"
+
+
+def test_robots_directives_and_defaults():
+    r = _meta('<html><head>'
+              '<meta content="NoIndex, nofollow" name="robots"></head>')
+    assert r["robots_noindex"] is True and r["robots_nofollow"] is True
+    r2 = _meta('<html><head><meta name="robots" content="noindex"></head>')
+    assert r2["robots_noindex"] is True and r2["robots_nofollow"] is False
+    r3 = _meta("<html><head></head><body>x</body>")
+    assert r3["robots_noindex"] is False and r3["robots_nofollow"] is False
+
+
+def test_absent_fields_are_null():
+    r = _meta("<html><head></head><body>plain</body></html>")
+    for c in ("title", "meta_description", "canonical_url", "html_lang"):
+        assert r[c] is None
+
+
+def test_head_bytes_bound_ignores_body_tail():
+    # a "title" appearing past the head slice must not parse
+    page = "<html><head></head><body>" + "x" * 200 + \
+        "<title>late</title></body></html>"
+    r = _meta(page, head_bytes=64)
+    assert r["title"] is None
+
+
+def test_invalid_utf8_page_still_parses_head():
+    raw = b'<html><head><title>ok despite tail</title></head><body>' + \
+        "é".encode("utf-8")[:1] + b"</body>"
+    r = _meta(raw)
+    assert r["title"] == "ok despite tail"
+
+
+def test_fixture_pages_integration(ray_session):
+    """Over the standard synthetic crawl: html rows yield title
+    'doc {i}', PDF / pre-extracted / empty payloads yield null, and the
+    corrupt (truncated, invalid-UTF-8) rows still parse their intact
+    head. Exercises the Dataset wrapper end to end."""
+    import ray.data as rd
+
+    from pappermate_ray.fixtures import KINDS, build_pages_table
+
+    pages = build_pages_table(120)
+    out = html_head_metadata(
+        rd.from_arrow(pages)).take_all()
+    by_url = {r["url"]: r for r in out}
+    assert len(by_url) == 120
+    for i in range(120):
+        kind = KINDS[i % len(KINDS)]
+        row = by_url[f"https://site{i % 97}.example/{kind}/{i}"]
+        is_html = kind != "pdf" and not (i % 20 != 13 and i % 7 == 3)
+        if kind == "pdf" and i % 20 != 13:
+            assert row["title"] is None  # PDF payload, no HTML head
+        elif is_html:
+            assert row["title"] == f"doc {i}", (i, kind, row)
+        else:  # pre-extracted rows carry html=b""
+            assert row["title"] is None
+        assert row["robots_noindex"] is False

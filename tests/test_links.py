@@ -63,3 +63,48 @@ def test_link_graph_composite_on_fixture(ray_session):
     assert sum(r["n_inlinks"] for r in about) > 0
     for r in about:
         assert set(r["anchors"].split("|")) == {"About"}
+
+
+def test_nofollow_anchor_token_rule(ray_session):
+    import ray.data as rd
+
+    from pappermate_ray.stages.links import extract_links
+
+    html = (
+        b'<html><body>'
+        b'<a href="/keep">Keep</a>'
+        b'<a href="/ad1" rel="nofollow">Ad1</a>'
+        b"<a href='/ad2' rel='ugc nofollow'>Ad2</a>"
+        b'<a href="/ad3" rel=nofollow>Ad3</a>'
+        b'<a href="/near" rel="nofollowish">Near</a>'
+        b'<a rel="sponsored" href="/spon">Spon</a>'
+        b'</body></html>'
+    )
+    rows = [{"url": "https://s.example/p", "html": html}]
+    on = extract_links(rd.from_items(rows), respect_nofollow=True).take_all()
+    assert {r["dst_url"] for r in on} == {
+        "https://s.example/keep",
+        "https://s.example/near",   # token rule: 'nofollowish' is not nofollow
+        "https://s.example/spon",
+    }
+    off = extract_links(rd.from_items(rows)).take_all()
+    assert len(off) == 6  # default harvest unchanged
+
+
+def test_nofollow_page_level_robots(ray_session):
+    import ray.data as rd
+
+    from pappermate_ray.stages.links import extract_links
+
+    blocked = (b'<html><head>'
+               b'<meta content="index, NOFOLLOW" name="robots"></head>'
+               b'<body><a href="/a">A</a><a href="/b">B</a></body></html>')
+    openp = (b'<html><head><meta name="robots" content="noindex"></head>'
+             b'<body><a href="/c">C</a></body></html>')
+    rows = [{"url": "https://s.example/1", "html": blocked},
+            {"url": "https://s.example/2", "html": openp}]
+    on = extract_links(rd.from_items(rows), respect_nofollow=True).take_all()
+    # noindex alone does NOT suppress edges; nofollow suppresses all
+    assert {r["dst_url"] for r in on} == {"https://s.example/c"}
+    off = extract_links(rd.from_items(rows)).take_all()
+    assert len(off) == 3
