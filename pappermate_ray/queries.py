@@ -8055,3 +8055,66 @@ ORACLE_SQL.update({
         WHERE doc_id % 7 <> 0
     """,
 })
+
+
+def q_canonical_consolidate(sf_dir: str):
+    """Canonical-URL consolidation — the composition the crawl dedup
+    story needs: rel=canonical pointers are PARSED from page heads
+    (stages/headmeta), pages pointing elsewhere become (src → canonical)
+    string edges, and pointer jumping (ops/pointer.resolve_pointers_auto)
+    chases canonical-of-canonical chains (planted up to 9 hops; both
+    link-attribute orders exercised) to the terminal representative each
+    page's signals consolidate onto. log(L) exchanges via path doubling
+    — or driver dict sweeps under the broadcast bound (mapping is
+    crawl-delta-sized, not corpus-sized). Oracle: DuckDB recursive-CTE
+    chain chase over the identically-planted pointers."""
+    from .ops.pointer import resolve_pointers_auto
+    from .stages.headmeta import html_head_metadata
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def pages(t: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for i in t["doc_id"].to_pylist():
+            if i % 10 != 0:
+                link = (
+                    f'<link rel="canonical" href="https://c.example/{i - 1}">'
+                    if i % 2 else
+                    f'<link href="https://c.example/{i - 1}" rel="canonical">')
+            else:
+                link = ""  # chain terminal: no canonical pointer
+            h = (f"<html><head><title>p{i}</title>{link}</head>"
+                 f"<body>b</body></html>")
+            urls.append(f"https://c.example/{i}")
+            htmls.append(h.encode("utf-8"))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    meta = html_head_metadata(docs.map_batches(pages, batch_format="pyarrow"))
+
+    def edges(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t["canonical_url"]),
+                       pc.not_equal(t["canonical_url"], t["url"]))
+        f = t.filter(keep)
+        return pa.table({"src": f["url"], "dst": f["canonical_url"]})
+
+    return resolve_pointers_auto(
+        meta.map_batches(edges, batch_format="pyarrow"), rounds=4)
+
+
+SQL_QUERIES.update({"canonical_consolidate": q_canonical_consolidate})
+ORACLE_SQL.update({
+    "canonical_consolidate": """
+        WITH RECURSIVE e AS (
+          SELECT 'https://c.example/' || CAST(doc_id AS VARCHAR) AS src,
+                 'https://c.example/' || CAST(doc_id - 1 AS VARCHAR) AS dst
+          FROM documents WHERE doc_id % 10 <> 0),
+        chase AS (
+          SELECT src, dst AS cur FROM e
+          UNION ALL
+          SELECT c.src, e.dst FROM chase c JOIN e ON e.src = c.cur)
+        SELECT src, cur AS dst FROM chase c
+        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = c.cur)
+    """,
+})
