@@ -256,8 +256,15 @@ def main() -> None:
     # the last real battery's sidecar with an empty dict.
     full = dict(res, queries=full_queries)
     if full_queries:
-        sidecar = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "bench_queries.json")
+        # only an OFFICIAL-config run (default sf dir + default replicate)
+        # may overwrite the repo-root sidecar — smoke runs at sf0.01 /
+        # replicate=2 (the verify recipe) go to /tmp instead, so the
+        # recorded battery survives ad-hoc benching (a smoke run clobbered
+        # it once; the --scaling subprocesses did too, earlier)
+        official = (sf_dir == "/root/testdata/sf0.1" and REPLICATE == 10)
+        sidecar = (os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "bench_queries.json")
+                   if official else "/tmp/bench_queries_smoke.json")
         with open(sidecar, "w") as f:
             json.dump(full, f, indent=1)
     print(json.dumps(full), file=sys.stderr)
