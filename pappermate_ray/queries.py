@@ -8118,3 +8118,77 @@ ORACLE_SQL.update({
         WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = c.cur)
     """,
 })
+
+
+def q_html_tables(sf_dir: str):
+    """Structured-table harvest from crawl HTML (stages/htmltables) —
+    the HTML-side analog of the PDF cell model (M34/M35,
+    functions/layout.table_cells): one row per <th>/<td> with
+    (table_id, row_id, col_id, is_header, cell). Planted grids vary
+    column count by parity, every 5th doc's first body cell spans two
+    column slots (colspan advances the next slot), every 7th doc adds
+    a second table, and header cells carry padding whitespace the
+    cleaner must collapse; DuckDB rebuilds the exact cell set with
+    lateral range unnests over the same arithmetic. Stateless
+    streaming map, zero exchanges."""
+    from .stages.htmltables import html_tables
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def pages(t: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for i in t["doc_id"].to_pylist():
+            n_cols = 2 + i % 2
+            rows = ["<tr>" + "".join(
+                f"<th> h{c} </th>" for c in range(n_cols)) + "</tr>"]
+            for r in (1, 2):
+                if i % 5 == 0 and r == 1:
+                    tds = [f'<td colspan="2">s{i}</td>']
+                    if n_cols == 3:
+                        tds.append(f"<td>v{i} 1 2</td>")
+                else:
+                    tds = [f"<td>v{i} {r} {c}</td>" for c in range(n_cols)]
+                rows.append("<tr>" + "".join(tds) + "</tr>")
+            h = "<html><body><table>" + "".join(rows) + "</table>"
+            if i % 7 == 0:
+                h += f"<table><tr><td>t2 {i}</td></tr></table>"
+            h += "</body></html>"
+            urls.append(f"https://t.example/{i}")
+            htmls.append(h.encode("utf-8"))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    return html_tables(docs.map_batches(pages, batch_format="pyarrow"))
+
+
+SQL_QUERIES.update({"html_tables": q_html_tables})
+ORACLE_SQL.update({
+    "html_tables": """
+        WITH d AS (
+          SELECT doc_id AS i, CAST(doc_id AS VARCHAR) AS s,
+                 2 + doc_id % 2 AS n_cols
+          FROM documents),
+        cells AS (
+          SELECT i, 0 AS table_id, 0 AS row_id, u.c AS col_id,
+                 TRUE AS is_header, 'h' || u.c AS cell
+          FROM d, UNNEST(range(0, n_cols)) AS u(c)
+          UNION ALL
+          SELECT i, 0, r.r, u.c, FALSE, 'v' || s || ' ' || r.r || ' ' || u.c
+          FROM d, UNNEST([1, 2]) AS r(r), UNNEST(range(0, n_cols)) AS u(c)
+          WHERE NOT (i % 5 = 0 AND r.r = 1)
+          UNION ALL
+          SELECT i, 0, 1, 0, FALSE, 's' || s FROM d WHERE i % 5 = 0
+          UNION ALL
+          SELECT i, 0, 1, 2, FALSE, 'v' || s || ' 1 2'
+          FROM d WHERE i % 5 = 0 AND n_cols = 3
+          UNION ALL
+          SELECT i, 1, 0, 0, FALSE, 't2 ' || s FROM d WHERE i % 7 = 0)
+        SELECT 'https://t.example/' || CAST(i AS VARCHAR) AS url,
+               CAST(table_id AS BIGINT) AS table_id,
+               CAST(row_id AS BIGINT) AS row_id,
+               CAST(col_id AS BIGINT) AS col_id,
+               is_header, cell
+        FROM cells
+    """,
+})
