@@ -8192,3 +8192,87 @@ ORACLE_SQL.update({
         FROM cells
     """,
 })
+
+
+def q_sitemap_parse(sf_dir: str):
+    """Sitemap-protocol parsing (stages/sitemaps.parse_sitemaps): every
+    11th doc is a <sitemapindex> (two child-sitemap entries, kind=
+    'sitemap' so a frontier loop can recurse), the rest are <urlset>
+    pages with three <url> entries each — entity-escaped query strings
+    in <loc>, lastmod/changefreq/priority present on two of the three
+    (binary-exact 0.25/0.75 priorities; the k=1 entry omits the
+    optionals → nulls). DuckDB rebuilds the entry set from the same
+    doc-id arithmetic. Stateless streaming map, zero exchanges."""
+    from .stages.sitemaps import parse_sitemaps
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def pages(t: pa.Table) -> pa.Table:
+        urls, xmls = [], []
+        for i in t["doc_id"].to_pylist():
+            if i % 11 == 0:
+                body = "".join(
+                    f"<sitemap><loc> https://s.example/sm/{i}/{j}.xml </loc>"
+                    f"<lastmod>2026-0{j + 1}-01</lastmod></sitemap>"
+                    for j in (0, 1))
+                xml = f'<?xml version="1.0"?><sitemapindex>{body}</sitemapindex>'
+            else:
+                parts = []
+                for k in range(3):
+                    loc = f"https://s.example/{i}/{k}?a=1&amp;b=2"
+                    if k == 1:  # optionals absent
+                        parts.append(f"<url><loc>{loc}</loc></url>")
+                    else:
+                        parts.append(
+                            f"<url><loc>{loc}</loc>"
+                            f"<lastmod>2026-0{k + 1}-15</lastmod>"
+                            f"<changefreq>{('daily', '', 'monthly')[k]}</changefreq>"
+                            f"<priority>0.{(25, 0, 75)[k]}</priority></url>")
+                xml = f'<?xml version="1.0"?><urlset>{"".join(parts)}</urlset>'
+            urls.append(f"https://s.example/sitemap/{i}.xml")
+            xmls.append(xml.encode("utf-8"))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "xml": pa.array(xmls, pa.binary())})
+
+    out = parse_sitemaps(docs.map_batches(pages, batch_format="pyarrow"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "sitemap_url": t["sitemap_url"], "kind": t["kind"],
+            "loc": t["loc"],
+            "lastmod": pc.fill_null(t["lastmod"], ""),
+            "changefreq": pc.fill_null(t["changefreq"], ""),
+            "priority": t["priority"],  # float nulls hash as blank on both sides
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_QUERIES.update({"sitemap_parse": q_sitemap_parse})
+ORACLE_SQL.update({
+    "sitemap_parse": """
+        WITH d AS (
+          SELECT doc_id AS i, CAST(doc_id AS VARCHAR) AS s FROM documents),
+        idx AS (
+          SELECT i, s, 'sitemap' AS kind,
+                 'https://s.example/sm/' || s || '/' || j || '.xml' AS loc,
+                 '2026-0' || (j + 1) || '-01' AS lastmod,
+                 '' AS changefreq, CAST(NULL AS DOUBLE) AS priority
+          FROM d, UNNEST([0, 1]) AS u(j) WHERE i % 11 = 0),
+        urls AS (
+          SELECT i, s, 'url' AS kind,
+                 'https://s.example/' || s || '/' || k || '?a=1&b=2' AS loc,
+                 CASE WHEN k = 1 THEN ''
+                      ELSE '2026-0' || (k + 1) || '-15' END AS lastmod,
+                 CASE k WHEN 0 THEN 'daily' WHEN 2 THEN 'monthly'
+                        ELSE '' END AS changefreq,
+                 CASE k WHEN 0 THEN 0.25 WHEN 2 THEN 0.75
+                        ELSE CAST(NULL AS DOUBLE) END AS priority
+          FROM d, UNNEST([0, 1, 2]) AS u(k) WHERE i % 11 <> 0)
+        SELECT 'https://s.example/sitemap/' || s || '.xml' AS sitemap_url,
+               kind, loc, lastmod, changefreq,
+               CAST(priority AS DOUBLE) AS priority
+        FROM (SELECT * FROM idx UNION ALL SELECT * FROM urls)
+    """,
+})
