@@ -8276,3 +8276,122 @@ ORACLE_SQL.update({
         FROM (SELECT * FROM idx UNION ALL SELECT * FROM urls)
     """,
 })
+
+
+# --------------------------------------------------------------------------
+# SURT keys + CDX sorted-layout lookup (stages/urls.surt_key_batch,
+# stages/cdx.py). The oracle re-derives the SURT transform with DuckDB's
+# own list kernels (string_split → list_reverse → array_to_string) over
+# the SAME messy-url fixture — an independent implementation, not replay.
+# --------------------------------------------------------------------------
+
+_SURT_SQL_CTE = """
+    , surt_q AS (
+      SELECT doc_id, scheme, port, path,
+        array_to_string(list_reverse(string_split(
+          regexp_replace(host, '^www\\.', ''), '.')), ',') AS rhost,
+        COALESCE(array_to_string(list_sort(list_filter(
+          string_split(query, '&'),
+          x -> x <> ''
+               AND NOT starts_with(split_part(x, '=', 1), 'utm_')
+               AND NOT list_contains(['fbclid','gclid','msclkid','ref'],
+                                     split_part(x, '=', 1)))), '&'),
+          '') AS q2
+      FROM hd),
+    surt_t AS (
+      SELECT doc_id,
+        lower(rhost
+          || CASE WHEN port = -1 OR (scheme = 'http' AND port = 80)
+                       OR (scheme = 'https' AND port = 443) THEN ''
+                  ELSE ':' || CAST(port AS VARCHAR) END
+          || ')'
+          || CASE WHEN path = '' THEN '/' ELSE path END
+          || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS surt
+      FROM surt_q)
+"""
+
+_CDX_TS_EXPR = ("TIMESTAMP '2026-01-01 00:00:00' + "
+                "to_seconds(doc_id * 37 % 777013)")
+_CDX_EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z
+
+
+def _capture_ts_ds(sf_dir: str):
+    """Messy-url fixture + planted capture timestamp (doc-id
+    arithmetic, mirrored by ``_CDX_TS_EXPR``)."""
+    ds = _messy_url_ds(sf_dir)
+
+    def add_ts(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        us = _CDX_EPOCH_US + (ids * 37 % 777013) * 1_000_000
+        return t.append_column(
+            "warc_ts", pa.array(us, pa.int64()).cast(pa.timestamp("us")))
+
+    return ds.map_batches(add_ts, batch_format="pyarrow")
+
+
+def q_surt_keys(sf_dir: str):
+    """SURT index keys (stages/urls.surt_key_batch): host labels
+    reversed + comma-joined, one leading www stripped, default ports
+    dropped, tracking params removed + rest sorted, fragment dropped,
+    lowercased. Stateless vectorized map, no exchange."""
+    from .stages.urls import surt_keys
+
+    out = surt_keys(_messy_url_ds(sf_dir))
+    return out.select_columns(["doc_id", "surt"])
+
+
+def _cdx_layout_cached(sf_dir: str):
+    """Sorted CDX layout over the capture fixture: (manifest rows,
+    out_dir), cached under a FIXTURES_VERSION-keyed /tmp dir (the
+    _range_export_cached pattern). sample_mod exercises the TeraSort
+    hash-sample cut — the at-scale edge path for unbounded-distinct
+    string keys."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from .stages.cdx import build_cdx_index
+
+    out = _tmp_cache("cdx", sf_dir)
+    mpath = os.path.join(out, "manifest.parquet")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        manifest = build_cdx_index(_capture_ts_ds(sf_dir), out,
+                                   partitions=8, sample_mod=4)
+        batches = list(manifest.iter_batches(batch_size=65536,
+                                             batch_format="pyarrow"))
+        _pq.write_table(pa.concat_tables(batches), mpath)
+        with open(os.path.join(out, "_SUCCESS"), "w"):
+            pass
+    return _pq.read_table(mpath).to_pylist(), out
+
+
+def q_cdx_lookup(sf_dir: str):
+    """Manifest-pruned CDX prefix scan (stages/cdx.cdx_prefix_lookup):
+    every capture of the ``com,example,`` site family, read from the
+    sorted layout by opening only intersecting range files. Gated
+    against the SQL that recomputes surt+ts keys and filters by
+    starts_with — a lost, duplicated or misplaced capture mismatches."""
+    from .stages.cdx import cdx_prefix_lookup
+
+    manifest, _ = _cdx_layout_cached(sf_dir)
+    hits = cdx_prefix_lookup(manifest, "com,example,")
+    return hits.select_columns(["doc_id", "cdx_key"])
+
+
+SQL_QUERIES.update({
+    "surt_keys": q_surt_keys,
+    "cdx_lookup": q_cdx_lookup,
+})
+ORACLE_SQL.update({
+    "surt_keys": _MESSY_URL_CTE + _SURT_SQL_CTE + """
+        SELECT doc_id, surt FROM surt_t
+    """,
+    "cdx_lookup": _MESSY_URL_CTE + _SURT_SQL_CTE + """
+        , k AS (
+          SELECT doc_id,
+                 surt || ' ' || strftime({TS}, '%Y%m%d%H%M%S') AS cdx_key
+          FROM surt_t)
+        SELECT doc_id, cdx_key FROM k
+        WHERE starts_with(cdx_key, 'com,example,')
+    """.replace("{TS}", _CDX_TS_EXPR),
+})

@@ -190,6 +190,75 @@ def canonicalize_urls(ds, url_col: str = "url", out_col: str = "canonical_url"):
     )
 
 
+def _reverse_labels(host: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Reverse dot-separated host labels and comma-join them
+    (``news.example.com`` → ``com,example,news``) — the SURT host
+    form. Vectorized via the explode → whole-series-reverse → stable
+    regroup trick (reversing the exploded series reverses label order
+    WITHIN each row while groupby keeps appearance order); null hosts
+    stay null."""
+    if isinstance(host, pa.ChunkedArray):
+        host = host.combine_chunks()
+    h = host.to_pandas()
+    idx = pd.RangeIndex(len(h))
+    h.index = idx
+    ex = h.fillna("").str.split(".").explode()
+    ex = ex.iloc[::-1]
+    joined = ex.groupby(level=0, sort=True).agg(",".join)
+    out = joined.reindex(idx)
+    out[h.isna()] = None
+    return pa.array(out, pa.string())
+
+
+def surt_key_batch(
+    t: pa.Table, url_col: str = "url", out_col: str = "surt"
+) -> pa.Table:
+    """SURT (Sort-friendly URI Reordering Transform) key — the
+    web-archive / Common-Crawl CDX index key: scheme dropped, ONE
+    leading ``www.`` label stripped, host labels reversed and
+    comma-joined, non-default port kept as ``:port`` before the ``)``,
+    empty path → ``/``, tracking params removed and the rest sorted
+    (the ``canonicalize_batch`` query rule), fragment dropped, whole
+    key lowercased. ``https://WWW.News.Example.COM/A/b?y=2&x=1`` →
+    ``com,example,news)/a/b?x=1&y=2``. Keying a crawl on SURT
+    co-locates every capture of a page (and sorts a site's pages
+    contiguously) regardless of surface-url noise — the precondition
+    for the sorted CDX layout in ``stages/cdx.py``. Non-URL rows get a
+    null key. Same vectorized shape as ``canonicalize_batch``: RE2
+    decompose + pandas explode/regroup, no Python row loop."""
+    scheme, host, port, path, query, _ = _decompose(t[url_col])
+    rhost = _reverse_labels(
+        pc.replace_substring_regex(host, r"^www\.", ""))
+    is_default = pc.or_(
+        pc.equal(port, -1),
+        pc.or_(
+            pc.and_(pc.equal(scheme, "http"), pc.equal(port, 80)),
+            pc.and_(pc.equal(scheme, "https"), pc.equal(port, 443)),
+        ),
+    )
+    port_str = pc.if_else(
+        pc.fill_null(is_default, True),
+        "",
+        pc.binary_join_element_wise(":", pc.cast(port, pa.string()), ""),
+    )
+    path = pc.if_else(pc.equal(path, ""), "/", path)
+    q2 = _sorted_clean_query(query)
+    q_str = pc.if_else(
+        pc.equal(q2, ""), "", pc.binary_join_element_wise("?", q2, "")
+    )
+    key = pc.utf8_lower(pc.binary_join_element_wise(
+        rhost, port_str, ")", path, q_str, ""))
+    return t.append_column(out_col, key)
+
+
+def surt_keys(ds, url_col: str = "url", out_col: str = "surt"):
+    return ds.map_batches(
+        surt_key_batch,
+        batch_format="pyarrow",
+        fn_kwargs={"url_col": url_col, "out_col": out_col},
+    )
+
+
 def domain_cap(
     ds,
     k: int,
