@@ -8395,3 +8395,44 @@ ORACLE_SQL.update({
         WHERE starts_with(cdx_key, 'com,example,')
     """.replace("{TS}", _CDX_TS_EXPR),
 })
+
+
+def q_frontier_schedule(sf_dir: str):
+    """Politeness frontier scheduling (stages/urls.frontier_schedule):
+    ≤2 urls per host per fetch wave, best planted priority first,
+    doc_id tiebreak. One partition-grouped exchange on the host;
+    per-partition Cython cumcount, no per-host groups."""
+    from .stages.urls import frontier_schedule, parse_urls
+
+    parsed = parse_urls(_messy_url_ds(sf_dir))
+
+    def prio(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return t.append_column(
+            "priority", pa.array(ids * 7 % 23, pa.int64()))
+
+    cand = parsed.map_batches(prio, batch_format="pyarrow")
+    sched = frontier_schedule(cand, per_wave=2,
+                              order_cols=("priority", "doc_id"))
+    return sched.select_columns(
+        ["doc_id", "host", "priority", "wave", "slot"])
+
+
+SQL_QUERIES.update({"frontier_schedule": q_frontier_schedule})
+ORACLE_SQL.update({
+    "frontier_schedule": _MESSY_URL_CTE + """
+        , f AS (
+          SELECT doc_id, host,
+                 CAST(doc_id * 7 % 23 AS BIGINT) AS priority
+          FROM hd),
+        r AS (
+          SELECT doc_id, host, priority,
+                 row_number() OVER (PARTITION BY host
+                                    ORDER BY priority, doc_id) - 1 AS rk
+          FROM f)
+        SELECT doc_id, host, priority,
+               CAST(rk // 2 AS BIGINT) AS wave,
+               CAST(rk % 2 AS BIGINT) AS slot
+        FROM r
+    """,
+})

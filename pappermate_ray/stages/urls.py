@@ -259,6 +259,41 @@ def surt_keys(ds, url_col: str = "url", out_col: str = "surt"):
     )
 
 
+def frontier_schedule(
+    ds,
+    per_wave: int,
+    host_col: str = "host",
+    order_cols: Sequence[str] = ("priority",),
+    npart: Optional[int] = None,
+):
+    """Politeness-aware frontier scheduling: assign every candidate URL
+    a fetch ``wave`` such that at most ``per_wave`` urls of one host
+    land in the same wave, best-``order_cols`` first within each host
+    (``wave = rank_in_host // per_wave``, ``slot = rank % per_wave``).
+    A crawler then fetches wave 0, wave 1, ... and per-host concurrency
+    is bounded by construction — the frontier-sharding dual of
+    ``robots_filter``'s per-page gate.
+
+    Scale shape: ONE narrow hash exchange via
+    ``ops/grouping.partition_grouped`` (partition-sized groups, never
+    per-host groups — a mega-host is just a long run inside its
+    partition); per-partition work is one vectorized sort + a Cython
+    ``groupby.cumcount``. Pass ``order_cols`` that break ties
+    deterministically (e.g. ``("priority", "doc_id")``)."""
+    from ..ops.grouping import partition_grouped
+
+    u, gcols = partition_grouped(ds, [host_col], npart)
+
+    def sched(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([host_col, *order_cols], kind="mergesort")
+        rank = df.groupby(host_col, sort=False).cumcount()
+        df["wave"] = (rank // per_wave).astype("int64")
+        df["slot"] = (rank % per_wave).astype("int64")
+        return df.drop(columns=["_pkey"])
+
+    return u.groupby(gcols).map_groups(sched, batch_format="pandas")
+
+
 def domain_cap(
     ds,
     k: int,

@@ -215,3 +215,26 @@ def test_canonicalize_idempotent():
             assert ("?" + p) not in once and ("&" + p) not in once
 
     check()
+
+
+def test_frontier_schedule_politeness_bound(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from pappermate_ray.stages.urls import frontier_schedule
+
+    rows = [{"doc_id": i, "host": f"h{i % 3}", "priority": (i * 5) % 11}
+            for i in range(40)]
+    out = frontier_schedule(rd.from_items(rows), per_wave=2,
+                            order_cols=("priority", "doc_id")).take_all()
+    assert len(out) == 40
+    per = collections.Counter((r["host"], r["wave"]) for r in out)
+    assert max(per.values()) <= 2            # politeness bound
+    by_host = collections.defaultdict(list)
+    for r in sorted(out, key=lambda r: (r["wave"], r["slot"])):
+        by_host[r["host"]].append((r["priority"], r["doc_id"]))
+    for seq in by_host.values():             # best-priority-first per host
+        assert seq == sorted(seq)
+    # waves are dense per host: 14/13/13 rows over 3 hosts -> max wave 6
+    assert max(r["wave"] for r in out) == 6
