@@ -8436,3 +8436,91 @@ ORACLE_SQL.update({
         FROM r
     """,
 })
+
+
+def q_feed_parse(sf_dir: str):
+    """RSS/Atom feed parsing (stages/feeds.parse_feeds): every 3rd doc
+    is an Atom feed (two entries — one full, one href-only so the
+    optionals come back null), the rest are RSS channels (one full
+    item with entity-escaped link/title, one link-only item, one
+    linkless item that DROPS, plus a channel-level <link> that must
+    NOT parse as an entry). DuckDB rebuilds the surviving entry set
+    from the same doc-id arithmetic. Stateless map, zero exchanges."""
+    from .stages.feeds import parse_feeds
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def pages(t: pa.Table) -> pa.Table:
+        urls, xmls = [], []
+        for i in t["doc_id"].to_pylist():
+            if i % 3 == 0:
+                body = (
+                    f'<entry><title type="text">E{i}-0</title>'
+                    f'<link rel="alternate" '
+                    f'href="https://f.example/{i}/0?a=1&amp;b=2"/>'
+                    f"<id>urn:{i}:0</id>"
+                    f"<updated>2026-03-01T00:00:0{i % 6}Z</updated></entry>"
+                    f'<entry><link href="https://f.example/{i}/1"/></entry>')
+                xml = f'<feed xmlns="http://www.w3.org/2005/Atom">{body}</feed>'
+            else:
+                items = (
+                    f"<item><title>T {i} &amp; co</title>"
+                    f"<link> https://f.example/{i}/r0?x=1&amp;y=2 </link>"
+                    f"<guid>g:{i}</guid>"
+                    f"<pubDate>Mon, 0{i % 7 + 1} Jan 2026</pubDate></item>"
+                    f"<item><link>https://f.example/{i}/r1</link></item>"
+                    f"<item><title>dropped</title></item>")
+                xml = (f"<rss><channel><link>https://f.example/</link>"
+                       f"{items}</channel></rss>")
+            urls.append(f"https://f.example/feed/{i}.xml")
+            xmls.append(xml.encode("utf-8"))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "xml": pa.array(xmls, pa.binary())})
+
+    out = parse_feeds(docs.map_batches(pages, batch_format="pyarrow"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "feed_url": t["feed_url"], "kind": t["kind"],
+            "title": pc.fill_null(t["title"], ""),
+            "link": t["link"],
+            "guid": pc.fill_null(t["guid"], ""),
+            "pubdate": pc.fill_null(t["pubdate"], ""),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_QUERIES.update({"feed_parse": q_feed_parse})
+ORACLE_SQL.update({
+    "feed_parse": """
+        WITH d AS (
+          SELECT doc_id AS i, CAST(doc_id AS VARCHAR) AS s FROM documents),
+        atom AS (
+          SELECT 'https://f.example/feed/' || s || '.xml' AS feed_url,
+                 'atom' AS kind,
+                 CASE j WHEN 0 THEN 'E' || s || '-0' ELSE '' END AS title,
+                 CASE j WHEN 0
+                   THEN 'https://f.example/' || s || '/0?a=1&b=2'
+                   ELSE 'https://f.example/' || s || '/1' END AS link,
+                 CASE j WHEN 0 THEN 'urn:' || s || ':0' ELSE '' END AS guid,
+                 CASE j WHEN 0
+                   THEN '2026-03-01T00:00:0' || (i % 6) || 'Z'
+                   ELSE '' END AS pubdate
+          FROM d, UNNEST([0, 1]) AS u(j) WHERE i % 3 = 0),
+        rss AS (
+          SELECT 'https://f.example/feed/' || s || '.xml' AS feed_url,
+                 'rss' AS kind,
+                 CASE k WHEN 0 THEN 'T ' || s || ' & co' ELSE '' END AS title,
+                 CASE k WHEN 0
+                   THEN 'https://f.example/' || s || '/r0?x=1&y=2'
+                   ELSE 'https://f.example/' || s || '/r1' END AS link,
+                 CASE k WHEN 0 THEN 'g:' || s ELSE '' END AS guid,
+                 CASE k WHEN 0
+                   THEN 'Mon, 0' || (i % 7 + 1) || ' Jan 2026'
+                   ELSE '' END AS pubdate
+          FROM d, UNNEST([0, 1]) AS u(k) WHERE i % 3 <> 0)
+        SELECT * FROM atom UNION ALL SELECT * FROM rss
+    """,
+})
