@@ -8524,3 +8524,51 @@ ORACLE_SQL.update({
         SELECT * FROM atom UNION ALL SELECT * FROM rss
     """,
 })
+
+
+def q_host_graph(sf_dir: str):
+    """Host-level web-graph rollup (stages/links.host_graph): page
+    edges planted by doc-id arithmetic over the messy-url fixture
+    (each page links to docs (3i+1)%n and (7i+2)%n), rolled to
+    (src_host, dst_host, n_links, n_src_pages-distinct) with
+    intra-host navigation edges dropped. Two narrow grouped
+    exchanges, no joins."""
+    from .stages.links import host_graph
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    n = docs.count()
+
+    def edges(t: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for i in t["doc_id"].to_pylist():
+            u = _messy_url(i)
+            for d in ((i * 3 + 1) % n, (i * 7 + 2) % n):
+                src.append(u)
+                dst.append(_messy_url(d))
+        return pa.table({"src_url": pa.array(src, pa.string()),
+                         "dst_url": pa.array(dst, pa.string())})
+
+    e = docs.map_batches(edges, batch_format="pyarrow")
+    return host_graph(e)
+
+
+SQL_QUERIES.update({"host_graph": q_host_graph})
+ORACLE_SQL.update({
+    "host_graph": _MESSY_URL_CTE + """
+        , nn AS (SELECT COUNT(*) AS n FROM documents),
+        e AS (
+          SELECT s.host AS src_host, d.host AS dst_host, s.url AS src_url
+          FROM hd s CROSS JOIN nn
+          JOIN hd d ON d.doc_id = (s.doc_id * 3 + 1) % nn.n
+          UNION ALL
+          SELECT s.host, d.host, s.url
+          FROM hd s CROSS JOIN nn
+          JOIN hd d ON d.doc_id = (s.doc_id * 7 + 2) % nn.n)
+        SELECT src_host, dst_host,
+               CAST(COUNT(*) AS BIGINT) AS n_links,
+               CAST(COUNT(DISTINCT src_url) AS BIGINT) AS n_src_pages
+        FROM e WHERE src_host <> dst_host
+        GROUP BY src_host, dst_host
+    """,
+})

@@ -123,3 +123,56 @@ def extract_links(
         })
 
     return ds.map_batches(batch, batch_format="pyarrow")
+
+
+def host_graph(
+    edges: "rd.Dataset",
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    include_intra: bool = False,
+):
+    """Host-level web graph from page-level edges (the Common-Crawl
+    host-graph rollup): ``(src_host, dst_host, n_links,
+    n_src_pages)`` where ``n_links`` counts edges and ``n_src_pages``
+    counts DISTINCT linking pages. Intra-host edges (site navigation)
+    drop by default — they carry no cross-site endorsement; pass
+    ``include_intra=True`` to keep them. Rows whose url does not
+    parse to a host drop.
+
+    Scale shape: hosts come from ONE vectorized RE2 pass per side
+    (``stages/urls._decompose``); then two narrow grouped exchanges —
+    distinct ``(src_host, dst_host, src_url)`` triples first (the
+    exact-distinct shuffle; no payload, url strings only), then the
+    host-pair rollup over triple counts. No joins. The result is
+    node-bounded (hosts², sparse), so it feeds ``pagerank_auto``'s
+    dense path directly."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from .urls import _decompose
+
+    def hostify(t: pa.Table) -> pa.Table:
+        _, sh, _, _, _, _ = _decompose(t[src_col])
+        _, dh, _, _, _, _ = _decompose(t[dst_col])
+        out = pa.table({"src_host": sh, "dst_host": dh,
+                        "src_url": t[src_col]})
+        keep = pc.and_(pc.is_valid(sh), pc.is_valid(dh))
+        if not include_intra:
+            keep = pc.and_(keep, pc.invert(pc.equal(sh, dh)))
+        return out.filter(keep)
+
+    tri = edges.map_batches(hostify, batch_format="pyarrow")
+    per_page = tri.groupby(["src_host", "dst_host", "src_url"]) \
+        .aggregate(Count())
+    rolled = per_page.groupby(["src_host", "dst_host"]).aggregate(
+        Sum("count()"), Count())
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_host": t["src_host"],
+            "dst_host": t["dst_host"],
+            "n_links": t["sum(count())"],
+            "n_src_pages": t["count()"],
+        })
+
+    return rolled.map_batches(rename, batch_format="pyarrow")

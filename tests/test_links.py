@@ -108,3 +108,34 @@ def test_nofollow_page_level_robots(ray_session):
     assert {r["dst_url"] for r in on} == {"https://s.example/c"}
     off = extract_links(rd.from_items(rows)).take_all()
     assert len(off) == 3
+
+
+def test_host_graph_rollup(ray_session):
+    import ray.data as rd
+
+    from pappermate_ray.stages.links import host_graph
+
+    rows = [{"src_url": f"https://a{i % 2}.com/p{i}",
+             "dst_url": f"https://b{i % 3}.org/x"} for i in range(10)]
+    rows.append({"src_url": "https://a0.com/p0",       # same page, 2nd link
+                 "dst_url": "https://b1.org/y"})
+    rows.append({"src_url": "https://a0.com/p0",       # duplicate edge:
+                 "dst_url": "https://b0.org/x"})       # +1 link, +0 pages
+    rows.append({"src_url": "https://a0.com/self",     # intra-host: drops
+                 "dst_url": "https://a0.com/other"})
+    rows.append({"src_url": "junk", "dst_url": "https://b0.org/"})
+
+    got = {(r["src_host"], r["dst_host"]): (r["n_links"], r["n_src_pages"])
+           for r in host_graph(rd.from_items(rows)).take_all()}
+    assert got == {
+        ("a0.com", "b0.org"): (3, 2),
+        ("a0.com", "b1.org"): (2, 2),
+        ("a0.com", "b2.org"): (2, 2),
+        ("a1.com", "b0.org"): (2, 2),
+        ("a1.com", "b1.org"): (2, 2),
+        ("a1.com", "b2.org"): (1, 1),
+    }
+
+    kept = host_graph(rd.from_items(rows), include_intra=True).take_all()
+    assert ("a0.com", "a0.com") in {(r["src_host"], r["dst_host"])
+                                    for r in kept}
