@@ -180,7 +180,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "pattern_probe_check", "organize_golden", "party_histogram_golden",
         "unique_filenames_golden", "validate_golden", "translate_names_check",
         "shared_hash_pairs_planted", "training_rows_golden",
-        "recrawl_priority",
+        "recrawl_priority", "host_boilerplate", "head_metadata",
+        "canonical_consolidate", "html_tables",
+        "sitemap_parse", "feed_parse", "surt_keys", "cdx_lookup",
+        "frontier_schedule", "host_graph",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()
