@@ -8572,3 +8572,86 @@ ORACLE_SQL.update({
         GROUP BY src_host, dst_host
     """,
 })
+
+
+def q_host_authority(sf_dir: str):
+    """Composed host-authority flagship: planted page edges → host_graph
+    rollup (intra-host navigation dropped, multiplicity collapsed to
+    distinct host pairs) → 3 PageRank rounds via pagerank_auto's
+    dictionary-encoded dense path. The whole composition is value-gated
+    by the SQL that rebuilds the host edge set and unrolls the same 3
+    rounds. Host graphs are node-bounded (hosts ≪ pages) — exactly the
+    regime the dense path exists for."""
+    from ray.data.aggregate import Count as _Count
+
+    from .ops.pagerank import pagerank_auto
+    from .stages.links import host_graph
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    n = docs.count()
+
+    def edges(t: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for i in t["doc_id"].to_pylist():
+            u = _messy_url(i)
+            for d in ((i * 3 + 1) % n, (i * 7 + 2) % n):
+                src.append(u)
+                dst.append(_messy_url(d))
+        return pa.table({"src_url": pa.array(src, pa.string()),
+                         "dst_url": pa.array(dst, pa.string())})
+
+    # host-pair table is aggregate-sized (hosts^2 sparse); pin it — it
+    # has three consumers (two node-side scans + the rank lineage)
+    g = host_graph(docs.map_batches(edges, batch_format="pyarrow")) \
+        .select_columns(["src_host", "dst_host"]).materialize()
+
+    def side(col: str):
+        return g.select_columns([col]).map_batches(
+            lambda t, c=col: pa.table({"node": t[c]}),
+            batch_format="pyarrow")
+
+    nodes = side("src_host").union(side("dst_host")) \
+        .groupby("node").aggregate(_Count()) \
+        .select_columns(["node"]).materialize()
+    ranked = pagerank_auto(nodes, g, node_col="node", src_col="src_host",
+                           dst_col="dst_host", iters=3, round_to=8)
+    return ranked.map_batches(
+        lambda t: pa.table({"host": t["node"], "pagerank": t["pagerank"]}),
+        batch_format="pyarrow")
+
+
+SQL_QUERIES.update({"host_authority": q_host_authority})
+ORACLE_SQL.update({
+    "host_authority": _MESSY_URL_CTE + """
+        , nn0 AS (SELECT COUNT(*) AS n FROM documents),
+        pe AS (
+          SELECT s.host AS src_host, d.host AS dst_host
+          FROM hd s CROSS JOIN nn0
+          JOIN hd d ON d.doc_id = (s.doc_id * 3 + 1) % nn0.n
+          UNION ALL
+          SELECT s.host, d.host
+          FROM hd s CROSS JOIN nn0
+          JOIN hd d ON d.doc_id = (s.doc_id * 7 + 2) % nn0.n),
+        edges AS (
+          SELECT DISTINCT src_host AS src, dst_host AS dst
+          FROM pe WHERE src_host <> dst_host),
+        nodes AS (SELECT DISTINCT src AS node FROM edges
+                  UNION SELECT DISTINCT dst FROM edges),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        od AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+        ew AS (SELECT e.src, e.dst, od.od FROM edges e JOIN od USING (src)),
+        r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM nodes)
+        {_PR_HOST_ROUNDS}
+        SELECT node AS host, ROUND(r, 8) AS pagerank FROM r3
+    """.replace("{_PR_HOST_ROUNDS}", "".join(
+        f''',
+        r{i} AS (SELECT nd.node,
+                   0.15/(SELECT n FROM nn)
+                   + 0.85*COALESCE(SUM(r{i-1}.r/ew.od), 0) AS r
+                 FROM nodes nd
+                 LEFT JOIN ew ON ew.dst = nd.node
+                 LEFT JOIN r{i-1} ON r{i-1}.node = ew.src
+                 GROUP BY nd.node)'''
+        for i in range(1, 4))),
+})
