@@ -183,7 +183,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "recrawl_priority", "host_boilerplate", "head_metadata",
         "canonical_consolidate", "html_tables",
         "sitemap_parse", "feed_parse", "surt_keys", "cdx_lookup",
-        "frontier_schedule", "host_graph",
+        "frontier_schedule", "host_graph", "host_authority",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

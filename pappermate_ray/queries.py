@@ -8655,3 +8655,115 @@ ORACLE_SQL.update({
                  GROUP BY nd.node)'''
         for i in range(1, 4))),
 })
+
+
+def q_robots_parse(sf_dir: str):
+    """robots.txt parsing (stages/robots.parse_robots): per-doc planted
+    bodies exercise group accrual (two consecutive UA lines share one
+    group), comments, empty-value disallow, agent-null sitemap rows and
+    unknown-directive drops. DuckDB replants the expected rows from the
+    same doc-id arithmetic. Stateless map, zero exchanges."""
+    from .stages.robots import parse_robots
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def bodies(t: pa.Table) -> pa.Table:
+        hosts, bs = [], []
+        for i in t["doc_id"].to_pylist():
+            body = f"# robots for {i}\nUser-Agent: *\nDisallow: /p{i % 6}   # tail\n"
+            if i % 3 == 0:
+                body += (f"User-agent: GoodBot\nUser-agent: OtherBot\n"
+                         f"Disallow: /tmp{i % 4}\nAllow: /tmp{i % 4}/ok\n")
+            if i % 5 == 0:
+                body += f"Sitemap: https://r{i}.example/sm.xml\n"
+            body += "Crawl-delay: 5\n"
+            hosts.append(f"r{i}.example")
+            bs.append(body.encode("utf-8"))
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "body": pa.array(bs, pa.binary())})
+
+    out = parse_robots(docs.map_batches(bodies, batch_format="pyarrow"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": t["host"],
+            "agent": pc.fill_null(t["agent"], ""),
+            "directive": t["directive"], "value": t["value"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_robots_gate(sf_dir: str):
+    """Composed politeness pipeline: parse_robots over planted per-host
+    robots bodies → rules_for_agent('*') (own-group-beats-star
+    selection) → robots_filter over the messy-url crawl. Gates the
+    whole parse→select→filter loop; the SQL mirror rebuilds the
+    effective '*' rule set (specialbot's own group must NOT leak into
+    it) and re-applies the prefix rule."""
+    from .stages.robots import parse_robots, rules_for_agent
+    from .stages.urls import parse_urls, robots_filter
+
+    bodies = []
+    for j in range(53):
+        bodies.append({
+            "host": f"site{j}.com.br",
+            "body": b"User-agent: *\nDisallow: /p1\n"})
+        bodies.append({
+            "host": f"www.site{j}.example.com",
+            "body": (f"User-agent: SpecialBot\nDisallow: /\n"
+                     f"User-agent: *\nDisallow: /p{j % 3}\n"
+                     ).encode("utf-8")})
+    parsed = parse_robots(rd.from_items(bodies))
+    rules = rules_for_agent(parsed, "*")
+    pages = parse_urls(_messy_url_ds(sf_dir))
+    kept = robots_filter(pages, rules)
+    return kept.select_columns(["doc_id", "host", "path"])
+
+
+SQL_QUERIES.update({
+    "robots_parse": q_robots_parse,
+    "robots_gate": q_robots_gate,
+})
+ORACLE_SQL.update({
+    "robots_parse": """
+        WITH d AS (
+          SELECT doc_id AS i, CAST(doc_id AS VARCHAR) AS s FROM documents),
+        star AS (
+          SELECT 'r' || s || '.example' AS host, '*' AS agent,
+                 'disallow' AS directive, '/p' || (i % 6) AS value
+          FROM d),
+        bots AS (
+          SELECT 'r' || s || '.example' AS host, a.agent,
+                 dd.directive,
+                 CASE dd.directive WHEN 'disallow' THEN '/tmp' || (i % 4)
+                      ELSE '/tmp' || (i % 4) || '/ok' END AS value
+          FROM d,
+               UNNEST(['goodbot', 'otherbot']) AS a(agent),
+               UNNEST(['disallow', 'allow']) AS dd(directive)
+          WHERE i % 3 = 0),
+        sm AS (
+          SELECT 'r' || s || '.example' AS host, '' AS agent,
+                 'sitemap' AS directive,
+                 'https://r' || s || '.example/sm.xml' AS value
+          FROM d WHERE i % 5 = 0)
+        SELECT * FROM star
+        UNION ALL SELECT * FROM bots
+        UNION ALL SELECT * FROM sm
+    """,
+    "robots_gate": _MESSY_URL_CTE + """
+        , rules AS (
+          SELECT 'site' || CAST(j AS VARCHAR) || '.com.br' AS rhost,
+                 '/p1' AS prefix
+          FROM range(53) t(j)
+          UNION ALL
+          SELECT 'www.site' || CAST(j AS VARCHAR) || '.example.com',
+                 '/p' || CAST(j % 3 AS VARCHAR)
+          FROM range(53) t(j))
+        SELECT doc_id, host, path FROM hd
+        WHERE NOT EXISTS (
+          SELECT 1 FROM rules r
+          WHERE r.rhost = hd.host AND starts_with(hd.path, r.prefix))
+    """,
+})

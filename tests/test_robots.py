@@ -1,0 +1,67 @@
+"""robots.txt parsing (stages/robots.py) — contract pins: group
+accrual over consecutive UA lines, group close on directive,
+comments/blank lines, sitemap agent-null rows, case rules, headless
+directives drop, agent group selection (own beats *)."""
+
+from __future__ import annotations
+
+
+def _rows(body, host="h.example"):
+    import ray.data as rd
+
+    from pappermate_ray.stages.robots import parse_robots
+
+    out = parse_robots(rd.from_items([{"host": host, "body": body}]))
+    return [(r["agent"], r["directive"], r["value"])
+            for r in out.take_all()]
+
+
+def test_groups_and_directives(ray_session):
+    body = (b"# global rules\n"
+            b"User-Agent: *\n"
+            b"Disallow: /private/   # comment\n"
+            b"Allow: /private/ok\n"
+            b"\n"
+            b"User-agent: GoodBot\n"
+            b"user-agent: OtherBot\n"
+            b"Disallow: /tmp\n"
+            b"User-agent: LateBot\n"   # new group (after a directive)
+            b"Disallow:\n"
+            b"Sitemap: https://h.example/sm.xml\n"
+            b"Crawl-delay: 10\n")      # unknown directive: drops
+    assert _rows(body) == [
+        ("*", "disallow", "/private/"),
+        ("*", "allow", "/private/ok"),
+        ("goodbot", "disallow", "/tmp"),
+        ("otherbot", "disallow", "/tmp"),
+        ("latebot", "disallow", ""),
+        (None, "sitemap", "https://h.example/sm.xml"),
+    ]
+
+
+def test_headless_and_soft_fail(ray_session):
+    assert _rows(b"Disallow: /early\nUser-agent: *\nDisallow: /x\n") == \
+        [("*", "disallow", "/x")]
+    assert _rows(b"") == []
+    assert _rows(b"\xff\xfeUser-agent: *\nDisallow: /k\n") == \
+        [("*", "disallow", "/k")]
+
+
+def test_rules_for_agent_group_selection(ray_session):
+    import ray.data as rd
+
+    from pappermate_ray.stages.robots import parse_robots, rules_for_agent
+
+    bodies = [
+        {"host": "a.example",
+         "body": b"User-agent: *\nDisallow: /all\n"
+                 b"User-agent: mybot\nDisallow: /mine\nDisallow: /mine2\n"},
+        {"host": "b.example", "body": b"User-agent: *\nDisallow: /star\n"},
+    ]
+    parsed = parse_robots(rd.from_items(bodies))
+    got = sorted((r["host"], r["prefix"])
+                 for r in rules_for_agent(parsed, "MyBot").take_all())
+    # a.example: own group wins (star rules ignored); b.example: falls
+    # back to *
+    assert got == [("a.example", "/mine"), ("a.example", "/mine2"),
+                   ("b.example", "/star")]
