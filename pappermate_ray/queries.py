@@ -8205,6 +8205,13 @@ def q_sitemap_parse(sf_dir: str):
     doc-id arithmetic. Stateless streaming map, zero exchanges."""
     from .stages.sitemaps import parse_sitemaps
 
+    return parse_sitemaps(_sitemap_fixture_ds(sf_dir)) \
+        .map_batches(_sitemap_finish, batch_format="pyarrow")
+
+
+def _sitemap_fixture_ds(sf_dir: str):
+    """The planted sitemap corpus shared by q_sitemap_parse and
+    q_frontier_gap (see q_sitemap_parse's docstring for the layout)."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id"])
 
@@ -8235,18 +8242,17 @@ def q_sitemap_parse(sf_dir: str):
         return pa.table({"url": pa.array(urls, pa.string()),
                          "xml": pa.array(xmls, pa.binary())})
 
-    out = parse_sitemaps(docs.map_batches(pages, batch_format="pyarrow"))
+    return docs.map_batches(pages, batch_format="pyarrow")
 
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "sitemap_url": t["sitemap_url"], "kind": t["kind"],
-            "loc": t["loc"],
-            "lastmod": pc.fill_null(t["lastmod"], ""),
-            "changefreq": pc.fill_null(t["changefreq"], ""),
-            "priority": t["priority"],  # float nulls hash as blank on both sides
-        })
 
-    return out.map_batches(finish, batch_format="pyarrow")
+def _sitemap_finish(t: pa.Table) -> pa.Table:
+    return pa.table({
+        "sitemap_url": t["sitemap_url"], "kind": t["kind"],
+        "loc": t["loc"],
+        "lastmod": pc.fill_null(t["lastmod"], ""),
+        "changefreq": pc.fill_null(t["changefreq"], ""),
+        "priority": t["priority"],  # float nulls hash as blank on both sides
+    })
 
 
 SQL_QUERIES.update({"sitemap_parse": q_sitemap_parse})
@@ -8765,5 +8771,54 @@ ORACLE_SQL.update({
         WHERE NOT EXISTS (
           SELECT 1 FROM rules r
           WHERE r.rhost = hd.host AND starts_with(hd.path, r.prefix))
+    """,
+})
+
+
+def q_frontier_gap(sf_dir: str):
+    """Discovered-but-uncrawled frontier: sitemap url entries
+    (parse_sitemaps over the planted sitemap corpus) anti-joined
+    against the crawled set (even docs fetched pages k=0 and k=2) via
+    the armored distributed anti_join. The composition sitemap parse →
+    kind filter → anti-join is what a crawl scheduler runs daily."""
+    from .ops.joins import adaptive_partitions, anti_join
+    from .stages.sitemaps import parse_sitemaps
+
+    entries = parse_sitemaps(_sitemap_fixture_ds(sf_dir)).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "url")),
+        batch_format="pyarrow")
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def crawled(t: pa.Table) -> pa.Table:
+        locs = []
+        for i in t["doc_id"].to_pylist():
+            if i % 2 == 0 and i % 11 != 0:
+                for k in (0, 2):
+                    locs.append(f"https://s.example/{i}/{k}?a=1&b=2")
+        return pa.table({"loc": pa.array(locs, pa.string())})
+
+    seen = docs.map_batches(crawled, batch_format="pyarrow")
+    gap = anti_join(entries, seen, on="loc",
+                    num_partitions=adaptive_partitions(4096))
+    return gap.select_columns(["sitemap_url", "loc"])
+
+
+SQL_QUERIES.update({"frontier_gap": q_frontier_gap})
+ORACLE_SQL.update({
+    "frontier_gap": """
+        WITH d AS (
+          SELECT doc_id AS i, CAST(doc_id AS VARCHAR) AS s FROM documents),
+        urls AS (
+          SELECT 'https://s.example/sitemap/' || s || '.xml' AS sitemap_url,
+                 'https://s.example/' || s || '/' || k || '?a=1&b=2' AS loc
+          FROM d, UNNEST([0, 1, 2]) AS u(k) WHERE i % 11 <> 0),
+        crawled AS (
+          SELECT 'https://s.example/' || s || '/' || k || '?a=1&b=2' AS loc
+          FROM d, UNNEST([0, 2]) AS u(k)
+          WHERE i % 2 = 0 AND i % 11 <> 0)
+        SELECT sitemap_url, loc FROM urls
+        WHERE loc NOT IN (SELECT loc FROM crawled)
     """,
 })
