@@ -8822,3 +8822,60 @@ ORACLE_SQL.update({
         WHERE loc NOT IN (SELECT loc FROM crawled)
     """,
 })
+
+
+def q_url_traps(sf_dir: str):
+    """Crawl-trap detection (stages/urls.url_pattern_traps): digit runs
+    in the path collapse to 'N' and (host, pattern) pairs fanning out
+    to ≥2 distinct urls flag as traps. The messy fixture's /pK/pageI
+    paths all collapse to /pN/pageN per host, so counts mirror the
+    per-host doc distribution (2-3 per host at sf0.01 — the threshold
+    sits inside that band so the flag set is non-trivial; the
+    trap_filter gate uses 3 so rows actually drop). Two narrow
+    grouped exchanges."""
+    from .stages.urls import url_pattern_traps
+
+    return url_pattern_traps(_messy_url_ds(sf_dir), min_urls=2)
+
+
+def q_trap_filter(sf_dir: str):
+    """Composed trap hygiene: detect traps (≥8 distinct urls per
+    digit-collapsed pattern) then anti-join the frontier against them
+    via the armored distributed join — the daily frontier-cleaning
+    pass. SQL re-derives the trap set with NOT EXISTS."""
+    from .stages.urls import trap_filter, url_pattern_traps
+
+    pages = _messy_url_ds(sf_dir)
+    traps = url_pattern_traps(pages, min_urls=3)
+    return trap_filter(pages, traps).select_columns(["doc_id", "url"])
+
+
+SQL_QUERIES.update({
+    "url_traps": q_url_traps,
+    "trap_filter": q_trap_filter,
+})
+ORACLE_SQL.update({
+    "url_traps": _MESSY_URL_CTE + """
+        , pats AS (
+          SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g') AS pattern,
+                 url
+          FROM hd)
+        SELECT host, pattern,
+               CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls
+        FROM pats GROUP BY host, pattern
+        HAVING COUNT(DISTINCT url) >= 2
+    """,
+    "trap_filter": _MESSY_URL_CTE + """
+        , pats AS (
+          SELECT doc_id, url, host,
+                 regexp_replace(path, '[0-9]+', 'N', 'g') AS pattern
+          FROM hd),
+        traps AS (
+          SELECT host, pattern FROM pats
+          GROUP BY host, pattern HAVING COUNT(DISTINCT url) >= 3)
+        SELECT doc_id, url FROM pats p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM traps t
+          WHERE t.host = p.host AND t.pattern = p.pattern)
+    """,
+})

@@ -473,3 +473,72 @@ def robots_filter(
         num_partitions=num_partitions or adaptive_partitions(n_rules),
         right_schema=pa.schema([(id_col, id_t)]),
     )
+
+
+def url_pattern_traps(
+    ds,
+    url_col: str = "url",
+    min_urls: int = 100,
+):
+    """Crawl-trap detection: collapse every digit run in the path to
+    ``N`` and count DISTINCT urls per ``(host, pattern)`` — a calendar,
+    session-id or pagination trap shows up as one pattern fanning out
+    to unbounded urls (``/cal/N-N-N`` with 10^6 instances). Returns the
+    trap table ``(host, pattern, n_urls)`` for patterns with
+    ``n_urls >= min_urls``; feed it to ``trap_filter`` to drop the
+    trapped urls from a frontier.
+
+    Scale shape: one vectorized RE2 pass (decompose + digit collapse),
+    then the host_graph rollup idiom — distinct ``(host, pattern,
+    url)`` triples first, then the pattern rollup; two narrow grouped
+    exchanges, no joins, trap hosts are long runs inside partitions,
+    never per-key groups."""
+    from ray.data.aggregate import Count
+
+    def pat(t: pa.Table) -> pa.Table:
+        _, host, _, path, _, _ = _decompose(t[url_col])
+        pattern = pc.replace_substring_regex(path, r"[0-9]+", "N")
+        out = pa.table({"host": host, "pattern": pattern,
+                        "url": t[url_col]})
+        return out.filter(pc.is_valid(host))
+
+    tri = ds.map_batches(pat, batch_format="pyarrow")
+    per_url = tri.groupby(["host", "pattern", "url"]).aggregate(Count())
+    rolled = per_url.groupby(["host", "pattern"]).aggregate(Count())
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = pa.table({"host": t["host"], "pattern": t["pattern"],
+                        "n_urls": t["count()"]})
+        return out.filter(pc.greater_equal(out["n_urls"], min_urls))
+
+    return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+def trap_filter(
+    ds,
+    traps,
+    url_col: str = "url",
+    num_partitions: Optional[int] = None,
+):
+    """Drop urls whose (host, digit-collapsed pattern) is in the trap
+    table — the apply side of ``url_pattern_traps``. Distributed
+    anti-join on the pattern key (trap tables are aggregate-sized but
+    unbounded in principle — a flagged mega-host contributes ONE row,
+    so the exchange is narrow either way)."""
+    from ..ops.joins import anti_join
+
+    def keyed(t: pa.Table) -> pa.Table:
+        _, host, _, path, _, _ = _decompose(t[url_col])
+        pattern = pc.replace_substring_regex(path, r"[0-9]+", "N")
+        return (t.append_column("host", host)
+                 .append_column("pattern", pattern))
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+    # right_schema: the trap lineage ends in two aggregates — without
+    # the pinned schema the join armor's probe would execute them twice
+    kept = anti_join(keyed_ds, traps, on=["host", "pattern"],
+                     num_partitions=num_partitions,
+                     right_schema=pa.schema([
+                         ("host", pa.string()), ("pattern", pa.string()),
+                         ("n_urls", pa.int64())]))
+    return kept.drop_columns(["host", "pattern"])

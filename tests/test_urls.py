@@ -238,3 +238,25 @@ def test_frontier_schedule_politeness_bound(ray_session):
         assert seq == sorted(seq)
     # waves are dense per host: 14/13/13 rows over 3 hosts -> max wave 6
     assert max(r["wave"] for r in out) == 6
+
+
+def test_url_pattern_traps_and_filter(ray_session):
+    import ray.data as rd
+
+    from pappermate_ray.stages.urls import trap_filter, url_pattern_traps
+
+    rows = [{"url": f"https://trap.com/cal/2026-{i % 12}-{i % 28}"}
+            for i in range(50)]
+    rows += [{"url": f"https://ok.org/page{i}"} for i in range(3)]
+    rows.append({"url": "https://trap.com/cal/2026-1-1"})  # dup: counted once
+    rows.append({"url": "junk"})                           # unparsable: drops
+
+    traps = url_pattern_traps(rd.from_items(rows), min_urls=10)
+    got = traps.take_all()
+    assert [(r["host"], r["pattern"], r["n_urls"]) for r in got] == \
+        [("trap.com", "/cal/N-N-N", 50)]
+
+    kept = trap_filter(rd.from_items(rows), traps).take_all()
+    assert sorted({r["url"] for r in kept}) == \
+        ["https://ok.org/page0", "https://ok.org/page1",
+         "https://ok.org/page2", "junk"]
