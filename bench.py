@@ -184,6 +184,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "canonical_consolidate", "html_tables",
         "sitemap_parse", "feed_parse", "surt_keys", "cdx_lookup",
         "frontier_schedule", "host_graph", "host_authority",
+        "robots_parse", "robots_gate", "frontier_gap",
+        "url_traps", "trap_filter",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()
