@@ -8879,3 +8879,53 @@ ORACLE_SQL.update({
           WHERE t.host = p.host AND t.pattern = p.pattern)
     """,
 })
+
+
+def q_crawl_budget(sf_dir: str):
+    """Exact crawl-budget apportionment (ops/apportion.py
+    largest_remainder): split a 997-page fetch budget across
+    registered domains proportionally to their page counts, quotas
+    summing to the budget EXACTLY (Hamilton / largest-remainder). The
+    selection never sorts the domain table: a bucket histogram of the
+    remainders (≤4096 rows to the driver) pins the boundary bucket,
+    one filtered value-count inside it pins the cut remainder, and
+    ties at the cut resolve by key ascending — mirrored by the SQL
+    row_number() OVER (ORDER BY rem DESC, key) window. The messy-url
+    fixture's domain counts repeat heavily, so the tie path is
+    genuinely exercised."""
+    from .ops.apportion import largest_remainder
+    from .stages.urls import parse_urls
+
+    parsed = parse_urls(_messy_url_ds(sf_dir))
+    scores = parsed.groupby("registered_domain").count().map_batches(
+        lambda t: pa.table({
+            "registered_domain": t["registered_domain"],
+            "score": pc.cast(t["count()"], pa.int64()),
+        }),
+        batch_format="pyarrow")
+    return largest_remainder(scores, budget=997,
+                             key_col="registered_domain",
+                             score_col="score", out_col="quota")
+
+
+SQL_QUERIES.update({"crawl_budget": q_crawl_budget})
+ORACLE_SQL.update({
+    "crawl_budget": _MESSY_URL_CTE + """
+        , scores AS (
+          SELECT registered_domain, CAST(COUNT(*) AS BIGINT) AS score
+          FROM hd GROUP BY registered_domain),
+        tot AS (SELECT CAST(SUM(score) AS BIGINT) AS s FROM scores),
+        parts AS (
+          SELECT registered_domain, score,
+                 (997 * score) // s AS base,
+                 (997 * score) % s AS rem
+          FROM scores, tot),
+        rr AS (SELECT 997 - CAST(SUM(base) AS BIGINT) AS r FROM parts)
+        SELECT registered_domain, score,
+               CAST(base + CASE WHEN row_number() OVER
+                      (ORDER BY rem DESC, registered_domain)
+                      <= (SELECT r FROM rr)
+                    THEN 1 ELSE 0 END AS BIGINT) AS quota
+        FROM parts
+    """,
+})
