@@ -365,3 +365,70 @@ def split_assign(
         return t.append_column(out_col, pa.array(labels, pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def quota_head(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    sort_key: str,
+    quotas: "ray.data.Dataset",
+    quota_col: str = "quota",
+    broadcast_bound: int = 2_000_000,
+    npart=None,
+):
+    """Per-key VARIABLE-k head: keep the first ``quota[key]`` rows of
+    each key ordered by ``sort_key`` — the apply side of
+    ``ops/apportion.largest_remainder`` ("fetch exactly quota_h pages
+    of host h, best first"). Keys absent from the quota table keep 0
+    rows.
+
+    Hybrid small-side shape (the robots_filter pattern): quota tables
+    are key-level aggregates, so ≤ ``broadcast_bound`` rows they ship
+    ONCE via ``ray.put`` as a key→quota dict consulted inside the
+    grouped finisher; beyond the bound the quotas hash-join onto the
+    rows through the armored ``ops/joins.hash_join`` instead. Either
+    way the rows take ONE partition-grouped exchange and
+    rank-within-key is a Cython ``cumcount`` per PARTITION-sized group
+    (never per-key dispatch — ops/grouping.py contract)."""
+    from .grouping import partition_grouped
+
+    n_q = quotas.count()
+    if n_q <= broadcast_bound:
+        qmap = {r[key_col]: int(r[quota_col] or 0) for r in quotas.take_all()}
+        ref = ray.put(qmap)
+
+        def _head(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values([key_col, sort_key], kind="mergesort")
+            rank = g.groupby(key_col, sort=False, dropna=False).cumcount()
+            cap = (g[key_col].map(ray.get(ref)).fillna(0)
+                   .to_numpy(dtype="int64"))
+            return g[rank.to_numpy() < cap].drop(columns=["_pkey"])
+
+        pds, pcols = partition_grouped(ds, [key_col], npart)
+        return pds.groupby(pcols).map_groups(_head, batch_format="pandas")
+
+    # distributed tier: rank within key, then join the quota on
+    from .joins import adaptive_partitions, hash_join
+
+    def _rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, sort_key], kind="mergesort")
+        g["_rank"] = g.groupby(key_col, sort=False, dropna=False).cumcount()
+        return g.drop(columns=["_pkey"])
+
+    pds, pcols = partition_grouped(ds, [key_col], npart)
+    ranked = pds.groupby(pcols).map_groups(_rank, batch_format="pandas")
+    key_t = dict(zip(ds.schema().names, ds.schema().types))[key_col]
+    joined = hash_join(
+        ranked, quotas.select_columns([key_col, quota_col]), on=key_col,
+        num_partitions=npart or adaptive_partitions(n_q),
+        right_schema=pa.schema([(key_col, key_t),
+                                (quota_col, pa.int64())]),
+    )
+
+    def _apply(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.less(t["_rank"], pc.fill_null(t[quota_col], 0))
+        return t.filter(pc.fill_null(keep, False)) \
+                .drop_columns(["_rank", quota_col])
+
+    return joined.map_batches(_apply, batch_format="pyarrow")

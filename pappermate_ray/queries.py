@@ -8929,3 +8929,76 @@ ORACLE_SQL.update({
         FROM parts
     """,
 })
+
+
+def q_crawl_plan(sf_dir: str):
+    """Composed crawl-planning flagship (pipelines/crawl_plan.py):
+    parse → robots gate → trap hygiene → exact largest-remainder
+    budget split (200 pages) → per-domain quota head → politeness
+    waves (≤2 fetches per domain per wave). EXACTLY 200 rows out; the
+    single WITH-chain oracle re-derives every stage (NOT EXISTS robots
+    + trap anti-joins, the apportionment window, per-domain
+    row_number selection and wave arithmetic)."""
+    from .pipelines.crawl_plan import plan_crawl
+
+    return plan_crawl(_messy_url_ds(sf_dir), _robots_rules(),
+                      budget=200, per_wave=2, trap_min_urls=3)
+
+
+SQL_QUERIES.update({"crawl_plan": q_crawl_plan})
+ORACLE_SQL.update({
+    "crawl_plan": _MESSY_URL_CTE + """
+        , rules AS (
+          SELECT 'site' || CAST(i AS VARCHAR) || '.com.br' AS rhost,
+                 '/p1' AS prefix
+          FROM range(53) t(i)
+          UNION ALL
+          SELECT 'www.site' || CAST(i AS VARCHAR) || '.example.com',
+                 '/p' || CAST(i % 3 AS VARCHAR)
+          FROM range(53) t(i)),
+        gated AS (
+          SELECT doc_id, url, host, path, registered_domain FROM hd
+          WHERE NOT EXISTS (
+            SELECT 1 FROM rules r
+            WHERE r.rhost = hd.host AND starts_with(hd.path, r.prefix))),
+        pats AS (
+          SELECT doc_id, url, host, registered_domain,
+                 regexp_replace(path, '[0-9]+', 'N', 'g') AS pattern
+          FROM gated),
+        traps AS (
+          SELECT host, pattern FROM pats
+          GROUP BY host, pattern HAVING COUNT(DISTINCT url) >= 3),
+        clean AS (
+          SELECT doc_id, url, registered_domain FROM pats p
+          WHERE NOT EXISTS (
+            SELECT 1 FROM traps t
+            WHERE t.host = p.host AND t.pattern = p.pattern)),
+        scores AS (
+          SELECT registered_domain, CAST(COUNT(*) AS BIGINT) AS score
+          FROM clean GROUP BY registered_domain),
+        tot AS (SELECT CAST(SUM(score) AS BIGINT) AS s FROM scores),
+        parts AS (
+          SELECT registered_domain, score,
+                 (200 * score) // s AS base,
+                 (200 * score) % s AS rem
+          FROM scores, tot),
+        rr AS (SELECT 200 - CAST(SUM(base) AS BIGINT) AS r FROM parts),
+        quotas AS (
+          SELECT registered_domain,
+                 base + CASE WHEN row_number() OVER
+                          (ORDER BY rem DESC, registered_domain)
+                          <= (SELECT r FROM rr)
+                        THEN 1 ELSE 0 END AS quota
+          FROM parts),
+        ranked AS (
+          SELECT c.doc_id, c.url, c.registered_domain,
+                 row_number() OVER (PARTITION BY c.registered_domain
+                                    ORDER BY c.doc_id) - 1 AS rk,
+                 q.quota
+          FROM clean c JOIN quotas q USING (registered_domain))
+        SELECT doc_id, url, registered_domain,
+               CAST(rk // 2 AS BIGINT) AS wave,
+               CAST(rk % 2 AS BIGINT) AS slot
+        FROM ranked WHERE rk < quota
+    """,
+})
