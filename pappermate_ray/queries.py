@@ -9002,3 +9002,71 @@ ORACLE_SQL.update({
         FROM ranked WHERE rk < quota
     """,
 })
+
+
+def _robots_rules_rfc() -> list:
+    """Deterministic (host, prefix, allow) rules exercising every RFC
+    9309 precedence branch: a longer Allow carving pages back out of a
+    Disallow subtree, an equal-length Allow/Disallow tie (Allow wins),
+    and a plain Disallow with no override."""
+    rules = []
+    for k in range(53):
+        rules.append((f"site{k}.com.br", "/p1", False))
+        rules.append((f"site{k}.com.br", "/p1/page1", True))
+        rules.append((f"www.site{k}.example.com", f"/p{k % 3}", False))
+        rules.append((f"www.site{k}.example.com", f"/p{k % 3}/page2", True))
+        rules.append((f"site{k}.org", "/p4", False))
+        rules.append((f"site{k}.org", "/p4", True))
+        rules.append((f"site{k}.org", "/p5", False))
+    return rules
+
+
+def q_robots_precedence(sf_dir: str):
+    """RFC 9309 longest-match precedence gate (stages/urls.py
+    robots_filter_rfc): Allow rules carve pages back out of Disallow
+    subtrees, equal-length ties go to Allow, unmatched pages pass. One
+    integer-max fold (score = 2·len+allow, allowed iff best is odd),
+    mirrored by the SQL scalar-subquery MAX; the distributed join tier
+    is asserted identical in tests."""
+    from .stages.urls import parse_urls, robots_filter_rfc
+
+    pages = parse_urls(_messy_url_ds(sf_dir))
+    kept = robots_filter_rfc(pages, _robots_rules_rfc())
+    return kept.select_columns(["doc_id", "host", "path"])
+
+
+SQL_QUERIES.update({"robots_precedence": q_robots_precedence})
+ORACLE_SQL.update({
+    "robots_precedence": _MESSY_URL_CTE + """
+        , rules AS (
+          SELECT 'site' || CAST(i AS VARCHAR) || '.com.br' AS rhost,
+                 '/p1' AS prefix, FALSE AS allow
+          FROM range(53) t(i)
+          UNION ALL
+          SELECT 'site' || CAST(i AS VARCHAR) || '.com.br',
+                 '/p1/page1', TRUE FROM range(53) t(i)
+          UNION ALL
+          SELECT 'www.site' || CAST(i AS VARCHAR) || '.example.com',
+                 '/p' || CAST(i % 3 AS VARCHAR), FALSE FROM range(53) t(i)
+          UNION ALL
+          SELECT 'www.site' || CAST(i AS VARCHAR) || '.example.com',
+                 '/p' || CAST(i % 3 AS VARCHAR) || '/page2', TRUE
+          FROM range(53) t(i)
+          UNION ALL
+          SELECT 'site' || CAST(i AS VARCHAR) || '.org', '/p4', FALSE
+          FROM range(53) t(i)
+          UNION ALL
+          SELECT 'site' || CAST(i AS VARCHAR) || '.org', '/p4', TRUE
+          FROM range(53) t(i)
+          UNION ALL
+          SELECT 'site' || CAST(i AS VARCHAR) || '.org', '/p5', FALSE
+          FROM range(53) t(i))
+        SELECT doc_id, host, path FROM hd
+        WHERE COALESCE((
+          SELECT MAX(2 * length(r.prefix)
+                     + CASE WHEN r.allow THEN 1 ELSE 0 END)
+          FROM rules r
+          WHERE r.rhost = hd.host AND r.prefix <> ''
+            AND starts_with(hd.path, r.prefix)), 1) % 2 = 1
+    """,
+})

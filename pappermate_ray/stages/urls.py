@@ -38,6 +38,8 @@ Scale notes (100 TB design point):
 from __future__ import annotations
 
 import re
+
+import numpy as np
 from typing import List, Optional, Sequence
 
 import pandas as pd
@@ -542,3 +544,114 @@ def trap_filter(
                          ("host", pa.string()), ("pattern", pa.string()),
                          ("n_urls", pa.int64())]))
     return kept.drop_columns(["host", "pattern"])
+
+
+def robots_filter_rfc(
+    ds,
+    rules,
+    host_col: str = "host",
+    path_col: str = "path",
+    id_col: str = "doc_id",
+    broadcast_bound: int = 2_000_000,
+    num_partitions: Optional[int] = None,
+):
+    """RFC 9309 §2.3.2 precedence gate — the full-compliance upgrade of
+    ``robots_filter``: among ALL of a host's rules whose prefix matches
+    the page path, the LONGEST prefix wins; an equal-length tie goes to
+    Allow; a page with no matching rule is allowed. Empty-value rules
+    never match (an empty ``Disallow:`` means allow-all, per the
+    parse_robots contract).
+
+    ``rules`` is a Dataset (or list of ``(host, prefix, allow)``
+    tuples) with columns ``(host, prefix, allow:bool)`` — exactly what
+    ``stages/robots.parse_robots`` emits once allow rows are kept.
+
+    The precedence fold is one integer max: score a matching rule
+    ``2·len(prefix) + allow`` (longer beats shorter; the +1 gives
+    Allow the equal-length win) and a page is allowed iff its BEST
+    score is odd — no-match rows default to score 1 (odd, allowed;
+    unreachable by a real rule, whose score is ≥ 2).
+
+    Same hybrid tiers as ``robots_filter``: rules ≤ bound broadcast
+    once via ``ray.put`` (zero exchange; one vectorized starts_with
+    per (host-present, rule) pair); beyond it a narrow (id, host,
+    path)×rules hash join on the host, a per-row vectorized score, one
+    Max groupby on the id, and a distributed anti-join of the
+    even-best ids back onto the pages — payloads never enter any
+    exchange."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from ..ops.joins import adaptive_partitions, anti_join, hash_join
+
+    if not isinstance(rules, rd.Dataset):
+        rules = rd.from_items(
+            [{"host": h, "prefix": p, "allow": bool(a)} for h, p, a in rules])
+    n_rules = rules.count()
+
+    def _scores(host: pa.Array, path: pa.Array, rm: dict) -> np.ndarray:
+        best = np.ones(len(host), np.int64)
+        for h in pc.unique(host).to_pylist():
+            for prefix, allow in rm.get(h, ()):
+                hit = pc.and_(pc.equal(host, h),
+                              pc.starts_with(path, prefix))
+                m = pc.fill_null(hit, False).to_numpy(zero_copy_only=False)
+                np.maximum(best, np.where(m, 2 * len(prefix) + int(allow), 1),
+                           out=best)
+        return best
+
+    if n_rules <= broadcast_bound:
+        rulemap: dict = {}
+        for r in rules.take_all():
+            if r["prefix"]:
+                rulemap.setdefault(r["host"], []).append(
+                    (r["prefix"], bool(r["allow"])))
+        ref = ray.put(rulemap)
+
+        def _gate(t: pa.Table) -> pa.Table:
+            best = _scores(pc.cast(t[host_col], pa.string()),
+                           pc.cast(t[path_col], pa.string()), ray.get(ref))
+            return t.filter(pa.array(best % 2 == 1))
+
+        return ds.map_batches(_gate, batch_format="pyarrow")
+
+    # distributed tier: verdicts fold through one Max groupby on the id
+    narrow = ds.select_columns([id_col, host_col, path_col])
+    id_t = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    joined = hash_join(
+        narrow, rules, on=host_col, right_on="host",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([(id_col, id_t), (host_col, pa.string()),
+                               (path_col, pa.string())]),
+        right_schema=pa.schema([("host", pa.string()),
+                                ("prefix", pa.string()),
+                                ("allow", pa.bool_())]),
+    )
+
+    def _score_rows(t: pa.Table) -> pa.Table:
+        path = pc.cast(t[path_col], pa.string())
+        prefix = pc.cast(t["prefix"], pa.string())
+        allow = pc.fill_null(t["allow"], False).to_numpy(zero_copy_only=False)
+        score = np.ones(t.num_rows, np.int64)
+        for p in pc.unique(prefix).to_pylist():
+            if not p:
+                continue
+            m = pc.and_(pc.equal(prefix, p), pc.starts_with(path, p))
+            m = pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+            score = np.where(m, 2 * len(p) + allow.astype(np.int64), score)
+        return pa.table({id_col: t[id_col],
+                         "score": pa.array(score, pa.int64())})
+
+    best = (joined.map_batches(_score_rows, batch_format="pyarrow")
+            .groupby(id_col).aggregate(Max("score", alias_name="best")))
+    violators = best.map_batches(
+        lambda t: t.filter(pa.array(
+            t["best"].to_numpy(zero_copy_only=False) % 2 == 0))
+        .select([id_col]),
+        batch_format="pyarrow")
+    return anti_join(
+        ds, violators, on=id_col,
+        num_partitions=num_partitions or adaptive_partitions(n_rules),
+        right_schema=pa.schema([(id_col, id_t)]),
+    )

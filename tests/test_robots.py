@@ -65,3 +65,51 @@ def test_rules_for_agent_group_selection(ray_session):
     # back to *
     assert got == [("a.example", "/mine"), ("a.example", "/mine2"),
                    ("b.example", "/star")]
+
+
+def _gate_pages():
+    import pyarrow as pa
+    import ray.data as rd
+
+    rows = [
+        (1, "a.com", "/p1/x"),        # disallow /p1
+        (2, "a.com", "/p1/ok/deep"),  # allow /p1/ok (longer) wins
+        (3, "a.com", "/p2"),          # tie /p2: allow wins
+        (4, "a.com", "/free"),        # no rule matches
+        (5, "b.com", "/p1/x"),        # no rules for host at all
+        (6, "a.com", "/p1"),          # exact disallow prefix
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "host": pa.array([r[1] for r in rows], pa.string()),
+        "path": pa.array([r[2] for r in rows], pa.string()),
+    })
+    rules = [
+        ("a.com", "/p1", False),
+        ("a.com", "/p1/ok", True),
+        ("a.com", "/p2", False),
+        ("a.com", "/p2", True),
+        ("a.com", "", False),   # empty value: never matches
+    ]
+    return rd.from_arrow(t).repartition(3), rules
+
+
+def test_rfc_precedence_semantics(ray_session):
+    from pappermate_ray.stages.urls import robots_filter_rfc
+
+    pages, rules = _gate_pages()
+    kept = sorted(r["doc_id"]
+                  for r in robots_filter_rfc(pages, rules).take_all())
+    assert kept == [2, 3, 4, 5]
+
+
+def test_rfc_tiers_identical(ray_session):
+    from pappermate_ray.stages.urls import robots_filter_rfc
+
+    pages, rules = _gate_pages()
+    bcast = sorted(r["doc_id"]
+                   for r in robots_filter_rfc(pages, rules).take_all())
+    joined = sorted(r["doc_id"]
+                    for r in robots_filter_rfc(
+                        pages, rules, broadcast_bound=0).take_all())
+    assert bcast == joined == [2, 3, 4, 5]
