@@ -9070,3 +9070,50 @@ ORACLE_SQL.update({
             AND starts_with(hd.path, r.prefix)), 1) % 2 = 1
     """,
 })
+
+
+def q_shard_rebalance(sf_dir: str):
+    """Rendezvous-hash ownership rebalance (ops/rendezvous.py): HRW
+    owners of every url over a 4-node fleet and again after adding a
+    5th, with the per-key moved flag — minimal-movement placement
+    (only keys the new node wins move; asserted in tests). One
+    streaming pass, zero exchange; the SQL mirror recomputes both
+    argmax windows from the same md5-UBIGINT weights."""
+    from .ops.rendezvous import rendezvous_rebalance
+
+    old = [f"node{i}" for i in range(4)]
+    out = rendezvous_rebalance(_messy_url_ds(sf_dir), old,
+                               old + ["node4"], key_col="url")
+    return out.select_columns(["url", "old_owner", "new_owner", "moved"])
+
+
+SQL_QUERIES.update({"shard_rebalance": q_shard_rebalance})
+ORACLE_SQL.update({
+    "shard_rebalance": _MESSY_URL_CTE + """
+        , nodes_old AS (
+          SELECT 'node' || CAST(i AS VARCHAR) AS node FROM range(4) t(i)),
+        nodes_new AS (
+          SELECT 'node' || CAST(i AS VARCHAR) AS node FROM range(5) t(i)),
+        oo AS (
+          SELECT url, node AS old_owner FROM (
+            SELECT hd.url, n.node,
+                   row_number() OVER (PARTITION BY hd.url ORDER BY
+                     CAST(concat('0x',
+                          substr(md5(hd.url || '|' || n.node), 1, 16))
+                          AS UBIGINT) DESC,
+                     n.node) AS rn
+            FROM hd CROSS JOIN nodes_old n) WHERE rn = 1),
+        nn AS (
+          SELECT url, node AS new_owner FROM (
+            SELECT hd.url, n.node,
+                   row_number() OVER (PARTITION BY hd.url ORDER BY
+                     CAST(concat('0x',
+                          substr(md5(hd.url || '|' || n.node), 1, 16))
+                          AS UBIGINT) DESC,
+                     n.node) AS rn
+            FROM hd CROSS JOIN nodes_new n) WHERE rn = 1)
+        SELECT o.url, o.old_owner, n.new_owner,
+               o.old_owner <> n.new_owner AS moved
+        FROM oo o JOIN nn n USING (url)
+    """,
+})
