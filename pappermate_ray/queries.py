@@ -9117,3 +9117,83 @@ ORACLE_SQL.update({
         FROM oo o JOIN nn n USING (url)
     """,
 })
+
+
+def _zorder_layout_cached(sf_dir: str):
+    """Z-ordered (x, y) point layout for the zorder gate: 16 z-sorted
+    range files + manifest, cached under a FIXTURES_VERSION-keyed /tmp
+    dir (the _tmp_cache pattern). Points are doc-id arithmetic both
+    engines reconstruct."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from .ops.zorder import zorder_export
+
+    out = _tmp_cache("zorder", sf_dir)
+    mpath = os.path.join(out, "manifest.parquet")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+
+        def pts(t: pa.Table) -> pa.Table:
+            i = pc.cast(t["doc_id"], pa.int64())
+            return pa.table({
+                "doc_id": i,
+                "x": _pc_mod(pc.multiply(i, pa.scalar(13, pa.int64())), 128),
+                "y": _pc_mod(pc.multiply(i, pa.scalar(29, pa.int64())), 128),
+            })
+
+        manifest = zorder_export(ds.map_batches(pts, batch_format="pyarrow"),
+                                 "x", "y", out, partitions=16)
+        batches = list(manifest.iter_batches(batch_size=65536,
+                                             batch_format="pyarrow"))
+        _pq.write_table(pa.concat_tables(batches), mpath)
+        with open(os.path.join(out, "_SUCCESS"), "w"):
+            pass
+    return _pq.read_table(mpath).to_pylist(), out
+
+
+def q_zorder_scan_check(sf_dir: str):
+    """Z-order clustered layout + box scan (ops/zorder.py): Morton-
+    interleave (x, y) doc-id points, export via the rangesort layout,
+    then answer the box query x∈[16,47] × y∈[32,95] by ONE z-interval
+    manifest prune + a vectorized trim of the curve's excursions. The
+    oracle recomputes the 5-step bit spread with DuckDB's native
+    <<//&/| operators — the z KEY is value-gated bit for bit, so a
+    wrong interleave, a lossy export or an over-eager prune all
+    mismatch. File-level pruning effectiveness is pinned in tests."""
+    from .ops.zorder import zorder_box_scan
+
+    manifest, _ = _zorder_layout_cached(sf_dir)
+    out = zorder_box_scan(manifest, (16, 47), (32, 95), "x", "y")
+    return out.select_columns(["doc_id", "x", "y", "zkey"])
+
+
+SQL_QUERIES.update({"zorder_scan_check": q_zorder_scan_check})
+ORACLE_SQL.update({
+    "zorder_scan_check": """
+        WITH pts AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST((doc_id * 13) % 128 AS BIGINT) AS x,
+                 CAST((doc_id * 29) % 128 AS BIGINT) AS y
+          FROM documents),
+        s1 AS (SELECT doc_id, x, y,
+                 (x | (x << 16)) & 281470681808895 AS a,
+                 (y | (y << 16)) & 281470681808895 AS b FROM pts),
+        s2 AS (SELECT doc_id, x, y,
+                 (a | (a << 8)) & 71777214294589695 AS a,
+                 (b | (b << 8)) & 71777214294589695 AS b FROM s1),
+        s3 AS (SELECT doc_id, x, y,
+                 (a | (a << 4)) & 1085102592571150095 AS a,
+                 (b | (b << 4)) & 1085102592571150095 AS b FROM s2),
+        s4 AS (SELECT doc_id, x, y,
+                 (a | (a << 2)) & 3689348814741910323 AS a,
+                 (b | (b << 2)) & 3689348814741910323 AS b FROM s3),
+        s5 AS (SELECT doc_id, x, y,
+                 (a | (a << 1)) & 6148914691236517205 AS a,
+                 (b | (b << 1)) & 6148914691236517205 AS b FROM s4)
+        SELECT doc_id, x, y, 2 * a + b AS zkey FROM s5
+        WHERE x BETWEEN 16 AND 47 AND y BETWEEN 32 AND 95
+    """,
+})
