@@ -186,6 +186,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "frontier_schedule", "host_graph", "host_authority",
         "robots_parse", "robots_gate", "frontier_gap",
         "url_traps", "trap_filter",
+        "crawl_budget", "crawl_plan", "robots_precedence",
+        "shard_rebalance", "zorder_scan_check",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()
