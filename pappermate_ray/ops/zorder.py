@@ -92,6 +92,22 @@ def add_zkey(
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
+def zorder_edges(
+    ds: "rd.Dataset",
+    x_col: str,
+    y_col: str,
+    partitions: int = 16,
+    sample_mod: Optional[int] = None,
+    zkey_col: str = "zkey",
+) -> List[int]:
+    """Range edges over the Morton key (persist them to pin the layout
+    intervals across incremental merges — the rangesort edges rule)."""
+    from .rangesort import range_edges
+
+    return range_edges(add_zkey(ds, x_col, y_col, zkey_col), zkey_col,
+                       partitions, sample_mod)
+
+
 def zorder_export(
     ds: "rd.Dataset",
     x_col: str,
@@ -100,15 +116,39 @@ def zorder_export(
     partitions: int = 16,
     sample_mod: Optional[int] = None,
     zkey_col: str = "zkey",
+    edges: Optional[List] = None,
 ) -> "rd.Dataset":
     """Z-cluster ``ds`` on (x_col, y_col) into a range-sorted layout on
     the Morton key; returns the rangesort manifest (whose
-    key_min/key_max are z values)."""
+    key_min/key_max are z values). Pass persisted ``edges`` to pin the
+    intervals (required if the layout will take incremental merges)."""
     from .rangesort import range_sorted_export
 
     keyed = add_zkey(ds, x_col, y_col, zkey_col)
     return range_sorted_export(keyed, zkey_col, out_dir,
-                               partitions=partitions, sample_mod=sample_mod)
+                               partitions=partitions, sample_mod=sample_mod,
+                               edges=edges)
+
+
+def zorder_merge(
+    base_manifest: List[dict],
+    edges,
+    increment: "rd.Dataset",
+    x_col: str,
+    y_col: str,
+    out_dir: str,
+    zkey_col: str = "zkey",
+) -> "rd.Dataset":
+    """LSM-fold a crawl increment into an existing z layout: key the
+    increment, then ``ops/rangesort.merge_sorted_layout`` does the
+    rest — only the z ranges the increment's points land in are
+    rewritten; the clustered base is never re-sorted. Daily z-clustered
+    ingest for the CDX-style store."""
+    from .rangesort import merge_sorted_layout
+
+    keyed = add_zkey(increment, x_col, y_col, zkey_col)
+    return merge_sorted_layout(base_manifest, edges, keyed, zkey_col,
+                               out_dir)
 
 
 def zbox_interval(x_range: Tuple[int, int],

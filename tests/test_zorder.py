@@ -74,3 +74,37 @@ def test_null_coords_dropped(ray_session, tmp_path):
     manifest = zorder_export(rd.from_arrow(t), "x", "y",
                              str(tmp_path / "l2"), partitions=2).take_all()
     assert sum(r["n_rows"] for r in manifest) == 1
+
+
+def test_incremental_merge_preserves_scan(ray_session, tmp_path):
+    # base layout from even ids, increment = odd ids; after the fold a
+    # box scan over the merged manifest equals brute force on the union
+    from pappermate_ray.ops.zorder import zorder_edges, zorder_merge
+
+    t = _grid(2048)
+    even = t.filter(pa.compute.equal(
+        pa.compute.bit_wise_and(t["doc_id"], 1), 0))
+    odd = t.filter(pa.compute.equal(
+        pa.compute.bit_wise_and(t["doc_id"], 1), 1))
+    edges = zorder_edges(rd.from_arrow(t), "x", "y", partitions=8)
+    base = zorder_export(rd.from_arrow(even), "x", "y",
+                         str(tmp_path / "base"), edges=edges).take_all()
+    merged = zorder_merge(base, edges, rd.from_arrow(odd), "x", "y",
+                          str(tmp_path / "delta")).take_all()
+    box = ((8, 39), (16, 55))
+    got = sorted(r["doc_id"] for r in
+                 zorder_box_scan(merged, *box, "x", "y").take_all())
+    x = t["x"].to_numpy()
+    y = t["y"].to_numpy()
+    want = sorted(t["doc_id"].to_numpy()[
+        (x >= 8) & (x <= 39) & (y >= 16) & (y <= 55)].tolist())
+    assert got == want and len(got) > 0
+    # untouched base ranges keep their original files
+    base_paths = {r["range_id"]: r["path"] for r in base}
+    merged_paths = {r["range_id"]: r["path"] for r in merged}
+    untouched = [rid for rid in base_paths
+                 if merged_paths.get(rid) == base_paths[rid]]
+    rewritten = [rid for rid in merged_paths
+                 if "delta" in merged_paths[rid]]
+    assert rewritten  # the increment touched some ranges
+    assert len(untouched) + len(rewritten) >= len(merged_paths)
