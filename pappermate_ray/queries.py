@@ -8941,8 +8941,11 @@ def q_crawl_plan(sf_dir: str):
     row_number selection and wave arithmetic)."""
     from .pipelines.crawl_plan import plan_crawl
 
+    # npart=8: the frontier here is corpus-table-sized, so partition
+    # the chain's exchanges for the input, not the cluster (the
+    # host_quality adaptive-partitions rule)
     return plan_crawl(_messy_url_ds(sf_dir), _robots_rules(),
-                      budget=200, per_wave=2, trap_min_urls=3)
+                      budget=200, per_wave=2, trap_min_urls=3, npart=8)
 
 
 SQL_QUERIES.update({"crawl_plan": q_crawl_plan})

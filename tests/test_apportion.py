@@ -36,19 +36,21 @@ def _run(scores, budget, blocks=1, **kw):
 
 
 def test_matches_bruteforce_and_exact_total(ray_session):
-    # skewed scores with heavy remainder ties (many equal scores)
+    # skewed scores with heavy remainder ties (many equal scores);
+    # BOTH selection paths (driver fast path / distributed histogram)
     scores = {f"h{i:03d}": (i % 7) + 1 for i in range(200)}
     scores["hot.example"] = 5000
     for budget in (1, 37, 997, 10_000):
-        got = _run(scores, budget)
-        assert got == _hamilton(scores, budget)
-        assert sum(got.values()) == budget
+        for bound in (1_000_000, 0):
+            got = _run(scores, budget, driver_bound=bound)
+            assert got == _hamilton(scores, budget)
+            assert sum(got.values()) == budget
 
 
 def test_block_count_invariant(ray_session):
     scores = {f"h{i:03d}": (i * 13) % 29 + 1 for i in range(500)}
     one = _run(scores, 1234, blocks=1)
-    many = _run(scores, 1234, blocks=17, n_buckets=8)
+    many = _run(scores, 1234, blocks=17, n_buckets=8, driver_bound=0)
     assert one == many == _hamilton(scores, 1234)
 
 
@@ -71,10 +73,13 @@ def test_null_scores_dropped_and_guards(ray_session):
     # deterministic tie-break: equal scores, key ascending wins the +1
     assert got == {"a": 4, "c": 3}
 
-    with pytest.raises(ValueError, match="non-negative"):
-        largest_remainder(_ds({"a": -1, "b": 2}), 5).take_all()
-    with pytest.raises(ValueError, match="total score"):
-        largest_remainder(_ds({"a": 0, "b": 0}), 5).take_all()
+    for bound in (1_000_000, 0):
+        with pytest.raises(ValueError, match="non-negative"):
+            largest_remainder(_ds({"a": -1, "b": 2}), 5,
+                              driver_bound=bound).take_all()
+        with pytest.raises(ValueError, match="total score"):
+            largest_remainder(_ds({"a": 0, "b": 0}), 5,
+                              driver_bound=bound).take_all()
 
 
 def test_custom_columns(ray_session):
