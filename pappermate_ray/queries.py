@@ -9200,3 +9200,104 @@ ORACLE_SQL.update({
         WHERE x BETWEEN 16 AND 47 AND y BETWEEN 32 AND 95
     """,
 })
+
+
+# --------------------------------------------------------------------------
+# Greedy subset selection (stages/select.py): MMR diverse top-k + k-center
+# coreset. Both are sequential-greedy chains, so the oracle UNROLLS the k
+# steps into CTEs (the pagerank unrolled-iteration pattern): step i scores
+# every unpicked row against the UNION of picks 1..i-1 and takes the
+# score-desc / id-asc argmax — a wrong fold, a missed exclusion or an
+# unstable tie-break all mismatch on the very first divergent pick.
+# --------------------------------------------------------------------------
+
+_SELECT_K = 8
+_SELECT_LAM = 0.7
+
+
+def q_mmr_select(sf_dir: str, k: int = _SELECT_K, lam: float = _SELECT_LAM):
+    """Maximal-Marginal-Relevance diverse top-k over the embeddings table
+    (query = vec 0's embedding, which is excluded from candidacy).
+    Zero-shuffle k-scan greedy: see stages/select.py."""
+    import pyarrow.parquet as _pq
+
+    from .stages.select import mmr_select
+
+    qt = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "=", 0)])
+    qv = np.array(qt["embedding"].to_pylist(), dtype=np.float64)[0]
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = mmr_select(ds, qv, k=k, lam=lam, exclude_ids=[0])
+    return out.select(["rank", "vec_id"])
+
+
+def q_kcenter_select(sf_dir: str, k: int = _SELECT_K):
+    """Greedy farthest-point (k-center) traversal over the embeddings
+    table, seeded at the smallest vec_id. Same k-scan mechanism."""
+    from .stages.select import kcenter_select
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = kcenter_select(ds, k=k)
+    return out.select(["rank", "vec_id"])
+
+
+def _greedy_select_sql(mode: str, k: int = _SELECT_K,
+                       lam: float = _SELECT_LAM) -> str:
+    """Unrolled k-step greedy chain as a WITH-CTE string. Every CTE is
+    MATERIALIZED: DuckDB inlines plain CTEs, and a chain where s_i
+    references s_{i-1} and p_{i-1} re-expands exponentially (measured:
+    ~3 min at k=8 inlined, <1 s materialized)."""
+    parts = ["WITH e AS MATERIALIZED (SELECT vec_id, "
+             "CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    if mode == "mmr":
+        parts.append(
+            "q AS MATERIALIZED (SELECT v FROM e WHERE vec_id = 0)")
+        parts.append(
+            "rel AS MATERIALIZED (SELECT vec_id, v, "
+            "list_cosine_similarity(v, (SELECT v FROM q)) AS rel "
+            "FROM e WHERE vec_id <> 0)")
+        parts.append(
+            f"p1 AS MATERIALIZED (SELECT vec_id, v FROM rel "
+            f"ORDER BY {lam} * rel DESC, vec_id LIMIT 1)")
+        cand = "rel"
+    else:
+        parts.append(
+            "p1 AS MATERIALIZED (SELECT vec_id, v FROM e "
+            "WHERE vec_id = (SELECT MIN(vec_id) FROM e))")
+        cand = "e"
+    parts.append("s1 AS MATERIALIZED (SELECT vec_id, v FROM p1)")
+    for i in range(2, k + 1):
+        if mode == "mmr":
+            score = (f"{lam} * r.rel - {round(1.0 - lam, 12)} * "
+                     "MAX(list_cosine_similarity(r.v, s.v))")
+            grp = "GROUP BY r.vec_id, r.rel"
+        else:
+            score = "MIN(1 - list_cosine_similarity(r.v, s.v))"
+            grp = "GROUP BY r.vec_id"
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT r.vec_id, {score} AS score "
+            f"FROM {cand} r CROSS JOIN s{i-1} s "
+            f"WHERE r.vec_id NOT IN (SELECT vec_id FROM s{i-1}) {grp})")
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT e.vec_id, e.v FROM c{i} JOIN e USING (vec_id) "
+            f"ORDER BY c{i}.score DESC, c{i}.vec_id LIMIT 1)")
+        if i < k:
+            parts.append(
+                f"s{i} AS MATERIALIZED (SELECT * FROM s{i-1} "
+                f"UNION ALL SELECT vec_id, v FROM p{i})")
+    sel = " UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id FROM p{i}" for i in range(1, k + 1))
+    return ",\n".join(parts) + f"\nSELECT * FROM ({sel}) ORDER BY rank"
+
+
+SQL_QUERIES.update({
+    "mmr_select": q_mmr_select,
+    "kcenter_select": q_kcenter_select,
+})
+ORACLE_SQL.update({
+    "mmr_select": _greedy_select_sql("mmr"),
+    "kcenter_select": _greedy_select_sql("kcenter"),
+})

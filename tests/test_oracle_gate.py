@@ -44,6 +44,9 @@ FAST_QUERIES = [
     "pattern_probe_check",
     # round-4 continuation: co-partitioned bucketed merge join
     "layout_join_check", "url_layout_check",
+    # round-4 continuation: greedy subset selection (unrolled-CTE chains —
+    # the sf0.001 geometry is the one that caught the clamped-maxsim bug)
+    "mmr_select", "kcenter_select",
 ]
 
 
