@@ -60,6 +60,12 @@ def plan_crawl(
     import pyarrow.compute as pc
 
     parsed = parse_urls(pages, url_col=url_col)
+    # real frontiers contain non-URL garbage: parse_urls gives those rows a
+    # NULL registered_domain, which (a) can never be fetched and (b) would
+    # crash every downstream groupby on the nullable string key (the
+    # documented Ray 2.49 null-key sort bug) — drop them at the door
+    parsed = parsed.map_batches(
+        lambda t: t.filter(pc.is_valid(t[key_col])), batch_format="pyarrow")
     gated = robots_filter(parsed, rules, num_partitions=npart)
     # trap stage re-derives host/pattern from the url itself — feed it
     # the narrow (id, url) projection so its appended keys can't

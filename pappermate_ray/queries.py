@@ -8532,15 +8532,11 @@ ORACLE_SQL.update({
 })
 
 
-def q_host_graph(sf_dir: str):
-    """Host-level web-graph rollup (stages/links.host_graph): page
-    edges planted by doc-id arithmetic over the messy-url fixture
-    (each page links to docs (3i+1)%n and (7i+2)%n), rolled to
-    (src_host, dst_host, n_links, n_src_pages-distinct) with
-    intra-host navigation edges dropped. Two narrow grouped
-    exchanges, no joins."""
-    from .stages.links import host_graph
-
+def _host_edges_ds(sf_dir: str):
+    """Planted page-level link edges shared by q_host_graph and
+    q_host_authority (the _sitemap_fixture_ds pattern): each doc links
+    to docs (3i+1)%n and (7i+2)%n over the messy-url corpus. ONE
+    builder so the two oracles can never silently desynchronize."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id"])
     n = docs.count()
@@ -8555,8 +8551,17 @@ def q_host_graph(sf_dir: str):
         return pa.table({"src_url": pa.array(src, pa.string()),
                          "dst_url": pa.array(dst, pa.string())})
 
-    e = docs.map_batches(edges, batch_format="pyarrow")
-    return host_graph(e)
+    return docs.map_batches(edges, batch_format="pyarrow")
+
+
+def q_host_graph(sf_dir: str):
+    """Host-level web-graph rollup (stages/links.host_graph): planted
+    page edges (_host_edges_ds) rolled to (src_host, dst_host, n_links,
+    n_src_pages-distinct) with intra-host navigation edges dropped.
+    Two narrow grouped exchanges, no joins."""
+    from .stages.links import host_graph
+
+    return host_graph(_host_edges_ds(sf_dir))
 
 
 SQL_QUERIES.update({"host_graph": q_host_graph})
@@ -8593,23 +8598,9 @@ def q_host_authority(sf_dir: str):
     from .ops.pagerank import pagerank_auto
     from .stages.links import host_graph
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id"])
-    n = docs.count()
-
-    def edges(t: pa.Table) -> pa.Table:
-        src, dst = [], []
-        for i in t["doc_id"].to_pylist():
-            u = _messy_url(i)
-            for d in ((i * 3 + 1) % n, (i * 7 + 2) % n):
-                src.append(u)
-                dst.append(_messy_url(d))
-        return pa.table({"src_url": pa.array(src, pa.string()),
-                         "dst_url": pa.array(dst, pa.string())})
-
     # host-pair table is aggregate-sized (hosts^2 sparse); pin it — it
     # has three consumers (two node-side scans + the rank lineage)
-    g = host_graph(docs.map_batches(edges, batch_format="pyarrow")) \
+    g = host_graph(_host_edges_ds(sf_dir)) \
         .select_columns(["src_host", "dst_host"]).materialize()
 
     def side(col: str):
@@ -9261,7 +9252,7 @@ def _greedy_select_sql(mode: str, k: int = _SELECT_K,
             "FROM e WHERE vec_id <> 0)")
         parts.append(
             f"p1 AS MATERIALIZED (SELECT vec_id, v FROM rel "
-            f"ORDER BY {lam} * rel DESC, vec_id LIMIT 1)")
+            f"ORDER BY {lam!r} * rel DESC, vec_id LIMIT 1)")
         cand = "rel"
     else:
         parts.append(
@@ -9271,7 +9262,11 @@ def _greedy_select_sql(mode: str, k: int = _SELECT_K,
     parts.append("s1 AS MATERIALIZED (SELECT vec_id, v FROM p1)")
     for i in range(2, k + 1):
         if mode == "mmr":
-            score = (f"{lam} * r.rel - {round(1.0 - lam, 12)} * "
+            # repr() of the RUNTIME coefficient: the Ray fold multiplies
+            # by (1.0 - lam) = 0.30000000000000004 at lam=0.7, and a
+            # rounded 0.3 literal is 1 ulp away — enough to flip an
+            # argmax between near-tied candidates and desync the chain
+            score = (f"{lam!r} * r.rel - {(1.0 - lam)!r} * "
                      "MAX(list_cosine_similarity(r.v, s.v))")
             grp = "GROUP BY r.vec_id, r.rel"
         else:

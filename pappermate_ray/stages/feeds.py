@@ -34,6 +34,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..functions.markup import unescape_xml
+
 _ITEM_RE = re.compile(r"<(item|entry)[\s>](.*?)</\1\s*>",
                       re.IGNORECASE | re.DOTALL)
 _KIND = {"item": "rss", "entry": "atom"}
@@ -50,13 +52,15 @@ _TEXT_RES = {
     "updated": re.compile(r"<updated\s*>(.*?)</updated\s*>",
                           re.IGNORECASE | re.DOTALL),
 }
-_HREF_RE = re.compile(r"<link[^>]*?href\s*=\s*\"([^\"]*)\"",
+# either XML quote style is legal for href (single-quoted Atom links are
+# common in the wild — a double-quote-only pattern silently drops entries)
+_HREF_RE = re.compile(r"<link[^>]*?href\s*=\s*(\"([^\"]*)\"|'([^']*)')",
                       re.IGNORECASE | re.DOTALL)
 
 
 def _unescape(s: str) -> str:
-    return (s.replace("&lt;", "<").replace("&gt;", ">")
-             .replace("&quot;", '"').replace("&amp;", "&")).strip()
+    # feed titles are prose: &quot; unescapes here by pinned contract
+    return unescape_xml(s, quot=True, strip=True)
 
 
 def _field(body: str, name: str):
@@ -90,7 +94,8 @@ def parse_feeds(
                     date = _field(body, "pubdate")
                 else:
                     hm = _HREF_RE.search(body)
-                    link = _unescape(hm.group(1)) if hm else None
+                    link = _unescape(hm.group(2) if hm.group(2) is not None
+                                     else hm.group(3)) if hm else None
                     guid = _field(body, "id")
                     date = _field(body, "updated")
                 if not link:

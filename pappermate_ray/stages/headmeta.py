@@ -85,12 +85,27 @@ def _head_str(html: pa.ChunkedArray | pa.Array, head_bytes: int) -> pa.Array:
 
 
 def _first_group(s: pa.Array, patterns) -> pa.Array:
-    """Coalesce the named group ``v`` across alternative patterns
-    (attribute-order / quote-style variants); per-page first match wins
-    within each pattern (leftmost RE2 semantics)."""
+    """Document-order first match across alternative patterns
+    (attribute-order / quote-style variants of the same tag class).
+
+    The variants are fused into ONE alternation so RE2's leftmost-match
+    rule picks whichever variant occurs FIRST in the page — coalescing
+    separate per-variant extracts would instead rank by pattern order,
+    returning the wrong duplicate when repeated tags use different
+    attribute orders. Each alternative is wrapped in a marker group
+    because Arrow's extract_regex yields "" (not null) for groups that
+    did not participate in the match — an empty marker distinguishes
+    "matched with empty value" from "different alternative matched"."""
+    alts = []
+    for i, pat in enumerate(patterns):
+        body = pat[5:] if pat.startswith("(?is)") else pat
+        alts.append(f"(?P<m{i}>" + body.replace("(?P<v>", f"(?P<v{i}>") + ")")
+    st = pc.extract_regex(s, pattern="(?is)" + "|".join(alts))
     out = None
-    for pat in patterns:
-        g = pc.struct_field(pc.extract_regex(s, pattern=pat), "v")
+    for i in range(len(patterns)):
+        g = pc.if_else(pc.not_equal(pc.struct_field(st, f"m{i}"), ""),
+                       pc.struct_field(st, f"v{i}"),
+                       pa.scalar(None, pa.string()))
         out = g if out is None else pc.coalesce(out, g)
     return out
 

@@ -36,22 +36,14 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..functions.markup import strip_tags_collapse as _clean
+
 _TABLE_RE = re.compile(r"<table[^>]*>(.*?)</table\s*>",
                        re.IGNORECASE | re.DOTALL)
 _TR_RE = re.compile(r"<tr[^>]*>(.*?)</tr\s*>", re.IGNORECASE | re.DOTALL)
 _CELL_RE = re.compile(r"<(t[hd])\b([^>]*)>(.*?)</t[hd]\s*>",
                       re.IGNORECASE | re.DOTALL)
 _COLSPAN_RE = re.compile(r"colspan\s*=\s*[\"']?(\d+)", re.IGNORECASE)
-_TAG_RE = re.compile(r"<[^>]*>")
-_WS_RE = re.compile(r"\s+")
-
-
-def _clean(s: str) -> str:
-    s = _TAG_RE.sub(" ", s)
-    s = (s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&"))
-    return _WS_RE.sub(" ", s).strip()
-
-
 def html_tables(
     ds: "rd.Dataset",
     url_col: str = "url",

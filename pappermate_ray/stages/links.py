@@ -24,12 +24,16 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..functions.markup import strip_tags_collapse
+# page-level <meta name=robots> patterns — ONE source of truth:
+# stages/headmeta.py (RE2-safe inline-flag syntax works in Python re too)
+from .headmeta import _ROBOTS_RES as _HEADMETA_ROBOTS_RES
+
 _A_RE = re.compile(
     r"<a\s[^>]*?href\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]+))[^>]*>(.*?)</a>",
     re.IGNORECASE | re.DOTALL,
 )
-_TAG_RE = re.compile(r"<[^>]*>")
-_WS_RE = re.compile(r"\s+")
+
 _ROOT_RE = re.compile(r"^(https?://[^/?#]*)", re.IGNORECASE)
 
 # rel attribute of one <a ...> opening tag (quoted either way or bare);
@@ -38,13 +42,8 @@ _ROOT_RE = re.compile(r"^(https?://[^/?#]*)", re.IGNORECASE)
 _REL_RE = re.compile(
     r"rel\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))", re.IGNORECASE)
 
-# page-level <meta name=robots content=...nofollow...> — same patterns as
-# stages/headmeta.py (RE2-safe inline-flag syntax works in Python re too),
-# scanned over the head slice only.
-_ROBOTS_PAGE_RES = tuple(re.compile(p) for p in (
-    r'(?is)<meta[^>]*name\s*=\s*["\']robots["\'][^>]*content\s*=\s*["\']([^"\']*)',
-    r'(?is)<meta[^>]*content\s*=\s*["\']([^"\']*)["\'][^>]*name\s*=\s*["\']robots["\']',
-))
+# scanned over the head slice only
+_ROBOTS_PAGE_RES = tuple(re.compile(p) for p in _HEADMETA_ROBOTS_RES)
 
 
 def _anchor_nofollow(open_tag: str) -> bool:
@@ -57,16 +56,16 @@ def _anchor_nofollow(open_tag: str) -> bool:
 
 def _page_nofollow(html: str, head_bytes: int = 65536) -> bool:
     head = html[:head_bytes]
+    # document-order first robots meta wins when the tag repeats — rank
+    # the attribute-order variants by match POSITION, not pattern order
+    # (a name-first pattern must not beat an earlier content-first tag)
+    best = None
     for pat in _ROBOTS_PAGE_RES:
         m = pat.search(head)
-        if m:
-            return "nofollow" in m.group(1).lower()
-    return False
+        if m and (best is None or m.start() < best.start()):
+            best = m
+    return best is not None and "nofollow" in best.group("v").lower()
 
-
-def _unescape(s: str) -> str:
-    return (s.replace("&lt;", "<").replace("&gt;", ">")
-             .replace("&amp;", "&"))
 
 
 def extract_links(
@@ -111,8 +110,7 @@ def extract_links(
                     dst = root + href
                 else:
                     continue  # relative-path / scheme-relative: out of scope
-                anchor = _WS_RE.sub(" ", _unescape(
-                    _TAG_RE.sub(" ", hit.group(5)))).strip()
+                anchor = strip_tags_collapse(hit.group(5))
                 out_s.append(src)
                 out_d.append(dst)
                 out_a.append(anchor)

@@ -12,9 +12,11 @@ Contract (pinned by tests + the planted oracle; RFC 9309 core):
 - lines split on LF (CR trimmed); ``#`` comments strip to EOL; blank
   lines are ignored (they do NOT close a group);
 - ``user-agent:`` lines open a group; CONSECUTIVE user-agent lines
-  (no directive between them) share the group — a directive then
-  emits one row per agent in the group; the next user-agent line
-  AFTER a directive starts a fresh group;
+  (nothing but comments/blanks between them) share the group — a
+  directive then emits one row per agent in the group; the next
+  user-agent line after ANY other line (allow/disallow, sitemap, or
+  an unknown ``key: value`` record) starts a fresh group, per
+  RFC 9309's "directly following each other" rule;
 - ``allow:`` / ``disallow:`` rows carry the group's agents; an empty
   value is kept (empty disallow = no restriction — the consumer's
   semantics, the parser preserves it);
@@ -72,6 +74,11 @@ def parse_robots(
                         group_open = True
                     group.append(val.lower())
                     continue
+                # any non-UA record ends the start-group line sequence
+                # (RFC 9309 §2.1: only UA lines "directly following each
+                # other" share a group) — including sitemap and unknown
+                # directives, not just allow/disallow
+                group_open = False
                 if key == "sitemap":
                     hosts.append(host)
                     agents.append(None)
@@ -79,7 +86,6 @@ def parse_robots(
                     vals.append(val)
                     continue
                 if key in ("allow", "disallow"):
-                    group_open = False
                     for a in group:
                         hosts.append(host)
                         agents.append(a)

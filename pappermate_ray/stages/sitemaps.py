@@ -32,6 +32,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..functions.markup import unescape_xml
+
 _BLOCK_RE = re.compile(r"<(url|sitemap)\s*>(.*?)</\1\s*>",
                        re.IGNORECASE | re.DOTALL)
 _FIELD_RES = {
@@ -46,8 +48,8 @@ _FIELD_RES = {
 
 
 def _unescape(s: str) -> str:
-    return (s.replace("&lt;", "<").replace("&gt;", ">")
-             .replace("&amp;", "&")).strip()
+    # sitemap values are URLs/dates: no &quot; handling by pinned contract
+    return unescape_xml(s, quot=False, strip=True)
 
 
 def parse_sitemaps(

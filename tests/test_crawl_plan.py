@@ -66,3 +66,24 @@ def test_plan_crawl_budget_and_politeness(ray_session):
         slots = sorted(r["slot"] for r in rows
                        if r["wave"] == w and r["registered_domain"] == d)
         assert slots == list(range(c))
+
+
+def test_plan_crawl_survives_junk_urls(ray_session):
+    # real frontiers carry non-URL garbage; those rows must be dropped at
+    # the door (null registered_domain would crash every downstream
+    # groupby under the Ray 2.49 null-string-key sort bug) and must not
+    # consume budget
+    urls = pa.table({
+        "doc_id": pa.array(list(range(60)), pa.int64()),
+        "url": pa.array(
+            ["junk" if i % 20 == 5 else
+             f"https://site{i % 5}.com/p/page{i}" for i in range(60)],
+            pa.string()),
+    })
+    plan = plan_crawl(rd.from_arrow(urls).repartition(4), rules=[],
+                      budget=20, per_wave=2, trap_min_urls=10**6)
+    rows = plan.take_all()
+    assert len(rows) == 20
+    assert all(r["registered_domain"] is not None for r in rows)
+    junk_ids = {i for i in range(60) if i % 20 == 5}
+    assert not junk_ids & {r["doc_id"] for r in rows}

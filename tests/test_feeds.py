@@ -57,3 +57,23 @@ def test_soft_fail_and_non_feed(ray_session):
         {"url": "c", "xml": b"<html>nope</html>"},
     ])
     assert [r["link"] for r in out] == ["https://e.example/k"]
+
+
+def test_atom_single_quoted_href(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from pappermate_ray.stages.feeds import parse_feeds
+
+    xml = ("<feed><entry><link href='https://e.example/p1'/>"
+           "<id>urn:1</id><title>T1</title>"
+           "<updated>2024-01-01</updated></entry></feed>")
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array(["https://e.example/feed.xml"], pa.string()),
+        "xml": pa.array([xml.encode()], pa.binary()),
+    }))
+    rows = parse_feeds(ds).take_all()
+    assert len(rows) == 1
+    assert rows[0]["link"] == "https://e.example/p1"
+    assert rows[0]["kind"] == "atom"

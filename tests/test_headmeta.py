@@ -118,3 +118,27 @@ def test_fixture_pages_integration(ray_session):
         else:  # pre-extracted rows carry html=b""
             assert row["title"] is None
         assert row["robots_noindex"] is False
+
+
+def test_duplicate_tags_document_order_wins():
+    # repeated description metas in DIFFERENT attribute orders: the
+    # document-order first one (content-first form, value B) must win —
+    # a pattern-order coalesce would return A
+    html = ('<html><head>'
+            '<meta content="B" name="description">'
+            '<meta name="description" content="A">'
+            '<meta content="noindex" name="robots">'
+            '<meta name="robots" content="none at all">'
+            '</head>')
+    rows = _meta(html)
+    assert rows["meta_description"] == "B"
+    assert rows["robots_noindex"] is True
+    assert rows["robots_nofollow"] is False
+
+
+def test_empty_value_still_participates():
+    # empty content on the first (participating) variant must yield ""
+    # rather than falling through to a later variant or null
+    html = ('<head><meta name="description" content="">'
+            '<meta content="later" name="description"></head>')
+    assert _meta(html)["meta_description"] == ""

@@ -113,3 +113,22 @@ def test_rfc_tiers_identical(ray_session):
                     for r in robots_filter_rfc(
                         pages, rules, broadcast_bound=0).take_all())
     assert bcast == joined == [2, 3, 4, 5]
+
+
+def test_sitemap_between_ua_lines_splits_groups(ray_session):
+    # RFC 9309: only UA lines directly following each other share a
+    # group — a sitemap or unknown record between them splits, so A must
+    # NOT inherit B's disallow
+    body = (b"User-agent: A\n"
+            b"Sitemap: https://x.example/sm.xml\n"
+            b"User-agent: B\n"
+            b"Disallow: /d\n")
+    assert _rows(body) == [
+        (None, "sitemap", "https://x.example/sm.xml"),
+        ("b", "disallow", "/d"),
+    ]
+    body2 = (b"User-agent: A\n"
+             b"Crawl-delay: 5\n"
+             b"User-agent: B\n"
+             b"Disallow: /d\n")
+    assert _rows(body2) == [("b", "disallow", "/d")]
