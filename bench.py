@@ -188,7 +188,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "url_traps", "trap_filter",
         "crawl_budget", "crawl_plan", "robots_precedence",
         "shard_rebalance", "zorder_scan_check",
-        "mmr_select", "kcenter_select",
+        "mmr_select", "kcenter_select", "lpa_communities",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

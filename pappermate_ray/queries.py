@@ -9296,3 +9296,81 @@ ORACLE_SQL.update({
     "mmr_select": _greedy_select_sql("mmr"),
     "kcenter_select": _greedy_select_sql("kcenter"),
 })
+
+
+# --------------------------------------------------------------------------
+# Label-propagation communities (ops/lpa.py): synchronous frequency-vote
+# rounds unroll into SQL (JOIN + GROUP BY + QUALIFY argmax per round), the
+# pagerank unrolled-iteration pattern. The planted graph (blocks of 8 with
+# star+chain edges, sparse cross links) is doc-id arithmetic both engines
+# rebuild.
+# --------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+
+def q_lpa_communities(sf_dir: str, iters: int = _LPA_ITERS):
+    """Community labels over the planted block graph after ``iters``
+    synchronous LPA rounds (most-frequent neighbor label, ties → min)."""
+    from .ops.lpa import label_propagation
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    m = docs.count()
+
+    def edges(t: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for i in t["doc_id"].to_pylist():
+            if i % 8 != 0:
+                src.append(i)
+                dst.append(i - i % 8)          # star to block head
+            if (i + 1) % 8 != 0 and i + 1 < m:
+                src.append(i)
+                dst.append(i + 1)              # chain within block
+            if i % 64 == 0 and i + 8 < m:
+                src.append(i)
+                dst.append(i + 8)              # sparse cross link
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    nodes = docs.map_batches(
+        lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow")
+    e = docs.map_batches(edges, batch_format="pyarrow")
+    return label_propagation(nodes, e, iters=iters)
+
+
+def _lpa_sql(iters: int = _LPA_ITERS) -> str:
+    parts = [
+        "WITH n AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS node "
+        "FROM documents)",
+        "cnt AS MATERIALIZED (SELECT COUNT(*) AS m FROM n)",
+        "e0 AS MATERIALIZED ("
+        " SELECT node AS src, node - node % 8 AS dst FROM n"
+        "  WHERE node % 8 <> 0"
+        " UNION ALL SELECT node, node + 1 FROM n, cnt"
+        "  WHERE (node + 1) % 8 <> 0 AND node + 1 < cnt.m"
+        " UNION ALL SELECT node, node + 8 FROM n, cnt"
+        "  WHERE node % 64 = 0 AND node + 8 < cnt.m)",
+        "e AS MATERIALIZED (SELECT src, dst FROM e0 "
+        "UNION ALL SELECT dst, src FROM e0)",
+        "l0 AS MATERIALIZED (SELECT node, node AS label FROM n)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"v{i} AS MATERIALIZED (SELECT e.dst AS node, l.label, "
+            f"COUNT(*) AS c FROM e JOIN l{i-1} l ON l.node = e.src "
+            f"GROUP BY e.dst, l.label)")
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT node, label FROM v{i} "
+            f"QUALIFY row_number() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, label) = 1)")
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT l.node, "
+            f"COALESCE(w.label, l.label) AS label "
+            f"FROM l{i-1} l LEFT JOIN w{i} w USING (node))")
+    return ",\n".join(parts) + f"\nSELECT node, label FROM l{iters}"
+
+
+SQL_QUERIES.update({"lpa_communities": q_lpa_communities})
+ORACLE_SQL.update({"lpa_communities": _lpa_sql()})
