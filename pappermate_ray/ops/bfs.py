@@ -1,0 +1,118 @@
+"""Multi-source BFS depth over the link graph — "how many hops is this
+page from the seed list?", the crawl-frontier member the planning family
+still lacked (``pipelines/crawl_plan.py`` decides WHAT to fetch inside a
+budget; depth says how far a discovered url sits from the trusted seed
+set, the classic crawl-policy input: depth caps, seed-proximity quality
+priors (TrustRank-style), and focused-crawl cutoffs all key on it).
+
+Semantics (pinned by tests + the unrolled-CTE oracle ``crawl_depth``):
+
+- ``seeds`` are depth 0 (duplicates collapse); rounds ``1..max_depth``
+  expand one hop along DIRECTED edges (``undirected=True`` symmetrizes
+  first);
+- a node's depth is the FIRST round that reaches it (min-hop by
+  construction — a node already visited never re-labels);
+- only reached nodes are emitted: ``(node, depth)`` with depth ≤
+  ``max_depth``. Unreached nodes are absent (the caller's anti-join
+  decides their fate — usually "treat as infinite depth").
+
+Scale shape, per round (the pagerank/LPA BSP discipline):
+
+- the FRONTIER (nodes first reached last round) drives the round, not
+  the full visited set — one partitioned hash join ``edges × frontier``
+  on src streams candidate destinations; keys only, nothing wider ever
+  shuffles;
+- candidates collapse through a narrow distinct groupby, then one
+  armored anti-join against the visited table keeps first-reachers
+  only;
+- visited / frontier re-materialize per round (bounded-lineage rule:
+  an iterative dataflow otherwise re-executes every prior round at
+  each consume), and the loop EXITS EARLY when a round reaches nothing
+  new — identical output to running all rounds, since an empty
+  frontier stays empty;
+- driver transit is O(1) per round (the emptiness check), never the
+  frontier itself.
+
+With a fixed ``max_depth`` the computation unrolls into SQL (JOIN +
+DISTINCT + NOT IN per round), so it is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count
+
+from .joins import adaptive_partitions, anti_join, hash_join
+
+
+def bfs_depth(
+    seeds: "rd.Dataset",
+    edges: "rd.Dataset",
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_depth: int = 4,
+    undirected: bool = False,
+    num_partitions: Optional[int] = None,
+) -> "rd.Dataset":
+    """→ ``(node_col, depth)`` for every node within ``max_depth`` hops
+    of the seed set (min-hop depth; seeds are depth 0)."""
+    if max_depth < 0:
+        raise ValueError("max_depth must be >= 0")
+    num_partitions = num_partitions or adaptive_partitions(seeds.count())
+    sch = seeds.schema()
+    key_t = dict(zip(sch.names, sch.types))[node_col]
+    visited_schema = pa.schema([(node_col, key_t), ("depth", pa.int64())])
+    frontier_schema = pa.schema([(node_col, key_t)])
+
+    def to_edge(a, b):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({src_col: t[a], dst_col: t[b]})
+        return f
+
+    e = edges.map_batches(to_edge(src_col, dst_col), batch_format="pyarrow")
+    if undirected:
+        e = e.union(edges.map_batches(to_edge(dst_col, src_col),
+                                      batch_format="pyarrow"))
+    # the edge list is the loop invariant — pin it once
+    e = e.materialize()
+
+    def at_depth(d: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                node_col: t[node_col],
+                "depth": pa.array([d] * t.num_rows, pa.int64()),
+            })
+        return f
+
+    # seed dedup through the same narrow distinct every round uses
+    frontier = (seeds.groupby(node_col).aggregate(Count())
+                .select_columns([node_col]).materialize())
+    visited = frontier.map_batches(at_depth(0),
+                                   batch_format="pyarrow").materialize()
+
+    for d in range(1, max_depth + 1):
+        reached = hash_join(
+            e, frontier, on=src_col, right_on=node_col,
+            num_partitions=num_partitions, right_schema=frontier_schema,
+        ).map_batches(
+            lambda t: pa.table({node_col: t[dst_col]}),
+            batch_format="pyarrow")
+        cand = (reached.groupby(node_col).aggregate(Count())
+                .select_columns([node_col]))
+        new = anti_join(
+            cand, visited, on=node_col, num_partitions=num_partitions,
+            left_schema=frontier_schema, right_schema=visited_schema,
+        ).materialize()
+        if new.count() == 0:
+            break
+        visited = visited.union(
+            new.map_batches(at_depth(d), batch_format="pyarrow")
+        ).materialize()
+        frontier = new
+
+    return visited

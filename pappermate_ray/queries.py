@@ -9374,3 +9374,74 @@ def _lpa_sql(iters: int = _LPA_ITERS) -> str:
 
 SQL_QUERIES.update({"lpa_communities": q_lpa_communities})
 ORACLE_SQL.update({"lpa_communities": _lpa_sql()})
+
+
+# --------------------------------------------------------------------------
+# Crawl depth (ops/bfs.py): multi-source BFS from the seed list over a
+# planted directed graph both engines rebuild by doc-id arithmetic. The
+# fixed max_depth unrolls into SQL (JOIN + DISTINCT + NOT IN per round);
+# unreached nodes are absent by contract.
+# --------------------------------------------------------------------------
+
+_BFS_DEPTH = 4
+
+
+def q_crawl_depth(sf_dir: str, max_depth: int = _BFS_DEPTH):
+    """Min-hop depth from the seed set (doc_id % 97 == 0) over a planted
+    directed graph: chain i→i+1 plus jump i→(2i+3)%m on i%11==0. Per
+    round ONE key-only frontier join + a narrow distinct + one armored
+    anti-join against the visited table; early exit on an empty
+    frontier is output-identical to the full unroll."""
+    from .ops.bfs import bfs_depth
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    m = docs.count()
+
+    def edges(t: pa.Table) -> pa.Table:
+        i = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chain_src = i[i + 1 < m]
+        jump_src = i[i % 11 == 0]
+        return pa.table({
+            "src": pa.array(np.concatenate([chain_src, jump_src]), pa.int64()),
+            "dst": pa.array(np.concatenate(
+                [chain_src + 1, (jump_src * 2 + 3) % m]), pa.int64()),
+        })
+
+    seeds = docs.map_batches(
+        lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow").filter(
+        lambda r: r["node"] % 97 == 0)
+    e = docs.map_batches(edges, batch_format="pyarrow")
+    return bfs_depth(seeds, e, max_depth=max_depth)
+
+
+def _bfs_sql(max_depth: int = _BFS_DEPTH) -> str:
+    parts = [
+        "WITH n AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS node "
+        "FROM documents)",
+        "cnt AS MATERIALIZED (SELECT COUNT(*) AS m FROM n)",
+        "e AS MATERIALIZED ("
+        " SELECT node AS src, node + 1 AS dst FROM n, cnt"
+        "  WHERE node + 1 < cnt.m"
+        " UNION ALL SELECT node, (node * 2 + 3) % cnt.m FROM n, cnt"
+        "  WHERE node % 11 = 0)",
+        "v0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS depth "
+        "FROM n WHERE node % 97 = 0)",
+        "f0 AS MATERIALIZED (SELECT node FROM v0)",
+    ]
+    for d in range(1, max_depth + 1):
+        parts.append(
+            f"c{d} AS MATERIALIZED (SELECT DISTINCT e.dst AS node "
+            f"FROM e JOIN f{d-1} f ON e.src = f.node)")
+        parts.append(
+            f"f{d} AS MATERIALIZED (SELECT node FROM c{d} "
+            f"WHERE node NOT IN (SELECT node FROM v{d-1}))")
+        parts.append(
+            f"v{d} AS MATERIALIZED (SELECT * FROM v{d-1} "
+            f"UNION ALL SELECT node, CAST({d} AS BIGINT) FROM f{d})")
+    return ",\n".join(parts) + f"\nSELECT node, depth FROM v{max_depth}"
+
+
+SQL_QUERIES.update({"crawl_depth": q_crawl_depth})
+ORACLE_SQL.update({"crawl_depth": _bfs_sql()})
