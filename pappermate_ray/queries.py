@@ -9445,3 +9445,85 @@ def _bfs_sql(max_depth: int = _BFS_DEPTH) -> str:
 
 SQL_QUERIES.update({"crawl_depth": q_crawl_depth})
 ORACLE_SQL.update({"crawl_depth": _bfs_sql()})
+
+
+# --------------------------------------------------------------------------
+# k-core peeling (ops/kcore.py): planted clique+tail blocks (6-clique and a
+# 4-node tail per 50-id block) peel gradually — one tail node per round —
+# and converge within the unrolled SQL rounds, so the bounded-round output
+# IS the 2-core. Degrees count distinct neighbors over the symmetrized
+# distinct edge set.
+# --------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 5
+
+
+def q_kcore_hosts(sf_dir: str, k: int = _KCORE_K,
+                  rounds: int = _KCORE_ROUNDS):
+    """2-core of the planted clique+tail graph: per 50-id block, ids
+    r<6 form a clique and ids r in 6..9 hang as a chain tail off the
+    clique. The tail peels one node per round (k_core's bounded-round
+    semantics exercised for real), the cliques survive at degree 5.
+    Per round: ONE narrow degree groupby + two armored key-only
+    semi-joins; early exit on the fixpoint."""
+    from .ops.kcore import k_core
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    m = docs.count()
+
+    def edges(t: pa.Table) -> pa.Table:
+        i = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = i % 50
+        b = i - r
+        src, dst = [], []
+        cl = i[r < 6]
+        for j in range(1, 6):
+            pick = (cl % 50 + j <= 5) & (cl - cl % 50 + cl % 50 + j < m)
+            s = cl[pick]
+            src.append(s)
+            dst.append(s + j)
+        tail = i[(r >= 6) & (r <= 9)]
+        src.append(tail - 1)
+        dst.append(tail)
+        return pa.table({
+            "src": pa.array(np.concatenate(src), pa.int64()),
+            "dst": pa.array(np.concatenate(dst), pa.int64()),
+        })
+
+    e = docs.map_batches(edges, batch_format="pyarrow")
+    return k_core(e, k=k, rounds=rounds)
+
+
+def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    parts = [
+        "WITH n AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS node "
+        "FROM documents)",
+        "e0d AS MATERIALIZED ("
+        " SELECT a.node AS src, b.node AS dst FROM n a JOIN n b"
+        "  ON b.node - b.node % 50 = a.node - a.node % 50"
+        "  AND a.node % 50 < 6 AND b.node % 50 < 6 AND a.node < b.node"
+        " UNION ALL SELECT node - 1, node FROM n"
+        "  WHERE node % 50 BETWEEN 6 AND 9)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM e0d UNION ALL SELECT dst, src FROM e0d) "
+        "WHERE src <> dst)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT src AS node, COUNT(*) AS c "
+            f"FROM e{r-1} GROUP BY src)")
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE c >= {k})")
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT src, dst FROM e{r-1} "
+            f"WHERE src IN (SELECT node FROM s{r}) "
+            f"AND dst IN (SELECT node FROM s{r}))")
+    return (",\n".join(parts) +
+            f"\nSELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree "
+            f"FROM e{rounds} GROUP BY src")
+
+
+SQL_QUERIES.update({"kcore_hosts": q_kcore_hosts})
+ORACLE_SQL.update({"kcore_hosts": _kcore_sql()})
