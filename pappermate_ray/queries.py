@@ -9527,3 +9527,50 @@ def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
 
 SQL_QUERIES.update({"kcore_hosts": q_kcore_hosts})
 ORACLE_SQL.update({"kcore_hosts": _kcore_sql()})
+
+
+def q_host_reciprocity(sf_dir: str):
+    """Link-exchange signals (stages/links.host_reciprocity) over the
+    planted host graph: per host, distinct out/in degree, mutual-edge
+    count and reciprocity ratio — the link-farm hygiene pass that runs
+    BEFORE host authority. Composed over host_graph's rollup; one
+    distinct exchange, one reversed-pair semi-join, one tagged-union
+    count merge."""
+    from .stages.links import host_graph, host_reciprocity
+
+    g = host_graph(_host_edges_ds(sf_dir)) \
+        .select_columns(["src_host", "dst_host"])
+    return host_reciprocity(g)
+
+
+SQL_QUERIES.update({"host_reciprocity": q_host_reciprocity})
+ORACLE_SQL.update({
+    "host_reciprocity": _MESSY_URL_CTE + """
+        , nn AS (SELECT COUNT(*) AS n FROM documents),
+        pe AS (
+          SELECT s.host AS src_host, d.host AS dst_host
+          FROM hd s CROSS JOIN nn
+          JOIN hd d ON d.doc_id = (s.doc_id * 3 + 1) % nn.n
+          UNION ALL
+          SELECT s.host, d.host
+          FROM hd s CROSS JOIN nn
+          JOIN hd d ON d.doc_id = (s.doc_id * 7 + 2) % nn.n),
+        d AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+              FROM pe WHERE src_host <> dst_host),
+        o AS (SELECT src AS host, COUNT(*) AS od FROM d GROUP BY src),
+        i AS (SELECT dst AS host, COUNT(*) AS idg FROM d GROUP BY dst),
+        r AS (SELECT a.src AS host, COUNT(*) AS rc FROM d a
+              JOIN d b ON b.src = a.dst AND b.dst = a.src
+              GROUP BY a.src),
+        allh AS (SELECT src AS host FROM d UNION SELECT dst FROM d)
+        SELECT allh.host,
+               CAST(COALESCE(o.od, 0) AS BIGINT) AS out_deg,
+               CAST(COALESCE(i.idg, 0) AS BIGINT) AS in_deg,
+               CAST(COALESCE(r.rc, 0) AS BIGINT) AS recip_out,
+               ROUND(CASE WHEN COALESCE(o.od, 0) > 0
+                          THEN COALESCE(r.rc, 0) * 1.0 / o.od
+                          ELSE 0.0 END, 6) AS recip_ratio
+        FROM allh LEFT JOIN o USING (host) LEFT JOIN i USING (host)
+        LEFT JOIN r USING (host)
+    """,
+})

@@ -174,3 +174,84 @@ def host_graph(
         })
 
     return rolled.map_batches(rename, batch_format="pyarrow")
+
+
+def host_reciprocity(
+    pairs: "rd.Dataset",
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    round_to: int = 6,
+) -> "rd.Dataset":
+    """Link-exchange signals per host over a host-pair edge table (the
+    ``host_graph`` output, or any (src_host, dst_host) rows):
+    ``(host, out_deg, in_deg, recip_out, recip_ratio)`` where
+    ``recip_out`` counts the host's outgoing DISTINCT host links whose
+    reverse edge also exists and ``recip_ratio = recip_out/out_deg``
+    (0.0 for hosts with no outlinks). High reciprocity + balanced
+    in/out over many partners is the classic link-farm / link-exchange
+    spam signature (mutual-endorsement rings), the host-level hygiene
+    input PageRank-grade ranking wants BEFORE the rank runs.
+
+    Scale shape: one distinct groupby canonicalizes the pair set
+    (self-loops drop, multiplicity collapses); ONE armored key-only
+    semi-join against the reversed pair set finds mutual edges; three
+    narrow per-host counts merge through a single tagged-union
+    groupby-sum. Only host-pair keys ever ride an exchange — the table
+    is host²-sparse, never page-sized."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from ..ops.joins import hash_join
+
+    def canon(t: pa.Table) -> pa.Table:
+        out = pa.table({"src": t[src_col], "dst": t[dst_col]})
+        keep = pc.and_(
+            pc.and_(pc.is_valid(out["src"]), pc.is_valid(out["dst"])),
+            pc.invert(pc.equal(out["src"], out["dst"])))
+        return out.filter(keep)
+
+    d = (pairs.map_batches(canon, batch_format="pyarrow")
+         .groupby(["src", "dst"]).aggregate(Count())
+         .select_columns(["src", "dst"]).materialize())
+    edge_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+
+    rev = d.map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+        batch_format="pyarrow")
+    mutual = hash_join(d, rev, on=("src", "dst"), join_type="left_semi",
+                       left_schema=edge_schema, right_schema=edge_schema)
+
+    def tagged(ds, col, slot):
+        def f(t: pa.Table) -> pa.Table:
+            z = np.zeros(t.num_rows, np.int64)
+            cols = {"host": t[col]}
+            for i, name in enumerate(("out_deg", "in_deg", "recip_out")):
+                cols[name] = pa.array(
+                    np.ones(t.num_rows, np.int64) if i == slot else z,
+                    pa.int64())
+            return pa.table(cols)
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    merged = (tagged(d, "src", 0)
+              .union(tagged(d, "dst", 1))
+              .union(tagged(mutual, "src", 2))
+              .groupby("host")
+              .aggregate(Sum("out_deg", alias_name="out_deg"),
+                         Sum("in_deg", alias_name="in_deg"),
+                         Sum("recip_out", alias_name="recip_out")))
+
+    def ratio(t: pa.Table) -> pa.Table:
+        od = t["out_deg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        rc = t["recip_out"].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rr = np.where(od > 0, rc / np.where(od > 0, od, 1.0), 0.0)
+        return pa.table({
+            "host": t["host"],
+            "out_deg": t["out_deg"],
+            "in_deg": t["in_deg"],
+            "recip_out": t["recip_out"],
+            "recip_ratio": pa.array(np.round(rr, round_to), pa.float64()),
+        })
+
+    return merged.map_batches(ratio, batch_format="pyarrow")

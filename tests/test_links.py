@@ -139,3 +139,55 @@ def test_host_graph_rollup(ray_session):
     kept = host_graph(rd.from_items(rows), include_intra=True).take_all()
     assert ("a0.com", "a0.com") in {(r["src_host"], r["dst_host"])
                                     for r in kept}
+
+
+# ---------------------------------------------------------------- reciprocity
+
+def _recip(pairs):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pappermate_ray.stages.links import host_reciprocity
+
+    ds = rd.from_arrow(pa.table({
+        "src_host": pa.array([a for a, _ in pairs], pa.string()),
+        "dst_host": pa.array([b for _, b in pairs], pa.string()),
+    })).repartition(3)
+    out = host_reciprocity(ds).take_all()
+    got = {r["host"]: (r["out_deg"], r["in_deg"], r["recip_out"],
+                       r["recip_ratio"]) for r in out}
+    assert len(got) == len(out)
+    return got
+
+
+def _recip_brute(pairs):
+    d = {(a, b) for a, b in pairs if a != b}
+    hosts = {h for p in d for h in p}
+    out = {}
+    for h in hosts:
+        od = sum(1 for a, b in d if a == h)
+        ind = sum(1 for a, b in d if b == h)
+        rc = sum(1 for a, b in d if a == h and (b, a) in d)
+        import numpy as np
+        out[h] = (od, ind, rc, float(np.round(rc / od, 6)) if od else 0.0)
+    return out
+
+
+def test_reciprocity_matches_bruteforce(ray_session):
+    import numpy as np
+    rng = np.random.RandomState(3)
+    hosts = [f"h{i}" for i in range(12)]
+    pairs = [(hosts[rng.randint(12)], hosts[rng.randint(12)])
+             for _ in range(80)]
+    assert _recip(pairs) == _recip_brute(pairs)
+
+
+def test_reciprocity_ring_and_sink(ray_session):
+    # a↔b link exchange, c→a one-way, d pure sink
+    pairs = [("a", "b"), ("b", "a"), ("c", "a"), ("a", "d"),
+             ("a", "b"), ("a", "a")]  # dup + self-loop must collapse
+    got = _recip(pairs)
+    assert got["a"] == (2, 2, 1, 0.5)
+    assert got["b"] == (1, 1, 1, 1.0)
+    assert got["c"] == (1, 0, 0, 0.0)
+    assert got["d"] == (0, 1, 0, 0.0)
