@@ -189,3 +189,174 @@ def recrawl_priority(
     tall = obs.map_batches(narrow, batch_format="pyarrow")
     grouped, pkey = partition_grouped(tall, [key_col], npart=num_partitions)
     return grouped.groupby(pkey).map_groups(score, batch_format="pandas")
+
+
+def content_change_rate(
+    obs: "rd.Dataset",
+    key_col: str = "url",
+    snap_col: str = "snap",
+    text_col: str = "text",
+    round_to: int = 6,
+    num_partitions: Optional[int] = None,
+) -> "rd.Dataset":
+    """Content-granular change rate between consecutive crawl snapshots
+    — the refinement of ``recrawl_priority``'s binary digest-changed
+    signal (a fixed typo and a full rewrite both flip the digest; a
+    scheduler wants to know WHICH): per consecutive observed pair of a
+    url, the word-set Jaccard distance ``(key_col, snap_prev,
+    snap_next, nw_prev, nw_next, n_inter, change)`` where ``change =
+    1 − |W_prev ∩ W_next| / |W_prev ∪ W_next|`` over the DISTINCT
+    whitespace words of each capture (two empty captures → 0.0).
+
+    ``obs`` holds one row per (url, snapshot) observation with the
+    captured text (gaps fine — pairs form between consecutive OBSERVED
+    snapshots); a duplicated (url, snap) raises rather than mispairing.
+
+    Scale shape: word counts per capture and the per-capture distinct
+    word rows are both computed IN-BATCH (the text payload never rides
+    any exchange); the pair skeleton is one partition-grouped lead over
+    (url, snap, nw) rows; intersections come from two armored hash
+    joins over narrow (url, snap, word) rows plus one grouped count —
+    at crawl scale the word rows are the widest thing shuffled, and
+    they are distinct-per-capture, not corpus-sized."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from .joins import hash_join
+
+    def _word_df(t: pa.Table):
+        words = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(pc.cast(t[text_col], pa.string())))
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(t.num_rows), lens)
+        df = pd.DataFrame({
+            key_col: pc.cast(t[key_col], pa.string())
+                       .to_numpy(zero_copy_only=False)[parent],
+            snap_col: t[snap_col].to_numpy(zero_copy_only=False)
+                        .astype(np.int64)[parent],
+            "word": pc.list_flatten(words).to_numpy(zero_copy_only=False),
+            "_row": parent,
+        })
+        return df[df["word"] != ""]
+
+    def wordify(t: pa.Table) -> pa.Table:
+        df = _word_df(t).drop_duplicates([key_col, snap_col, "word"])
+        return pa.table({
+            key_col: pa.array(df[key_col].to_numpy(), pa.string()),
+            snap_col: pa.array(df[snap_col].to_numpy(), pa.int64()),
+            "word": pa.array(df["word"].to_numpy(), pa.string()),
+        })
+
+    def sized(t: pa.Table) -> pa.Table:
+        df = _word_df(t)
+        nw = np.zeros(t.num_rows, np.int64)
+        if len(df):
+            per = df.groupby("_row")["word"].nunique()
+            nw[per.index.to_numpy()] = per.to_numpy()
+        return pa.table({
+            key_col: pc.cast(t[key_col], pa.string()),
+            snap_col: pc.cast(t[snap_col], pa.int64()),
+            "nw": pa.array(nw, pa.int64()),
+        })
+
+    words = obs.map_batches(wordify, batch_format="pyarrow")
+    sizes = obs.map_batches(sized, batch_format="pyarrow")
+    word_schema = pa.schema([(key_col, pa.string()),
+                             (snap_col, pa.int64()),
+                             ("word", pa.string())])
+    pair_schema = pa.schema([
+        (key_col, pa.string()), ("snap_prev", pa.int64()),
+        ("snap_next", pa.int64()), ("nw_prev", pa.int64()),
+        ("nw_next", pa.int64())])
+
+    def lead(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, snap_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        snaps = g[snap_col].to_numpy()
+        nw = g["nw"].to_numpy()
+        n = len(g)
+        same = np.zeros(n, bool)
+        if n > 1:
+            same[:-1] = keys[:-1] == keys[1:]
+            dup = same[:-1] & (snaps[:-1] == snaps[1:])
+            if dup.any():
+                raise ValueError(
+                    f"content_change_rate: url {keys[:-1][dup][0]!r} "
+                    "observed twice in one snapshot — run latest_by_url "
+                    "per snapshot first")
+        idx = np.flatnonzero(same)
+        return pd.DataFrame({
+            key_col: keys[idx],
+            "snap_prev": snaps[idx].astype(np.int64),
+            "snap_next": snaps[idx + 1].astype(np.int64),
+            "nw_prev": nw[idx].astype(np.int64),
+            "nw_next": nw[idx + 1].astype(np.int64),
+        })
+
+    grouped, pkey = partition_grouped(sizes, [key_col],
+                                      npart=num_partitions)
+    pairs = grouped.groupby(pkey).map_groups(
+        lead, batch_format="pandas").materialize()
+
+    probe = hash_join(
+        words,
+        pairs.map_batches(
+            lambda t: pa.table({key_col: t[key_col],
+                                "snap_prev": t["snap_prev"],
+                                "snap_next": t["snap_next"]}),
+            batch_format="pyarrow"),
+        on=(key_col, snap_col), right_on=(key_col, "snap_prev"),
+        num_partitions=num_partitions,
+        left_schema=word_schema,
+        right_schema=pa.schema([(key_col, pa.string()),
+                                ("snap_prev", pa.int64()),
+                                ("snap_next", pa.int64())]),
+    ).map_batches(
+        lambda t: pa.table({key_col: t[key_col],
+                            snap_col: t["snap_next"],
+                            "word": t["word"],
+                            "snap_prev": t[snap_col]}),
+        batch_format="pyarrow")
+
+    inter = hash_join(
+        probe, words, on=(key_col, snap_col, "word"),
+        num_partitions=num_partitions,
+        left_schema=pa.schema([(key_col, pa.string()),
+                               (snap_col, pa.int64()),
+                               ("word", pa.string()),
+                               ("snap_prev", pa.int64())]),
+        right_schema=word_schema,
+    ).groupby([key_col, "snap_prev"]).aggregate(
+        Count(alias_name="n_inter"))
+
+    joined = hash_join(
+        pairs, inter, on=(key_col, "snap_prev"),
+        join_type="left_outer", num_partitions=num_partitions,
+        left_schema=pair_schema,
+        right_schema=pa.schema([(key_col, pa.string()),
+                                ("snap_prev", pa.int64()),
+                                ("n_inter", pa.int64())]),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        ni = pa.compute.fill_null(t["n_inter"], 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        nwp = t["nw_prev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nwn = t["nw_next"].to_numpy(zero_copy_only=False).astype(np.int64)
+        union = nwp + nwn - ni
+        with np.errstate(divide="ignore", invalid="ignore"):
+            change = np.where(
+                union > 0,
+                1.0 - ni / np.where(union > 0, union, 1).astype(np.float64),
+                0.0)
+        return pa.table({
+            key_col: t[key_col],
+            "snap_prev": t["snap_prev"],
+            "snap_next": t["snap_next"],
+            "nw_prev": t["nw_prev"],
+            "nw_next": t["nw_next"],
+            "n_inter": pa.array(ni, pa.int64()),
+            "change": pa.array(np.round(change, round_to), pa.float64()),
+        })
+
+    return joined.map_batches(fin, batch_format="pyarrow")

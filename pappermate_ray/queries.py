@@ -9574,3 +9574,84 @@ ORACLE_SQL.update({
         LEFT JOIN r USING (host)
     """,
 })
+
+
+def q_snapshot_change_rate(sf_dir: str):
+    """Content-granular change rate between consecutive captures
+    (ops/snapshot.content_change_rate): per url, word-set Jaccard
+    distance over a planted 5-snapshot history — url observed in snap
+    s iff (doc_id+s)%5≠0, capture text = the doc's words with
+    (length(w)+s)%4≠0 — so the change cadence varies per url and both
+    engines rebuild identical captures. The text payload never rides
+    an exchange: word counts and distinct word rows are in-batch, the
+    pair skeleton is one partition-grouped lead, intersections come
+    from two narrow (url, snap, word) joins."""
+    from .ops.snapshot import content_change_rate
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n_snaps = 5
+
+    def observations(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        urls, snaps, caps = [], [], []
+        for d, txt in zip(ids, texts):
+            words = txt.split()
+            for s in range(n_snaps):
+                if (d + s) % 5 == 0:
+                    continue
+                urls.append(f"u{d}")
+                snaps.append(s)
+                caps.append(" ".join(
+                    w for w in words if (len(w) + s) % 4 != 0))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "snap": pa.array(snaps, pa.int64()),
+            "text": pa.array(caps, pa.string()),
+        })
+
+    obs = docs.map_batches(observations, batch_format="pyarrow")
+    return content_change_rate(obs)
+
+
+SQL_QUERIES.update({"snapshot_change_rate": q_snapshot_change_rate})
+ORACLE_SQL.update({
+    "snapshot_change_rate": r"""
+        WITH obs AS MATERIALIZED (
+          SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, sn.s AS snap,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             w -> w <> '' AND (length(w) + sn.s) % 4 <> 0)
+                   AS wl
+          FROM documents, (SELECT unnest(range(5)) AS s) sn
+          WHERE (doc_id + sn.s) % 5 <> 0),
+        w AS MATERIALIZED (
+          SELECT DISTINCT url, snap, unnest(wl) AS word FROM obs),
+        sz AS MATERIALIZED (
+          SELECT url, snap,
+                 CAST(len(list_distinct(wl)) AS BIGINT) AS nw FROM obs),
+        pr AS MATERIALIZED (
+          SELECT url, snap AS snap_prev,
+                 LEAD(snap) OVER (PARTITION BY url ORDER BY snap)
+                   AS snap_next,
+                 nw AS nw_prev,
+                 LEAD(nw) OVER (PARTITION BY url ORDER BY snap) AS nw_next
+          FROM sz QUALIFY snap_next IS NOT NULL),
+        it AS MATERIALIZED (
+          SELECT p.url, p.snap_prev, COUNT(*) AS n_inter
+          FROM pr p
+          JOIN w a ON a.url = p.url AND a.snap = p.snap_prev
+          JOIN w b ON b.url = p.url AND b.snap = p.snap_next
+                  AND b.word = a.word
+          GROUP BY p.url, p.snap_prev)
+        SELECT p.url, p.snap_prev, p.snap_next, p.nw_prev, p.nw_next,
+               CAST(COALESCE(it.n_inter, 0) AS BIGINT) AS n_inter,
+               ROUND(CASE
+                 WHEN p.nw_prev + p.nw_next - COALESCE(it.n_inter, 0) > 0
+                 THEN 1.0 - COALESCE(it.n_inter, 0) * 1.0
+                      / (p.nw_prev + p.nw_next - COALESCE(it.n_inter, 0))
+                 ELSE 0.0 END, 6) AS change
+        FROM pr p LEFT JOIN it
+          ON it.url = p.url AND it.snap_prev = p.snap_prev
+    """,
+})

@@ -101,3 +101,74 @@ def test_recrawl_priority_duplicate_observation_raises(ray_session):
     with pytest.raises(Exception) as ei:
         _prio(rows, blocks=1)
     assert "observed twice" in str(ei.value)
+
+
+# ------------------------------------------------------- content change rate
+
+def _ccr(rows):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pappermate_ray.ops.snapshot import content_change_rate
+
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "snap": pa.array([r[1] for r in rows], pa.int64()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+    })).repartition(3)
+    out = content_change_rate(ds).take_all()
+    return {(r["url"], r["snap_prev"]): (r["snap_next"], r["nw_prev"],
+                                         r["nw_next"], r["n_inter"],
+                                         r["change"]) for r in out}
+
+
+def _ccr_brute(rows):
+    import numpy as np
+    by_url = {}
+    for u, s, txt in rows:
+        by_url.setdefault(u, []).append((s, set(txt.split())))
+    out = {}
+    for u, obs in by_url.items():
+        obs.sort()
+        for (sp, wp), (sn, wn) in zip(obs, obs[1:]):
+            i = len(wp & wn)
+            un = len(wp | wn)
+            change = float(np.round(1.0 - i / un, 6)) if un else 0.0
+            out[(u, sp)] = (sn, len(wp), len(wn), i, change)
+    return out
+
+
+def test_change_rate_matches_bruteforce(ray_session):
+    import numpy as np
+    rng = np.random.RandomState(17)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for d in range(25):
+        for s in range(5):
+            if (d + s) % 4 == 0:
+                continue  # observation gaps
+            words = [vocab[rng.randint(30)] for _ in range(rng.randint(12))]
+            rows.append((f"u{d}", s, " ".join(words)))
+    assert _ccr(rows) == _ccr_brute(rows)
+
+
+def test_change_rate_edges(ray_session):
+    rows = [
+        ("a", 0, "x y z"), ("a", 2, "x y z"),      # identical -> 0.0
+        ("a", 5, "p q"),                            # disjoint  -> 1.0
+        ("b", 0, ""), ("b", 1, ""),                 # both empty -> 0.0
+        ("c", 0, "only"),                           # single obs -> no pair
+        ("d", 0, "m m m n"), ("d", 1, "n"),         # dups collapse
+    ]
+    got = _ccr(rows)
+    assert got[("a", 0)] == (2, 3, 3, 3, 0.0)
+    assert got[("a", 2)] == (5, 3, 2, 0, 1.0)
+    assert got[("b", 0)] == (1, 0, 0, 0, 0.0)
+    assert got[("d", 0)] == (1, 2, 1, 1, 0.5)
+    assert ("c", 0) not in got and len(got) == 4
+
+
+def test_change_rate_duplicate_observation_raises(ray_session):
+    import pytest
+    with pytest.raises(Exception, match="observed twice"):
+        _ccr([("a", 0, "x"), ("a", 0, "y"), ("a", 1, "z")])
