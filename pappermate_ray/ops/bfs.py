@@ -19,9 +19,15 @@ Semantics (pinned by tests + the unrolled-CTE oracle ``crawl_depth``):
 Scale shape, per round (the pagerank/LPA BSP discipline):
 
 - the FRONTIER (nodes first reached last round) drives the round, not
-  the full visited set — one partitioned hash join ``edges × frontier``
-  on src streams candidate destinations; keys only, nothing wider ever
-  shuffles;
+  the full visited set. A bounded frontier (≤ ``broadcast_limit``,
+  the common crawl-depth regime — seed lists and their k-hop
+  neighborhoods are tiny next to the edge table) BROADCASTS once via
+  ``ray.put`` and the expansion is a zero-exchange streaming filter
+  over the edges; an unbounded frontier falls back to one partitioned
+  hash join ``edges × frontier`` on src. Keys only either way,
+  nothing wider ever shuffles, and the edge table never rides an
+  exchange in the broadcast tier (the hybrid pattern of
+  ``ops/triangles.py`` / ``stages/robots.py``);
 - candidates collapse through a narrow distinct groupby, then one
   armored anti-join against the visited table keeps first-reachers
   only;
@@ -49,6 +55,20 @@ from ray.data.aggregate import Count
 from .joins import adaptive_partitions, anti_join, hash_join
 
 
+def collect_key_array(ds: "rd.Dataset", col: str, key_t) -> pa.Array:
+    """Pull one bounded key column to the driver as a single flat Array
+    (the broadcast-tier collect — callers gate on a count first)."""
+    tables = list(ds.iter_batches(batch_format="pyarrow"))
+    if not tables:
+        return pa.array([], key_t)
+    c = pa.concat_tables([pa.table({col: t[col]}) for t in tables])[col]
+    out = c.combine_chunks()
+    if isinstance(out, pa.ChunkedArray):
+        out = (out.chunk(0) if out.num_chunks
+               else pa.array([], key_t))
+    return out
+
+
 def bfs_depth(
     seeds: "rd.Dataset",
     edges: "rd.Dataset",
@@ -58,6 +78,7 @@ def bfs_depth(
     max_depth: int = 4,
     undirected: bool = False,
     num_partitions: Optional[int] = None,
+    broadcast_limit: int = 2_000_000,
 ) -> "rd.Dataset":
     """→ ``(node_col, depth)`` for every node within ``max_depth`` hops
     of the seed set (min-hop depth; seeds are depth 0)."""
@@ -92,23 +113,43 @@ def bfs_depth(
     # seed dedup through the same narrow distinct every round uses
     frontier = (seeds.groupby(node_col).aggregate(Count())
                 .select_columns([node_col]).materialize())
+    n_frontier = frontier.count()
     visited = frontier.map_batches(at_depth(0),
                                    batch_format="pyarrow").materialize()
 
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    if n_frontier == 0:
+        return visited
+
     for d in range(1, max_depth + 1):
-        reached = hash_join(
-            e, frontier, on=src_col, right_on=node_col,
-            num_partitions=num_partitions, right_schema=frontier_schema,
-        ).map_batches(
-            lambda t: pa.table({node_col: t[dst_col]}),
-            batch_format="pyarrow")
+        if n_frontier <= broadcast_limit:
+            # bounded frontier: ship it ONCE, stream-filter the edges —
+            # the edge table (the big side) never rides an exchange
+            fref = _ray.put(collect_key_array(frontier, node_col, key_t))
+
+            def expand(t: pa.Table, _ref=fref) -> pa.Table:
+                keys = _ray.get(_ref)
+                hit = pc.is_in(t[src_col], value_set=keys)
+                return pa.table({node_col: t[dst_col].filter(hit)})
+
+            reached = e.map_batches(expand, batch_format="pyarrow")
+        else:
+            reached = hash_join(
+                e, frontier, on=src_col, right_on=node_col,
+                num_partitions=num_partitions, right_schema=frontier_schema,
+            ).map_batches(
+                lambda t: pa.table({node_col: t[dst_col]}),
+                batch_format="pyarrow")
         cand = (reached.groupby(node_col).aggregate(Count())
                 .select_columns([node_col]))
         new = anti_join(
             cand, visited, on=node_col, num_partitions=num_partitions,
             left_schema=frontier_schema, right_schema=visited_schema,
         ).materialize()
-        if new.count() == 0:
+        n_frontier = new.count()
+        if n_frontier == 0:
             break
         visited = visited.union(
             new.map_batches(at_depth(d), batch_format="pyarrow")

@@ -24,13 +24,19 @@ Scale shape, per round (the pagerank/LPA BSP discipline):
 
 - ONE narrow groupby counts surviving degrees (keys only — the edge
   payload is two keys, nothing wider ever shuffles);
-- survivors apply through TWO armored semi-joins (src side, dst side);
+- the round's LOSERS (degree < k) drive the edge filter, not the
+  survivors: the loser set is the peel fringe and is usually tiny, so
+  when it fits ``broadcast_limit`` it ships ONCE via ``ray.put`` and
+  both endpoints filter in a zero-exchange streaming map — the degree
+  groupby is then the round's ONLY exchange (the hybrid pattern of
+  ``ops/triangles.py`` / ``stages/robots.py``); an oversized loser
+  set falls back to TWO armored semi-joins against the survivors
+  (src side, dst side);
 - the edge set re-materializes per round (bounded-lineage rule), and
-  the loop EXITS EARLY when a round removes nothing — since peeling
-  only ever removes, an unchanged edge COUNT means an unchanged edge
-  SET, so all later rounds are no-ops and the early exit is
-  output-identical to the full unroll;
-- driver transit is O(1) per round (the count check), never the node
+  the loop EXITS EARLY when a round finds no losers (the fixpoint),
+  which is output-identical to the full unroll;
+- driver transit per round is the loser-count check plus, in the
+  broadcast tier, the bounded loser key set itself — never the node
   or edge tables.
 
 With a fixed ``rounds`` the computation unrolls into SQL (GROUP BY +
@@ -57,6 +63,7 @@ def k_core(
     rounds: int = 8,
     undirected: bool = True,
     num_partitions: Optional[int] = None,
+    broadcast_limit: int = 2_000_000,
 ) -> "rd.Dataset":
     """→ ``(node, degree)`` over the edge set surviving ``rounds`` peel
     rounds at threshold ``k`` (the k-core once converged)."""
@@ -91,20 +98,39 @@ def k_core(
                 lambda t: pa.table({"node": t["src"], "degree": t["degree"]}),
                 batch_format="pyarrow")
 
-    n_edges = e.count()
+    import pyarrow.compute as pc
+    import ray as _ray
+
     for _ in range(rounds):
-        surv = deg_of(e).filter(lambda r: r["degree"] >= k) \
+        deg = deg_of(e).materialize()
+        losers = deg.filter(lambda r: r["degree"] < k) \
             .select_columns(["node"]).materialize()
-        e = hash_join(e, surv, on="src", right_on="node",
-                      join_type="left_semi", num_partitions=num_partitions,
-                      left_schema=edge_schema, right_schema=node_schema)
-        e = hash_join(e, surv, on="dst", right_on="node",
-                      join_type="left_semi", num_partitions=num_partitions,
-                      left_schema=edge_schema, right_schema=node_schema) \
-            .materialize()
-        n_next = e.count()
-        if n_next == n_edges:
-            break
-        n_edges = n_next
+        n_lose = losers.count()
+        if n_lose == 0:
+            break  # fixpoint — later rounds are no-ops
+        if n_lose <= broadcast_limit:
+            from .bfs import collect_key_array
+            lref = _ray.put(collect_key_array(losers, "node", key_t))
+
+            def drop(t: pa.Table, _ref=lref) -> pa.Table:
+                keys = _ray.get(_ref)
+                keep = pc.and_(
+                    pc.invert(pc.is_in(t["src"], value_set=keys)),
+                    pc.invert(pc.is_in(t["dst"], value_set=keys)))
+                return t.filter(keep)
+
+            e = e.map_batches(drop, batch_format="pyarrow").materialize()
+        else:
+            surv = deg.filter(lambda r: r["degree"] >= k) \
+                .select_columns(["node"]).materialize()
+            e = hash_join(e, surv, on="src", right_on="node",
+                          join_type="left_semi",
+                          num_partitions=num_partitions,
+                          left_schema=edge_schema, right_schema=node_schema)
+            e = hash_join(e, surv, on="dst", right_on="node",
+                          join_type="left_semi",
+                          num_partitions=num_partitions,
+                          left_schema=edge_schema, right_schema=node_schema) \
+                .materialize()
 
     return deg_of(e)

@@ -82,3 +82,31 @@ def test_string_ids(ray_session):
     edges = [("a", "b"), ("b", "c"), ("c", "a")]
     got = _run(["a"], edges, 2)
     assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_broadcast_and_join_tiers_identical(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    rng = np.random.RandomState(31)
+    n = 100
+    edges = [(int(rng.randint(n)), int(rng.randint(n))) for _ in range(220)]
+    seeds = rd.from_arrow(pa.table({"node": pa.array([0, 41])}))
+    e = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges]),
+        "dst": pa.array([b for _, b in edges]),
+    })).repartition(4)
+    bcast = {r["node"]: r["depth"]
+             for r in bfs_depth(seeds, e, max_depth=3).take_all()}
+    joined = {r["node"]: r["depth"]
+              for r in bfs_depth(seeds, e, max_depth=3,
+                                 broadcast_limit=0).take_all()}
+    assert bcast == joined == _brute([0, 41], edges, 3)
+
+
+def test_empty_seed_set(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    seeds = rd.from_arrow(pa.table({"node": pa.array([], pa.int64())}))
+    e = rd.from_arrow(pa.table({"src": pa.array([1], pa.int64()),
+                                "dst": pa.array([2], pa.int64())}))
+    assert bfs_depth(seeds, e, max_depth=3).take_all() == []

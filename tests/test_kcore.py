@@ -77,3 +77,17 @@ def test_parallel_edges_and_self_loops_collapse(ray_session):
 def test_string_ids(ray_session):
     edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
     assert _run(edges, k=2) == {"a": 2, "b": 2, "c": 2}
+
+
+def test_broadcast_and_join_tiers_identical(ray_session):
+    rng = np.random.RandomState(41)
+    edges = [(int(rng.randint(50)), int(rng.randint(50)))
+             for _ in range(160)]
+    e = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges]),
+        "dst": pa.array([b for _, b in edges]),
+    })).repartition(4)
+    bcast = {r["node"]: r["degree"] for r in k_core(e, 3).take_all()}
+    joined = {r["node"]: r["degree"]
+              for r in k_core(e, 3, broadcast_limit=0).take_all()}
+    assert bcast == joined == _brute(edges, 3)
