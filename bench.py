@@ -189,6 +189,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "crawl_budget", "crawl_plan", "robots_precedence",
         "shard_rebalance", "zorder_scan_check",
         "mmr_select", "kcenter_select", "lpa_communities",
+        "crawl_depth", "kcore_hosts", "host_reciprocity",
+        "snapshot_change_rate",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()
