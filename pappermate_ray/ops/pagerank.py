@@ -249,3 +249,114 @@ def pagerank_auto(
         })
 
     return ranked.map_batches(dec, batch_format="pyarrow")
+
+
+def trustrank(
+    nodes: "rd.Dataset",
+    edges: "rd.Dataset",
+    seeds: "rd.Dataset",
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iters: int = 3,
+    round_to: Optional[int] = None,
+    num_partitions: Optional[int] = None,
+) -> "rd.Dataset":
+    """TrustRank (Gyöngyi et al. 2004): PageRank with the teleport mass
+    concentrated on a trusted SEED set instead of spread uniformly —
+    ``r'(v) = (1−d)·t(v) + d·Σ inflow`` with ``t(v) = 1/|S|`` for seed
+    nodes and 0 elsewhere, initialized at ``r = t``. Trust decays along
+    distance from the seeds, so spam clusters far from any trusted host
+    score ≈ 0 even when raw PageRank inflates them — the ranking-side
+    complement of the k-core / reciprocity hygiene signals.
+
+    Same BSP discipline as :func:`pagerank` (one edges×ranks join + one
+    narrow inflow groupby-sum per round, ranks re-materialized); the
+    seed set — small by definition (hand-vetted hosts) — BROADCASTS
+    once via ``ray.put``, so the teleport term costs a vectorized
+    ``is_in`` inside the update map, never a join. Dangling-node mass
+    is dropped, exactly as :func:`pagerank` does (pinned semantics both
+    sides of the oracle). With fixed ``iters`` the computation unrolls
+    into SQL (CASE WHEN seed teleport per round)."""
+    import ray as _ray
+
+    from .bfs import collect_key_array
+
+    n_seeds = seeds.count()
+    if n_seeds == 0:
+        raise ValueError("trustrank needs a non-empty seed set")
+    num_partitions = num_partitions or adaptive_partitions(nodes.count())
+    sch = nodes.schema()
+    key_t = dict(zip(sch.names, sch.types))[node_col]
+    rank_schema = pa.schema([(node_col, key_t), ("r", pa.float64())])
+
+    seed_ref = _ray.put(collect_key_array(
+        seeds.groupby(node_col).aggregate(Count())
+        .select_columns([node_col]), node_col, key_t))
+    t_seed = 1.0 / n_seeds
+
+    def teleport(col: pa.ChunkedArray) -> np.ndarray:
+        hit = pc.is_in(col, value_set=_ray.get(seed_ref))
+        return np.where(hit.to_numpy(zero_copy_only=False), t_seed, 0.0)
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        return pa.table({
+            node_col: t[node_col],
+            "r": pa.array(teleport(t[node_col]), pa.float64()),
+        })
+
+    ranks = nodes.map_batches(init_ranks,
+                              batch_format="pyarrow").materialize()
+
+    outdeg = edges.groupby(src_col).aggregate(Count(alias_name="outdeg"))
+    ew = hash_join(
+        edges, outdeg, on=src_col, num_partitions=num_partitions,
+        right_schema=pa.schema([(src_col, key_t), ("outdeg", pa.int64())]),
+    ).materialize()
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            node_col: t[node_col],
+            "w": pa.array(np.zeros(len(t)), pa.float64()),
+        })
+
+    zeros = nodes.map_batches(zero_rows, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        joined = hash_join(
+            ew, ranks, on=src_col, right_on=node_col,
+            num_partitions=num_partitions, right_schema=rank_schema,
+        )
+
+        def flow(t: pa.Table) -> pa.Table:
+            w = np.asarray(t["r"], np.float64) / np.asarray(t["outdeg"],
+                                                            np.float64)
+            return pa.table({
+                node_col: t[dst_col].cast(key_t),
+                "w": pa.array(w, pa.float64()),
+            })
+
+        inflow = joined.map_batches(flow, batch_format="pyarrow")
+        summed = inflow.union(zeros).groupby(node_col).aggregate(
+            Sum("w", alias_name="w_sum"))
+
+        def update(t: pa.Table) -> pa.Table:
+            r = ((1.0 - damping) * teleport(t[node_col])
+                 + damping * np.asarray(t["w_sum"], np.float64))
+            return pa.table({
+                node_col: t[node_col],
+                "r": pa.array(r, pa.float64()),
+            })
+
+        ranks = summed.map_batches(update,
+                                   batch_format="pyarrow").materialize()
+
+    def final(t: pa.Table) -> pa.Table:
+        r = np.asarray(t["r"], np.float64)
+        if round_to is not None:
+            r = np.round(r, round_to)
+        return pa.table({node_col: t[node_col],
+                         "trustrank": pa.array(r, pa.float64())})
+
+    return ranks.map_batches(final, batch_format="pyarrow")

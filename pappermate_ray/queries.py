@@ -9655,3 +9655,77 @@ ORACLE_SQL.update({
           ON it.url = p.url AND it.snap_prev = p.snap_prev
     """,
 })
+
+
+_TR_ITERS = 3
+_TR_DAMP = 0.85
+
+
+def q_trustrank(sf_dir: str, iters: int = _TR_ITERS):
+    """TrustRank (ops/pagerank.trustrank): teleport mass concentrated on
+    the trusted seed list (doc_id % 97 == 0) over the planted 3-formula
+    link graph — trust decays with link distance from the seeds, the
+    ranking-side spam signal next to kcore_hosts / host_reciprocity.
+    Seeds broadcast via ray.put (teleport is an is_in inside the update
+    map, never a join); otherwise pagerank's BSP shape: one edges×ranks
+    join + one narrow inflow groupby-sum per round."""
+    from .ops.pagerank import trustrank
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    m = docs.count()
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        i = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([i, i, i]), pa.int64()),
+            "dst": pa.array(np.concatenate(
+                [(i * 7 + 1) % m, (i * 11 + 3) % m, (i * 13 + 5) % m]),
+                pa.int64()),
+        })
+
+    nodes = docs.map_batches(
+        lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow")
+    seeds = nodes.filter(lambda r: r["node"] % 97 == 0)
+    e = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return trustrank(nodes, e, seeds, iters=iters, damping=_TR_DAMP,
+                     round_to=8)
+
+
+def _trustrank_sql(iters: int = _TR_ITERS, damping: float = _TR_DAMP) -> str:
+    # repr() of the RUNTIME coefficient (1.0 - 0.85 is one ulp off a
+    # 0.15 literal — the MMR-oracle lesson)
+    coef = repr(1.0 - damping)
+    tele = ("CASE WHEN {col} % 97 = 0 THEN 1.0/(SELECT s FROM ns) "
+            "ELSE 0.0 END")
+    parts = [
+        "WITH nn AS (SELECT COUNT(*) AS n FROM documents)",
+        "ns AS (SELECT COUNT(*) AS s FROM documents WHERE doc_id % 97 = 0)",
+        "edges AS ("
+        " SELECT doc_id AS src, (doc_id*7+1) % (SELECT n FROM nn) AS dst"
+        " FROM documents"
+        " UNION ALL SELECT doc_id, (doc_id*11+3) % (SELECT n FROM nn)"
+        " FROM documents"
+        " UNION ALL SELECT doc_id, (doc_id*13+5) % (SELECT n FROM nn)"
+        " FROM documents)",
+        "od AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src)",
+        "ew AS (SELECT e.src, e.dst, od.od FROM edges e JOIN od USING (src))",
+        "r0 AS (SELECT doc_id AS node, "
+        + tele.format(col="doc_id") + " AS r FROM documents)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"r{i} AS (SELECT d.doc_id AS node, "
+            f"{coef}*" + tele.format(col="d.doc_id") +
+            f" + {damping!r}*COALESCE(SUM(r{i-1}.r/ew.od), 0) AS r "
+            f"FROM documents d "
+            f"LEFT JOIN ew ON ew.dst = d.doc_id "
+            f"LEFT JOIN r{i-1} ON r{i-1}.node = ew.src "
+            f"GROUP BY d.doc_id)")
+    return (",\n".join(parts) +
+            f"\nSELECT node, ROUND(r, 8) AS trustrank FROM r{iters}")
+
+
+SQL_QUERIES.update({"trustrank": q_trustrank})
+ORACLE_SQL.update({"trustrank": _trustrank_sql()})

@@ -93,3 +93,70 @@ def test_auto_string_ids_matches_join_path(ray_session):
           for r in pagerank_auto(nodes, edges, iters=4,
                                  dense_bound=0).take_all()}
     assert fb == want
+
+
+# ------------------------------------------------------------------ trustrank
+
+def _tr_brute(n, edges, seed_ids, damping, iters):
+    import collections
+    out = collections.defaultdict(list)
+    for a, b in edges:
+        out[a].append(b)
+    t = {v: (1.0 / len(seed_ids) if v in seed_ids else 0.0)
+         for v in range(n)}
+    r = dict(t)
+    for _ in range(iters):
+        inflow = {v: 0.0 for v in range(n)}
+        for u, dsts in out.items():
+            share = r[u] / len(dsts)
+            for v in dsts:
+                inflow[v] += share
+        r = {v: (1 - damping) * t[v] + damping * inflow[v]
+             for v in range(n)}
+    return r
+
+
+def test_trustrank_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pappermate_ray.ops.pagerank import trustrank
+
+    rng = np.random.RandomState(29)
+    n = 60
+    edges = [(int(rng.randint(n)), int(rng.randint(n))) for _ in range(150)]
+    seed_ids = {0, 13, 27}
+    nodes = rd.from_arrow(pa.table({"node": pa.array(range(n))}))
+    e = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges]),
+        "dst": pa.array([b for _, b in edges]),
+    })).repartition(4)
+    seeds = rd.from_arrow(pa.table({"node": pa.array(sorted(seed_ids))}))
+    got = {r["node"]: r["trustrank"]
+           for r in trustrank(nodes, e, seeds, iters=3,
+                              round_to=10).take_all()}
+    want = _tr_brute(n, edges, seed_ids, 0.85, 3)
+    assert got.keys() == want.keys()
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, v
+
+
+def test_trustrank_decays_from_seeds(ray_session):
+    # chain 0→1→2→3 with seed {0}: trust strictly decays with depth and
+    # the unreachable far node 9 gets exactly 0
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pappermate_ray.ops.pagerank import trustrank
+
+    nodes = rd.from_arrow(pa.table({"node": pa.array([0, 1, 2, 3, 9])}))
+    e = rd.from_arrow(pa.table({"src": pa.array([0, 1, 2]),
+                                "dst": pa.array([1, 2, 3])}))
+    seeds = rd.from_arrow(pa.table({"node": pa.array([0])}))
+    # 5 rounds ≥ chain depth + 1 so every prefix has stabilized (at
+    # fewer rounds the transient front inverts the ordering)
+    got = {r["node"]: r["trustrank"]
+           for r in trustrank(nodes, e, seeds, iters=5).take_all()}
+    assert got[0] > got[1] > got[2] > got[3] > 0.0
+    assert got[9] == 0.0
