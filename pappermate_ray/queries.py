@@ -9729,3 +9729,43 @@ def _trustrank_sql(iters: int = _TR_ITERS, damping: float = _TR_DAMP) -> str:
 
 SQL_QUERIES.update({"trustrank": q_trustrank})
 ORACLE_SQL.update({"trustrank": _trustrank_sql()})
+
+
+def q_co_citation(sf_dir: str):
+    """Co-citation similarity (stages/links.co_citation) over the
+    planted host graph: host pairs endorsed by ≥2 common in-linking
+    hosts — the link-structure relatedness signal next to the embedding
+    near-dups. One distinct exchange + ONE partition-grouped triu
+    exchange (max_fanout storm cap mirrored in SQL) + one narrow pair
+    groupby-sum."""
+    from .stages.links import co_citation, host_graph
+
+    g = host_graph(_host_edges_ds(sf_dir)) \
+        .select_columns(["src_host", "dst_host"])
+    return co_citation(g, min_shared=2, max_fanout=10_000)
+
+
+SQL_QUERIES.update({"co_citation": q_co_citation})
+ORACLE_SQL.update({
+    "co_citation": _MESSY_URL_CTE + """
+        , nn AS (SELECT COUNT(*) AS n FROM documents),
+        pe AS (
+          SELECT s.host AS src_host, d.host AS dst_host
+          FROM hd s CROSS JOIN nn
+          JOIN hd d ON d.doc_id = (s.doc_id * 3 + 1) % nn.n
+          UNION ALL
+          SELECT s.host, d.host
+          FROM hd s CROSS JOIN nn
+          JOIN hd d ON d.doc_id = (s.doc_id * 7 + 2) % nn.n),
+        d AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+              FROM pe WHERE src_host <> dst_host),
+        fan AS (SELECT src, COUNT(*) AS c FROM d GROUP BY src),
+        ok AS (SELECT src FROM fan WHERE c <= 10000)
+        SELECT a.dst AS host_a, b.dst AS host_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM d a JOIN d b ON b.src = a.src AND a.dst < b.dst
+        WHERE a.src IN (SELECT src FROM ok)
+        GROUP BY a.dst, b.dst
+        HAVING COUNT(*) >= 2
+    """,
+})

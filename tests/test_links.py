@@ -191,3 +191,66 @@ def test_reciprocity_ring_and_sink(ray_session):
     assert got["b"] == (1, 1, 1, 1.0)
     assert got["c"] == (1, 0, 0, 0.0)
     assert got["d"] == (0, 1, 0, 0.0)
+
+
+# ---------------------------------------------------------------- co-citation
+
+def _cocite(pairs, **kw):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pappermate_ray.stages.links import co_citation
+
+    ds = rd.from_arrow(pa.table({
+        "src_host": pa.array([a for a, _ in pairs], pa.string()),
+        "dst_host": pa.array([b for _, b in pairs], pa.string()),
+    })).repartition(3)
+    out = co_citation(ds, **kw).take_all()
+    return {(r["host_a"], r["host_b"]): r["n_shared"] for r in out}
+
+
+def _cocite_brute(pairs, min_shared=2, max_fanout=10_000, coupling=False):
+    d = {(a, b) for a, b in pairs if a != b}
+    if coupling:
+        d = {(b, a) for a, b in d}
+    from collections import Counter, defaultdict
+    by_key = defaultdict(set)
+    for k, v in d:
+        by_key[k].add(v)
+    cnt = Counter()
+    for k, vs in by_key.items():
+        if len(vs) > max_fanout:
+            continue
+        vs = sorted(vs)
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                cnt[(vs[i], vs[j])] += 1
+    return {p: c for p, c in cnt.items() if c >= min_shared}
+
+
+def test_cocitation_matches_bruteforce(ray_session):
+    import numpy as np
+    rng = np.random.RandomState(47)
+    hosts = [f"h{i}" for i in range(15)]
+    pairs = [(hosts[rng.randint(15)], hosts[rng.randint(15)])
+             for _ in range(140)]
+    for ms in (1, 2):
+        assert _cocite(pairs, min_shared=ms) == \
+            _cocite_brute(pairs, min_shared=ms)
+
+
+def test_coupling_flips_the_axis(ray_session):
+    # a and b both cite x and y: coupled (share outlinks), never
+    # co-cited (nothing links TO them together)
+    pairs = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")]
+    assert _cocite(pairs, min_shared=2, coupling=True) == {("a", "b"): 2}
+    assert _cocite(pairs, min_shared=1, coupling=False) == \
+        {("x", "y"): 2}
+
+
+def test_fanout_cap_excludes_mega_hub(ray_session):
+    # hub cites 5 hosts; with max_fanout=4 its pairs vanish entirely
+    pairs = [("hub", f"t{i}") for i in range(5)] + \
+            [("s", "t0"), ("s", "t1")]
+    got = _cocite(pairs, min_shared=1, max_fanout=4)
+    assert got == {("t0", "t1"): 1}
