@@ -283,17 +283,20 @@ def trustrank(
 
     from .bfs import collect_key_array
 
-    n_seeds = seeds.count()
-    if n_seeds == 0:
-        raise ValueError("trustrank needs a non-empty seed set")
     num_partitions = num_partitions or adaptive_partitions(nodes.count())
     sch = nodes.schema()
     key_t = dict(zip(sch.names, sch.types))[node_col]
     rank_schema = pa.schema([(node_col, key_t), ("r", pa.float64())])
 
-    seed_ref = _ray.put(collect_key_array(
+    # |S| counts DISTINCT seeds — a duplicated seed row must not
+    # shrink everyone's teleport share
+    seed_arr = collect_key_array(
         seeds.groupby(node_col).aggregate(Count())
-        .select_columns([node_col]), node_col, key_t))
+        .select_columns([node_col]), node_col, key_t)
+    n_seeds = len(seed_arr)
+    if n_seeds == 0:
+        raise ValueError("trustrank needs a non-empty seed set")
+    seed_ref = _ray.put(seed_arr)
     t_seed = 1.0 / n_seeds
 
     def teleport(col: pa.ChunkedArray) -> np.ndarray:

@@ -9769,3 +9769,104 @@ ORACLE_SQL.update({
         HAVING COUNT(*) >= 2
     """,
 })
+
+
+def q_host_hygiene(sf_dir: str):
+    """Composed host-hygiene flagship (stages/links.host_hygiene): the
+    three spam lenses joined per host — reciprocity (link-exchange
+    rings), bounded-round 2-core degree (dense cliques) and TrustRank
+    from the 'sub*' seed hosts (distance from trust) — over the planted
+    host graph. ONE WITH-chain oracle gates the whole composition."""
+    from .stages.links import host_graph, host_hygiene
+
+    g = host_graph(_host_edges_ds(sf_dir)) \
+        .select_columns(["src_host", "dst_host"]).materialize()
+
+    def side(col):
+        return g.map_batches(lambda t, c=col: pa.table({"node": t[c]}),
+                             batch_format="pyarrow")
+
+    seeds = side("src_host").union(side("dst_host")) \
+        .filter(lambda r: r["node"].startswith("sub"))
+    return host_hygiene(g, seeds, k=2, kcore_rounds=3, trust_iters=3)
+
+
+def _host_hygiene_sql(k: int = 2, kcore_rounds: int = 3,
+                      trust_iters: int = 3, damping: float = 0.85) -> str:
+    coef = repr(1.0 - damping)
+    parts = [
+        _MESSY_URL_CTE + """
+        , nn AS (SELECT COUNT(*) AS n FROM documents),
+        pe AS (
+          SELECT s.host AS src_host, d.host AS dst_host
+          FROM hd s CROSS JOIN nn
+          JOIN hd d ON d.doc_id = (s.doc_id * 3 + 1) % nn.n
+          UNION ALL
+          SELECT s.host, d.host
+          FROM hd s CROSS JOIN nn
+          JOIN hd d ON d.doc_id = (s.doc_id * 7 + 2) % nn.n),
+        d AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+              FROM pe WHERE src_host <> dst_host),
+        o AS (SELECT src AS host, COUNT(*) AS od FROM d GROUP BY src),
+        i AS (SELECT dst AS host, COUNT(*) AS idg FROM d GROUP BY dst),
+        rr AS (SELECT a.src AS host, COUNT(*) AS rc FROM d a
+               JOIN d b ON b.src = a.dst AND b.dst = a.src
+               GROUP BY a.src),
+        allh AS (SELECT src AS host FROM d UNION SELECT dst FROM d),
+        e0 AS (SELECT DISTINCT src, dst FROM (
+               SELECT src, dst FROM d UNION ALL SELECT dst, src FROM d))
+        """.strip(),
+    ]
+    for r in range(1, kcore_rounds + 1):
+        parts.append(
+            f"kd{r} AS (SELECT src AS node, COUNT(*) AS c "
+            f"FROM e{r-1} GROUP BY src)")
+        parts.append(
+            f"ks{r} AS (SELECT node FROM kd{r} WHERE c >= {k})")
+        parts.append(
+            f"e{r} AS (SELECT src, dst FROM e{r-1} "
+            f"WHERE src IN (SELECT node FROM ks{r}) "
+            f"AND dst IN (SELECT node FROM ks{r}))")
+    parts.append(
+        f"kcore AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) "
+        f"AS degree FROM e{kcore_rounds} GROUP BY src)")
+    parts.append(
+        "ns AS (SELECT COUNT(*) AS s FROM allh WHERE host LIKE 'sub%')")
+    tele = ("CASE WHEN {col} LIKE 'sub%' THEN 1.0/(SELECT s FROM ns) "
+            "ELSE 0.0 END")
+    parts.append(
+        "tr0 AS (SELECT host AS node, " + tele.format(col="host") +
+        " AS r FROM allh)")
+    parts.append("odk AS (SELECT src, COUNT(*) AS od FROM d GROUP BY src)")
+    parts.append(
+        "ewk AS (SELECT d.src, d.dst, odk.od FROM d JOIN odk USING (src))")
+    for t in range(1, trust_iters + 1):
+        parts.append(
+            f"tr{t} AS (SELECT a.host AS node, "
+            f"{coef}*" + tele.format(col="a.host") +
+            f" + {damping!r}*COALESCE(SUM(tr{t-1}.r/ewk.od), 0) AS r "
+            f"FROM allh a "
+            f"LEFT JOIN ewk ON ewk.dst = a.host "
+            f"LEFT JOIN tr{t-1} ON tr{t-1}.node = ewk.src "
+            f"GROUP BY a.host)")
+    final = f"""
+        SELECT allh.host,
+               CAST(COALESCE(o.od, 0) AS BIGINT) AS out_deg,
+               CAST(COALESCE(i.idg, 0) AS BIGINT) AS in_deg,
+               CAST(COALESCE(rr.rc, 0) AS BIGINT) AS recip_out,
+               ROUND(CASE WHEN COALESCE(o.od, 0) > 0
+                          THEN COALESCE(rr.rc, 0) * 1.0 / o.od
+                          ELSE 0.0 END, 6) AS recip_ratio,
+               CAST(COALESCE(kcore.degree, 0) AS BIGINT) AS core_degree,
+               ROUND(tr{trust_iters}.r, 8) AS trustrank
+        FROM allh
+        LEFT JOIN o USING (host) LEFT JOIN i USING (host)
+        LEFT JOIN rr USING (host)
+        LEFT JOIN kcore ON kcore.node = allh.host
+        JOIN tr{trust_iters} ON tr{trust_iters}.node = allh.host
+    """
+    return ",\n".join(parts) + final
+
+
+SQL_QUERIES.update({"host_hygiene": q_host_hygiene})
+ORACLE_SQL.update({"host_hygiene": _host_hygiene_sql()})

@@ -333,3 +333,87 @@ def co_citation(
               .groupby(["host_a", "host_b"])
               .aggregate(Sum("n_shared", alias_name="n_shared")))
     return summed.filter(lambda r: r["n_shared"] >= min_shared)
+
+
+def host_hygiene(
+    pairs: "rd.Dataset",
+    seeds: "rd.Dataset",
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    k: int = 2,
+    kcore_rounds: int = 3,
+    trust_iters: int = 3,
+) -> "rd.Dataset":
+    """Composed host-hygiene signal table — the three spam lenses this
+    module family provides, joined into one row per host: ``(host,
+    out_deg, in_deg, recip_out, recip_ratio, core_degree, trustrank)``.
+    Reciprocity exposes link-exchange rings, the k-core degree exposes
+    densely interlinked cliques (``core_degree`` = surviving degree
+    after ``kcore_rounds`` peel rounds at threshold ``k``; 0 = peeled
+    away), and TrustRank exposes distance from the trusted ``seeds`` —
+    a ranking pipeline reads all three BEFORE believing raw authority.
+
+    Scale shape: the pair set canonicalizes ONCE (distinct groupby,
+    materialized — three consumers) and feeds all three operators;
+    the final assembly is one inner join (trustrank covers every
+    endpoint by construction) plus one armored left-outer join (peeled
+    hosts take core_degree 0). Host strings are the widest thing any
+    exchange carries."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from ..ops.joins import adaptive_partitions, hash_join
+    from ..ops.kcore import k_core
+    from ..ops.pagerank import trustrank
+
+    def canon(t: pa.Table) -> pa.Table:
+        out = pa.table({"src": t[src_col], "dst": t[dst_col]})
+        keep = pc.and_(
+            pc.and_(pc.is_valid(out["src"]), pc.is_valid(out["dst"])),
+            pc.invert(pc.equal(out["src"], out["dst"])))
+        return out.filter(keep)
+
+    d = (pairs.map_batches(canon, batch_format="pyarrow")
+         .groupby(["src", "dst"]).aggregate(Count())
+         .select_columns(["src", "dst"]).materialize())
+
+    r = host_reciprocity(d, src_col="src", dst_col="dst")
+    kc = k_core(d, k, rounds=kcore_rounds)
+    nodes = (d.map_batches(lambda t: pa.table({"node": t["src"]}),
+                           batch_format="pyarrow")
+             .union(d.map_batches(lambda t: pa.table({"node": t["dst"]}),
+                                  batch_format="pyarrow"))
+             .groupby("node").aggregate(Count())
+             .select_columns(["node"]).materialize())
+    tr = trustrank(nodes, d, seeds, iters=trust_iters, round_to=8)
+
+    np_ = adaptive_partitions(nodes.count())
+    r_schema = pa.schema([
+        ("host", pa.string()), ("out_deg", pa.int64()),
+        ("in_deg", pa.int64()), ("recip_out", pa.int64()),
+        ("recip_ratio", pa.float64())])
+    tr_schema = pa.schema([("node", pa.string()),
+                           ("trustrank", pa.float64())])
+    kc_schema = pa.schema([("node", pa.string()), ("degree", pa.int64())])
+
+    out = hash_join(r, tr, on="host", right_on="node",
+                    num_partitions=np_,
+                    left_schema=r_schema, right_schema=tr_schema)
+    out = hash_join(
+        out, kc, on="host", right_on="node", join_type="left_outer",
+        num_partitions=np_,
+        left_schema=pa.schema(list(r_schema) + [("trustrank", pa.float64())]),
+        right_schema=kc_schema)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": t["host"],
+            "out_deg": t["out_deg"],
+            "in_deg": t["in_deg"],
+            "recip_out": t["recip_out"],
+            "recip_ratio": t["recip_ratio"],
+            "core_degree": pc.fill_null(pc.cast(t["degree"], pa.int64()), 0),
+            "trustrank": t["trustrank"],
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")

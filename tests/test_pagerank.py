@@ -160,3 +160,21 @@ def test_trustrank_decays_from_seeds(ray_session):
            for r in trustrank(nodes, e, seeds, iters=5).take_all()}
     assert got[0] > got[1] > got[2] > got[3] > 0.0
     assert got[9] == 0.0
+
+
+def test_trustrank_duplicate_seeds_collapse(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pappermate_ray.ops.pagerank import trustrank
+
+    nodes = rd.from_arrow(pa.table({"node": pa.array([0, 1, 2])}))
+    e = rd.from_arrow(pa.table({"src": pa.array([0, 1]),
+                                "dst": pa.array([1, 2])}))
+    clean = rd.from_arrow(pa.table({"node": pa.array([0, 1])}))
+    dup = rd.from_arrow(pa.table({"node": pa.array([0, 0, 1, 1, 1])}))
+    a = {r["node"]: r["trustrank"]
+         for r in trustrank(nodes, e, clean, iters=2).take_all()}
+    b = {r["node"]: r["trustrank"]
+         for r in trustrank(nodes, e, dup, iters=2).take_all()}
+    assert a == b
