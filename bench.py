@@ -190,7 +190,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "shard_rebalance", "zorder_scan_check",
         "mmr_select", "kcenter_select", "lpa_communities",
         "crawl_depth", "kcore_hosts", "host_reciprocity",
-        "snapshot_change_rate",
+        "snapshot_change_rate", "trustrank", "co_citation",
+        "host_hygiene",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

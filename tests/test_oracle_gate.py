@@ -47,6 +47,11 @@ FAST_QUERIES = [
     # round-4 continuation: greedy subset selection (unrolled-CTE chains —
     # the sf0.001 geometry is the one that caught the clamped-maxsim bug)
     "mmr_select", "kcenter_select",
+    # round-4 continuation: iterative graph wave + composed hygiene
+    # flagship (the dup-seed teleport bug surfaced in host_hygiene's
+    # composition, not in trustrank's own distinct-seed fixture)
+    "crawl_depth", "kcore_hosts", "trustrank", "host_reciprocity",
+    "co_citation", "snapshot_change_rate", "host_hygiene",
 ]
 
 
