@@ -9870,3 +9870,76 @@ def _host_hygiene_sql(k: int = 2, kcore_rounds: int = 3,
 
 SQL_QUERIES.update({"host_hygiene": q_host_hygiene})
 ORACLE_SQL.update({"host_hygiene": _host_hygiene_sql()})
+
+
+def q_page_templates(sf_dir: str):
+    """Page-structure template fingerprints
+    (stages/headmeta.template_fingerprints): md5 of each page's
+    lowercase tag-name sequence over four planted site templates
+    rendered around the real document texts (attributes and casing
+    vary per page; structure does not) — the skeleton-level member of
+    the boilerplate family. Zero exchanges; hosts come from the shared
+    vectorized url decompose; DuckDB rebuilds the identical pages and
+    extracts + hashes the same sequences."""
+    from .stages.headmeta import template_fingerprints
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def pages(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        urls, htmls = [], []
+        for i, txt in zip(ids, texts):
+            urls.append(_messy_url(int(i)))
+            v = i % 4
+            if v == 0:
+                h = (f'<html><head><title>t</title></head><body>'
+                     f'<div class="c{i % 7}"><p>{txt}</p></div>'
+                     f'</body></html>')
+            elif v == 1:
+                h = (f'<html><head><title>t</title></head><body>'
+                     f'<nav><a href="/x">n</a></nav>'
+                     f'<ARTICLE><p>{txt}</p><p>tail</p></ARTICLE>'
+                     f'</body></html>')
+            elif v == 2:
+                h = (f'<html><body><table><tr><td>{txt}</td></tr>'
+                     f'</table></body></html>')
+            else:
+                h = (f'<html><head><meta charset="utf-8"></head><body>'
+                     f'<section><h1>h</h1><p>{txt}</p></section>'
+                     f'</body></html>')
+            htmls.append(h)
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.string())})
+
+    return template_fingerprints(docs.map_batches(pages,
+                                                  batch_format="pyarrow"))
+
+
+SQL_QUERIES.update({"page_templates": q_page_templates})
+ORACLE_SQL.update({
+    "page_templates": _MESSY_URL_CTE + r"""
+        , pg AS (
+          SELECT hd.url, hd.host,
+                 CASE hd.doc_id % 4
+                   WHEN 0 THEN '<html><head><title>t</title></head><body>'
+                     || '<div class="c' || CAST(hd.doc_id % 7 AS VARCHAR)
+                     || '"><p>' || d.text || '</p></div></body></html>'
+                   WHEN 1 THEN '<html><head><title>t</title></head><body>'
+                     || '<nav><a href="/x">n</a></nav><ARTICLE><p>'
+                     || d.text || '</p><p>tail</p></ARTICLE></body></html>'
+                   WHEN 2 THEN '<html><body><table><tr><td>' || d.text
+                     || '</td></tr></table></body></html>'
+                   ELSE '<html><head><meta charset="utf-8"></head><body>'
+                     || '<section><h1>h</h1><p>' || d.text
+                     || '</p></section></body></html>'
+                 END AS html
+          FROM hd JOIN documents d ON d.doc_id = hd.doc_id)
+        SELECT url, host,
+               md5(array_to_string(regexp_extract_all(
+                   lower(html), '<([a-z][a-z0-9]*)', 1), ' '))
+                 AS template_id
+        FROM pg
+    """,
+})

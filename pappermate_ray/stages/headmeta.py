@@ -152,3 +152,53 @@ def html_head_metadata(ds, html_col: str = "html", url_col: str = "url",
                                    head_bytes=head_bytes)
 
     return ds.map_batches(batch, batch_format="pyarrow")
+
+
+_TAG_RE = None  # compiled lazily per worker process
+
+
+def template_fingerprints(
+    ds,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> "object":
+    """Page-structure template fingerprints: ``(url, host,
+    template_id)`` where ``template_id`` = md5 hex of the page's
+    lowercase TAG-NAME sequence (opening tags in document order;
+    attributes, text and closing tags are ignored). Pages rendered
+    from the same site template share an id even when every word and
+    attribute differs — the STRUCTURE-level member of the boilerplate
+    family (``stages/webclean.host_boilerplate_removal`` removes
+    repeated paragraph CONTENT; this finds the repeated skeleton), and
+    the grouping key template-aware extraction or per-template sampling
+    wants. md5 is the id on purpose: DuckDB computes the identical hex
+    string, so the operator is oracle-checkable end to end.
+
+    Scale shape: one stateless streaming pass, zero exchanges; one
+    compiled regex + one hash per page (the stages/links.py per-page
+    scan discipline); hosts come from the same vectorized RE2
+    decompose every url operator shares. Rollups (host × template ×
+    n_pages) are one narrow groupby downstream."""
+    import hashlib
+    import re as _re
+
+    from .urls import _decompose
+
+    global _TAG_RE
+    if _TAG_RE is None:
+        _TAG_RE = _re.compile(r"<([a-z][a-z0-9]*)")
+
+    def batch(t: pa.Table) -> pa.Table:
+        urls = t[url_col]
+        _, hosts, _, _, _, _ = _decompose(urls)
+        tid = [hashlib.md5(
+                   " ".join(_TAG_RE.findall((h or "").lower())).encode()
+               ).hexdigest()
+               for h in t[html_col].to_pylist()]
+        return pa.table({
+            "url": pc.cast(urls, pa.string()),
+            "host": hosts,
+            "template_id": pa.array(tid, pa.string()),
+        })
+
+    return ds.map_batches(batch, batch_format="pyarrow")

@@ -142,3 +142,46 @@ def test_empty_value_still_participates():
     html = ('<head><meta name="description" content="">'
             '<meta content="later" name="description"></head>')
     assert _meta(html)["meta_description"] == ""
+
+
+# ------------------------------------------------------- template fingerprints
+
+def _tfp(rows):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pappermate_ray.stages.headmeta import template_fingerprints
+
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "html": pa.array([r[1] for r in rows], pa.string()),
+    }))
+    return {r["url"]: (r["host"], r["template_id"])
+            for r in template_fingerprints(ds).take_all()}
+
+
+def test_template_id_ignores_content_and_attributes(ray_session):
+    a = '<html><head><title>One</title></head><body><div class="x"><p>hello world</p></div></body></html>'
+    b = '<HTML><head><title>Totally other</title></head><body><div id="y"><p>different text</p></div></body></html>'
+    c = '<html><head><title>T</title></head><body><table><tr><td>z</td></tr></table></body></html>'
+    got = _tfp([("https://a.example/1", a),
+                ("https://a.example/2", b),
+                ("https://b.example/1", c)])
+    assert got["https://a.example/1"][1] == got["https://a.example/2"][1]
+    assert got["https://a.example/1"][1] != got["https://b.example/1"][1]
+    assert got["https://a.example/1"][0] == got["https://a.example/2"][0]
+
+
+def test_template_id_is_the_md5_of_the_tag_sequence(ray_session):
+    import hashlib
+    html = '<html><body><p>x</p><p>y</p></body></html>'
+    got = _tfp([("https://h.example/", html)])
+    want = hashlib.md5(b"html body p p").hexdigest()
+    assert got["https://h.example/"][1] == want
+
+
+def test_template_malformed_html_soft_fails(ray_session):
+    got = _tfp([("https://h.example/", "<<<not <1bad> html <p")])
+    import hashlib
+    # '<not' and '<p' parse as tag starts; '<1bad>' does not
+    assert got["https://h.example/"][1] == hashlib.md5(b"not p").hexdigest()
