@@ -191,7 +191,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "mmr_select", "kcenter_select", "lpa_communities",
         "crawl_depth", "kcore_hosts", "host_reciprocity",
         "snapshot_change_rate", "trustrank", "co_citation",
-        "host_hygiene", "page_templates",
+        "host_hygiene", "page_templates", "link_prediction",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

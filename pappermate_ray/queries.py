@@ -9943,3 +9943,43 @@ ORACLE_SQL.update({
         FROM pg
     """,
 })
+
+
+def q_link_prediction(sf_dir: str):
+    """Adamic–Adar link prediction (stages/links.co_citation
+    weighted=True) over the planted host graph: pairs scored by
+    Σ 1/ln(fanout(shared citer)) — selective citers count, mega-hubs
+    barely do. Same single partition-grouped triu exchange as
+    co_citation with the weight summed alongside the count."""
+    from .stages.links import co_citation, host_graph
+
+    g = host_graph(_host_edges_ds(sf_dir)) \
+        .select_columns(["src_host", "dst_host"])
+    return co_citation(g, min_shared=2, max_fanout=10_000, weighted=True)
+
+
+SQL_QUERIES.update({"link_prediction": q_link_prediction})
+ORACLE_SQL.update({
+    "link_prediction": _MESSY_URL_CTE + """
+        , nn AS (SELECT COUNT(*) AS n FROM documents),
+        pe AS (
+          SELECT s.host AS src_host, d.host AS dst_host
+          FROM hd s CROSS JOIN nn
+          JOIN hd d ON d.doc_id = (s.doc_id * 3 + 1) % nn.n
+          UNION ALL
+          SELECT s.host, d.host
+          FROM hd s CROSS JOIN nn
+          JOIN hd d ON d.doc_id = (s.doc_id * 7 + 2) % nn.n),
+        d AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+              FROM pe WHERE src_host <> dst_host),
+        fan AS (SELECT src, COUNT(*) AS c FROM d GROUP BY src),
+        ok AS (SELECT src, c FROM fan WHERE c <= 10000)
+        SELECT a.dst AS host_a, b.dst AS host_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared,
+               ROUND(SUM(1.0 / ln(ok.c)), 6) AS aa_score
+        FROM d a JOIN d b ON b.src = a.src AND a.dst < b.dst
+        JOIN ok ON ok.src = a.src
+        GROUP BY a.dst, b.dst
+        HAVING COUNT(*) >= 2
+    """,
+})

@@ -264,6 +264,8 @@ def co_citation(
     min_shared: int = 2,
     max_fanout: int = 10_000,
     coupling: bool = False,
+    weighted: bool = False,
+    round_to: int = 6,
 ) -> "rd.Dataset":
     """Co-citation similarity over a host-pair edge table: ``(host_a,
     host_b, n_shared)`` for host pairs endorsed by ≥ ``min_shared``
@@ -272,7 +274,11 @@ def co_citation(
     link-structure sibling of the embedding near-dup operators).
     ``coupling=True`` flips to bibliographic coupling (Kessler 1963:
     pairs of hosts CITING the same targets — "these two sites share a
-    reading list").
+    reading list"). ``weighted=True`` appends the Adamic–Adar link
+    prediction score (2003) ``aa_score = Σ 1/ln(fanout(shared))`` —
+    a hub endorsing half the web contributes almost nothing, a
+    selective citer contributes a lot; the min_shared filter still
+    applies to the raw count.
 
     Scale shape (the winnow_clone_pairs / _shared_hash_pairs core,
     string-id-preserving): one distinct groupby canonicalizes the pair
@@ -309,7 +315,7 @@ def co_citation(
         starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]]) \
             if len(df) else np.array([], np.int64)
         ends = np.r_[starts[1:], len(df)] if len(starts) else starts
-        out_a, out_b = [], []
+        out_a, out_b, out_w = [], [], []
         for s, e in zip(starts, ends):
             m = e - s
             if m < 2 or m > max_fanout:
@@ -318,21 +324,47 @@ def co_citation(
             run = vals[s:e]  # sorted ⇒ triu gives host_a < host_b
             out_a.append(run[ia])
             out_b.append(run[ib])
+            if weighted:
+                out_w.append(np.full(len(ia), 1.0 / np.log(m)))
+        empty = {"host_a": pd.Series([], dtype="str"),
+                 "host_b": pd.Series([], dtype="str"),
+                 "n_shared": pd.Series([], dtype=np.int64)}
+        if weighted:
+            empty["aa_part"] = pd.Series([], dtype=np.float64)
         if not out_a:
-            return pd.DataFrame({"host_a": pd.Series([], dtype="str"),
-                                 "host_b": pd.Series([], dtype="str"),
-                                 "n_shared": pd.Series([], dtype=np.int64)})
+            return pd.DataFrame(empty)
         dfp = pd.DataFrame({"host_a": np.concatenate(out_a),
                             "host_b": np.concatenate(out_b)})
+        if weighted:
+            dfp["aa_part"] = np.concatenate(out_w)
+            out = dfp.groupby(["host_a", "host_b"], as_index=False).agg(
+                n_shared=("aa_part", "size"), aa_part=("aa_part", "sum"))
+            return out.astype({"n_shared": np.int64})
         out = dfp.groupby(["host_a", "host_b"], as_index=False).size()
         return out.rename(columns={"size": "n_shared"}).astype(
             {"n_shared": np.int64})
 
-    summed = (parted.groupby(gcols).map_groups(run_pairs,
-                                               batch_format="pandas")
-              .groupby(["host_a", "host_b"])
-              .aggregate(Sum("n_shared", alias_name="n_shared")))
-    return summed.filter(lambda r: r["n_shared"] >= min_shared)
+    local = parted.groupby(gcols).map_groups(run_pairs,
+                                             batch_format="pandas")
+    aggs = [Sum("n_shared", alias_name="n_shared")]
+    if weighted:
+        aggs.append(Sum("aa_part", alias_name="aa_sum"))
+    summed = local.groupby(["host_a", "host_b"]).aggregate(*aggs)
+    summed = summed.filter(lambda r: r["n_shared"] >= min_shared)
+    if not weighted:
+        return summed
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "host_a": t["host_a"],
+            "host_b": t["host_b"],
+            "n_shared": t["n_shared"],
+            "aa_score": pa.array(
+                np.round(t["aa_sum"].to_numpy(zero_copy_only=False),
+                         round_to), pa.float64()),
+        })
+
+    return summed.map_batches(fin, batch_format="pyarrow")
 
 
 def host_hygiene(

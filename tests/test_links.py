@@ -254,3 +254,29 @@ def test_fanout_cap_excludes_mega_hub(ray_session):
             [("s", "t0"), ("s", "t1")]
     got = _cocite(pairs, min_shared=1, max_fanout=4)
     assert got == {("t0", "t1"): 1}
+
+
+def test_adamic_adar_weighted_scores(ray_session):
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pappermate_ray.stages.links import co_citation
+
+    # s1 cites {a,b} (fanout 2), s2 cites {a,b,c} (fanout 3): aa(a,b) =
+    # 1/ln2 + 1/ln3; counts unchanged vs the unweighted mode
+    pairs = [("s1", "a"), ("s1", "b"),
+             ("s2", "a"), ("s2", "b"), ("s2", "c")]
+    ds = rd.from_arrow(pa.table({
+        "src_host": pa.array([a for a, _ in pairs], pa.string()),
+        "dst_host": pa.array([b for _, b in pairs], pa.string()),
+    })).repartition(2)
+    got = {(r["host_a"], r["host_b"]): (r["n_shared"], r["aa_score"])
+           for r in co_citation(ds, min_shared=1, weighted=True).take_all()}
+    assert got[("a", "b")][0] == 2
+    assert got[("a", "b")][1] == float(
+        np.round(1 / math.log(2) + 1 / math.log(3), 6))
+    assert got[("a", "c")] == (1, float(np.round(1 / math.log(3), 6)))
+    assert got[("b", "c")] == (1, float(np.round(1 / math.log(3), 6)))

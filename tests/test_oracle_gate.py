@@ -52,7 +52,7 @@ FAST_QUERIES = [
     # composition, not in trustrank's own distinct-seed fixture)
     "crawl_depth", "kcore_hosts", "trustrank", "host_reciprocity",
     "co_citation", "snapshot_change_rate", "host_hygiene",
-    "page_templates",
+    "page_templates", "link_prediction",
 ]
 
 
