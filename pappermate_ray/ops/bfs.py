@@ -36,8 +36,9 @@ Scale shape, per round (the pagerank/LPA BSP discipline):
   each consume), and the loop EXITS EARLY when a round reaches nothing
   new — identical output to running all rounds, since an empty
   frontier stays empty;
-- driver transit is O(1) per round (the emptiness check), never the
-  frontier itself.
+- driver transit per round is the emptiness check plus, in the
+  broadcast tier, the bounded frontier key set itself — never the
+  edge or visited tables.
 
 With a fixed ``max_depth`` the computation unrolls into SQL (JOIN +
 DISTINCT + NOT IN per round), so it is oracle-checkable.
