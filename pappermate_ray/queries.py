@@ -4698,6 +4698,20 @@ def q_host_quality(sf_dir: str):
     return kept.select_columns(["doc_id", "registered_domain", "n_chars"])
 
 
+def q_host_lang_profile(sf_dir: str):
+    """Per-host language-mix profile (stages/urls.host_lang_profile):
+    n_docs / n_langs / majority lang (ties → smallest lang) / Shannon
+    entropy (bits, round-6) / exact-integer mixed flag (majority share
+    < 80%). Blocks pre-compress to (host, lang, n) partials, one narrow
+    grouped exchange, partition-grouped vectorized finisher — documents
+    never shuffle, host count never drives Python dispatch."""
+    from .stages.urls import host_lang_profile, parse_urls
+
+    parsed = parse_urls(_messy_url_ds(sf_dir, extra_cols=("lang",)))
+    return host_lang_profile(parsed, host_col="host", lang_col="lang",
+                             mixed_share_permille=800, num_partitions=8)
+
+
 def q_resolve_redirects(sf_dir: str):
     """Redirect-chain resolution by pointer jumping (ops/pointer.py):
     every non-multiple-of-10 doc redirects to doc_id-1, forming chains
@@ -5080,6 +5094,34 @@ ORACLE_SQL.update({
         SELECT doc_id, registered_domain, n_chars FROM dd
         WHERE registered_domain IN (SELECT registered_domain FROM g)
     """,
+    "host_lang_profile": _MESSY_URL_CTE + """
+        , dl AS (
+          SELECT hd.host, d.lang
+          FROM hd JOIN documents d USING (doc_id)
+          WHERE hd.host IS NOT NULL AND d.lang IS NOT NULL),
+        c AS (
+          SELECT host, lang, CAST(COUNT(*) AS BIGINT) AS n
+          FROM dl GROUP BY host, lang),
+        tot AS (
+          SELECT host, CAST(SUM(n) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) AS BIGINT) AS n_langs
+          FROM c GROUP BY host),
+        maj AS (
+          SELECT host, lang AS majority_lang, n AS majority_n
+          FROM c
+          QUALIFY row_number() OVER (
+            PARTITION BY host ORDER BY n DESC, lang) = 1),
+        ent AS (
+          SELECT c.host,
+                 ROUND(SUM(-(CAST(c.n AS DOUBLE) / t.n_docs)
+                           * log2(CAST(c.n AS DOUBLE) / t.n_docs)), 6)
+                 + 0.0 AS lang_entropy
+          FROM c JOIN tot t USING (host) GROUP BY c.host)
+        SELECT t.host, t.n_docs, t.n_langs, m.majority_lang,
+               m.majority_n, e.lang_entropy,
+               (m.majority_n * 1000 < 800 * t.n_docs) AS is_mixed
+        FROM tot t JOIN maj m USING (host) JOIN ent e USING (host)
+    """,
 })
 
 
@@ -5413,6 +5455,7 @@ SQL_QUERIES = {
     "url_blocklist": q_url_blocklist,
     "robots_filter": q_robots_filter,
     "host_quality": q_host_quality,
+    "host_lang_profile": q_host_lang_profile,
     "resolve_redirects": q_resolve_redirects,
     "perceptron_quality": q_perceptron_quality,
     "perceptron_filter": q_perceptron_filter,

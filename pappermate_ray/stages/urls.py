@@ -360,6 +360,89 @@ def host_quality_filter(
                      num_partitions=num_partitions, right_schema=d_schema)
 
 
+def host_lang_profile(
+    ds,
+    host_col: str = "host",
+    lang_col: str = "lang",
+    mixed_share_permille: int = 800,
+    num_partitions: Optional[int] = None,
+):
+    """Per-host language-mix profile — the CCNet-style consistency
+    signal that routes hosts to language-specific processing and flags
+    incoherent ones (parked domains, scraped-spam mixes, MT farms):
+    ``(host, n_docs, n_langs, majority_lang, majority_n, lang_entropy,
+    is_mixed)``. ``majority_lang`` ties break to the smallest lang;
+    ``is_mixed`` is the exact-integer test ``majority_n * 1000 <
+    mixed_share_permille * n_docs`` (no float division at ties);
+    ``lang_entropy`` is the Shannon entropy of the lang distribution in
+    bits, rounded to 6 (``+ 0.0`` normalizes the single-lang ``-0.0``).
+
+    Scale shape: blocks pre-compress to (host, lang, n) partials, ONE
+    narrow grouped exchange sums them (the shuffle carries lang-
+    cardinality rows per host per block — never documents), then the
+    partition-grouped finisher profiles every host in its partition
+    vectorized (lexsort + run reductions) — host cardinality never
+    drives Python dispatch. Rows with a null host or lang drop (an
+    unparsable URL has no host to profile).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..ops.grouping import partition_grouped
+
+    def partial(t: pa.Table) -> pa.Table:
+        sub = pa.table({host_col: t[host_col], lang_col: t[lang_col]})
+        sub = sub.filter(pc.and_(pc.is_valid(sub[host_col]),
+                                 pc.is_valid(sub[lang_col])))
+        g = sub.group_by([host_col, lang_col]).aggregate([([], "count_all")])
+        return pa.table({
+            host_col: g[host_col], lang_col: g[lang_col],
+            "_n": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([host_col, lang_col]).aggregate(Sum("_n", alias_name="n"))
+
+    def profile(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({
+                "host": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype=np.int64),
+                "n_langs": pd.Series([], dtype=np.int64),
+                "majority_lang": pd.Series([], dtype=object),
+                "majority_n": pd.Series([], dtype=np.int64),
+                "lang_entropy": pd.Series([], dtype=np.float64),
+                "is_mixed": pd.Series([], dtype=bool),
+            })
+        # majority-first order inside each host: n desc, lang asc
+        g = g.sort_values([host_col, "n", lang_col],
+                          ascending=[True, False, True], kind="mergesort")
+        hosts = g[host_col].to_numpy()
+        n = g["n"].to_numpy().astype(np.int64)
+        first = np.ones(len(g), bool)
+        first[1:] = hosts[1:] != hosts[:-1]
+        starts = np.flatnonzero(first)
+        n_docs = np.add.reduceat(n, starts)
+        n_langs = np.diff(np.append(starts, len(g))).astype(np.int64)
+        # entropy terms in the SAME sorted order every run (sum order
+        # is deterministic; the SQL side agrees far below the 1e-6 grid)
+        p = n / np.repeat(n_docs, n_langs)
+        ent = np.add.reduceat(-p * np.log2(p), starts)
+        ent = np.round(ent, 6) + 0.0
+        maj_n = n[starts]
+        return pd.DataFrame({
+            "host": hosts[starts],
+            "n_docs": n_docs,
+            "n_langs": n_langs,
+            "majority_lang": g[lang_col].to_numpy()[starts],
+            "majority_n": maj_n,
+            "lang_entropy": ent,
+            "is_mixed": maj_n * 1000 < mixed_share_permille * n_docs,
+        })
+
+    pds, pcols = partition_grouped(counts, [host_col], npart=num_partitions)
+    return pds.groupby(pcols).map_groups(profile, batch_format="pandas")
+
+
 def blocklist_regex(blocked: Sequence[str]) -> str:
     """Host matcher: the domain itself or any subdomain of it."""
     return "(?:^|\\.)(?:" + "|".join(re.escape(d) for d in sorted(blocked)) + ")$"

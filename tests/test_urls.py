@@ -260,3 +260,51 @@ def test_url_pattern_traps_and_filter(ray_session):
     assert sorted({r["url"] for r in kept}) == \
         ["https://ok.org/page0", "https://ok.org/page1",
          "https://ok.org/page2", "junk"]
+
+
+def test_host_lang_profile(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from pappermate_ray.stages.urls import host_lang_profile
+
+    # pure.com: single-lang host (entropy exactly 0.0, never -0.0);
+    # mixed.net: 2/1/1 split over 3 langs → entropy 1.5 bits, majority
+    # share 50% < 80% → mixed; tie.org: 2-vs-2 tie breaks to the
+    # lexicographically smallest lang; edge.io: majority share exactly
+    # 80% — the strict < keeps it NOT mixed at the boundary.
+    rows = (
+        [{"host": "pure.com", "lang": "en"}] * 4
+        + [{"host": "mixed.net", "lang": "en"}] * 2
+        + [{"host": "mixed.net", "lang": "pt"},
+           {"host": "mixed.net", "lang": "de"}]
+        + [{"host": "tie.org", "lang": "pt"}] * 2
+        + [{"host": "tie.org", "lang": "de"}] * 2
+        + [{"host": "edge.io", "lang": "en"}] * 4
+        + [{"host": "edge.io", "lang": "fr"}]
+        + [{"host": None, "lang": "en"}, {"host": "pure.com", "lang": None}]
+    )
+    out = {r["host"]: r
+           for r in host_lang_profile(
+               rd.from_items(rows).repartition(4)).take_all()}
+    assert set(out) == {"pure.com", "mixed.net", "tie.org", "edge.io"}
+
+    p = out["pure.com"]
+    assert (p["n_docs"], p["n_langs"], p["majority_lang"], p["majority_n"]) \
+        == (4, 1, "en", 4)
+    assert p["lang_entropy"] == 0.0 and not math.copysign(1, p["lang_entropy"]) < 0
+    assert not p["is_mixed"]
+
+    m = out["mixed.net"]
+    assert (m["n_docs"], m["n_langs"], m["majority_lang"], m["majority_n"]) \
+        == (4, 3, "en", 2)
+    assert m["lang_entropy"] == 1.5 and m["is_mixed"]
+
+    t = out["tie.org"]
+    assert (t["majority_lang"], t["majority_n"]) == ("de", 2)
+    assert t["lang_entropy"] == 1.0 and t["is_mixed"]
+
+    e = out["edge.io"]
+    assert (e["n_docs"], e["majority_n"]) == (5, 4)
+    assert not e["is_mixed"]  # 4*1000 == 800*5 — strict inequality
