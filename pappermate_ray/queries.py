@@ -4712,6 +4712,31 @@ def q_host_lang_profile(sf_dir: str):
                              mixed_share_permille=800, num_partitions=8)
 
 
+def q_host_mirror_pairs(sf_dir: str):
+    """Mirror-host detection (stages/links.host_mirror_pairs): host
+    pairs sharing distinct page fingerprints, with exact-set Jaccard
+    and an exact-integer mirror flag. The fixture plants mirrors by
+    doc-id arithmetic — every run of 3 consecutive doc_ids shares one
+    md5 fingerprint, so their (distinct) hosts pair up. One
+    fingerprint-keyed partition-grouped triu exchange + two armored
+    joins against per-host totals; only digests/hosts shuffle."""
+    from .stages.links import host_mirror_pairs
+    from .stages.urls import parse_urls
+
+    parsed = parse_urls(_messy_url_ds(sf_dir))
+
+    def add_fp(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        fp = [hashlib.md5(str(int(i) - int(i) % 3).encode()).hexdigest()
+              for i in ids]
+        return pa.table({"host": t["host"],
+                         "fp": pa.array(fp, pa.string())})
+
+    ds = parsed.map_batches(add_fp, batch_format="pyarrow")
+    return host_mirror_pairs(ds, min_shared=1, max_hosts_per_fp=1000,
+                             mirror_permille=500)
+
+
 def q_resolve_redirects(sf_dir: str):
     """Redirect-chain resolution by pointer jumping (ops/pointer.py):
     every non-multiple-of-10 doc redirects to doc_id-1, forming chains
@@ -5122,6 +5147,34 @@ ORACLE_SQL.update({
                (m.majority_n * 1000 < 800 * t.n_docs) AS is_mixed
         FROM tot t JOIN maj m USING (host) JOIN ent e USING (host)
     """,
+    "host_mirror_pairs": _MESSY_URL_CTE + """
+        , fh AS (
+          SELECT DISTINCT
+                 md5(CAST(doc_id - doc_id % 3 AS VARCHAR)) AS fp, host
+          FROM hd),
+        tot AS (
+          SELECT host, CAST(COUNT(*) AS BIGINT) AS n
+          FROM fh GROUP BY host),
+        ok AS (
+          SELECT fp FROM fh GROUP BY fp
+          HAVING COUNT(*) BETWEEN 2 AND 1000),
+        pr AS (
+          SELECT a.host AS host_a, b.host AS host_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM fh a JOIN fh b ON a.fp = b.fp AND a.host < b.host
+          WHERE a.fp IN (SELECT fp FROM ok)
+          GROUP BY a.host, b.host
+          HAVING COUNT(*) >= 1)
+        SELECT p.host_a, p.host_b, p.n_shared,
+               ta.n AS n_a, tb.n AS n_b,
+               ROUND(CAST(p.n_shared AS DOUBLE)
+                     / (ta.n + tb.n - p.n_shared), 6) AS jaccard,
+               (p.n_shared * 1000 >= 500 * (ta.n + tb.n - p.n_shared))
+                 AS is_mirror
+        FROM pr p
+        JOIN tot ta ON ta.host = p.host_a
+        JOIN tot tb ON tb.host = p.host_b
+    """,
 })
 
 
@@ -5456,6 +5509,7 @@ SQL_QUERIES = {
     "robots_filter": q_robots_filter,
     "host_quality": q_host_quality,
     "host_lang_profile": q_host_lang_profile,
+    "host_mirror_pairs": q_host_mirror_pairs,
     "resolve_redirects": q_resolve_redirects,
     "perceptron_quality": q_perceptron_quality,
     "perceptron_filter": q_perceptron_filter,

@@ -449,3 +449,139 @@ def host_hygiene(
         })
 
     return out.map_batches(fin, batch_format="pyarrow")
+
+
+def host_mirror_pairs(
+    ds: "rd.Dataset",
+    host_col: str = "host",
+    fp_col: str = "fp",
+    min_shared: int = 2,
+    max_hosts_per_fp: int = 1_000,
+    mirror_permille: int = 500,
+    round_to: int = 6,
+    num_partitions=None,
+) -> "rd.Dataset":
+    """Mirror / aggregator detection over (host, page-fingerprint) rows
+    (Bharat & Broder 1999, "mirror hosts on the web"): ``(host_a,
+    host_b, n_shared, n_a, n_b, jaccard, is_mirror)`` for host pairs
+    sharing ≥ ``min_shared`` distinct page fingerprints. ``jaccard`` =
+    shared / (n_a + n_b − shared) over each host's DISTINCT-fingerprint
+    page set (one float division, round-``round_to``); ``is_mirror`` is
+    the exact-integer test ``shared · 1000 ≥ mirror_permille · union``
+    — no float compare at the threshold. A training pipeline drops or
+    downweights one side of a mirror pair BEFORE near-dup passes: a
+    full site mirror is one decision, not a million pair decisions.
+
+    Scale shape (the co_citation core, content-keyed): distinct
+    (fp, host) first (a host re-serving one page 10k times counts
+    once), per-host page totals via a narrow groupby, then ONE
+    partition-grouped exchange keyed on the FINGERPRINT — in-partition
+    triu host-pair runs with a ``max_hosts_per_fp`` storm cap (a
+    boilerplate page served by half the web identifies nothing; its
+    quadratic explosion is excluded, mirrored exactly in the oracle)
+    and a local pair-count combine — a narrow pair groupby-sum, and two
+    armored hash joins against the aggregate-sized per-host totals.
+    Only 32-char digests and host strings ride the exchanges; page
+    payloads never shuffle.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from ..ops.grouping import partition_grouped
+    from ..ops.joins import hash_join
+
+    def canon(t: pa.Table) -> pa.Table:
+        out = pa.table({"fp": t[fp_col], "host": t[host_col]})
+        return out.filter(pc.and_(pc.is_valid(out["fp"]),
+                                  pc.is_valid(out["host"])))
+
+    d = (ds.map_batches(canon, batch_format="pyarrow")
+         .groupby(["fp", "host"]).aggregate(Count())
+         .select_columns(["fp", "host"]))
+    d = d.materialize()  # two consumers: totals + the pair exchange
+
+    totals = d.groupby("host").aggregate(Count())
+
+    def tot_fin(t: pa.Table) -> pa.Table:
+        return pa.table({"host": t["host"],
+                         "n_pages": pc.cast(t["count()"], pa.int64())})
+
+    totals = totals.map_batches(tot_fin, batch_format="pyarrow")
+
+    parted, gcols = partition_grouped(d, ["fp"], npart=num_partitions)
+
+    def run_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["fp", "host"], kind="mergesort")
+        fps = df["fp"].to_numpy()
+        hosts = df["host"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, fps[1:] != fps[:-1]]) \
+            if len(df) else np.array([], np.int64)
+        ends = np.r_[starts[1:], len(df)] if len(starts) else starts
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > max_hosts_per_fp:
+                continue
+            ia, ib = np.triu_indices(m, 1)
+            run = hosts[s:e]  # sorted ⇒ triu gives host_a < host_b
+            out_a.append(run[ia])
+            out_b.append(run[ib])
+        if not out_a:
+            return pd.DataFrame({
+                "host_a": pd.Series([], dtype="str"),
+                "host_b": pd.Series([], dtype="str"),
+                "n_shared": pd.Series([], dtype=np.int64)})
+        dfp = pd.DataFrame({"host_a": np.concatenate(out_a),
+                            "host_b": np.concatenate(out_b)})
+        out = dfp.groupby(["host_a", "host_b"], as_index=False).size()
+        return out.rename(columns={"size": "n_shared"}).astype(
+            {"n_shared": np.int64})
+
+    local = parted.groupby(gcols).map_groups(run_pairs,
+                                             batch_format="pandas")
+    pairs = local.groupby(["host_a", "host_b"]).aggregate(
+        Sum("n_shared", alias_name="n_shared"))
+    pairs = pairs.filter(lambda r: r["n_shared"] >= min_shared)
+
+    tot_schema = pa.schema([pa.field("host", pa.string()),
+                            pa.field("n_pages", pa.int64())])
+    pair_schema = pa.schema([pa.field("host_a", pa.string()),
+                             pa.field("host_b", pa.string()),
+                             pa.field("n_shared", pa.int64())])
+
+    def side(t: pa.Table, col: str, out: str) -> pa.Table:
+        i = t.schema.get_field_index("n_pages")
+        t = t.set_column(i, out, t["n_pages"])
+        # Ray's join drops the right key column when right_on differs;
+        # armor variants may keep it — drop defensively
+        if "host" in t.schema.names:
+            t = t.drop_columns(["host"])
+        return t
+
+    j = hash_join(pairs, totals, on="host_a", right_on="host",
+                  left_schema=pair_schema, right_schema=tot_schema)
+    j = j.map_batches(lambda t: side(t, "host_a", "n_a"),
+                      batch_format="pyarrow")
+    ja_schema = pa.schema(list(pair_schema) + [pa.field("n_a", pa.int64())])
+    j = hash_join(j, totals, on="host_b", right_on="host",
+                  left_schema=ja_schema, right_schema=tot_schema)
+    j = j.map_batches(lambda t: side(t, "host_b", "n_b"),
+                      batch_format="pyarrow")
+
+    def fin(t: pa.Table) -> pa.Table:
+        sh = t["n_shared"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = t["n_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["n_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        union = na + nb - sh
+        jac = np.round(sh / union, round_to) + 0.0
+        return pa.table({
+            "host_a": t["host_a"], "host_b": t["host_b"],
+            "n_shared": pa.array(sh, pa.int64()),
+            "n_a": pa.array(na, pa.int64()),
+            "n_b": pa.array(nb, pa.int64()),
+            "jaccard": pa.array(jac, pa.float64()),
+            "is_mirror": pa.array(sh * 1000 >= mirror_permille * union),
+        })
+
+    return j.map_batches(fin, batch_format="pyarrow")

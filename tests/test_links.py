@@ -280,3 +280,52 @@ def test_adamic_adar_weighted_scores(ray_session):
         np.round(1 / math.log(2) + 1 / math.log(3), 6))
     assert got[("a", "c")] == (1, float(np.round(1 / math.log(3), 6)))
     assert got[("b", "c")] == (1, float(np.round(1 / math.log(3), 6)))
+
+
+def test_host_mirror_pairs(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pappermate_ray.stages.links import host_mirror_pairs
+
+    # m1/m2: full mirrors (3 shared of 3 each → jaccard 1.0);
+    # m1/part: 1 shared of (3 + 2 - 1) = 4 → jaccard 0.25, not a
+    # mirror at 500‰; dup rows on m1 collapse via the distinct pass;
+    # lone has no shared fp and must not appear.
+    rows = [
+        ("m1", "f1"), ("m1", "f2"), ("m1", "f3"), ("m1", "f3"),
+        ("m2", "f1"), ("m2", "f2"), ("m2", "f3"),
+        ("part", "f1"), ("part", "p1"),
+        ("lone", "x1"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "host": pa.array([h for h, _ in rows], pa.string()),
+        "fp": pa.array([f for _, f in rows], pa.string()),
+    })).repartition(3)
+    got = {(r["host_a"], r["host_b"]): r
+           for r in host_mirror_pairs(ds, min_shared=1).take_all()}
+    assert set(got) == {("m1", "m2"), ("m1", "part"), ("m2", "part")}
+    full = got[("m1", "m2")]
+    assert (full["n_shared"], full["n_a"], full["n_b"]) == (3, 3, 3)
+    assert full["jaccard"] == 1.0 and full["is_mirror"]
+    p = got[("m1", "part")]
+    assert (p["n_shared"], p["n_a"], p["n_b"]) == (1, 3, 2)
+    assert p["jaccard"] == 0.25 and not p["is_mirror"]
+    # exactly-at-threshold: 1 shared of union 2 → 500‰, ≥ keeps it
+    edge = rd.from_arrow(pa.table({
+        "host": pa.array(["a", "a", "b"], pa.string()),
+        "fp": pa.array(["s", "e", "s"], pa.string()),
+    }))
+    e = host_mirror_pairs(edge, min_shared=1).take_all()
+    assert len(e) == 1 and e[0]["jaccard"] == 0.5 and e[0]["is_mirror"]
+    # storm cap: a fingerprint on >max hosts identifies nothing
+    boiler = rd.from_arrow(pa.table({
+        "host": pa.array([f"h{i}" for i in range(6)], pa.string()),
+        "fp": pa.array(["boiler"] * 6, pa.string()),
+    }))
+    assert host_mirror_pairs(boiler, min_shared=1,
+                             max_hosts_per_fp=5).take_all() == []
+    # min_shared filters sub-threshold pairs
+    assert ("m1", "part") not in {
+        (r["host_a"], r["host_b"])
+        for r in host_mirror_pairs(ds, min_shared=2).take_all()}
