@@ -4737,6 +4737,52 @@ def q_host_mirror_pairs(sf_dir: str):
                              mirror_permille=500)
 
 
+def q_mirror_keep_list(sf_dir: str):
+    """Composed mirror-routing table: host_mirror_pairs → is_mirror
+    edges → connected components (stages/dedup.cluster_pairs — string
+    ids ride the union-find/min-label machinery unchanged) → one row
+    per mirror-cluster member ``(host, canonical_host, is_canonical)``.
+    This is the decision a pipeline applies BEFORE page-level dedup:
+    drop every non-canonical mirror host once, instead of paying a
+    near-dup verdict per page. Mirror graphs are host-cardinality-
+    bounded and Jaccard-pruned, so the component pass runs on an
+    aggregate-sized pair table."""
+    import pyarrow.compute as pc2
+
+    from .stages.dedup import cluster_pairs
+    from .stages.links import host_mirror_pairs
+    from .stages.urls import parse_urls
+
+    parsed = parse_urls(_messy_url_ds(sf_dir))
+
+    def add_fp(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        fp = [hashlib.md5(str(int(i) - int(i) % 3).encode()).hexdigest()
+              for i in ids]
+        return pa.table({"host": t["host"],
+                         "fp": pa.array(fp, pa.string())})
+
+    pairs = host_mirror_pairs(
+        parsed.map_batches(add_fp, batch_format="pyarrow"),
+        min_shared=1, max_hosts_per_fp=1000, mirror_permille=500)
+
+    def edges(t: pa.Table) -> pa.Table:
+        t = t.filter(t["is_mirror"])
+        return pa.table({"id_a": t["host_a"], "id_b": t["host_b"]})
+
+    clusters = cluster_pairs(pairs.map_batches(edges,
+                                               batch_format="pyarrow"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": t["doc_id"],
+            "canonical_host": t["cluster_id"],
+            "is_canonical": pc2.equal(t["doc_id"], t["cluster_id"]),
+        })
+
+    return clusters.map_batches(fin, batch_format="pyarrow")
+
+
 def q_resolve_redirects(sf_dir: str):
     """Redirect-chain resolution by pointer jumping (ops/pointer.py):
     every non-multiple-of-10 doc redirects to doc_id-1, forming chains
@@ -5175,6 +5221,47 @@ ORACLE_SQL.update({
         JOIN tot ta ON ta.host = p.host_a
         JOIN tot tb ON tb.host = p.host_b
     """,
+    # RECURSIVE must lead the WITH chain — rebuild the mirror edges
+    # inside it (same CTEs as host_mirror_pairs) then take components
+    "mirror_keep_list": _MESSY_URL_CTE.replace(
+        "WITH uq AS", "WITH RECURSIVE uq AS") + """
+        , fh AS (
+          SELECT DISTINCT
+                 md5(CAST(doc_id - doc_id % 3 AS VARCHAR)) AS fp, host
+          FROM hd),
+        tot AS (
+          SELECT host, CAST(COUNT(*) AS BIGINT) AS n
+          FROM fh GROUP BY host),
+        ok AS (
+          SELECT fp FROM fh GROUP BY fp
+          HAVING COUNT(*) BETWEEN 2 AND 1000),
+        pr AS (
+          SELECT a.host AS host_a, b.host AS host_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM fh a JOIN fh b ON a.fp = b.fp AND a.host < b.host
+          WHERE a.fp IN (SELECT fp FROM ok)
+          GROUP BY a.host, b.host),
+        me AS (
+          SELECT p.host_a, p.host_b
+          FROM pr p
+          JOIN tot ta ON ta.host = p.host_a
+          JOIN tot tb ON tb.host = p.host_b
+          WHERE p.n_shared * 1000 >= 500 * (ta.n + tb.n - p.n_shared)),
+        und AS (
+          SELECT host_a AS s, host_b AS d FROM me
+          UNION ALL
+          SELECT host_b, host_a FROM me),
+        reach(s, d) AS (
+          SELECT s, d FROM und
+          UNION
+          SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s),
+        comp AS (
+          SELECT s AS host, LEAST(s, MIN(d)) AS canonical_host
+          FROM reach GROUP BY s)
+        SELECT host, canonical_host,
+               (host = canonical_host) AS is_canonical
+        FROM comp
+    """,
 })
 
 
@@ -5510,6 +5597,7 @@ SQL_QUERIES = {
     "host_quality": q_host_quality,
     "host_lang_profile": q_host_lang_profile,
     "host_mirror_pairs": q_host_mirror_pairs,
+    "mirror_keep_list": q_mirror_keep_list,
     "resolve_redirects": q_resolve_redirects,
     "perceptron_quality": q_perceptron_quality,
     "perceptron_filter": q_perceptron_filter,

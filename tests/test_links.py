@@ -329,3 +329,21 @@ def test_host_mirror_pairs(ray_session):
     assert ("m1", "part") not in {
         (r["host_a"], r["host_b"])
         for r in host_mirror_pairs(ds, min_shared=2).take_all()}
+
+
+def test_mirror_cluster_transitivity(ray_session):
+    """Mirror pairs chain through components: a~b and b~c puts all
+    three in one cluster with the smallest host canonical, even when
+    a and c never pair directly (string ids through cluster_pairs)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pappermate_ray.stages.dedup import cluster_pairs
+
+    edges = rd.from_arrow(pa.table({
+        "id_a": pa.array(["b.com", "a.com"], pa.string()),
+        "id_b": pa.array(["c.com", "b.com"], pa.string()),
+    }))
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in cluster_pairs(edges).take_all()}
+    assert got == {"a.com": "a.com", "b.com": "a.com", "c.com": "a.com"}
