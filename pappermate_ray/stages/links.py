@@ -489,7 +489,7 @@ def host_mirror_pairs(
     from ray.data.aggregate import Count, Sum
 
     from ..ops.grouping import partition_grouped
-    from ..ops.joins import hash_join
+    from ..ops.joins import adaptive_partitions, hash_join
 
     def canon(t: pa.Table) -> pa.Table:
         out = pa.table({"fp": t[fp_col], "host": t[host_col]})
@@ -507,7 +507,11 @@ def host_mirror_pairs(
         return pa.table({"host": t["host"],
                          "n_pages": pc.cast(t["count()"], pa.int64())})
 
-    totals = totals.map_batches(tot_fin, batch_format="pyarrow")
+    # aggregate-sized (one row per host) and consumed by BOTH joins —
+    # materialize once or the groupby lineage executes twice
+    totals = totals.map_batches(tot_fin,
+                                batch_format="pyarrow").materialize()
+    join_parts = adaptive_partitions(totals.count())
 
     parted, gcols = partition_grouped(d, ["fp"], npart=num_partitions)
 
@@ -542,7 +546,9 @@ def host_mirror_pairs(
                                              batch_format="pandas")
     pairs = local.groupby(["host_a", "host_b"]).aggregate(
         Sum("n_shared", alias_name="n_shared"))
-    pairs = pairs.filter(lambda r: r["n_shared"] >= min_shared)
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_shared"], min_shared)),
+        batch_format="pyarrow")
 
     tot_schema = pa.schema([pa.field("host", pa.string()),
                             pa.field("n_pages", pa.int64())])
@@ -560,11 +566,13 @@ def host_mirror_pairs(
         return t
 
     j = hash_join(pairs, totals, on="host_a", right_on="host",
+                  num_partitions=num_partitions or join_parts,
                   left_schema=pair_schema, right_schema=tot_schema)
     j = j.map_batches(lambda t: side(t, "host_a", "n_a"),
                       batch_format="pyarrow")
     ja_schema = pa.schema(list(pair_schema) + [pa.field("n_a", pa.int64())])
     j = hash_join(j, totals, on="host_b", right_on="host",
+                  num_partitions=num_partitions or join_parts,
                   left_schema=ja_schema, right_schema=tot_schema)
     j = j.map_batches(lambda t: side(t, "host_b", "n_b"),
                       batch_format="pyarrow")
