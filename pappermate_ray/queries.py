@@ -10168,3 +10168,141 @@ ORACLE_SQL.update({
         HAVING COUNT(*) >= 2
     """,
 })
+
+
+def q_structured_data(sf_dir: str):
+    """Structured-data extraction (stages/headmeta.structured_data):
+    OpenGraph og:title/og:type/og:image (first-wins, any attribute
+    order/quote style/case), JSON-LD block count + sorted distinct
+    @type values, microdata itemprop count + first itemtype — the WAT
+    page-metadata layer. Five planted page shapes rendered around the
+    real document texts (full OG card + Article JSON-LD; content-first
+    OG + two ld blocks; microdata Product; bare page; uppercase
+    single-quoted OG + unquoted itemprop). Zero exchanges; the oracle
+    states the planted expectations directly from doc_id arithmetic."""
+    from .stages.headmeta import structured_data
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def pages(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        urls, htmls = [], []
+        for i, txt in zip(ids, texts):
+            i = int(i)
+            urls.append(f"https://h{i % 23}.example/p/{i}")
+            w0 = (txt or "").split(" ")[0]
+            v = i % 5
+            if v == 0:
+                h = ('<html><head>'
+                     f'<meta property="og:title" content="OG {w0}"/>'
+                     '<meta property="og:type" content="article"/>'
+                     f'<meta property="og:image" content="https://img.example/{i}.jpg"/>'
+                     '<script type="application/ld+json">{"@type": "Article"}</script>'
+                     '</head><body itemscope itemtype="https://schema.org/Article">'
+                     '<span itemprop="headline">x</span>'
+                     f'<span itemprop="author">y</span><p>{txt}</p></body></html>')
+            elif v == 1:
+                h = ('<html><head>'
+                     f'<meta content="T{i % 31}" property="og:title">'
+                     '<script type="application/ld+json">{"@type": "NewsArticle"}</script>'
+                     '<script type="application/ld+json">{"@type": "Organization"}</script>'
+                     f'</head><body><p>{txt}</p></body></html>')
+            elif v == 2:
+                h = ('<html><head></head>'
+                     '<body itemscope itemtype="https://schema.org/Product">'
+                     '<span itemprop="name">n</span>'
+                     '<script type="application/ld+json">'
+                     f'{{"@type": "Product", "sku": "{i}"}}</script>'
+                     f'<p>{txt}</p></body></html>')
+            elif v == 3:
+                h = f'<html><head><title>t</title></head><body><p>{txt}</p></body></html>'
+            else:
+                h = ('<html><head>'
+                     f"<META PROPERTY='og:title' CONTENT='U{i % 13}'>"
+                     f"<META PROPERTY='og:image' CONTENT='https://img.example/u{i % 13}.png'>"
+                     '<script type="application/ld+json">{"@type" : "WebPage"}</script>'
+                     '</head><body><div itemprop=genre>g</div>'
+                     f'<p>{txt}</p></body></html>')
+            htmls.append(h)
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.string())})
+
+    return structured_data(docs.map_batches(pages, batch_format="pyarrow"))
+
+
+SQL_QUERIES.update({"structured_data": q_structured_data})
+ORACLE_SQL.update({
+    "structured_data": """
+        SELECT
+          'https://h' || CAST(doc_id % 23 AS VARCHAR) || '.example/p/'
+            || CAST(doc_id AS VARCHAR) AS url,
+          CASE doc_id % 5
+            WHEN 0 THEN 'OG ' || split_part(text, ' ', 1)
+            WHEN 1 THEN 'T' || CAST(doc_id % 31 AS VARCHAR)
+            WHEN 4 THEN 'U' || CAST(doc_id % 13 AS VARCHAR)
+            ELSE '' END AS og_title,
+          CASE doc_id % 5 WHEN 0 THEN 'article' ELSE '' END AS og_type,
+          CASE doc_id % 5
+            WHEN 0 THEN 'https://img.example/' || CAST(doc_id AS VARCHAR) || '.jpg'
+            WHEN 4 THEN 'https://img.example/u' || CAST(doc_id % 13 AS VARCHAR) || '.png'
+            ELSE '' END AS og_image,
+          CAST(CASE doc_id % 5 WHEN 1 THEN 2 WHEN 3 THEN 0 ELSE 1 END
+               AS BIGINT) AS n_ld_blocks,
+          CASE doc_id % 5
+            WHEN 0 THEN 'Article'
+            WHEN 1 THEN 'NewsArticle,Organization'
+            WHEN 2 THEN 'Product'
+            WHEN 4 THEN 'WebPage'
+            ELSE '' END AS ld_types,
+          CAST(CASE doc_id % 5 WHEN 0 THEN 2 WHEN 2 THEN 1 WHEN 4 THEN 1
+               ELSE 0 END AS BIGINT) AS n_itemprops,
+          CASE doc_id % 5
+            WHEN 0 THEN 'https://schema.org/Article'
+            WHEN 2 THEN 'https://schema.org/Product'
+            ELSE '' END AS itemtype
+        FROM documents
+    """,
+})
+
+
+def q_structured_adoption(sf_dir: str):
+    """Per-host structured-data adoption rollup (composed over
+    stages/headmeta.structured_data): how much of each host's crawl
+    carries OG cards / JSON-LD / microdata — the signal that decides
+    whether page-type routing can trust host-level metadata. ONE
+    narrow groupby over (host, 3 bit flags); page payloads never
+    shuffle."""
+    from ray.data.aggregate import Count, Sum
+
+    sd = q_structured_data(sf_dir)
+
+    def flags(t: pa.Table) -> pa.Table:
+        host = pc.extract_regex(t["url"], pattern=r"https://(?P<v>[^/]+)/")
+        return pa.table({
+            "host": pc.struct_field(host, "v"),
+            "has_og": pc.cast(pc.not_equal(t["og_title"], ""), pa.int64()),
+            "has_ld": pc.cast(pc.greater(t["n_ld_blocks"], 0), pa.int64()),
+            "has_micro": pc.cast(pc.greater(t["n_itemprops"], 0), pa.int64()),
+        })
+
+    return (sd.map_batches(flags, batch_format="pyarrow")
+              .groupby("host")
+              .aggregate(Count(alias_name="n_pages"),
+                         Sum("has_og", alias_name="n_og"),
+                         Sum("has_ld", alias_name="n_ld"),
+                         Sum("has_micro", alias_name="n_micro")))
+
+
+SQL_QUERIES.update({"structured_adoption": q_structured_adoption})
+ORACLE_SQL.update({
+    "structured_adoption": """
+        SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS host,
+               COUNT(*) AS n_pages,
+               CAST(SUM(CASE WHEN doc_id % 5 IN (0, 1, 4) THEN 1 ELSE 0 END) AS BIGINT) AS n_og,
+               CAST(SUM(CASE WHEN doc_id % 5 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_ld,
+               CAST(SUM(CASE WHEN doc_id % 5 IN (0, 2, 4) THEN 1 ELSE 0 END) AS BIGINT) AS n_micro
+        FROM documents GROUP BY 1
+    """,
+})

@@ -185,3 +185,68 @@ def test_template_malformed_html_soft_fails(ray_session):
     import hashlib
     # '<not' and '<p' parse as tag starts; '<1bad>' does not
     assert got["https://h.example/"][1] == hashlib.md5(b"not p").hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# structured_data (OpenGraph / JSON-LD / microdata)
+# ---------------------------------------------------------------------------
+
+def _sd(html: str | bytes, **kw):
+    from pappermate_ray.stages.headmeta import structured_data_batch
+    t = pa.table({"url": ["https://h.example/"], "html": [html]})
+    return structured_data_batch(t, **kw).to_pylist()[0]
+
+
+def test_sd_full_og_card_and_jsonld():
+    r = _sd('<html><head>'
+            '<meta property="og:title" content="A Title"/>'
+            '<meta property="og:type" content="article"/>'
+            '<meta property="og:image" content="https://i.example/x.jpg"/>'
+            '<script type="application/ld+json">{"@type": "Article"}</script>'
+            '</head><body itemscope itemtype="https://schema.org/Article">'
+            '<b itemprop="headline">x</b></body></html>')
+    assert r["og_title"] == "A Title"
+    assert r["og_type"] == "article"
+    assert r["og_image"] == "https://i.example/x.jpg"
+    assert r["n_ld_blocks"] == 1 and r["ld_types"] == "Article"
+    assert r["n_itemprops"] == 1
+    assert r["itemtype"] == "https://schema.org/Article"
+
+
+def test_sd_content_first_uppercase_single_quotes():
+    r = _sd("<HTML><HEAD><META CONTENT='T' PROPERTY='og:title'>"
+            "</HEAD><BODY><i itemprop=genre>g</i></BODY></HTML>")
+    assert r["og_title"] == "T"
+    assert r["og_type"] == "" and r["og_image"] == ""
+    assert r["n_itemprops"] == 1 and r["itemtype"] == ""
+
+
+def test_sd_first_og_tag_wins_across_attribute_orders():
+    r = _sd('<head><meta content="first" property="og:title">'
+            '<meta property="og:title" content="second"></head>')
+    assert r["og_title"] == "first"
+
+
+def test_sd_ld_types_sorted_distinct_across_blocks():
+    r = _sd('<script type="application/ld+json">{"@type": "WebPage"}</script>'
+            '<script type="application/ld+json">{"@type" : "Article"}</script>'
+            '<script type="application/ld+json">{"@type": "Article"}</script>')
+    assert r["n_ld_blocks"] == 3
+    assert r["ld_types"] == "Article,WebPage"
+
+
+def test_sd_bare_page_is_all_empty_and_zero():
+    r = _sd("<html><body><p>just text</p></body></html>")
+    assert r["og_title"] == r["og_type"] == r["og_image"] == ""
+    assert r["n_ld_blocks"] == 0 and r["ld_types"] == ""
+    assert r["n_itemprops"] == 0 and r["itemtype"] == ""
+
+
+def test_sd_binary_input_and_max_bytes_bound():
+    head = ('<head><meta property="og:title" content="in head"/></head>'
+            '<body>').encode()
+    tail = (b'x' * 2048
+            + b'<meta property="og:type" content="beyond-bound"/></body>')
+    r = _sd(head + tail, max_bytes=1024)
+    assert r["og_title"] == "in head"
+    assert r["og_type"] == ""  # beyond the scan bound on purpose
