@@ -192,7 +192,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "crawl_depth", "kcore_hosts", "host_reciprocity",
         "snapshot_change_rate", "trustrank", "co_citation",
         "host_hygiene", "page_templates", "link_prediction",
-        "structured_data", "structured_adoption",
+        "structured_data", "structured_adoption", "hard_negatives",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

@@ -10306,3 +10306,55 @@ ORACLE_SQL.update({
         FROM documents GROUP BY 1
     """,
 })
+
+
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining (stages/similarity.hard_negative_topk):
+    per query vector, the top-5 most-similar embeddings with a
+    DIFFERENT label (label = vec_id % 7 planted) — the contrastive
+    training negatives that are similar but wrong-class. Query block
+    broadcast once; one matmul + vectorized label mask per batch;
+    global merge over ≤ blocks·k partials per query."""
+    import pyarrow.parquet as pq
+
+    from .stages.similarity import hard_negative_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    qtab = qt.filter(pc.less(qt["vec_id"], 4))
+    Q = np.array(qtab["embedding"].to_pylist(), dtype=np.float64)
+    q_ids = np.asarray(qtab["vec_id"].to_pylist(), dtype=np.int64)
+    q_labels = q_ids % 7
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def with_label(t: pa.Table) -> pa.Table:
+        # no modulo kernel in Arrow 14: x % 7 = x - (x // 7) * 7 (ints ≥ 0)
+        lab = pc.subtract(t["vec_id"],
+                          pc.multiply(pc.divide(t["vec_id"], 7),
+                                      pa.scalar(7, pa.int64())))
+        return t.append_column("label", pc.cast(lab, pa.int64()))
+
+    labeled = ds.map_batches(with_label, batch_format="pyarrow")
+    out = hard_negative_topk(labeled, Q, q_ids, q_labels, k=5)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["query_id", "neighbor_id"]]
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+SQL_QUERIES.update({"hard_negatives": q_hard_negatives})
+ORACLE_SQL.update({
+    "hard_negatives": """
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < 4 AND b.vec_id % 7 <> a.vec_id % 7
+        QUALIFY row_number() OVER (
+            PARTITION BY a.vec_id
+            ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                     b.vec_id
+        ) <= 5
+    """,
+})

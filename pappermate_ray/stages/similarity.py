@@ -76,6 +76,64 @@ def knn_scatter_gather(
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def hard_negative_topk(
+    ds: "rd.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    query_labels: np.ndarray,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> "rd.Dataset":
+    """Hard-negative mining for contrastive / retrieval training:
+    per query, the top-k most-cosine-similar corpus items whose LABEL
+    differs from the query's — "similar but wrong class", the negatives
+    that actually move an embedding model (random negatives are too
+    easy; in-class neighbors are false negatives). Output
+    (query_id, neighbor_id, sim).
+
+    Same scatter-gather shape as ``knn_scatter_gather``: the query
+    block (ids, labels, normalized matrix) is ray.put ONCE; every
+    batch computes one (batch × n_queries) matmul, masks same-label
+    rows vectorized, and emits its LOCAL top-k; a final tiny per-query
+    merge keeps the global k. Embeddings never ride an exchange; the
+    merge input is ≤ blocks·k rows per query."""
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64),
+                   np.asarray(query_labels), qn))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qids, qlabels, qmat = ray.get(ref)
+        xn = _emb_matrix(t, emb_col)
+        sims = xn @ qmat.T
+        vec_ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        labels = np.asarray(t[label_col].to_pylist())
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(qids):
+            mask = labels != qlabels[j]
+            ids, ss = vec_ids[mask], sims[:, j][mask]
+            take = min(k, len(ids))
+            idx = np.argsort(-ss, kind="stable")[:take]
+            out_q.extend([int(qid)] * take)
+            out_n.extend(ids[idx].tolist())
+            out_s.extend(ss[idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor_id"],
+                              ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 def _kmeans_lite(X: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:
     """Deterministic mini k-means (fixed seed + iteration count) for IVF
     coarse centroids. Empty clusters re-seed to the farthest point."""

@@ -335,6 +335,47 @@ class TestSimilarity:
             got = {r["neighbor_id"] for r in out if r["query_id"] == qid}
             assert got == want
 
+    def test_hard_negatives_match_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.similarity import hard_negative_topk
+
+        rng = np.random.RandomState(11)
+        X = rng.normal(size=(60, 8))
+        labels = np.arange(60) % 4
+        ds = rd.from_items(
+            [{"vec_id": i, "embedding": X[i].tolist(), "label": int(labels[i])}
+             for i in range(60)]
+        )
+        q_ids = np.array([0, 1])
+        out = hard_negative_topk(ds, X[:2], q_ids, labels[:2], k=4).take_all()
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = Xn @ Xn[:2].T
+        for j, qid in enumerate(q_ids):
+            col = sims[:, j].copy()
+            col[labels == labels[qid]] = -np.inf  # same class (incl. self) out
+            want = set(np.argsort(-col, kind="stable")[:4].tolist())
+            got = {r["neighbor_id"] for r in out if r["query_id"] == qid}
+            assert got == want
+            # every mined negative really is cross-class
+            assert all(labels[n] != labels[qid] for n in got)
+
+    def test_hard_negatives_string_labels(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.similarity import hard_negative_topk
+
+        # query is axis-aligned with its own class; the only other class
+        # member must still win because same-label rows are masked.
+        X = np.array([[1.0, 0.0], [0.99, 0.14], [0.0, 1.0]])
+        ds = rd.from_items(
+            [{"vec_id": i, "embedding": X[i].tolist(), "label": lab}
+             for i, lab in enumerate(["en", "en", "de"])]
+        )
+        out = hard_negative_topk(ds, X[:1], np.array([0]),
+                                 np.array(["en"]), k=2).take_all()
+        assert [(r["query_id"], r["neighbor_id"]) for r in out] == [(0, 2)]
+
     def test_ivf_recall_vs_exact(self, ray_session):
         import ray.data as rd
 
