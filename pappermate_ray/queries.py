@@ -10358,3 +10358,70 @@ ORACLE_SQL.update({
         ) <= 5
     """,
 })
+
+
+def q_embedding_covariance(sf_dir: str):
+    """Distributed covariance of the embedding table
+    (ops/linalg.embedding_covariance): per block ONE float64 XᵀX
+    matmul + column sum, flattened d²+d+1 partials reduced through the
+    bounded dense_vector_sum contract (driver transit O(d²), never
+    O(blocks·d²)); upper-triangle (i, j, cov) rows out. The one-pass
+    moment statistics whitening / PCA start from."""
+    from .ops.linalg import embedding_covariance
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+    return embedding_covariance(ds, d=64, round_to=6)
+
+
+SQL_QUERIES.update({"embedding_covariance": q_embedding_covariance})
+ORACLE_SQL.update({
+    "embedding_covariance": """
+        WITH idx AS (
+          SELECT i.i AS i, j.j AS j
+          FROM generate_series(1, 64) i(i), generate_series(1, 64) j(j)
+          WHERE i.i <= j.j),
+        s AS (
+          SELECT idx.i, idx.j,
+                 SUM(CAST(embedding[idx.i] AS DOUBLE)
+                     * CAST(embedding[idx.j] AS DOUBLE)) AS sxy,
+                 SUM(CAST(embedding[idx.i] AS DOUBLE)) AS si,
+                 SUM(CAST(embedding[idx.j] AS DOUBLE)) AS sj,
+                 COUNT(*) AS n
+          FROM embeddings, idx GROUP BY idx.i, idx.j)
+        SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+               ROUND(sxy / n - (si / n) * (sj / n), 6) AS cov
+        FROM s
+    """,
+})
+
+
+def q_whitening_stats(sf_dir: str):
+    """Per-dimension whitening state (ops/linalg.whitening_diagonal):
+    mean + 1/√(var+eps) from the same one-pass moment reduce as
+    embedding_covariance — the broadcastable diagonal-whitening state
+    a normalization map stage consumes."""
+    from .ops.linalg import whitening_diagonal
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+    return whitening_diagonal(ds, d=64, round_to=6)
+
+
+SQL_QUERIES.update({"whitening_stats": q_whitening_stats})
+ORACLE_SQL.update({
+    "whitening_stats": """
+        WITH s AS (
+          SELECT i.i AS i,
+                 SUM(CAST(embedding[i.i] AS DOUBLE)
+                     * CAST(embedding[i.i] AS DOUBLE)) AS sxx,
+                 SUM(CAST(embedding[i.i] AS DOUBLE)) AS si,
+                 COUNT(*) AS n
+          FROM embeddings, generate_series(1, 64) i(i) GROUP BY i.i)
+        SELECT CAST(i - 1 AS BIGINT) AS dim,
+               ROUND(si / n, 6) AS mean,
+               ROUND(1.0 / sqrt(sxx / n - (si / n) * (si / n) + 1e-9), 6)
+                 AS whiten_scale
+        FROM s
+    """,
+})

@@ -1,0 +1,58 @@
+"""ops/linalg — distributed covariance / whitening moment reduce."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _ds(X, blocks=4):
+    import ray.data as rd
+
+    parts = np.array_split(np.arange(len(X)), blocks)
+    tabs = [pa.table({"embedding": pa.array(X[p].tolist(),
+                                            pa.list_(pa.float32()))})
+            for p in parts if len(p)]
+    ds = rd.from_arrow(tabs[0])
+    for t in tabs[1:]:
+        ds = ds.union(rd.from_arrow(t))
+    return ds
+
+
+def test_covariance_matches_numpy(ray_session):
+    from pappermate_ray.ops.linalg import embedding_covariance
+
+    rng = np.random.RandomState(5)
+    X = rng.normal(size=(200, 6)).astype(np.float32)
+    out = embedding_covariance(_ds(X), d=6).take_all()
+    want = np.cov(X.astype(np.float64), rowvar=False, bias=True)
+    assert len(out) == 6 * 7 // 2
+    for r in out:
+        assert r["i"] <= r["j"]
+        assert abs(r["cov"] - want[r["i"], r["j"]]) < 1e-9
+
+
+def test_covariance_block_count_invariant(ray_session):
+    from pappermate_ray.ops.linalg import covariance_stats
+
+    rng = np.random.RandomState(9)
+    X = rng.normal(size=(120, 4)).astype(np.float32)
+    g1, s1, n1 = covariance_stats(_ds(X, blocks=1), d=4)
+    g8, s8, n8 = covariance_stats(_ds(X, blocks=8), d=4)
+    assert n1 == n8 == 120
+    np.testing.assert_allclose(g1, g8, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(s1, s8, rtol=0, atol=1e-9)
+
+
+def test_whitening_yields_unit_variance(ray_session):
+    from pappermate_ray.ops.linalg import whitening_diagonal
+
+    rng = np.random.RandomState(3)
+    # anisotropic on purpose: dim k has std (k+1)
+    X = (rng.normal(size=(500, 3)) * np.array([1.0, 2.0, 3.0])).astype(
+        np.float32)
+    rows = {r["dim"]: r for r in whitening_diagonal(_ds(X), d=3).take_all()}
+    Xd = X.astype(np.float64)
+    for k in range(3):
+        white = (Xd[:, k] - rows[k]["mean"]) * rows[k]["whiten_scale"]
+        assert abs(white.var() - 1.0) < 1e-6
