@@ -193,7 +193,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "snapshot_change_rate", "trustrank", "co_citation",
         "host_hygiene", "page_templates", "link_prediction",
         "structured_data", "structured_adoption", "hard_negatives",
-        "embedding_covariance", "whitening_stats",
+        "embedding_covariance", "whitening_stats", "readability",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

@@ -10425,3 +10425,62 @@ ORACLE_SQL.update({
         FROM s
     """,
 })
+
+
+def q_readability(sf_dir: str):
+    """Flesch reading-ease + FK grade (stages/quality.readability_batch)
+    over documents with planted sentence punctuation (doc_id%3 picks a
+    suffix) so the sentence counter exercises real variation. All-Arrow
+    RE2 count kernels, zero exchanges; DuckDB recomputes every count
+    with regexp_extract_all and the identical clamp/formula."""
+    from .stages.quality import readability_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sufs = [('. End one. And two!', '. Quick?', '')[int(i) % 3]
+                for i in ids]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": pc.binary_join_element_wise(
+                pc.cast(t["text"], pa.string()),
+                pa.array(sufs, pa.string()), ""),
+        })
+
+    out = readability_scores(ds.map_batches(plant, batch_format="pyarrow"))
+    return out.drop_columns(["text"])
+
+
+SQL_QUERIES.update({"readability": q_readability})
+ORACLE_SQL.update({
+    "readability": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 text || CASE doc_id % 3 WHEN 0 THEN '. End one. And two!'
+                                         WHEN 1 THEN '. Quick?'
+                                         ELSE '' END AS text
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '\S+')) AS n_words,
+                 len(regexp_extract_all(text, '[.!?]+')) AS n_sentences,
+                 len(regexp_extract_all(text, '(?i)[aeiouy]+')) AS n_syllables
+          FROM t)
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               floor((206.835
+                      - 1.015 * (GREATEST(n_words, 1)::DOUBLE
+                                 / GREATEST(n_sentences, 1))
+                      - 84.6 * (n_syllables::DOUBLE / GREATEST(n_words, 1)))
+                     * 1e4 + 0.5) / 1e4 AS flesch,
+               floor((0.39 * (GREATEST(n_words, 1)::DOUBLE
+                              / GREATEST(n_sentences, 1))
+                      + 11.8 * (n_syllables::DOUBLE / GREATEST(n_words, 1))
+                      - 15.59) * 1e4 + 0.5) / 1e4 AS fk_grade
+        FROM c
+    """,
+})

@@ -15,6 +15,7 @@ stopword findall — everything else is numpy over the whole batch
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.quality import (
     detect_language_batch,
@@ -39,3 +40,70 @@ def analyze_text_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     out = out.append_column(
         "fingerprint", pa.array(fingerprint_batch(texts), pa.int64()))
     return out
+
+
+_WORD_PAT = r"\S+"
+_SENT_PAT = r"[.!?]+"
+_SYLL_PAT = r"(?i)[aeiouy]+"
+
+
+def readability_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Flesch reading-ease + Flesch-Kincaid grade per document — the
+    classic edu-quality / audience-level corpus signal (Flesch 1948,
+    Kincaid 1975). Syllables are approximated as vowel-group runs
+    ([aeiouy]+) — the standard regex surrogate; sentences as [.!?]+
+    runs; words as non-whitespace runs. Zero-denominator docs clamp
+    words/sentences to 1 (empty doc → the formula's fixed point, never
+    NaN). All-Arrow RE2 count kernels, no per-row Python; DuckDB
+    reproduces every count with regexp_extract_all so the whole
+    operator is oracle-checkable (q:readability)."""
+    s = batch[text_col]
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    s = pc.fill_null(s, "")
+    n_words = pc.cast(pc.count_substring_regex(s, pattern=_WORD_PAT),
+                      pa.int64())
+    n_sents = pc.cast(pc.count_substring_regex(s, pattern=_SENT_PAT),
+                      pa.int64())
+    n_syll = pc.cast(pc.count_substring_regex(s, pattern=_SYLL_PAT),
+                     pa.int64())
+    w = pc.max_element_wise(n_words, pa.scalar(1, pa.int64()))
+    snt = pc.max_element_wise(n_sents, pa.scalar(1, pa.int64()))
+    wf = pc.cast(w, pa.float64())
+    sf = pc.cast(snt, pa.float64())
+    syf = pc.cast(n_syll, pa.float64())
+    wps = pc.divide(wf, sf)
+    spw = pc.divide(syf, wf)
+    # explicit floor(x*1e4+0.5)/1e4 rounding: Arrow's pc.round is
+    # half-to-even and DuckDB's ROUND is half-away — the formula's
+    # rational ratios HIT decimal ties at 4 digits, so both sides use
+    # the same explicit half-up rule on the same doubles
+    def _r4(x):
+        return pc.divide(
+            pc.floor(pc.add(pc.multiply(x, pa.scalar(1e4)),
+                            pa.scalar(0.5))), pa.scalar(1e4))
+
+    flesch = _r4(
+        pc.subtract(pc.subtract(pa.scalar(206.835),
+                                pc.multiply(pa.scalar(1.015), wps)),
+                    pc.multiply(pa.scalar(84.6), spw)))
+    fk = _r4(
+        pc.subtract(pc.add(pc.multiply(pa.scalar(0.39), wps),
+                           pc.multiply(pa.scalar(11.8), spw)),
+                    pa.scalar(15.59)))
+    out = batch.append_column("n_words", n_words)
+    out = out.append_column("n_sentences", n_sents)
+    out = out.append_column("n_syllables", n_syll)
+    out = out.append_column("flesch", flesch)
+    out = out.append_column("fk_grade", fk)
+    return out
+
+
+def readability_scores(ds, text_col: str = "text"):
+    """Dataset wrapper for ``readability_batch`` — one stateless
+    streaming pass, zero exchanges."""
+
+    def batch(t: pa.Table) -> pa.Table:
+        return readability_batch(t, text_col=text_col)
+
+    return ds.map_batches(batch, batch_format="pyarrow")

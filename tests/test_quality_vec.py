@@ -110,3 +110,49 @@ def test_stop_sql_mirror_matches_kernel_on_planted_en():
             f" t -> t <> '' AND lower(t) IN ({_STOP_SQL})))",
             [txt]).fetchone()[0]
         assert got == m["stop_hits"][i], (txt, got, m["stop_hits"][i])
+
+
+# ---------------------------------------------------------------------------
+# readability (Flesch / FK-grade)
+# ---------------------------------------------------------------------------
+
+def test_readability_hand_computed():
+    import pyarrow as pa
+
+    from pappermate_ray.stages.quality import readability_batch
+
+    t = pa.table({"text": ["The cat sat. It ran!"]})
+    r = readability_batch(t).to_pylist()[0]
+    # words: The/cat/sat./It/ran! -> 5; sentences: '.' '!' -> 2
+    # vowel runs: e, a, a, I, a -> 5
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (5, 2, 5)
+    import math
+    want_f = math.floor((206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)) * 1e4
+                        + 0.5) / 1e4
+    want_g = math.floor((0.39 * (5 / 2) + 11.8 * (5 / 5) - 15.59) * 1e4
+                        + 0.5) / 1e4
+    assert r["flesch"] == want_f
+    assert r["fk_grade"] == want_g
+
+
+def test_readability_empty_and_null_clamp():
+    import pyarrow as pa
+
+    from pappermate_ray.stages.quality import readability_batch
+
+    t = pa.table({"text": pa.array(["", None], pa.string())})
+    rows = readability_batch(t).to_pylist()
+    for r in rows:
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (0, 0, 0)
+        # clamped denominators -> finite fixed point, never NaN
+        assert r["flesch"] == 205.82 and r["fk_grade"] == -15.2
+
+
+def test_readability_multi_punct_runs_count_once():
+    import pyarrow as pa
+
+    from pappermate_ray.stages.quality import readability_batch
+
+    r = readability_batch(pa.table({"text": ["Wait... what?! Ok."]})).to_pylist()[0]
+    # '...' '?!' '.' are three runs
+    assert r["n_sentences"] == 3
