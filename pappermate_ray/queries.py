@@ -10484,3 +10484,35 @@ ORACLE_SQL.update({
         FROM c
     """,
 })
+
+
+def q_search_snippets(sf_dir: str):
+    """KWIC snippets (stages/search.search_snippets): ±4-token context
+    around the first exact-token occurrence of 'window' per matching
+    doc. Vectorized RE2 match gate; only the matching minority
+    tokenizes; zero exchanges."""
+    from .stages.search import search_snippets
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return search_snippets(ds, "window", window=4)
+
+
+SQL_QUERIES.update({"search_snippets": q_search_snippets})
+ORACLE_SQL.update({
+    "search_snippets": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 regexp_split_to_array(text, '\s+') AS words
+          FROM documents),
+        hit AS (
+          SELECT doc_id, words,
+                 list_position(words, 'window') AS i1
+          FROM w WHERE COALESCE(list_position(words, 'window'), 0) > 0)
+        SELECT doc_id,
+               CAST(i1 - 1 AS BIGINT) AS pos,
+               array_to_string(words[GREATEST(i1 - 4, 1): i1 + 4], ' ')
+                 AS snippet
+        FROM hit
+    """,
+})

@@ -375,3 +375,48 @@ def bm25_search_index(
         batch_format="pyarrow",
     )
     return _bm25_finish(matched, idf, avgdl, k, id_col, k1, b)
+
+
+def search_snippets(
+    ds: "rd.Dataset",
+    term: str,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """KWIC (keyword-in-context) snippet generation — the result-page /
+    eval-sheet view next to ``bm25_topk``'s ranking: for every doc
+    containing ``term`` as an exact whitespace token, emit
+    ``(id, pos, snippet)`` where ``pos`` is the 0-based token index of
+    the FIRST occurrence and ``snippet`` is the ±``window``-token
+    context around it, space-joined.
+
+    Scale shape: one stateless streaming pass, zero exchanges. The
+    match test is a vectorized RE2 kernel over the whole batch; only
+    the MATCHING minority is tokenized in Python (the ld_types
+    discipline — non-matching docs, the overwhelming majority under a
+    selective query, never leave Arrow). SQL mirror: DuckDB
+    regexp_split_to_array + list_position + 1-based inclusive list
+    slicing reproduce the same window exactly (q:search_snippets)."""
+    import re as _re
+
+    pat = rf"(?:^|\s){_re.escape(term)}(?:\s|$)"
+
+    def snip(t: pa.Table) -> pa.Table:
+        keep = pc.fill_null(
+            pc.match_substring_regex(t[text_col], pattern=pat), False)
+        hit = t.filter(keep)
+        ids = hit[id_col].to_pylist()
+        out_pos, out_snip = [], []
+        for x in hit[text_col].to_pylist():
+            words = (x or "").split()
+            i = words.index(term)
+            out_pos.append(i)
+            out_snip.append(" ".join(words[max(i - window, 0): i + window + 1]))
+        return pa.table({
+            id_col: pa.array(ids, t[id_col].type),
+            "pos": pa.array(out_pos, pa.int64()),
+            "snippet": pa.array(out_snip, pa.string()),
+        })
+
+    return ds.map_batches(snip, batch_format="pyarrow")

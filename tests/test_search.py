@@ -173,3 +173,40 @@ class TestPersistedIndex:
                            for i in range(1, 9)]), idx)
         s2 = bm25_search_index(idx, ["rare"], k=1).take_all()[0]["score"]
         assert s2 > s1  # N grew, df stayed 1 → idf rose
+
+
+# ---------------------------------------------------------------------------
+# search_snippets (KWIC)
+# ---------------------------------------------------------------------------
+
+def test_snippet_window_and_pos(ray_session):
+    import ray.data as rd
+
+    from pappermate_ray.stages.search import search_snippets
+
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "a b c target d e f"},
+        {"doc_id": 2, "text": "target x y"},
+        {"doc_id": 3, "text": "no hit here"},
+        {"doc_id": 4, "text": "z target z target"},  # first occurrence wins
+    ])
+    got = {r["doc_id"]: (r["pos"], r["snippet"])
+           for r in search_snippets(ds, "target", window=2).take_all()}
+    assert got == {
+        1: (3, "b c target d e"),
+        2: (0, "target x y"),
+        4: (1, "z target z target"),
+    }
+
+
+def test_snippet_token_boundary_not_substring(ray_session):
+    import ray.data as rd
+
+    from pappermate_ray.stages.search import search_snippets
+
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "retargeting is not target-ing"},
+        {"doc_id": 2, "text": "the target stands alone"},
+    ])
+    got = [r["doc_id"] for r in search_snippets(ds, "target").take_all()]
+    assert got == [2]
