@@ -194,7 +194,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "host_hygiene", "page_templates", "link_prediction",
         "structured_data", "structured_adoption", "hard_negatives",
         "embedding_covariance", "whitening_stats", "readability",
-        "search_snippets",
+        "search_snippets", "covariance_store_check", "whiten_apply",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

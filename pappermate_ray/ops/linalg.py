@@ -42,7 +42,7 @@ def covariance_stats(
     emb_col: str = "embedding",
 ) -> tuple:
     """One distributed pass → ``(gram, col_sum, n)`` with ``gram`` the
-    d×d ``ΣxᵢxᵢᵀT`` matrix, ``col_sum`` the length-d ``Σxᵢ`` and ``n``
+    d×d ``Σxᵢxᵢᵀ`` matrix, ``col_sum`` the length-d ``Σxᵢ`` and ``n``
     the row count. The building block for covariance / whitening / PCA
     (eigh on the driver is O(d³) on a d×d matrix — the data-sized work
     all happened in the blocks)."""
@@ -104,3 +104,98 @@ def whitening_diagonal(
         "mean": pa.array(mean, pa.float64()),
         "whiten_scale": pa.array(scale, pa.float64()),
     }))
+
+
+# --------------------------------------------------------------------------
+# Persisted mergeable moment store — the linear-algebra member of the
+# grow-without-rescan family (MinHash/BM25/HLL/stats stores). Gram,
+# column-sum and count merge additively, so covariance over the union
+# corpus never re-reads old embeddings. Exact up to float64 addition
+# order (last-ulp — the dense_vector_sum caveat); callers that oracle
+# round (q:covariance_store_check rounds to 6, like everything else).
+# Each increment is ONE parquet row of d²+d+1 float64s — the store
+# stays driver-sized (increments × d²).
+# --------------------------------------------------------------------------
+
+
+def save_moment_increment(
+    ds: "rd.Dataset",
+    store_dir: str,
+    d: int,
+    emb_col: str = "embedding",
+) -> str:
+    """Reduce ONE corpus increment to its moment row and append it."""
+    from ..stages.search import _next_increment
+
+    gram, col_sum, n = covariance_stats(ds, d, emb_col)
+    row = pa.table({
+        "gram": pa.array([gram.ravel().tolist()], pa.list_(pa.float64())),
+        "col_sum": pa.array([col_sum.tolist()], pa.list_(pa.float64())),
+        "n": pa.array([float(n)], pa.float64()),
+    })
+    rd.from_arrow(row).write_parquet(_next_increment(store_dir, "moments"))
+    return store_dir
+
+
+def stored_covariance(
+    store_dir: str,
+    d: int,
+    round_to: Optional[int] = None,
+) -> "rd.Dataset":
+    """Merge every increment's moment row additively (equal to one
+    full-corpus pass up to float addition order; asserted to 1e-9 in
+    tests) and emit upper-triangle ``(i, j, cov)`` rows."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(_glob.glob(f"{store_dir}/moments/add_*/*.parquet"))
+    if not files:
+        raise ValueError(f"no moment increments under {store_dir}")
+    gram = np.zeros((d, d), np.float64)
+    col_sum = np.zeros(d, np.float64)
+    n = 0.0
+    for f in files:
+        t = _pq.read_table(f)
+        for g, s, nn in zip(t["gram"].to_pylist(), t["col_sum"].to_pylist(),
+                            t["n"].to_pylist()):
+            gram += np.asarray(g, np.float64).reshape(d, d)
+            col_sum += np.asarray(s, np.float64)
+            n += nn
+    mean = col_sum / n
+    cov = gram / n - np.outer(mean, mean)
+    iu, ju = np.triu_indices(d)
+    vals = cov[iu, ju]
+    if round_to is not None:
+        vals = np.round(vals, round_to)
+    return rd.from_arrow(pa.table({
+        "i": pa.array(iu.astype(np.int64)),
+        "j": pa.array(ju.astype(np.int64)),
+        "cov": pa.array(vals, pa.float64()),
+    }))
+
+
+def whiten_embeddings(
+    ds: "rd.Dataset",
+    mean: np.ndarray,
+    scale: np.ndarray,
+    emb_col: str = "embedding",
+) -> "rd.Dataset":
+    """Apply diagonal whitening ``(x − mean)·scale`` to the embedding
+    column — the consuming map for ``whitening_diagonal``'s state. The
+    (mean, scale) pair is ray.put ONCE and read per batch (broadcast,
+    never re-shipped per row); one vectorized numpy pass per batch."""
+    import ray
+
+    ref = ray.put((np.asarray(mean, np.float64),
+                   np.asarray(scale, np.float64)))
+
+    def white(t: pa.Table) -> pa.Table:
+        m, s = ray.get(ref)
+        x = _emb_f64(t, emb_col)
+        w = (x - m) * s
+        i = t.schema.get_field_index(emb_col)
+        return t.set_column(i, emb_col,
+                            pa.array(w.tolist(), pa.list_(pa.float64())))
+
+    return ds.map_batches(white, batch_format="pyarrow")

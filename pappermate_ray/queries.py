@@ -10516,3 +10516,85 @@ ORACLE_SQL.update({
         FROM hit
     """,
 })
+
+
+def q_covariance_store_check(sf_dir: str):
+    """Incremental moment store (ops/linalg.save_moment_increment /
+    stored_covariance): the embedding table lands as TWO increments
+    (vec_id split at the median) whose d²+d+1 moment rows merge
+    additively at read time — covariance over the union corpus without
+    re-reading the first increment. Oracled against the one-pass
+    full-corpus SQL (identical to q:embedding_covariance), so the gate
+    proves increment-merge ≡ full-pass."""
+    import os
+
+    from .ops.linalg import save_moment_increment, stored_covariance
+
+    store = _tmp_cache("momstore", sf_dir)
+    marker = os.path.join(store, "_SUCCESS")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(store, ignore_errors=True)
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        lo = ds.filter(expr="vec_id < 250")
+        hi = ds.filter(expr="vec_id >= 250")
+        save_moment_increment(lo.select_columns(["embedding"]), store, d=64)
+        save_moment_increment(hi.select_columns(["embedding"]), store, d=64)
+        open(marker, "w").close()
+    return stored_covariance(store, d=64, round_to=6)
+
+
+SQL_QUERIES.update({"covariance_store_check": q_covariance_store_check})
+ORACLE_SQL.update({
+    "covariance_store_check": ORACLE_SQL["embedding_covariance"],
+})
+
+
+def q_whiten_apply(sf_dir: str):
+    """Whitening state CONSUMED (ops/linalg.whiten_embeddings): the
+    diagonal (mean, 1/σ) state from one moment pass is broadcast via
+    ray.put and applied ``(x−mean)·scale`` per batch; the gate projects
+    the first 4 dims to (vec_id, dim, value) rows so DuckDB can rebuild
+    the same arithmetic from the raw table."""
+    from .ops.linalg import covariance_stats, whiten_embeddings
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    gram, col_sum, n = covariance_stats(ds.select_columns(["embedding"]),
+                                        d=64)
+    mean = col_sum / n
+    var = np.diag(gram) / n - mean * mean
+    scale = 1.0 / np.sqrt(var + 1e-9)
+    white = whiten_embeddings(ds, mean, scale)
+
+    def long4(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+        x = np.array(t["embedding"].to_pylist(), np.float64)[:, :4]
+        k = x.shape[0]
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, 4)),
+            "dim": pa.array(np.tile(np.arange(4, dtype=np.int64), k)),
+            "value": pa.array(np.round(x.ravel(), 6), pa.float64()),
+        })
+
+    return white.map_batches(long4, batch_format="pyarrow")
+
+
+SQL_QUERIES.update({"whiten_apply": q_whiten_apply})
+ORACLE_SQL.update({
+    "whiten_apply": """
+        WITH m AS (
+          SELECT i.i AS i,
+                 SUM(CAST(embedding[i.i] AS DOUBLE)) / COUNT(*) AS mu,
+                 SUM(CAST(embedding[i.i] AS DOUBLE)
+                     * CAST(embedding[i.i] AS DOUBLE)) / COUNT(*) AS ex2
+          FROM embeddings, generate_series(1, 4) i(i) GROUP BY i.i)
+        SELECT e.vec_id,
+               CAST(m.i - 1 AS BIGINT) AS dim,
+               ROUND((CAST(e.embedding[m.i] AS DOUBLE) - m.mu)
+                     / sqrt(ex2 - mu * mu + 1e-9), 6) AS value
+        FROM embeddings e, m
+    """,
+})

@@ -56,3 +56,48 @@ def test_whitening_yields_unit_variance(ray_session):
     for k in range(3):
         white = (Xd[:, k] - rows[k]["mean"]) * rows[k]["whiten_scale"]
         assert abs(white.var() - 1.0) < 1e-6
+
+
+def test_moment_store_merge_equals_full_pass(ray_session, tmp_path):
+    from pappermate_ray.ops.linalg import (covariance_stats,
+                                           save_moment_increment,
+                                           stored_covariance)
+
+    rng = np.random.RandomState(21)
+    X = rng.normal(size=(150, 5)).astype(np.float32)
+    store = str(tmp_path / "momstore")
+    save_moment_increment(_ds(X[:60], blocks=2), store, d=5)
+    save_moment_increment(_ds(X[60:], blocks=3), store, d=5)
+    merged = {(r["i"], r["j"]): r["cov"]
+              for r in stored_covariance(store, d=5).take_all()}
+    g, s, n = covariance_stats(_ds(X), d=5)
+    want = g / n - np.outer(s / n, s / n)
+    assert n == 150
+    for (i, j), v in merged.items():
+        assert abs(v - want[i, j]) < 1e-9
+
+
+def test_moment_store_empty_raises(ray_session, tmp_path):
+    import pytest
+
+    from pappermate_ray.ops.linalg import stored_covariance
+
+    with pytest.raises(ValueError):
+        stored_covariance(str(tmp_path / "nothing"), d=3)
+
+
+def test_whiten_embeddings_roundtrip(ray_session):
+    from pappermate_ray.ops.linalg import covariance_stats, whiten_embeddings
+
+    rng = np.random.RandomState(8)
+    X = (rng.normal(size=(80, 3)) * np.array([0.5, 4.0, 9.0]) +
+         np.array([1.0, -2.0, 7.0])).astype(np.float32)
+    g, s, n = covariance_stats(_ds(X), d=3)
+    mean = s / n
+    var = np.diag(g) / n - mean * mean
+    scale = 1.0 / np.sqrt(var + 1e-9)
+    out = whiten_embeddings(_ds(X), mean, scale).take_all()
+    W = np.array([r["embedding"] for r in out])
+    # whitened columns: zero mean, unit variance
+    assert np.abs(W.mean(axis=0)).max() < 1e-9
+    assert np.abs(W.var(axis=0) - 1.0).max() < 1e-6
