@@ -10598,3 +10598,41 @@ ORACLE_SQL.update({
         FROM embeddings e, m
     """,
 })
+
+
+def q_zipf_slope(sf_dir: str):
+    """Zipf power-law fit (stages/keywords.zipf_fit) over the documents
+    word-frequency spectrum: partial wordcount combine → narrow
+    (word, count) groupby → bounded top-1000 → closed-form log-log
+    least squares. Corpus text never rides an exchange."""
+    from .stages.keywords import zipf_fit
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return zipf_fit(ds, top_k=1000)
+
+
+SQL_QUERIES.update({"zipf_slope": q_zipf_slope})
+ORACLE_SQL.update({
+    "zipf_slope": r"""
+        WITH c AS (
+          SELECT token, COUNT(*) AS cnt FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents WHERE trim(text) <> ''
+          ) t GROUP BY token),
+        top AS (
+          SELECT cnt,
+                 row_number() OVER (ORDER BY cnt DESC, token) AS r
+          FROM c ORDER BY cnt DESC, token LIMIT 1000),
+        s AS (
+          SELECT COUNT(*) AS k,
+                 SUM(ln(r)) AS sx, SUM(ln(cnt)) AS sy,
+                 SUM(ln(r) * ln(cnt)) AS sxy, SUM(ln(r) * ln(r)) AS sxx
+          FROM top)
+        SELECT CAST(k AS BIGINT) AS n_words_fit,
+               ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+                 AS zipf_slope,
+               ROUND((sy * sxx - sx * sxy) / (k * sxx - sx * sx), 6)
+                 AS zipf_intercept
+        FROM s
+    """,
+})

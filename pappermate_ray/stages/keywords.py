@@ -314,3 +314,59 @@ def distinctive_terms(
 
     scored = counts.map_batches(score, batch_format="pyarrow")
     return grouped_topk(scored, group_col, "delta", "word", k=k)
+
+
+def zipf_fit(
+    ds: "rd.Dataset",
+    text_col: str = "text",
+    top_k: int = 1000,
+) -> pa.Table:
+    """Zipf power-law fit over the corpus frequency spectrum — the
+    one-number health check of a text corpus (natural language sits
+    near slope −1; template/boilerplate floods flatten the head,
+    spam/gibberish fattens the tail; drift between crawls shows up
+    before any downstream metric moves).
+
+    ln(count) is least-squares fit on ln(rank) over the TOP ``top_k``
+    words, rank ordered (count desc, word asc) — the head is where the
+    law holds and the tie-granularity of the tail would make rank
+    order engine-dependent. Shape: per-batch partial wordcount combine
+    → one narrow (word, count) groupby → bounded sort+limit (top_k
+    rows to the driver) → closed-form fit. The corpus text never rides
+    an exchange; the only driver materialization is top_k rows.
+
+    Returns a ONE-ROW pyarrow table (n_words_fit, zipf_slope,
+    zipf_intercept), slope/intercept rounded to 6 (q:zipf_slope's
+    DuckDB oracle reproduces the fit with the same explicit-sums
+    formula)."""
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for text in t[text_col].to_pylist():
+            for w in (text or "").split():
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table({
+            "word": pa.array(list(counts.keys()), pa.string()),
+            "c": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("word").aggregate(Sum("c", alias_name="cnt")))
+    top = counts.sort(["cnt", "word"], descending=[True, False]) \
+                .limit(top_k).take_all()
+    k = len(top)
+    if k < 2:
+        raise ValueError("zipf_fit needs at least 2 distinct words")
+    r = np.arange(1, k + 1, dtype=np.float64)
+    y = np.log(np.array([row["cnt"] for row in top], dtype=np.float64))
+    x = np.log(r)
+    sx, sy = float(x.sum()), float(y.sum())
+    sxy, sxx = float((x * y).sum()), float((x * x).sum())
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    intercept = (sy * sxx - sx * sxy) / (k * sxx - sx * sx)
+    return pa.table({
+        "n_words_fit": pa.array([k], pa.int64()),
+        "zipf_slope": pa.array([round(slope, 6)], pa.float64()),
+        "zipf_intercept": pa.array([round(intercept, 6)], pa.float64()),
+    })

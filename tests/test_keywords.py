@@ -204,3 +204,36 @@ class TestDistinctiveTerms:
         b = sorted(map(tuple, (r.values() for r in distinctive_terms(
             rd.from_items(rows, override_num_blocks=8), k=3).take_all())))
         assert a == b
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit
+# ---------------------------------------------------------------------------
+
+def test_zipf_slope_on_planted_power_law(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from pappermate_ray.stages.keywords import zipf_fit
+
+    # plant counts ~ 1000/r exactly: word w{r} appears round(1000/r) times
+    docs = []
+    for r in range(1, 51):
+        docs.extend([f"w{r:03d}"] * round(1000 / r))
+    # one word per doc keeps tokenization trivial
+    ds = rd.from_items([{"text": w} for w in docs])
+    out = zipf_fit(ds, top_k=50).to_pylist()[0]
+    assert out["n_words_fit"] == 50
+    assert abs(out["zipf_slope"] - (-1.0)) < 0.01
+    assert abs(out["zipf_intercept"] - np.log(1000)) < 0.05
+
+
+def test_zipf_fit_tiny_vocab_raises(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from pappermate_ray.stages.keywords import zipf_fit
+
+    ds = rd.from_items([{"text": "same same same"}])
+    with pytest.raises(ValueError):
+        zipf_fit(ds)
