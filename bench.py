@@ -195,7 +195,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "structured_data", "structured_adoption", "hard_negatives",
         "embedding_covariance", "whitening_stats", "readability",
         "search_snippets", "covariance_store_check", "whiten_apply",
-        "zipf_slope",
+        "zipf_slope", "contrastive_triplets",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

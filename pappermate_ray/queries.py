@@ -10636,3 +10636,71 @@ ORACLE_SQL.update({
         FROM s
     """,
 })
+
+
+def q_contrastive_triplets(sf_dir: str):
+    """Composed contrastive-training prep (the embedding-model sibling
+    of curate_full's corpus prep): near-dup POSITIVES from the
+    exact-verified MinHash pair machinery + one HARD NEGATIVE per
+    anchor from cross-label cosine top-1 — the (anchor, positive,
+    negative) triplet table a contrastive fine-tune consumes. Anchors
+    per mining round are batch-bounded (the incremental-refresh
+    contract), so the anchor query block broadcasts; the corpus side
+    streams through one matmul+mask pass; pairs then pick up their
+    negative from the aggregate-sized result via a broadcast dict."""
+    import pyarrow.parquet as pq
+
+    from .stages.dedup import minhash_pairs_exact_verified
+    from .stages.similarity import hard_negative_topk
+
+    pairs = minhash_pairs_exact_verified(
+        _docs_with_dups(sf_dir), "doc_id", "text", threshold=0.8
+    ).select_columns(["id_a", "id_b"])
+
+    anchor_ids = sorted({r["id_a"] for r in pairs.take_all()})
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding", "label"])
+    at = emb.filter(pc.is_in(emb["vec_id"],
+                             value_set=pa.array(anchor_ids, pa.int64())))
+    Q = np.array(at["embedding"].to_pylist(), dtype=np.float64)
+    q_ids = np.asarray(at["vec_id"].to_pylist(), dtype=np.int64)
+    q_labels = np.asarray(at["label"].to_pylist())
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    neg = {r["query_id"]: r["neighbor_id"]
+           for r in hard_negative_topk(ds, Q, q_ids, q_labels, k=1,
+                                       label_col="label").take_all()}
+    neg_ref = ray.put(neg)
+
+    def attach(t: pa.Table) -> pa.Table:
+        n = ray.get(neg_ref)
+        a = t["id_a"].to_pylist()
+        keep = [i for i, x in enumerate(a) if x in n]
+        tt = t.take(keep)
+        return pa.table({
+            "anchor_id": tt["id_a"],
+            "positive_id": tt["id_b"],
+            "negative_id": pa.array([n[x] for x in tt["id_a"].to_pylist()],
+                                    pa.int64()),
+        })
+
+    return pairs.map_batches(attach, batch_format="pyarrow")
+
+
+SQL_QUERIES.update({"contrastive_triplets": q_contrastive_triplets})
+ORACLE_SQL.update({
+    "contrastive_triplets": f"""WITH {_JACCARD_EDGES_SQL},
+        neg AS (
+          SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id
+          FROM embeddings a JOIN embeddings b
+            ON b.label <> a.label AND b.vec_id <> a.vec_id
+          WHERE a.vec_id IN (SELECT id_a FROM edges)
+          QUALIFY row_number() OVER (
+            PARTITION BY a.vec_id
+            ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                     b.vec_id) = 1)
+        SELECT e.id_a AS anchor_id, e.id_b AS positive_id, n.negative_id
+        FROM edges e JOIN neg n ON n.anchor_id = e.id_a
+    """,
+})

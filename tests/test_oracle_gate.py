@@ -53,6 +53,12 @@ FAST_QUERIES = [
     "crawl_depth", "kcore_hosts", "trustrank", "host_reciprocity",
     "co_citation", "snapshot_change_rate", "host_hygiene",
     "page_templates", "link_prediction",
+    # round-4 second continuation: structured data / linalg / retrieval-
+    # context / corpus-statistics / contrastive-prep families
+    "structured_data", "structured_adoption", "hard_negatives",
+    "embedding_covariance", "whitening_stats", "whiten_apply",
+    "readability", "search_snippets", "zipf_slope",
+    "contrastive_triplets",
 ]
 
 
