@@ -220,3 +220,53 @@ def whiten_embeddings(
                             pa.array(w.tolist(), pa.list_(pa.float64())))
 
     return ds.map_batches(white, batch_format="pyarrow")
+
+
+def pca_model(
+    ds: "rd.Dataset",
+    d: int,
+    k: int,
+    emb_col: str = "embedding",
+) -> tuple:
+    """PCA from the one-pass moments: ``(mean, components, variances)``
+    with ``components`` the top-k eigenvectors of the population
+    covariance as rows (descending eigenvalue; ties broken by the
+    symmetric-eigh order). The d×d eigh runs on the DRIVER — O(d³) on
+    dimensions, never rows. Sign is pinned per component (the entry of
+    largest magnitude is made positive, first index winning magnitude
+    ties) so the model is deterministic across runs/BLAS builds.
+    Broadcastable state for ``pca_project``."""
+    gram, col_sum, n = covariance_stats(ds, d, emb_col)
+    mean = col_sum / n
+    cov = gram / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(-vals, kind="stable")[:k]
+    comps = vecs[:, order].T.copy()
+    for row in comps:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1.0
+    return mean, comps, vals[order]
+
+
+def pca_project(
+    ds: "rd.Dataset",
+    mean: np.ndarray,
+    components: np.ndarray,
+    emb_col: str = "embedding",
+    out_col: str = "pca",
+) -> "rd.Dataset":
+    """Project the embedding column onto the PCA components — state
+    ray.put ONCE, one matmul per batch (the whiten_embeddings shape)."""
+    import ray
+
+    ref = ray.put((np.asarray(mean, np.float64),
+                   np.asarray(components, np.float64)))
+
+    def proj(t: pa.Table) -> pa.Table:
+        m, C = ray.get(ref)
+        z = (_emb_f64(t, emb_col) - m) @ C.T
+        return t.append_column(out_col,
+                               pa.array(z.tolist(), pa.list_(pa.float64())))
+
+    return ds.map_batches(proj, batch_format="pyarrow")

@@ -10704,3 +10704,76 @@ ORACLE_SQL.update({
         FROM edges e JOIN neg n ON n.anchor_id = e.id_a
     """,
 })
+
+
+def q_pca_roundtrip_check(sf_dir: str):
+    """Lossless-config PCA gate (ops/linalg.pca_model / pca_project):
+    with k=d the projection is a rotation, so mean + CᵀC(x−mean)
+    reconstructs x exactly (up to float error ≪ the round-6 compare) —
+    the same lossless-twin discipline as q:pq_knn_lossless. The gate
+    emits the first 4 reconstructed dims per vector; the oracle states
+    the RAW table values — any eigh/projection/sign bug breaks
+    equality."""
+    from .ops.linalg import pca_model, pca_project
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    mean, comps, _ = pca_model(ds.select_columns(["embedding"]), d=64, k=64)
+    proj = pca_project(ds, mean, comps)
+    mean_ref = ray.put((mean, comps))
+
+    def recon4(t: pa.Table) -> pa.Table:
+        m, C = ray.get(mean_ref)
+        z = np.array(t["pca"].to_pylist(), np.float64)
+        x_hat = (z @ C + m)[:, :4]
+        ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+        k = len(ids)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, 4)),
+            "dim": pa.array(np.tile(np.arange(4, dtype=np.int64), k)),
+            "value": pa.array(np.round(x_hat.ravel(), 6), pa.float64()),
+        })
+
+    return proj.map_batches(recon4, batch_format="pyarrow")
+
+
+def q_pca_variance_check(sf_dir: str):
+    """Trace-invariance gate for the PCA eigensolve: Σ eigenvalues of
+    the covariance ≡ Σ per-dimension variances (trace is basis-free),
+    which DuckDB can state WITHOUT an eigensolver — any moment or eigh
+    defect shifts the total."""
+    from .ops.linalg import pca_model
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+    _, _, vals = pca_model(ds, d=64, k=64)
+    return pa.table({
+        "k": pa.array([64], pa.int64()),
+        "total_variance": pa.array([round(float(vals.sum()), 6)],
+                                   pa.float64()),
+    })
+
+
+SQL_QUERIES.update({"pca_roundtrip_check": q_pca_roundtrip_check,
+                    "pca_variance_check": q_pca_variance_check})
+ORACLE_SQL.update({
+    "pca_roundtrip_check": """
+        SELECT vec_id,
+               CAST(i.i - 1 AS BIGINT) AS dim,
+               ROUND(CAST(embedding[i.i] AS DOUBLE), 6) AS value
+        FROM embeddings, generate_series(1, 4) i(i)
+    """,
+    "pca_variance_check": """
+        WITH s AS (
+          SELECT i.i AS i,
+                 SUM(CAST(embedding[i.i] AS DOUBLE)
+                     * CAST(embedding[i.i] AS DOUBLE)) AS sxx,
+                 SUM(CAST(embedding[i.i] AS DOUBLE)) AS si,
+                 COUNT(*) AS n
+          FROM embeddings, generate_series(1, 64) i(i) GROUP BY i.i)
+        SELECT CAST(64 AS BIGINT) AS k,
+               ROUND(SUM(sxx / n - (si / n) * (si / n)), 6)
+                 AS total_variance
+        FROM s
+    """,
+})

@@ -101,3 +101,33 @@ def test_whiten_embeddings_roundtrip(ray_session):
     # whitened columns: zero mean, unit variance
     assert np.abs(W.mean(axis=0)).max() < 1e-9
     assert np.abs(W.var(axis=0) - 1.0).max() < 1e-6
+
+
+def test_pca_finds_planted_direction(ray_session):
+    from pappermate_ray.ops.linalg import pca_model
+
+    rng = np.random.RandomState(17)
+    # variance 25 along (1,1,0)/√2, unit noise elsewhere
+    u = np.array([1.0, 1.0, 0.0]) / np.sqrt(2)
+    X = (rng.normal(size=(400, 1)) * 5.0) @ u[None, :] \
+        + rng.normal(size=(400, 3)) * 0.1
+    mean, comps, vals = pca_model(_ds(X.astype(np.float32)), d=3, k=2)
+    assert abs(abs(comps[0] @ u) - 1.0) < 0.01     # top PC ≈ planted axis
+    assert vals[0] > 20 and vals[1] < 1.0
+    # sign pin: the largest-|entry| component is positive
+    j = int(np.argmax(np.abs(comps[0])))
+    assert comps[0][j] > 0
+
+
+def test_pca_lossless_roundtrip(ray_session):
+    from pappermate_ray.ops.linalg import pca_model, pca_project
+
+    rng = np.random.RandomState(2)
+    X = rng.normal(size=(60, 4)).astype(np.float32)
+    mean, comps, _ = pca_model(_ds(X), d=4, k=4)
+    out = pca_project(_ds(X), mean, comps).take_all()
+    for r in out:
+        z = np.asarray(r["pca"])
+        x_hat = z @ comps + mean
+        x = np.asarray(r["embedding"], np.float64)
+        assert np.abs(x_hat - x).max() < 1e-9
