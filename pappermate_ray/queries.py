@@ -10653,9 +10653,14 @@ def q_contrastive_triplets(sf_dir: str):
     from .stages.dedup import minhash_pairs_exact_verified
     from .stages.similarity import hard_negative_topk
 
+    # pin the aggregate-sized pair table ONCE: it has two consumers
+    # (anchor harvest + the attach map) and without the pin the second
+    # re-runs the whole shingle/LSH/verify lineage (the CLAUDE.md
+    # multi-consumer rule; measured 11.4 → 10.0 s at sf0.1 — the
+    # verify lineage itself dominates, but the re-run is gone)
     pairs = minhash_pairs_exact_verified(
         _docs_with_dups(sf_dir), "doc_id", "text", threshold=0.8
-    ).select_columns(["id_a", "id_b"])
+    ).select_columns(["id_a", "id_b"]).materialize()
 
     anchor_ids = sorted({r["id_a"] for r in pairs.take_all()})
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
