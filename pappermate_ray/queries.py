@@ -10782,3 +10782,45 @@ ORACLE_SQL.update({
         FROM s
     """,
 })
+
+
+def q_corpus_card(sf_dir: str):
+    """Dataset-card summary report (pipelines/reports.corpus_card):
+    docs / language mix + entropy / word-length center+tail / exact-dup
+    rate as (metric, value) rows from ONE tagged-union narrow exchange
+    — the release-notes one-screener. The DuckDB oracle states every
+    metric independently (quantile_disc, log2 entropy, md5 distinct)."""
+    from .pipelines.reports import corpus_card
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "lang"])
+    return corpus_card(ds)
+
+
+SQL_QUERIES.update({"corpus_card": q_corpus_card})
+ORACLE_SQL.update({
+    "corpus_card": r"""
+        WITH f AS (
+          SELECT lang,
+                 len(regexp_extract_all(text, '\S+')) AS nw,
+                 md5(text) AS h
+          FROM documents),
+        tot AS (SELECT COUNT(*) AS n, SUM(nw) AS tw,
+                       COUNT(DISTINCT h) AS dh FROM f),
+        lc AS (SELECT lang, COUNT(*) AS c FROM f GROUP BY lang),
+        ent AS (SELECT -SUM((c * 1.0 / n) * log2(c * 1.0 / n)) AS e,
+                       COUNT(*) AS nl
+                FROM lc CROSS JOIN tot GROUP BY n),
+        q AS (SELECT quantile_disc(nw, 0.5) AS p50,
+                     quantile_disc(nw, 0.9) AS p90 FROM f)
+        SELECT 'n_docs' AS metric, CAST(n AS DOUBLE) AS value FROM tot
+        UNION ALL SELECT 'n_langs', CAST(nl AS DOUBLE) FROM ent
+        UNION ALL SELECT 'total_words', CAST(tw AS DOUBLE) FROM tot
+        UNION ALL SELECT 'mean_words', ROUND(tw * 1.0 / n, 6) FROM tot
+        UNION ALL SELECT 'p50_words', CAST(p50 AS DOUBLE) FROM q
+        UNION ALL SELECT 'p90_words', CAST(p90 AS DOUBLE) FROM q
+        UNION ALL SELECT 'lang_entropy_bits', ROUND(e, 6) FROM ent
+        UNION ALL SELECT 'exact_dup_permille',
+                         CAST(1000 * (n - dh) // n AS DOUBLE) FROM tot
+    """,
+})

@@ -58,7 +58,7 @@ FAST_QUERIES = [
     "structured_data", "structured_adoption", "hard_negatives",
     "embedding_covariance", "whitening_stats", "whiten_apply",
     "readability", "search_snippets", "zipf_slope",
-    "contrastive_triplets", "pca_roundtrip_check", "pca_variance_check",
+    "contrastive_triplets", "pca_roundtrip_check", "pca_variance_check", "corpus_card",
 ]
 
 

@@ -239,3 +239,26 @@ def test_extraction_accuracy_pinned(ray_session):
     assert rows["contract"]["accuracy"] == 1.0
     assert rows["relation"]["accuracy"] == 1.0
     assert rows["pdf"]["accuracy"] >= 0.90
+
+
+def test_corpus_card_planted_dups_and_mix(ray_session):
+    import ray.data as rd
+
+    from pappermate_ray.pipelines.reports import corpus_card
+
+    rows = (
+        [{"text": "one two three", "lang": "en"}] * 6     # 5 exact dups
+        + [{"text": f"doc {i} words here now", "lang": "de"}
+           for i in range(4)]
+    )
+    card = {r["metric"]: r["value"]
+            for r in corpus_card(rd.from_items(rows)).to_pylist()}
+    assert card["n_docs"] == 10.0
+    assert card["n_langs"] == 2.0
+    assert card["total_words"] == 6 * 3 + 4 * 5
+    assert card["exact_dup_permille"] == 500.0  # 5 of 10 rows are copies
+    assert card["p50_words"] == 3.0             # discrete rank ceil(.5*10)-1
+    assert card["p90_words"] == 5.0
+    import math
+    want_ent = -(0.6 * math.log2(0.6) + 0.4 * math.log2(0.4))
+    assert abs(card["lang_entropy_bits"] - round(want_ent, 6)) < 1e-9
