@@ -250,3 +250,38 @@ def test_sd_binary_input_and_max_bytes_bound():
     r = _sd(head + tail, max_bytes=1024)
     assert r["og_title"] == "in head"
     assert r["og_type"] == ""  # beyond the scan bound on purpose
+
+
+# property: og extraction is invariant to attribute order, quote style
+# and tag case, and first-tag-wins holds under arbitrary interleaving
+
+def test_sd_property_attribute_permutations():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    val = st.text(alphabet="abcdefghij XYZ-_.,:/0123456789", min_size=0,
+                  max_size=24)
+
+    def og_tag(prop: str, content: str, order: bool, quote: str,
+               upper: bool) -> str:
+        # uppercase only tag/attribute NAMES — values stay verbatim
+        meta, pk, ck = ("META", "PROPERTY", "CONTENT") if upper else \
+                       ("meta", "property", "content")
+        p = f"{pk}={quote}og:{prop}{quote}"
+        c = f"{ck}={quote}{content}{quote}"
+        return f"<{meta} {p} {c}>" if order else f"<{meta} {c} {p}>"
+
+    @given(t1=val, t2=val, order1=st.booleans(), order2=st.booleans(),
+           q1=st.sampled_from(['"', "'"]), q2=st.sampled_from(['"', "'"]),
+           up=st.booleans())
+    @settings(max_examples=120, deadline=None)
+    def check(t1, t2, order1, order2, q1, q2, up):
+        # quotes can't appear inside the quoted value
+        html = ("<html><head>"
+                + og_tag("title", t1, order1, q1, up)
+                + og_tag("title", t2, order2, q2, False)
+                + "</head><body></body></html>")
+        r = _sd(html)
+        assert r["og_title"] == t1  # document-order first tag wins
+
+    check()
