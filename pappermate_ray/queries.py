@@ -10824,3 +10824,39 @@ ORACLE_SQL.update({
                          CAST(1000 * (n - dh) // n AS DOUBLE) FROM tot
     """,
 })
+
+
+def q_lexical_diversity(sf_dir: str):
+    """Type-token ratio + Guiraud vocabulary-richness
+    (stages/quality.lexical_diversity): ONE batch-wide factorize +
+    unique-(doc, code) pass — no per-row Python; zero exchanges. The
+    corpus is single-space tokenized, so split(' ') ≡ '\\s+' in SQL."""
+    from .stages.quality import lexical_diversity
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return lexical_diversity(ds)
+
+
+SQL_QUERIES.update({"lexical_diversity": q_lexical_diversity})
+ORACLE_SQL.update({
+    "lexical_diversity": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 regexp_split_to_array(text, ' ') AS words
+          FROM documents)
+        SELECT doc_id,
+               CAST(CASE WHEN len(words) = 1 AND words[1] = ''
+                    THEN 0 ELSE len(words) END AS BIGINT) AS n_tokens,
+               CAST(CASE WHEN len(words) = 1 AND words[1] = ''
+                    THEN 0 ELSE len(list_distinct(words)) END AS BIGINT)
+                 AS n_types,
+               ROUND(CASE WHEN len(words) = 1 AND words[1] = '' THEN 0.0
+                     ELSE len(list_distinct(words)) * 1.0 / len(words) END,
+                     6) AS ttr,
+               ROUND(CASE WHEN len(words) = 1 AND words[1] = '' THEN 0.0
+                     ELSE len(list_distinct(words)) / sqrt(len(words)) END,
+                     6) AS guiraud
+        FROM w
+    """,
+})

@@ -107,3 +107,57 @@ def readability_scores(ds, text_col: str = "text"):
         return readability_batch(t, text_col=text_col)
 
     return ds.map_batches(batch, batch_format="pyarrow")
+
+
+def lexical_diversity_batch(batch: pa.Table, id_col: str = "doc_id",
+                            text_col: str = "text") -> pa.Table:
+    """Type-token ratio + Guiraud index per document — the
+    vocabulary-richness quality signal (templated/spun text repeats
+    its few types; TTR = types/tokens, Guiraud = types/√tokens
+    corrects TTR's length bias). Vectorized with the
+    curate_full._quality_gate idiom: split_pattern → list_flatten →
+    ONE batch-wide factorize + unique-(doc, code) pass — no Python row
+    loop. Empty/null docs emit 0 tokens / 0 types and 0.0 ratios (the
+    clamp is pinned by the q:lexical_diversity oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    n = batch.num_rows
+    s = pc.fill_null(batch[text_col], "")
+    if n == 0:
+        return pa.table({id_col: batch[id_col],
+                         "n_tokens": pa.array([], pa.int64()),
+                         "n_types": pa.array([], pa.int64()),
+                         "ttr": pa.array([], pa.float64()),
+                         "guiraud": pa.array([], pa.float64())})
+    toks = pc.split_pattern(s, " ").combine_chunks()
+    raw_nt = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    empty = pc.equal(s, "").to_numpy(zero_copy_only=False)
+    nt = np.where(empty, 0, raw_nt)
+    flat = pc.list_flatten(toks)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), raw_nt)
+    codes = pd.factorize(flat.to_pandas())[0].astype(np.int64)
+    ncodes = int(codes.max()) + 1 if len(codes) else 1
+    uniq = np.unique(doc_idx * ncodes + codes)
+    ntypes = np.bincount(uniq // ncodes, minlength=n)
+    ntypes = np.where(empty, 0, ntypes)
+    denom = np.maximum(nt, 1)
+    ttr = np.round(ntypes / denom, 6)
+    guiraud = np.round(ntypes / np.sqrt(denom), 6)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_tokens": pa.array(nt, pa.int64()),
+        "n_types": pa.array(ntypes.astype(np.int64)),
+        "ttr": pa.array(ttr, pa.float64()),
+        "guiraud": pa.array(guiraud, pa.float64()),
+    })
+
+
+def lexical_diversity(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Dataset wrapper for ``lexical_diversity_batch`` — one stateless
+    streaming pass, zero exchanges."""
+
+    def batch(t: pa.Table) -> pa.Table:
+        return lexical_diversity_batch(t, id_col=id_col, text_col=text_col)
+
+    return ds.map_batches(batch, batch_format="pyarrow")

@@ -156,3 +156,36 @@ def test_readability_multi_punct_runs_count_once():
     r = readability_batch(pa.table({"text": ["Wait... what?! Ok."]})).to_pylist()[0]
     # '...' '?!' '.' are three runs
     assert r["n_sentences"] == 3
+
+
+def test_lexical_diversity_hand_computed():
+    import math
+
+    import pyarrow as pa
+
+    from pappermate_ray.stages.quality import lexical_diversity_batch
+
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": pa.array(["a b a b c", "", None], pa.string())})
+    rows = lexical_diversity_batch(t).to_pylist()
+    r = rows[0]
+    assert (r["n_tokens"], r["n_types"]) == (5, 3)
+    assert r["ttr"] == round(3 / 5, 6)
+    assert r["guiraud"] == round(3 / math.sqrt(5), 6)
+    for r in rows[1:]:
+        assert (r["n_tokens"], r["n_types"], r["ttr"], r["guiraud"]) == \
+            (0, 0, 0.0, 0.0)
+
+
+def test_lexical_diversity_types_do_not_leak_across_docs():
+    import pyarrow as pa
+
+    from pappermate_ray.stages.quality import lexical_diversity_batch
+
+    # same vocabulary in both docs — factorize is batch-wide, the
+    # unique-(doc, code) pass must still count types PER DOC
+    t = pa.table({"doc_id": [1, 2],
+                  "text": ["x y z", "x x x x"]})
+    rows = {r["doc_id"]: r for r in lexical_diversity_batch(t).to_pylist()}
+    assert rows[1]["n_types"] == 3
+    assert rows[2]["n_types"] == 1 and rows[2]["n_tokens"] == 4
