@@ -197,7 +197,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "search_snippets", "covariance_store_check", "whiten_apply",
         "zipf_slope", "contrastive_triplets",
         "pca_roundtrip_check", "pca_variance_check", "corpus_card",
-        "lexical_diversity",
+        "lexical_diversity", "char_entropy",
     ):
         fn = all_queries[name]
         t0 = time.perf_counter()

@@ -10860,3 +10860,36 @@ ORACLE_SQL.update({
         FROM w
     """,
 })
+
+
+def q_char_entropy(sf_dir: str):
+    """Per-doc character-distribution Shannon entropy
+    (stages/quality.char_entropy): the gibberish/base64-blob detector.
+    One flat-codepoint lexsort + segmented reduceat per batch — no
+    Python row loop, zero exchanges."""
+    from .stages.quality import char_entropy
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return char_entropy(ds)
+
+
+SQL_QUERIES.update({"char_entropy": q_char_entropy})
+ORACLE_SQL.update({
+    "char_entropy": r"""
+        WITH chars AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+          FROM documents),
+        runs AS (
+          SELECT doc_id, ch, COUNT(*) AS k
+          FROM chars GROUP BY doc_id, ch),
+        per AS (
+          SELECT doc_id, SUM(k) AS n, SUM(k * log2(k)) AS s
+          FROM runs GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n, 0) AS BIGINT) AS n_chars,
+               ROUND(COALESCE(log2(p.n) - p.s / p.n, 0.0), 6)
+                 AS char_entropy_bits
+        FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+    """,
+})

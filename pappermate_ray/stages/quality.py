@@ -161,3 +161,57 @@ def lexical_diversity(ds, id_col: str = "doc_id", text_col: str = "text"):
         return lexical_diversity_batch(t, id_col=id_col, text_col=text_col)
 
     return ds.map_batches(batch, batch_format="pyarrow")
+
+
+def char_entropy_batch(batch: pa.Table, id_col: str = "doc_id",
+                       text_col: str = "text") -> pa.Table:
+    """Shannon entropy (bits) of each document's CHARACTER distribution
+    — the gibberish/blob detector (natural prose sits ~4–4.5 bits;
+    base64/hex payloads push toward 6, single-char runs toward 0).
+    Vectorized: one flat codepoint array for the whole batch, lexsort
+    on (doc, code), run-length counts, and ONE segmented reduceat for
+    Σk·log2(k) per doc — entropy = log2(n) − Σk·log2(k)/n, no Python
+    row loop. Empty/null docs emit 0.0 (pinned by the q:char_entropy
+    oracle)."""
+    import numpy as np
+
+    n_rows = batch.num_rows
+    texts = [x or "" for x in batch[text_col].to_pylist()]
+    lens = np.array([len(x) for x in texts], np.int64)
+    if n_rows == 0 or int(lens.sum()) == 0:
+        return pa.table({id_col: batch[id_col],
+                         "n_chars": pa.array(lens, pa.int64()),
+                         "char_entropy_bits": pa.array(
+                             np.zeros(n_rows), pa.float64())})
+    flat = np.frombuffer("".join(texts).encode("utf-32-le"),
+                         np.uint32).astype(np.int64)
+    doc_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    key = doc_idx * (int(flat.max()) + 1) + flat
+    key.sort()
+    change = np.ones(len(key), bool)
+    change[1:] = key[1:] != key[:-1]
+    starts = np.flatnonzero(change)
+    k = np.diff(np.append(starts, len(key)))          # run counts
+    run_doc = key[starts] // (int(flat.max()) + 1)
+    contrib = k * np.log2(k)
+    doc_starts = np.flatnonzero(np.r_[True, run_doc[1:] != run_doc[:-1]])
+    sums = np.add.reduceat(contrib, doc_starts)
+    ent = np.zeros(n_rows, np.float64)
+    docs_present = run_doc[doc_starts]
+    nn = lens[docs_present].astype(np.float64)
+    ent[docs_present] = np.log2(nn) - sums / nn
+    return pa.table({
+        id_col: batch[id_col],
+        "n_chars": pa.array(lens, pa.int64()),
+        "char_entropy_bits": pa.array(np.round(ent, 6), pa.float64()),
+    })
+
+
+def char_entropy(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Dataset wrapper for ``char_entropy_batch`` — one stateless
+    streaming pass, zero exchanges."""
+
+    def batch(t: pa.Table) -> pa.Table:
+        return char_entropy_batch(t, id_col=id_col, text_col=text_col)
+
+    return ds.map_batches(batch, batch_format="pyarrow")

@@ -59,7 +59,7 @@ FAST_QUERIES = [
     "embedding_covariance", "whitening_stats", "whiten_apply",
     "readability", "search_snippets", "zipf_slope",
     "contrastive_triplets", "pca_roundtrip_check", "pca_variance_check", "corpus_card",
-    "lexical_diversity",
+    "lexical_diversity", "char_entropy",
 ]
 
 

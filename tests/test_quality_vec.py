@@ -189,3 +189,36 @@ def test_lexical_diversity_types_do_not_leak_across_docs():
     rows = {r["doc_id"]: r for r in lexical_diversity_batch(t).to_pylist()}
     assert rows[1]["n_types"] == 3
     assert rows[2]["n_types"] == 1 and rows[2]["n_tokens"] == 4
+
+
+def test_char_entropy_known_distributions():
+    import math
+
+    import pyarrow as pa
+
+    from pappermate_ray.stages.quality import char_entropy_batch
+
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["abcd", "aab", "zzzz"]})
+    rows = {r["doc_id"]: r["char_entropy_bits"]
+            for r in char_entropy_batch(t).to_pylist()}
+    assert rows[1] == 2.0                              # uniform over 4
+    want = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert abs(rows[2] - round(want, 6)) < 1e-9
+    assert rows[3] == 0.0
+
+
+def test_char_entropy_no_cross_doc_leak_and_unicode():
+    import pyarrow as pa
+
+    from pappermate_ray.stages.quality import char_entropy_batch
+
+    # identical char sets across docs; counts must stay per-doc, and
+    # non-BMP codepoints survive the utf-32 flat path
+    t = pa.table({"doc_id": [1, 2], "text": ["αβ", "ααααα𝛼"]})
+    rows = {r["doc_id"]: r for r in char_entropy_batch(t).to_pylist()}
+    assert rows[1]["char_entropy_bits"] == 1.0
+    assert rows[2]["n_chars"] == 6
+    import math
+    want = -(5 / 6) * math.log2(5 / 6) - (1 / 6) * math.log2(1 / 6)
+    assert abs(rows[2]["char_entropy_bits"] - round(want, 6)) < 1e-9
