@@ -9,11 +9,14 @@ Scale shape (classic mini-batch-free Lloyd, map-reduce form):
   round, read by every task; the corpus is never shuffled at all;
 - each round is ONE streaming pass over the vectors: every batch
   assigns its rows to the nearest centroid (vectorized per-cluster
-  squared-L2, k small) and emits a single packed partial row
-  (per-cluster component sums + counts as raw float64/int64 bytes);
-- partials merge by addition on the driver — O(blocks × k × d),
-  bounded and corpus-size-independent, the same bounded-reduce rule as
-  the sketch operators (stages/sketch.py) and dense PageRank;
+  squared-L2, k small) and emits a single packed partial vector
+  (per-cluster component sums + counts, k·d+k float64);
+- partials reduce through ``ops/vecreduce.dense_vector_sum`` — the
+  repo's bounded-partials contract (≤128 partials sum on the driver;
+  beyond that a chunk-keyed grouped exchange merges them and driver
+  transit is O(k·d) per round REGARDLESS of block count — at 100 TB
+  that is the difference between ~1.5 TB/round of driver transit and
+  one k×d matrix; round-4 verdict #1);
 - iterating re-executes the pruned parquet read per round (O(iters)
   scans) instead of pinning the corpus in the object store — at 100 TB
   re-reading beats materializing.
@@ -36,13 +39,17 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from .vecreduce import dense_vector_sum
 
-def _mat(t: pa.Table, vec_col: str) -> np.ndarray:
-    """(n, d) float64 matrix from a list<float> column, zero-copy flatten."""
+
+def _mat(t: pa.Table, vec_col: str, d: int = None) -> np.ndarray:
+    """(n, d) float64 matrix from a list<float> column, zero-copy
+    flatten; empty blocks (filtered lineages) keep the (0, d) width so
+    the distance broadcast stays shape-valid."""
     col = t[vec_col].combine_chunks()
     flat = np.asarray(col.flatten(), dtype=np.float64)
     n = len(t)
-    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+    return flat.reshape(n, -1) if n else flat.reshape(0, d or 0)
 
 
 def _dist2(x: np.ndarray, cents: np.ndarray, round_to: int) -> np.ndarray:
@@ -94,23 +101,22 @@ def kmeans_assign(
     for it in range(iters - 1):
         cref = ray.put(cents)
 
-        def partial(t: pa.Table, _cref=cref) -> pa.Table:
+        def partial(t: pa.Table, _cref=cref) -> np.ndarray:
+            # packed (k·d sums | k counts) partial; counts ride as
+            # float64 — exact integers under addition far past any
+            # realistic corpus size (< 2^53)
             c = ray.get(_cref)
-            x = _mat(t, vec_col)
+            x = _mat(t, vec_col, d)
             assign = np.argmin(_dist2(x, c, round_to), axis=1)
-            sums = np.zeros((k, d), dtype=np.float64)
+            out = np.zeros(k * d + k, dtype=np.float64)
+            sums = out[: k * d].reshape(k, d)
             np.add.at(sums, assign, x)
-            counts = np.bincount(assign, minlength=k).astype(np.int64)
-            return pa.table({
-                "sums": pa.array([sums.tobytes()], pa.binary()),
-                "counts": pa.array([counts.tobytes()], pa.binary()),
-            })
+            out[k * d:] = np.bincount(assign, minlength=k)
+            return out
 
-        sums = np.zeros((k, d), dtype=np.float64)
-        counts = np.zeros(k, dtype=np.int64)
-        for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
-            sums += np.frombuffer(row["sums"], np.float64).reshape(k, d)
-            counts += np.frombuffer(row["counts"], np.int64)
+        vec = dense_vector_sum(ds, partial, k * d + k, np.float64)
+        sums = vec[: k * d].reshape(k, d)
+        counts = vec[k * d:]
         nonempty = counts > 0
         new = cents.copy()
         new[nonempty] = np.round(
@@ -121,7 +127,7 @@ def kmeans_assign(
 
     def final_assign(t: pa.Table) -> pa.Table:
         c = ray.get(fref)
-        x = _mat(t, vec_col)
+        x = _mat(t, vec_col, c.shape[1])
         d2 = _dist2(x, c, round_to)
         assign = np.argmin(d2, axis=1)
         cols = {

@@ -29,7 +29,7 @@ import ray.data as rd
 from .vecreduce import dense_vector_sum
 
 
-def _emb_f64(t: pa.Table, col: str) -> np.ndarray:
+def _emb_f64(t: pa.Table, col: str, d: int = None) -> np.ndarray:
     """Batch embedding column as a float64 matrix (promote BEFORE any
     product — float32 products then summed would diverge from the
     SQL oracle's CAST-to-DOUBLE-first semantics).
@@ -38,10 +38,19 @@ def _emb_f64(t: pa.Table, col: str) -> np.ndarray:
     the float64 promote) instead of ``to_pylist`` — measured 2.4× on
     the 2M×64 moment pass (tools/bench_linalg.py), and it keeps block
     size out of the cost model (per-row Python boxing was dominating
-    small blocks). Ragged rows (malformed upstream) fall back."""
+    small blocks). Ragged rows (malformed upstream) fall back.
+
+    Empty batches (filtered lineages produce them) return shape
+    ``(0, d)`` — pass ``d`` when known so downstream matmuls against a
+    (d, q) broadcast matrix don't raise on a ``(0, 0)``; a variable
+    -length list column carries no width of its own."""
     a = t[col]
     if isinstance(a, pa.ChunkedArray):
         a = a.combine_chunks()
+    if len(a) == 0:
+        if d is None and pa.types.is_fixed_size_list(a.type):
+            d = a.type.list_size
+        return np.empty((0, d or 0), np.float64)
     if pa.types.is_fixed_size_list(a.type) and a.null_count == 0:
         d = a.type.list_size
         flat = a.values.to_numpy(zero_copy_only=False)
@@ -69,7 +78,7 @@ def covariance_stats(
     all happened in the blocks)."""
 
     def make_vec(t: pa.Table) -> np.ndarray:
-        x = _emb_f64(t, emb_col)
+        x = _emb_f64(t, emb_col, d)
         out = np.empty(d * d + d + 1, np.float64)
         out[: d * d] = (x.T @ x).ravel()
         out[d * d : d * d + d] = x.sum(axis=0)
@@ -213,7 +222,7 @@ def whiten_embeddings(
 
     def white(t: pa.Table) -> pa.Table:
         m, s = ray.get(ref)
-        x = _emb_f64(t, emb_col)
+        x = _emb_f64(t, emb_col, len(m))
         w = (x - m) * s
         i = t.schema.get_field_index(emb_col)
         return t.set_column(i, emb_col,
@@ -265,7 +274,7 @@ def pca_project(
 
     def proj(t: pa.Table) -> pa.Table:
         m, C = ray.get(ref)
-        z = (_emb_f64(t, emb_col) - m) @ C.T
+        z = (_emb_f64(t, emb_col, len(m)) - m) @ C.T
         return t.append_column(out_col,
                                pa.array(z.tolist(), pa.list_(pa.float64())))
 

@@ -10878,7 +10878,10 @@ SQL_QUERIES.update({"char_entropy": q_char_entropy})
 ORACLE_SQL.update({
     "char_entropy": r"""
         WITH chars AS (
-          SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+          -- (?s) so RE2 '.' matches newlines too: the kernel counts
+          -- EVERY codepoint (utf-32), and without DOTALL a '\n' in any
+          -- doc would silently shrink the oracle's n_chars (advisor)
+          SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch
           FROM documents),
         runs AS (
           SELECT doc_id, ch, COUNT(*) AS k

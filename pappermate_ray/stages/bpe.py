@@ -112,8 +112,12 @@ def _pair_partials(df: pd.DataFrame) -> pd.DataFrame:
     nxt = ex.groupby(level=0).shift(-1)
     pairs = (ex + " " + nxt).dropna()
     if pairs.empty:
-        return pd.DataFrame({"pair": pd.Series([], dtype=str),
-                             "c": pd.Series([], dtype="int64")})
+        # typed Arrow empty, NOT an object-dtype pandas frame: Ray's
+        # block-size estimator calls np.vectorize over object columns
+        # and logs "cannot call `vectorize` on size 0 inputs" per empty
+        # block — hundreds of lines per gate run (round-4 verdict #7)
+        return pa.table({"pair": pa.array([], pa.string()),
+                         "c": pa.array([], pa.int64())})
     out = pd.DataFrame(
         {"pair": pairs.values, "c": df["cnt"].loc[pairs.index].values}
     )
@@ -154,7 +158,8 @@ def learn_bpe(
         # O(blocks) rows — replaces a full distributed SORT per round
         # with the same (count desc, pair asc) order
         if df.empty:
-            return df
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
         return df.sort_values(["c", "pair"], ascending=[False, True]).head(1)
 
     state = vocab.map_batches(init, batch_format="pyarrow").materialize()

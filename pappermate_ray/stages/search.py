@@ -65,6 +65,24 @@ def build_postings(
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+
+def _corpus_stats(ds: "rd.Dataset", text_col: str) -> tuple:
+    """(n_docs, sum_dl) over docs with >=1 token. The per-block scalar
+    partials reduce through the bounded-partials contract
+    (``ops/vecreduce`` — round-4 verdict #1 applied to the stats side):
+    at ~10^6 blocks the driver sees one 2-float vector, not one row per
+    block."""
+    from ..ops.vecreduce import dense_vector_sum
+
+    def make_vec(t: pa.Table) -> np.ndarray:
+        dls = [len((x or "").split()) for x in t[text_col].to_pylist()]
+        dls = [d for d in dls if d]
+        return np.array([len(dls), sum(dls)], dtype=np.float64)
+
+    v = dense_vector_sum(ds, make_vec, 2, np.float64)
+    return int(v[0]), int(v[1])
+
+
 def bm25_topk(
     ds: "rd.Dataset",
     query_terms: List[str],
@@ -80,19 +98,10 @@ def bm25_topk(
     """
     postings = build_postings(ds, id_col, text_col)
 
-    # corpus scalars (N, avgdl) straight off the doc table: two numbers
-    # per block, summed on the driver
-    def dl_partial(t: pa.Table) -> pa.Table:
-        dls = [len((x or "").split()) for x in t[text_col].to_pylist()]
-        dls = [d for d in dls if d]
-        return pa.table({
-            "n_docs": pa.array([len(dls)], pa.int64()),
-            "sum_dl": pa.array([sum(dls)], pa.int64()),
-        })
-
-    parts = ds.map_batches(dl_partial, batch_format="pyarrow").take_all()
-    n_docs = sum(p["n_docs"] for p in parts)
-    avgdl = sum(p["sum_dl"] for p in parts) / n_docs if n_docs else 0.0
+    # corpus scalars (N, avgdl) straight off the doc table — bounded
+    # vecreduce partials, O(1) driver transit at any block count
+    n_docs, sum_dl = _corpus_stats(ds, text_col)
+    avgdl = sum_dl / n_docs if n_docs else 0.0
 
     qset = pa.array(sorted(set(query_terms)), pa.string())
     # prune to query terms BEFORE any shuffle; materialize the pruned
@@ -284,18 +293,10 @@ def text_index_add(
     df.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
         _next_increment(index_dir, "df"), partition_cols=["bucket"])
 
-    def dl_partial(t: pa.Table) -> pa.Table:
-        dls = [len((x or "").split()) for x in t[text_col].to_pylist()]
-        dls = [d for d in dls if d]
-        return pa.table({
-            "n_docs": pa.array([len(dls)], pa.int64()),
-            "sum_dl": pa.array([sum(dls)], pa.int64()),
-        })
-
-    stats = ds.map_batches(dl_partial, batch_format="pyarrow").take_all()
+    n_docs, sum_dl = _corpus_stats(ds, text_col)
     row = pa.table({
-        "n_docs": pa.array([sum(p["n_docs"] for p in stats)], pa.int64()),
-        "sum_dl": pa.array([sum(p["sum_dl"] for p in stats)], pa.int64()),
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "sum_dl": pa.array([sum_dl], pa.int64()),
     })
     rd.from_arrow(row).write_parquet(_next_increment(index_dir, "stats"))
     return index_dir
@@ -397,10 +398,18 @@ def search_snippets(
     discipline — non-matching docs, the overwhelming majority under a
     selective query, never leave Arrow). SQL mirror: DuckDB
     regexp_split_to_array + list_position + 1-based inclusive list
-    slicing reproduce the same window exactly (q:search_snippets)."""
+    slicing reproduce the same window exactly (q:search_snippets).
+
+    Whitespace contract: tokenization splits on the RE2 ASCII
+    whitespace class ``[\\t\\n\\f\\r ]+`` — the SAME rule as the
+    vectorized gate's ``\\s`` and the oracle's ``regexp_split_to_array``
+    — NOT Python ``str.split()``'s Unicode whitespace, so docs with
+    NBSP and friends can never diverge between the gate, the tokenizer
+    and the SQL mirror (round-4 advisor finding #1)."""
     import re as _re
 
     pat = rf"(?:^|\s){_re.escape(term)}(?:\s|$)"
+    ws = _re.compile(r"[\t\n\f\r ]+")
 
     def snip(t: pa.Table) -> pa.Table:
         keep = pc.fill_null(
@@ -409,7 +418,7 @@ def search_snippets(
         ids = hit[id_col].to_pylist()
         out_pos, out_snip = [], []
         for x in hit[text_col].to_pylist():
-            words = (x or "").split()
+            words = ws.split(x or "")
             i = words.index(term)
             out_pos.append(i)
             out_snip.append(" ".join(words[max(i - window, 0): i + window + 1]))

@@ -24,10 +24,13 @@ from ray.data.aggregate import Max, Min
 
 
 
-def _emb_matrix(t: pa.Table, col: str) -> np.ndarray:
+def _emb_matrix(t: pa.Table, col: str, d: int = None) -> np.ndarray:
     from ..ops.linalg import _emb_f64
 
-    x = _emb_f64(t, col)  # zero-copy Arrow flatten (2.4×+ vs to_pylist)
+    # zero-copy Arrow flatten (2.4×+ vs to_pylist); pass d where a
+    # broadcast matrix pins the width so EMPTY filtered blocks come back
+    # (0, d) and the matmul below stays shape-valid
+    x = _emb_f64(t, col, d)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return x / norms
@@ -48,7 +51,7 @@ def knn_scatter_gather(
 
     def local_topk(t: pa.Table) -> pa.Table:
         qids, qmat = ray.get(ref)
-        xn = _emb_matrix(t, emb_col)
+        xn = _emb_matrix(t, emb_col, qmat.shape[1])
         sims = xn @ qmat.T
         vec_ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
         out_q, out_n, out_s = [], [], []
@@ -107,7 +110,7 @@ def hard_negative_topk(
 
     def local_topk(t: pa.Table) -> pa.Table:
         qids, qlabels, qmat = ray.get(ref)
-        xn = _emb_matrix(t, emb_col)
+        xn = _emb_matrix(t, emb_col, qmat.shape[1])
         sims = xn @ qmat.T
         vec_ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
         labels = np.asarray(t[label_col].to_pylist())
@@ -200,7 +203,7 @@ def ivf_knn(
 
     def local_topk(t: pa.Table) -> pa.Table:
         qids, qmat, cents, probes, probe_set = ray.get(ref)
-        xn = _emb_matrix(t, emb_col)
+        xn = _emb_matrix(t, emb_col, cents.shape[1])
         vec_ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
         assign = np.argmax(xn @ cents.T, axis=1)
         keep = np.isin(assign, list(probe_set))
@@ -259,7 +262,7 @@ def lsh_bucketed_cosine_pairs(
 
     def bucketize(t: pa.Table) -> pa.Table:
         ps = ray.get(ref)
-        xn = _emb_matrix(t, emb_col)
+        xn = _emb_matrix(t, emb_col, ps[0].shape[0])
         parts = []
         for ti, p in enumerate(ps):
             signs = (xn @ p) > 0
@@ -341,6 +344,8 @@ def cosine_pairs_exact(
     """
     ids_chunks, mat_chunks = [], []
     for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
         ids_chunks.append(np.asarray(b[id_col].to_pylist(), dtype=np.int64))
         mat_chunks.append(_emb_matrix(b, emb_col))
     all_ids = np.concatenate(ids_chunks) if ids_chunks else np.array([], dtype=np.int64)
@@ -353,7 +358,7 @@ def cosine_pairs_exact(
 
     def pairs(t: pa.Table) -> pa.Table:
         gids, gmat = ray.get(ref)
-        xn = _emb_matrix(t, emb_col)
+        xn = _emb_matrix(t, emb_col, gmat.shape[1])
         bids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
         sims = xn @ gmat.T                      # (batch, N)
         hit = sims >= threshold
@@ -421,7 +426,7 @@ def semantic_decontaminate(
             if gm.shape[0] == 0:
                 continue
             if xn is None:
-                xn = _emb_matrix(t, emb_col)
+                xn = _emb_matrix(t, emb_col, gm.shape[1])
             keep &= ((xn @ gm.T) < threshold).all(axis=1)
         return t if xn is None else t.filter(pa.array(keep))
 
@@ -695,7 +700,7 @@ def pq_encode(
 
     def encode(t: pa.Table) -> pa.Table:
         C = ray.get(ref)
-        xn = _emb_matrix(t, emb_col)
+        xn = _emb_matrix(t, emb_col, m * dsub)
         codes = np.empty((t.num_rows, m), dtype=dt)
         for j in range(m):
             sub = xn[:, j * dsub:(j + 1) * dsub]
