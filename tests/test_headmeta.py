@@ -285,3 +285,33 @@ def test_sd_property_attribute_permutations():
         assert r["og_title"] == t1  # document-order first tag wins
 
     check()
+
+
+class TestOgDocumentOrder:
+    """Round-4 advisor finding #2: 'FIRST matching tag' must mean first
+    in DOCUMENT order across syntactic forms, not first-matching-
+    pattern. The fused single-alternation extract honors that; pinned
+    here because the planted oracle uses one form per page and cannot
+    see it."""
+
+    def test_first_tag_wins_across_forms(self):
+        import pyarrow as pa
+
+        from pappermate_ray.stages.headmeta import structured_data_batch
+
+        dual1 = ('<html><head>'
+                 '<meta content="EARLY" property="og:title">'
+                 '<meta property="og:title" content="LATE">'
+                 '</head></html>')
+        dual2 = ('<html><head>'
+                 '<meta property="og:title" content="EARLY2">'
+                 '<meta content="LATE2" property="og:title">'
+                 '</head></html>')
+        quote_mix = ('<html><head>'
+                     "<meta content='EARLY3' property='og:title'>"
+                     '<meta property="og:title" content="LATE3">'
+                     '</head></html>')
+        t = pa.table({"url": ["u1", "u2", "u3"],
+                      "html": [dual1, dual2, quote_mix]})
+        got = structured_data_batch(t).to_pydict()["og_title"]
+        assert got == ["EARLY", "EARLY2", "EARLY3"]

@@ -237,3 +237,72 @@ def test_zipf_fit_tiny_vocab_raises(ray_session):
     ds = rd.from_items([{"text": "same same same"}])
     with pytest.raises(ValueError):
         zipf_fit(ds)
+
+
+class TestHybridDfModel:
+    """Round-4 verdict #2: beyond broadcast_limit the DF model stays
+    distributed (join fallback). Both paths must be identical — the
+    bound only changes WHERE the model lives, never the result."""
+
+    ROWS = [{"doc_id": i,
+             "text": f"w{i % 7} w{i % 7} w{i % 3} shared tail{i % 11}"}
+            for i in range(60)]
+
+    def _sorted(self, out):
+        return sorted((r["doc_id"], r["term"], r["tf"], r["score"])
+                      for r in out)
+
+    def test_tfidf_join_equals_broadcast(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.keywords import tfidf_topk
+
+        ds = rd.from_items(self.ROWS, override_num_blocks=4)
+        a = self._sorted(tfidf_topk(ds, k=3).take_all())
+        b = self._sorted(tfidf_topk(ds, k=3, broadcast_limit=1).take_all())
+        assert a == b
+
+    def test_tfidf_join_min_df_rank_proxy(self, ray_session):
+        """min_df-pruned terms take the df=1 proxy on BOTH paths."""
+        import ray.data as rd
+
+        from pappermate_ray.stages.keywords import tfidf_topk
+
+        ds = rd.from_items(
+            [{"doc_id": 0, "text": "common common rare"},
+             {"doc_id": 1, "text": "common zebra"},
+             {"doc_id": 2, "text": "common alpha beta"}],
+            override_num_blocks=2)
+        a = self._sorted(tfidf_topk(ds, k=1, min_df=2).take_all())
+        b = self._sorted(
+            tfidf_topk(ds, k=1, min_df=2, broadcast_limit=1).take_all())
+        assert a == b
+        assert {r[1] for r in a} == {"rare", "zebra", "alpha"}
+
+    def test_tfidf_join_string_ids(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.keywords import tfidf_topk
+
+        ds = rd.from_items(
+            [{"doc_id": "u/alpha", "text": "common common rare"},
+             {"doc_id": "u/beta", "text": "common zebra"}],
+            override_num_blocks=2)
+        out = tfidf_topk(ds, k=1, broadcast_limit=1).take_all()
+        by_doc = {r["doc_id"]: r["term"] for r in out}
+        assert by_doc == {"u/alpha": "rare", "u/beta": "zebra"}
+
+    def test_distinctive_join_equals_broadcast(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.keywords import distinctive_terms
+
+        rows = [{"lang": ["en", "fr", "de"][i % 3],
+                 "text": f"w{i % 7} w{i % 5} common tail{i % 11}"}
+                for i in range(60)]
+        ds = rd.from_items(rows, override_num_blocks=4)
+        a = sorted(map(tuple, (r.values() for r in
+                               distinctive_terms(ds, k=3).take_all())))
+        b = sorted(map(tuple, (r.values() for r in distinctive_terms(
+            ds, k=3, broadcast_limit=1).take_all())))
+        assert a == b

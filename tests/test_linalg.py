@@ -131,3 +131,60 @@ def test_pca_lossless_roundtrip(ray_session):
         x_hat = z @ comps + mean
         x = np.asarray(r["embedding"], np.float64)
         assert np.abs(x_hat - x).max() < 1e-9
+
+
+class TestEmptyBlockArmor:
+    """Advisor finding: a filter-everything lineage produces EMPTY
+    blocks; _emb_f64 must keep the (0, d) width so broadcast matmuls
+    in whiten/pca/knn/kmeans don't raise on shape."""
+
+    def _empty_lineage(self):
+        import ray.data as rd
+
+        rows = [{"vec_id": i, "embedding": [float(i), 1.0, 0.5, 2.0]}
+                for i in range(8)]
+        return rd.from_items(rows, override_num_blocks=2).filter(
+            lambda r: r["vec_id"] > 100)
+
+    def test_emb_f64_empty_shape(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from pappermate_ray.ops.linalg import _emb_f64
+
+        t = pa.table({"embedding": pa.array([], pa.list_(pa.float32()))})
+        assert _emb_f64(t, "embedding", 4).shape == (0, 4)
+        assert _emb_f64(t, "embedding").shape == (0, 0)
+        tf = pa.table({"embedding": pa.array(
+            [], pa.list_(pa.float32(), 4))})
+        assert _emb_f64(tf, "embedding").shape == (0, 4)
+
+    def test_whiten_and_pca_on_empty_blocks(self, ray_session):
+        import numpy as np
+
+        from pappermate_ray.ops.linalg import (pca_project,
+                                               whiten_embeddings)
+
+        ds = self._empty_lineage()
+        out = whiten_embeddings(ds, np.zeros(4), np.ones(4)).take_all()
+        assert out == []
+        out = pca_project(ds, np.zeros(4), np.eye(2, 4)).take_all()
+        assert out == []
+
+    def test_knn_and_kmeans_on_partially_empty_blocks(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from pappermate_ray.ops.kmeans import kmeans_assign
+        from pappermate_ray.stages.similarity import knn_scatter_gather
+
+        rows = [{"vec_id": i, "embedding": [float(i), 1.0, 0.5, 2.0]}
+                for i in range(8)]
+        # filter leaves SOME blocks empty (ids 0-3 live in block 0)
+        ds = rd.from_items(rows, override_num_blocks=4).filter(
+            lambda r: r["vec_id"] < 2)
+        q = np.array([[1.0, 1.0, 0.5, 2.0]])
+        out = knn_scatter_gather(ds, q, np.array([99]), k=2).take_all()
+        assert len(out) == 2
+        out = kmeans_assign(ds, k=2, iters=2).take_all()
+        assert len(out) == 2

@@ -210,3 +210,38 @@ def test_snippet_token_boundary_not_substring(ray_session):
     ])
     got = [r["doc_id"] for r in search_snippets(ds, "target").take_all()]
     assert got == [2]
+
+
+class TestSnippetWhitespaceContract:
+    """Advisor finding: the gate (RE2 \\s), the tokenizer and the SQL
+    mirror must share ONE whitespace rule — the RE2 ASCII class. NBSP
+    is NOT a separator under that rule."""
+
+    def test_nbsp_is_not_a_separator(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.search import search_snippets
+
+        ds = rd.from_items([
+            # NBSP glues 'window' to its neighbor: NOT a token
+            {"doc_id": 1, "text": "a window closed"},
+            {"doc_id": 2, "text": "the window pane here"},
+            # ASCII-separated: a real token, NBSP inside other tokens
+            {"doc_id": 3, "text": "big one window stays"},
+        ])
+        out = {r["doc_id"]: r for r in
+               search_snippets(ds, "window", window=1).take_all()}
+        assert set(out) == {3}
+        assert out[3]["pos"] == 1
+        assert out[3]["snippet"] == "big one window stays"
+
+    def test_tab_newline_split_like_oracle(self, ray_session):
+        import ray.data as rd
+
+        from pappermate_ray.stages.search import search_snippets
+
+        ds = rd.from_items([{"doc_id": 1, "text": "a\tb\nwindow  c"}])
+        out = search_snippets(ds, "window", window=1).take_all()
+        # repeated ASCII whitespace collapses like the oracle's \s+
+        assert out[0]["pos"] == 2
+        assert out[0]["snippet"] == "b window c"
