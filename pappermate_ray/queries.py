@@ -9497,7 +9497,7 @@ _LPA_ITERS = 3
 def q_lpa_communities(sf_dir: str, iters: int = _LPA_ITERS):
     """Community labels over the planted block graph after ``iters``
     synchronous LPA rounds (most-frequent neighbor label, ties → min)."""
-    from .ops.lpa import label_propagation
+    from .ops.lpa import label_propagation_auto
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id"])
@@ -9522,7 +9522,7 @@ def q_lpa_communities(sf_dir: str, iters: int = _LPA_ITERS):
         lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
         batch_format="pyarrow")
     e = docs.map_batches(edges, batch_format="pyarrow")
-    return label_propagation(nodes, e, iters=iters)
+    return label_propagation_auto(nodes, e, iters=iters)
 
 
 def _lpa_sql(iters: int = _LPA_ITERS) -> str:

@@ -10,6 +10,11 @@ from 133 s (two semi-joins per round) to 63 s.
 
     python tools/bench_graph_iter.py [n_nodes] [num_cpus]
 
+Round 5 adds the LPA tier pair (ops/lpa.py): the dense/broadcast tier
+(labels broadcast, one streaming vote pass + two narrow groupbys per
+round) vs the BSP join path (one hash join + vote groupby +
+partition-grouped argmax + anti-join per round), asserted identical.
+
 The graphs are formulaic (dst = (a·i+b) mod N), so the driver verifies
 both outputs EXACTLY with vectorized numpy (full dict equality, not a
 sample). Results recorded in BASELINE.md.
@@ -39,6 +44,7 @@ _SEED_MOD = 10_000          # seeds = multiples of this
 _MAX_DEPTH = 4
 _KCORE_K = 3
 _KCORE_ROUNDS = 8
+_LPA_ITERS = 3
 
 
 def _raw_edges(i: np.ndarray, n: int):
@@ -98,6 +104,27 @@ def _driver_kcore(n: int, k: int, rounds: int) -> dict:
     return dict(zip(nodes.tolist(), deg[nodes].tolist()))
 
 
+def _driver_lpa(n: int, iters: int) -> dict:
+    i = np.arange(n, dtype=np.int64)
+    src, dst = _raw_edges(i, n)
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    lab = np.arange(n, dtype=np.int64)
+    shift = n + 1
+    for _ in range(iters):
+        key = d * shift + lab[s]
+        uk, c = np.unique(key, return_counts=True)
+        prio = c.astype(np.int64) * shift + (n - uk % shift)
+        new = lab.copy()
+        order = np.argsort(uk // shift, kind="stable")
+        uks, prios = (uk // shift)[order], prio[order]
+        starts = np.flatnonzero(np.r_[True, uks[1:] != uks[:-1]])
+        best = np.maximum.reduceat(prios, starts)
+        new[uks[starts]] = n - (best % shift)
+        lab = new
+    return dict(zip(range(n), lab.tolist()))
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     ncpu = int(sys.argv[2]) if len(sys.argv) > 2 else 32
@@ -127,6 +154,27 @@ def main() -> None:
     wall_kc = time.time() - t1
     ok_kc = got_kc == _driver_kcore(n, _KCORE_K, _KCORE_ROUNDS)
 
+    from pappermate_ray.ops.lpa import label_propagation_auto
+
+    nodes = rd.range(n).map_batches(
+        lambda t: pa.table({"node": t["id"]}), batch_format="pyarrow")
+    want_lpa = _driver_lpa(n, _LPA_ITERS)
+
+    t2 = time.time()
+    got_lpa = {r["node"]: r["label"]
+               for r in label_propagation_auto(
+                   nodes, _edges_ds(n), iters=_LPA_ITERS).take_all()}
+    wall_lpa = time.time() - t2
+    ok_lpa = got_lpa == want_lpa
+
+    t3 = time.time()
+    got_lpa_j = {r["node"]: r["label"]
+                 for r in label_propagation_auto(
+                     nodes, _edges_ds(n), iters=_LPA_ITERS,
+                     dense_bound=0).take_all()}
+    wall_lpa_j = time.time() - t3
+    ok_lpa_j = got_lpa_j == want_lpa
+
     n_edges = n + (n // 4 + (1 if n % 4 else 0)) * len(_JUMPS)
     print({"n_nodes": n, "n_edges": n_edges, "num_cpus": ncpu,
            "bfs_wall_s": round(wall_bfs, 2),
@@ -136,9 +184,13 @@ def main() -> None:
            "ok_bfs": ok_bfs,
            "kcore_wall_s": round(wall_kc, 2),
            "kcore_survivors": len(got_kc),
-           "ok_kcore": ok_kc})
+           "ok_kcore": ok_kc,
+           "lpa_dense_wall_s": round(wall_lpa, 2),
+           "lpa_join_wall_s": round(wall_lpa_j, 2),
+           "ok_lpa_dense": ok_lpa,
+           "ok_lpa_join": ok_lpa_j})
     ray.shutdown()
-    if not (ok_bfs and ok_kc):
+    if not (ok_bfs and ok_kc and ok_lpa and ok_lpa_j):
         sys.exit(1)
 
 
