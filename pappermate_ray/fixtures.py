@@ -28,8 +28,9 @@ from typing import Dict, List, Optional
 
 import pyarrow as pa
 
-# bump when generated content changes — cached bench corpora key on this
-FIXTURES_VERSION = 2
+# bump when generated content changes — cached bench corpora AND the
+# /tmp persisted-index caches (minhash sorted-band layout) key on this
+FIXTURES_VERSION = 3
 
 EPOCH = _dt.datetime(2024, 1, 1)
 SUPPLIERS = ["DevSolutions Ltd.", "Acme Corp.", "Globex GmbH.", "Initech LLC.", "Umbrella SA."]

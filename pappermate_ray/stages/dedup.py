@@ -812,6 +812,7 @@ def build_minhash_index(
     num_perm: int = 128,
     num_bands: int = 32,
     shingle_k: int = 3,
+    band_partitions: int = 32,
 ) -> str:
     """Persist a corpus's MinHash-LSH signature index as parquet — the
     artifact that makes near-dedup INCREMENTAL: once the existing
@@ -825,21 +826,58 @@ def build_minhash_index(
 
     - ``{index_dir}/sets``  — (doc_id, ws): sorted uint64 shingle
       hashes as binary, ~15-20% of corpus bytes (the verification side).
-    - ``{index_dir}/bands`` — (band_id, band_hash, doc_id): one row per
-      LSH band (the candidate side).
+    - ``{index_dir}/bands`` — (band_id, band_hash, doc_id, bk): one row
+      per LSH band, range-partitioned and SORTED by the packed bucket
+      key ``bk`` via ``ops/rangesort.range_sorted_export`` (round-4
+      verdict #6) — equal buckets are co-located in ONE file, so a
+      probe routes its new band rows by the driver-held manifest and
+      opens only the files holding probed buckets; the stored side is
+      never re-grouped. Edges are cut ANALYTICALLY (``bk`` is a mixed
+      62-bit hash, so uniform splits of [0, 2⁶²) balance without a
+      quantile pass).
+    - ``{index_dir}/bands_manifest.parquet`` — the range manifest
+      (range_id, n_rows, key_min, key_max, path).
 
     The same (num_perm, num_bands, shingle_k) must be passed at match
     time; they are deliberately explicit rather than hidden in a
     sidecar so a cluster job's config is the single source of truth.
     """
+    import pyarrow.parquet as pqt
+
+    from ..ops.rangesort import range_sorted_export
+
     sets = ds.map_batches(
         lambda t: _shingle_set_batch(t, id_col, text_col, shingle_k),
         batch_format="pyarrow").materialize()
     sets.write_parquet(f"{index_dir}/sets")
-    sets.map_batches(
+    bands = sets.map_batches(
         lambda t: _band_batch(t, num_perm, num_bands),
-        batch_format="pyarrow").write_parquet(f"{index_dir}/bands")
+        batch_format="pyarrow").map_batches(
+        lambda t: _with_bucket_key(t, num_bands), batch_format="pyarrow")
+    edges = [(i << 62) // band_partitions
+             for i in range(1, band_partitions)]
+    manifest = range_sorted_export(
+        bands, "bk", f"{index_dir}/bands",
+        partitions=band_partitions, edges=edges).take_all()
+    cols = ["range_id", "n_rows", "key_min", "key_max", "path"]
+    manifest.sort(key=lambda r: r["range_id"])
+    pqt.write_table(
+        pa.table({c: [r[c] for r in manifest] for c in cols}),
+        f"{index_dir}/bands_manifest.parquet")
     return index_dir
+
+
+def _with_bucket_key(t: pa.Table, num_bands: int) -> pa.Table:
+    """Packed routing key for a band row: a deterministic 62-bit mix of
+    (band_hash, band_id). Used ONLY to co-locate and route buckets —
+    bucket equality is always re-tested on the exact columns, so a key
+    collision merely puts two buckets in the same file."""
+    with np.errstate(over="ignore"):
+        bk = (t["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+              * np.uint64(num_bands)
+              + t["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+              ) & np.uint64((1 << 62) - 1)
+    return t.append_column("bk", pa.array(bk.astype(np.int64), pa.int64()))
 
 
 def _empty_match() -> "rd.Dataset":
@@ -869,38 +907,55 @@ def match_against_index(
     The incremental production shape: only the NEW batch is shingled;
     the old corpus contributes its stored band rows (candidate join
     side) and stored shingle sets (verification side), both read pruned
-    from parquet. Exchanges: ONE partition-grouped exchange over the
-    tagged band-row union (within each partition, bucket runs emit
-    new×old cross pairs with a ``max_bucket`` storm cap — identical
-    blank/template docs are exact-dedup's job), one narrow pair dedupe,
-    and two verification joins fetching shingle sets by id. Payloads
-    never shuffle; the old corpus is never re-read.
+    from parquet. Candidates come from the SORTED band layout (round-4
+    verdict #6): new band rows route by the driver-held range manifest
+    (rows whose bucket key falls between stored ranges are dropped —
+    no stored bucket can match), ONE increment-sized grouped exchange
+    co-locates them per range, and each range task opens exactly its
+    one stored file, prunes it to the probed bucket keys, and emits
+    new×old cross pairs with the same ``max_bucket`` storm cap as the
+    in-session path (both sides count). The stored side is never
+    re-grouped and never rides an exchange. Then one narrow pair
+    dedupe and two verification joins fetching shingle sets by id.
+    Payloads never shuffle; the old corpus text is never re-read.
+    (Indexes written before the sorted layout existed fall back to the
+    tagged-union exchange over the flat band table.)
     """
+    import os
+
     new_sets = new_ds.map_batches(
         lambda t: _shingle_set_batch(t, id_col, text_col, shingle_k),
         batch_format="pyarrow").materialize()
-
-    def tag(side: int):
-        def f(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "_side", pa.array(np.full(t.num_rows, side, np.int8)))
-        return f
-
-    old_bands = rd.read_parquet(
-        f"{index_dir}/bands",
-        columns=["band_id", "band_hash", "doc_id"],
-    ).map_batches(tag(0), batch_format="pyarrow")
     new_bands = new_sets.map_batches(
         lambda t: _band_batch(t, num_perm, num_bands),
-        batch_format="pyarrow").map_batches(tag(1), batch_format="pyarrow")
-
+        batch_format="pyarrow")
     n_new = new_sets.count()
-    old_files = rd.read_parquet(f"{index_dir}/bands").count()
-    union = old_bands.union(new_bands)
-    cand = _cross_bucket_pairs_grouped(
-        union, ["band_id", "band_hash"], "doc_id", "_side",
-        n_rows=old_files + n_new * num_bands, max_bucket=max_bucket,
-    ).materialize()
+
+    man_path = f"{index_dir}/bands_manifest.parquet"
+    if os.path.exists(man_path):
+        cand = _probe_sorted_bands(
+            new_bands.map_batches(
+                lambda t: _with_bucket_key(t, num_bands),
+                batch_format="pyarrow"),
+            man_path, max_bucket).materialize()
+    else:  # legacy flat layout: tagged-union exchange
+        def tag(side: int):
+            def f(t: pa.Table) -> pa.Table:
+                return t.append_column(
+                    "_side", pa.array(np.full(t.num_rows, side, np.int8)))
+            return f
+
+        old_bands = rd.read_parquet(
+            f"{index_dir}/bands",
+            columns=["band_id", "band_hash", "doc_id"],
+        ).map_batches(tag(0), batch_format="pyarrow")
+        old_rows = rd.read_parquet(f"{index_dir}/bands").count()
+        union = old_bands.union(
+            new_bands.map_batches(tag(1), batch_format="pyarrow"))
+        cand = _cross_bucket_pairs_grouped(
+            union, ["band_id", "band_hash"], "doc_id", "_side",
+            n_rows=old_rows + n_new * num_bands, max_bucket=max_bucket,
+        ).materialize()
     if cand.count() == 0:
         return _empty_match()
     cand = cand.map_batches(
@@ -955,6 +1010,64 @@ def match_against_index(
     return joined.map_batches(verify, batch_format="pyarrow")
 
 
+def _probe_sorted_bands(
+    new_bands: "rd.Dataset",
+    man_path: str,
+    max_bucket: int,
+) -> "rd.Dataset":
+    """Candidate pairs against a SORTED stored band layout: route new
+    band rows to their manifest range (driver-held p-row manifest,
+    searchsorted on key_min — rows falling between stored ranges have
+    no stored bucket and drop immediately), group the increment-sized
+    routed rows per range, and let each range task open exactly ITS
+    stored file, prune it with ``is_in`` on the probed bucket keys, and
+    emit exact-bucket cross pairs. Exchange volume = routed new rows;
+    the stored side streams from parquet pruned by file."""
+    import pyarrow.parquet as pqt
+
+    man = pqt.read_table(man_path)
+    mins = np.array(man["key_min"].to_pylist(), np.int64)
+    maxs = np.array(man["key_max"].to_pylist(), np.int64)
+    paths = man["path"].to_pylist()
+
+    def route(t: pa.Table) -> pa.Table:
+        bk = t["bk"].to_numpy(zero_copy_only=False)
+        rid = np.searchsorted(mins, bk, side="right") - 1
+        ok = rid >= 0
+        ok[ok] = bk[ok] <= maxs[rid[ok]]
+        t = t.filter(pa.array(ok))
+        return t.append_column("_rid", pa.array(rid[ok], pa.int64()))
+
+    routed = new_bands.map_batches(route, batch_format="pyarrow")
+
+    def probe(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"new_id": pa.array([], pa.int64()),
+                             "old_id": pa.array([], pa.int64())})
+        rid = int(g["_rid"][0].as_py())
+        old = pqt.read_table(
+            paths[rid], columns=["band_id", "band_hash", "doc_id", "bk"])
+        keys = g["bk"].combine_chunks().unique() \
+            if isinstance(g["bk"], pa.ChunkedArray) else g["bk"].unique()
+        old = old.filter(pc.is_in(old["bk"], value_set=keys))
+        both = pa.concat_tables([
+            pa.table({
+                "band_id": old["band_id"], "band_hash": old["band_hash"],
+                "doc_id": old["doc_id"],
+                "_side": pa.array(np.zeros(old.num_rows, np.int8)),
+            }),
+            pa.table({
+                "band_id": g["band_id"], "band_hash": g["band_hash"],
+                "doc_id": g["doc_id"],
+                "_side": pa.array(np.ones(g.num_rows, np.int8)),
+            }),
+        ])
+        return _cross_pairs_table(both, ["band_id", "band_hash"],
+                                  "doc_id", "_side", max_bucket)
+
+    return routed.groupby("_rid").map_groups(probe, batch_format="pyarrow")
+
+
 def _cross_bucket_pairs_grouped(
     banded: "rd.Dataset",
     key_cols: List[str],
@@ -976,40 +1089,55 @@ def _cross_bucket_pairs_grouped(
         return t.append_column("_pkey", pa.array(pk, pa.int64()))
 
     def emit_pairs(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        out_n, out_o = [], []
-        if n:
-            keys = [t[c].to_numpy(zero_copy_only=False) for c in key_cols]
-            order = np.lexsort(tuple(reversed(keys)))
-            ts = t.take(pa.array(order, pa.int64()))
-            change = np.zeros(n, bool)
-            change[0] = True
-            for c in key_cols:
-                k = ts[c].to_numpy(zero_copy_only=False)
-                change[1:] |= k[1:] != k[:-1]
-            starts = np.flatnonzero(change)
-            ends = np.append(starts[1:], n)
-            ids = ts[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            sides = ts[side_col].to_numpy(zero_copy_only=False)
-            for s, e in zip(starts, ends):
-                if max_bucket and e - s > max_bucket:
-                    continue
-                run_new = ids[s:e][sides[s:e] == 1]
-                run_old = ids[s:e][sides[s:e] == 0]
-                if not len(run_new) or not len(run_old):
-                    continue
-                gn, go = np.meshgrid(run_new, run_old, indexing="ij")
-                out_n.append(gn.ravel())
-                out_o.append(go.ravel())
-        if out_n:
-            nn, oo = np.concatenate(out_n), np.concatenate(out_o)
-        else:
-            nn = oo = np.array([], np.int64)
-        return pa.table({"new_id": pa.array(nn, pa.int64()),
-                         "old_id": pa.array(oo, pa.int64())})
+        return _cross_pairs_table(t, key_cols, id_col, side_col, max_bucket)
 
     return (
         banded.map_batches(add_pkey, batch_format="pyarrow")
         .groupby("_pkey")
         .map_groups(emit_pairs, batch_format="pyarrow")
     )
+
+
+def _cross_pairs_table(
+    t: pa.Table,
+    key_cols: List[str],
+    id_col: str,
+    side_col: str,
+    max_bucket: int,
+) -> pa.Table:
+    """Pure kernel shared by the union exchange and the sorted-layout
+    probe: sort the tagged rows by bucket key, emit side-1 × side-0
+    cross pairs per run, drop runs longer than ``max_bucket`` (the
+    storm cap counts BOTH sides, so the two call paths keep the exact
+    same candidate set)."""
+    n = t.num_rows
+    out_n, out_o = [], []
+    if n:
+        keys = [t[c].to_numpy(zero_copy_only=False) for c in key_cols]
+        order = np.lexsort(tuple(reversed(keys)))
+        ts = t.take(pa.array(order, pa.int64()))
+        change = np.zeros(n, bool)
+        change[0] = True
+        for c in key_cols:
+            k = ts[c].to_numpy(zero_copy_only=False)
+            change[1:] |= k[1:] != k[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        ids = ts[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sides = ts[side_col].to_numpy(zero_copy_only=False)
+        for s, e in zip(starts, ends):
+            if max_bucket and e - s > max_bucket:
+                continue
+            run_new = ids[s:e][sides[s:e] == 1]
+            run_old = ids[s:e][sides[s:e] == 0]
+            if not len(run_new) or not len(run_old):
+                continue
+            gn, go = np.meshgrid(run_new, run_old, indexing="ij")
+            out_n.append(gn.ravel())
+            out_o.append(go.ravel())
+    if out_n:
+        nn, oo = np.concatenate(out_n), np.concatenate(out_o)
+    else:
+        nn = oo = np.array([], np.int64)
+    return pa.table({"new_id": pa.array(nn, pa.int64()),
+                     "old_id": pa.array(oo, pa.int64())})
