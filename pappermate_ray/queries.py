@@ -1529,14 +1529,124 @@ def q_translate_names(sf_dir: str):
 
 def q_media_features(sf_dir: str):
     """Multimodal feature extraction — REAL codecs (BMP/WAV/RVID decode,
-    functions/media.py) over the deterministic synthetic media table."""
-    from .stages.multimodal import MediaFeatureExtract, synth_media_table
+    functions/media.py) over a CLOSED-FORM planted media table (round-4
+    verdict #4): constant-color BMPs (w = 2h, channels multiples of 51),
+    silent WAVs, constant-frame RVIDs. The actor-pool decode path is the
+    production one, byte-real end to end — but every one of the 16
+    float32 features is media-id arithmetic the DuckDB oracle restates
+    (channel means are exact fifths, lumas are fifteenths, stds/grads
+    collapse to 0, durations/frame counts are dyadics). Features emit
+    EXPLODED as (…, dim, val) float64 on the pinned floor(x·1e6+0.5)/1e6
+    grid both engines apply — float32-vs-float64 drift is ~1e-7, an
+    order below the grid's boundary distance for every planted value.
+    The richer gradient/sine media keep their codec coverage in
+    tests/test_media_codecs.py."""
+    from .functions.media import encode_bmp, encode_rvid, encode_wav
+    from .stages.multimodal import MEDIA_SCHEMA, MediaFeatureExtract
 
-    media = rd.from_arrow(synth_media_table(200))
+    def flat_image(i: int, w: int, h: int) -> np.ndarray:
+        img = np.empty((h, w, 3), np.uint8)
+        img[..., 0] = 51 * (i % 6)
+        img[..., 1] = 51 * ((i // 3) % 6)
+        img[..., 2] = 51 * ((i // 9) % 6)
+        return img
+
+    rows = []
+    for i in range(200):
+        mtype = ["image", "audio", "video"][i % 3]
+        if mtype == "image":
+            h = 32 + 8 * (i % 7)
+            payload = encode_bmp(flat_image(i, 2 * h, h))
+            meta = (2 * h, h, 0)
+        elif mtype == "audio":
+            n = 800 * (1 + i % 10)
+            payload = encode_wav(np.zeros(n, np.int16), 8000)
+            meta = (0, 0, n // 8)
+        else:
+            n_frames = 4 + i % 5
+            payload = encode_rvid([flat_image(i, 40, 24)] * n_frames)
+            meta = (40, 24, n_frames * 40)
+        rows.append({"media_id": i, "media_type": mtype, "payload": payload,
+                     "meta_width": meta[0], "meta_height": meta[1],
+                     "meta_duration_ms": meta[2]})
+    media = rd.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
     ds = media.map_batches(
         MediaFeatureExtract, batch_format="pyarrow", batch_size=32, concurrency=(1, 4),
     )
-    return ds.select_columns(["media_id", "media_type", "decode_status", "features"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, types, sts, dims, vals = [], [], [], [], []
+        for mid, mt, st, f in zip(
+                t["media_id"].to_pylist(), t["media_type"].to_pylist(),
+                t["decode_status"].to_pylist(), t["features"].to_pylist()):
+            ids.extend([mid] * 16)
+            types.extend([mt] * 16)
+            sts.extend([st] * 16)
+            dims.extend(range(16))
+            vals.append(np.floor(np.asarray(f, np.float64) * 1e6 + 0.5) / 1e6)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(types, pa.string()),
+            "decode_status": pa.array(sts, pa.string()),
+            "dim": pa.array(dims, pa.int64()),
+            "val": pa.array(np.concatenate(vals) if vals else
+                            np.array([], np.float64), pa.float64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+_ORACLE_SQL_MEDIA_FEATURES = r"""
+    WITH m AS (
+      SELECT unnest(range(0, 200)) AS media_id),
+    g AS (
+      SELECT media_id, unnest(range(0, 16)) AS dim FROM m),
+    p AS (
+      SELECT media_id, dim,
+             CASE media_id % 3 WHEN 0 THEN 'image'
+                               WHEN 1 THEN 'audio' ELSE 'video' END AS mt,
+             -- image geometry: h in 32..80, w = 2h
+             (32 + 8 * (media_id % 7)) AS ih,
+             -- constant channels, multiples of 51
+             51 * (media_id % 6) AS r,
+             51 * ((media_id // 3) % 6) AS gch,
+             51 * ((media_id // 9) % 6) AS b,
+             800 * (1 + media_id % 10) AS nsamp,
+             (4 + media_id % 5) AS nframes
+      FROM g),
+    v AS (
+      SELECT media_id, mt, dim,
+        CASE
+          WHEN mt = 'audio' THEN
+            CASE dim WHEN 0 THEN nsamp / 8000.0
+                     WHEN 1 THEN 8000.0 / 48000.0
+                     ELSE 0.0 END
+          ELSE  -- image (w=2h) and video (first frame 40x24) share shape
+            CASE dim
+              WHEN 0 THEN (CASE WHEN mt = 'image' THEN 2 * ih ELSE 40 END)
+                          / 4096.0
+              WHEN 1 THEN (CASE WHEN mt = 'image' THEN ih ELSE 24 END)
+                          / 4096.0
+              WHEN 2 THEN CASE WHEN mt = 'image' THEN 2.0 ELSE 40.0 / 24.0 END
+              WHEN 3 THEN r / 255.0
+              WHEN 4 THEN gch / 255.0
+              WHEN 5 THEN b / 255.0
+              WHEN 9 THEN (r + gch + b) / 765.0
+              WHEN 10 THEN (r + gch + b) / 765.0
+              WHEN 11 THEN (r + gch + b) / 765.0
+              WHEN 12 THEN (r + gch + b) / 765.0
+              WHEN 13 THEN least(r, gch, b) / 255.0
+              WHEN 14 THEN greatest(r, gch, b) / 255.0
+              WHEN 15 THEN CASE WHEN mt = 'video' THEN nframes / 1024.0
+                                ELSE 0.0 END
+              ELSE 0.0 END
+        END AS raw
+      FROM p)
+    SELECT media_id, mt AS media_type, 'ok' AS decode_status,
+           CAST(dim AS BIGINT) AS dim,
+           floor(raw * 1e6 + 0.5) / 1e6 AS val
+    FROM v
+"""
 
 
 def q_phash_near_dups(sf_dir: str):
@@ -1788,19 +1898,76 @@ def q_media_frames(sf_dir: str):
 
 
 def q_doc_embeddings(sf_dir: str):
-    """Text → deterministic hashed-BoW embedding column (the doc-embedding
-    stage feeding the similarity ops; reuses patternprobe's embedding)."""
+    """Text → deterministic hashed-BoW embedding (the doc-embedding
+    stage feeding the similarity ops; reuses patternprobe's embedding),
+    emitted EXPLODED as (doc_id, dim, val) float64 rows so the whole
+    feature-hash derivation is value-gated (round-4 verdict #4): the
+    DuckDB oracle restates FNV-1a 64 byte-for-byte via list_reduce over
+    HUGEINT (xor + mod-2⁶⁴ multiply), the %64 bucket, the top-bit sign
+    and the L2 normalize. Both engines divide the same exact integer
+    counts by the same IEEE sqrt, and BOTH apply the pinned
+    floor(x·1e6 + 0.5)/1e6 grid (no ROUND-mode dependence). The
+    production embedding column (float32 list) is this same math before
+    the f32 cast — pinned separately in tests."""
     from .stages.patternprobe import hashed_bow
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def embed(t: pa.Table) -> pa.Table:
-        vecs = [hashed_bow((x or "")[:5000], 64).astype(np.float32).tolist()
-                for x in t["text"].to_pylist()]
-        return pa.table({"doc_id": t["doc_id"],
-                         "embedding": pa.array(vecs, pa.list_(pa.float32(), 64))})
+        dids, dims, vals = [], [], []
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            v = hashed_bow((x or "")[:5000], 64)
+            dids.extend([did] * 64)
+            dims.extend(range(64))
+            vals.append(np.floor(v * 1e6 + 0.5) / 1e6)
+        return pa.table({
+            "doc_id": pa.array(dids, pa.int64()),
+            "dim": pa.array(dims, pa.int64()),
+            "val": pa.array(np.concatenate(vals) if vals else
+                            np.array([], np.float64), pa.float64()),
+        })
 
     return ds.map_batches(embed, batch_format="pyarrow")
+
+
+# registered into SQL_QUERIES/ORACLE_SQL at the module tail (the dicts
+# are defined after this point in the file)
+_ORACLE_SQL_DOC_EMB = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(lower(substr(text, 1, 5000)), '\s+'),
+               w -> w <> '')) AS w
+      FROM documents),
+    hashed AS (
+      -- FNV-1a 64 byte-for-byte (ASCII corpus): seed prepended, then
+      -- (h XOR byte) * 1099511628211 mod 2^64 per byte via HUGEINT
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(range(1, length(w) + 1),
+                                i -> ascii(substr(w, i, 1))::HUGEINT)),
+               (acc, b) -> (xor(acc::UBIGINT, b::UBIGINT)::HUGEINT
+                            * 1099511628211::HUGEINT)
+                           % 18446744073709551616::HUGEINT) AS h
+      FROM toks),
+    contrib AS (
+      SELECT doc_id, CAST(h % 64 AS BIGINT) AS dim,
+             SUM(CASE WHEN h >= 9223372036854775808::HUGEINT
+                      THEN -1.0 ELSE 1.0 END) AS v
+      FROM hashed GROUP BY doc_id, CAST(h % 64 AS BIGINT)),
+    norms AS (
+      SELECT doc_id, sqrt(SUM(v * v)) AS nrm FROM contrib GROUP BY doc_id),
+    grid AS (
+      SELECT d.doc_id, g.dim
+      FROM documents d, (SELECT unnest(range(0, 64)) AS dim) g)
+    SELECT g.doc_id, CAST(g.dim AS BIGINT) AS dim,
+           floor(COALESCE(c.v / NULLIF(n.nrm, 0), 0.0) * 1e6 + 0.5) / 1e6
+             AS val
+    FROM grid g
+    LEFT JOIN contrib c ON c.doc_id = g.doc_id AND c.dim = g.dim
+    LEFT JOIN norms n ON n.doc_id = g.doc_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -5475,7 +5642,6 @@ ORACLE_SQL.update({
 NOSQL_QUERIES = {
     "validate": q_validate,
     "media_frames": q_media_frames,
-    "doc_embeddings": q_doc_embeddings,
     "entity_type_histogram": q_entity_type_histogram,
     "pattern_probe": q_pattern_probe,
     "unique_filenames": q_unique_filenames,
@@ -5491,7 +5657,6 @@ NOSQL_QUERIES = {
     "sanitize_names": q_sanitize_names,
     "ivf_knn": q_ivf_knn,
     "text_analysis": q_text_analysis,
-    "media_features": q_media_features,
     "translate_names": q_translate_names,
     "clean_corpus": q_clean_corpus,
     "hll_distinct_bigrams": q_hll_distinct_bigrams,
@@ -5500,6 +5665,8 @@ NOSQL_QUERIES = {
     "audio_near_dups": q_audio_near_dups,
     "profile_table_approx": q_profile_table_approx,
 }
+
+
 
 
 SQL_QUERIES = {
@@ -10896,3 +11063,14 @@ ORACLE_SQL.update({
         FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
     """,
 })
+
+
+# --------------------------------------------------------------------------
+# Round-5 promotions: formerly rows-only battery entries whose full value
+# derivation is now stated in SQL (round-4 verdict #4).
+# --------------------------------------------------------------------------
+
+SQL_QUERIES.update({"doc_embeddings": q_doc_embeddings,
+                    "media_features": q_media_features})
+ORACLE_SQL.update({"doc_embeddings": _ORACLE_SQL_DOC_EMB,
+                   "media_features": _ORACLE_SQL_MEDIA_FEATURES})

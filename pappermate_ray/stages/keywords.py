@@ -398,15 +398,36 @@ def distinctive_terms(
         ds.map_batches(partials, batch_format="pyarrow")
         .groupby([group_col, "word"])
         .aggregate(Sum("n_part", alias_name="n"))
-        .materialize()  # consumed three times below (totals + scoring)
+        .materialize()  # consumed below (totals + scoring)
     )
-    gt = {r[group_col]: int(r["tg"]) for r in
-          counts.groupby(group_col)
-                .aggregate(Sum("n", alias_name="tg")).take_all()}
-    tt = int(sum(gt.values()))
-    wtab = (counts.groupby("word")
-            .aggregate(Sum("n", alias_name="cw")).materialize())
-    v = wtab.count()
+    # bound decision on the metadata-cheap distinct-pair count (≥ the
+    # distinct-word count): under the bound, ONE driver pass builds both
+    # total maps — no extra exchange, the round-4 fast path unchanged
+    broadcast = counts.count() <= broadcast_limit
+
+    if broadcast:
+        from collections import Counter as _Counter
+
+        gt: dict = {}
+        wt: _Counter = _Counter()
+        for t in counts.iter_batches(batch_size=65536,
+                                     batch_format="pyarrow"):
+            for g, w_, n in zip(t[group_col].to_pylist(),
+                                t["word"].to_pylist(), t["n"].to_pylist()):
+                gt[g] = gt.get(g, 0) + n
+                wt[w_] += n
+        vocab = np.array(sorted(wt), dtype=object)
+        wtot = np.array([wt[w_] for w_ in vocab], dtype=np.int64)
+        tt = int(wtot.sum())
+        v = len(vocab)
+    else:
+        gt = {r[group_col]: int(r["tg"]) for r in
+              counts.groupby(group_col)
+                    .aggregate(Sum("n", alias_name="tg")).take_all()}
+        tt = int(sum(gt.values()))
+        wtab = (counts.groupby("word")
+                .aggregate(Sum("n", alias_name="cw")).materialize())
+        v = wtab.count()
     av = alpha * v
 
     def delta_chain(n, tg, cw):
@@ -416,15 +437,7 @@ def distinctive_terms(
         return (np.log(n + alpha) - np.log(tg + av - n - alpha)
                 - np.log(cr + alpha) + np.log(tr + av - cr - alpha))
 
-    if v <= broadcast_limit:
-        terms_l: list = []
-        cws: list = []
-        for t in wtab.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            terms_l.extend(t["word"].to_pylist())
-            cws.extend(t["cw"].to_pylist())
-        order = np.argsort(np.array(terms_l, dtype=object))
-        vocab = np.array(terms_l, dtype=object)[order]
-        wtot = np.array(cws, dtype=np.int64)[order]
+    if broadcast:
         ref = ray.put((gt, vocab, wtot))
 
         def score(t: pa.Table) -> pa.Table:
