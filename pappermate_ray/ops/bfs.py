@@ -42,12 +42,23 @@ Scale shape, per round (the pagerank/LPA BSP discipline):
 
 With a fixed ``max_depth`` the computation unrolls into SQL (JOIN +
 DISTINCT + NOT IN per round), so it is oracle-checkable.
+
+Dense tier (round 5, the ``pagerank_auto``/``k_core`` pattern): when
+the distinct endpoint∪seed set fits ``dense_bound``, ids dictionary
+-encode once (one distinct exchange, paid once) and every hop becomes
+a BROADCAST of the frontier bitmask + one streaming bincount pass over
+the pinned encoded edges reduced through ``ops/vecreduce.vector_sum``
+— no per-round distinct groupby, no anti-join; the visited/depth state
+is an N-bounded driver vector. Beyond the bound the frontier
+-broadcast/join loop runs unchanged. Both tiers asserted identical in
+tests and exact-verified at 1M nodes in tools/bench_graph_iter.py.
 """
 
 from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data as rd
@@ -80,6 +91,7 @@ def bfs_depth(
     undirected: bool = False,
     num_partitions: Optional[int] = None,
     broadcast_limit: int = 2_000_000,
+    dense_bound: int = 2_000_000,
 ) -> "rd.Dataset":
     """→ ``(node_col, depth)`` for every node within ``max_depth`` hops
     of the seed set (min-hop depth; seeds are depth 0)."""
@@ -102,6 +114,20 @@ def bfs_depth(
                                       batch_format="pyarrow"))
     # the edge list is the loop invariant — pin it once
     e = e.materialize()
+
+    # dense tier: one distinct exchange sizes the node universe; under
+    # the bound the hop loop runs exchange-free on driver vectors
+    ends = e.map_batches(
+        lambda t: pa.table({node_col: pa.concat_arrays(
+            [t[src_col].combine_chunks(), t[dst_col].combine_chunks()])}),
+        batch_format="pyarrow",
+    ).union(seeds.map_batches(
+        lambda t: pa.table({node_col: t[node_col]}), batch_format="pyarrow"))
+    universe = (ends.groupby(node_col).aggregate(Count())
+                .select_columns([node_col]).materialize())
+    if universe.count() <= dense_bound:
+        return _bfs_dense(seeds, e, universe, node_col, src_col, dst_col,
+                          max_depth, key_t)
 
     def at_depth(d: int):
         def f(t: pa.Table) -> pa.Table:
@@ -158,3 +184,69 @@ def bfs_depth(
         frontier = new
 
     return visited
+
+
+def _bfs_dense(
+    seeds: "rd.Dataset",
+    e: "rd.Dataset",
+    universe: "rd.Dataset",
+    node_col: str,
+    src_col: str,
+    dst_col: str,
+    max_depth: int,
+    key_t,
+) -> "rd.Dataset":
+    """Dense-encoded hops: the depth/frontier state is an N-bounded
+    driver vector; each hop broadcasts the frontier bitmask and reduces
+    one streaming ``bincount(dst[frontier[src]])`` pass through
+    ``vector_sum`` — the hop's only distributed work."""
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    from .vecreduce import vector_sum
+
+    ids = pa.array(sorted(r[node_col] for r in universe.take_all()), key_t)
+    n = len(ids)
+    idref = _ray.put(ids)
+
+    def enc(t: pa.Table) -> pa.Table:
+        vs = _ray.get(idref)
+        return pa.table({
+            "s": pc.index_in(t[src_col], value_set=vs).cast(pa.int64()),
+            "d": pc.index_in(t[dst_col], value_set=vs).cast(pa.int64()),
+        })
+
+    enc_e = e.map_batches(enc, batch_format="pyarrow").materialize()
+    n_edges = enc_e.count()
+
+    depth = np.full(n, -1, np.int64)
+    seed_idx = np.asarray(
+        pc.index_in(pa.array([r[node_col] for r in seeds.take_all()], key_t),
+                    value_set=ids), np.int64)
+    depth[seed_idx] = 0
+    frontier = np.zeros(n, bool)
+    frontier[seed_idx] = True
+
+    for d in range(1, max_depth + 1):
+        if not frontier.any():
+            break
+        fref = _ray.put(frontier)
+
+        def contrib(t: pa.Table, _fref=fref) -> np.ndarray:
+            f = _ray.get(_fref)
+            src = np.asarray(t["s"], np.int64)
+            dst = np.asarray(t["d"], np.int64)
+            return np.bincount(dst[f[src]], minlength=n)
+
+        hits = vector_sum(enc_e, contrib, n, np.int64, n_src_rows=n_edges)
+        new = (hits > 0) & (depth == -1)
+        if not new.any():
+            break
+        depth[new] = d
+        frontier = new
+
+    keep = np.flatnonzero(depth >= 0)
+    return rd.from_arrow(pa.table({
+        node_col: ids.take(pa.array(keep, pa.int64())),
+        "depth": pa.array(depth[keep], pa.int64()),
+    }))

@@ -110,3 +110,40 @@ def test_empty_seed_set(ray_session):
     e = rd.from_arrow(pa.table({"src": pa.array([1], pa.int64()),
                                 "dst": pa.array([2], pa.int64())}))
     assert bfs_depth(seeds, e, max_depth=3).take_all() == []
+
+
+def test_dense_tier_matches_exchange_tiers(ray_session):
+    """Round-5 dense tier (frontier-bitmask broadcast + vector_sum hop)
+    vs both exchange tiers, directed and undirected, incl. seeds absent
+    from the edge table and string ids."""
+    rng = np.random.RandomState(17)
+    edges = [(int(rng.randint(60)), int(rng.randint(60)))
+             for _ in range(150)]
+    e = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges]),
+        "dst": pa.array([b for _, b in edges]),
+    })).repartition(4)
+    seeds = rd.from_arrow(pa.table({"node": pa.array([0, 7, 99])}))
+    for und in (False, True):
+        dense = {r["node"]: r["depth"] for r in bfs_depth(
+            seeds, e, max_depth=3, undirected=und).take_all()}
+        bcast = {r["node"]: r["depth"] for r in bfs_depth(
+            seeds, e, max_depth=3, undirected=und, dense_bound=0).take_all()}
+        joined = {r["node"]: r["depth"] for r in bfs_depth(
+            seeds, e, max_depth=3, undirected=und, dense_bound=0,
+            broadcast_limit=0).take_all()}
+        assert dense == bcast == joined
+        assert dense[99] == 0  # seed outside the edge set still emits
+
+
+def test_dense_tier_string_ids(ray_session):
+    e = rd.from_arrow(pa.table({
+        "src": pa.array(["a", "b", "c"]),
+        "dst": pa.array(["b", "c", "d"]),
+    }))
+    seeds = rd.from_arrow(pa.table({"node": pa.array(["a"])}))
+    dense = {r["node"]: r["depth"]
+             for r in bfs_depth(seeds, e, max_depth=2).take_all()}
+    assert dense == {"a": 0, "b": 1, "c": 2}
+    assert dense == {r["node"]: r["depth"] for r in bfs_depth(
+        seeds, e, max_depth=2, dense_bound=0).take_all()}

@@ -91,3 +91,42 @@ def test_broadcast_and_join_tiers_identical(ray_session):
     joined = {r["node"]: r["degree"]
               for r in k_core(e, 3, broadcast_limit=0).take_all()}
     assert bcast == joined == _brute(edges, 3)
+
+
+def test_dense_tier_matches_exchange_tiers(ray_session):
+    """Round-5 dense tier (alive-bitmask broadcast + vector_sum
+    bincount rounds) vs both exchange tiers and brute force — including
+    directed mode, bounded rounds, and string ids."""
+    rng = np.random.RandomState(43)
+    edges = [(int(rng.randint(60)), int(rng.randint(60)))
+             for _ in range(220)]
+    e = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges]),
+        "dst": pa.array([b for _, b in edges]),
+    })).repartition(4)
+    dense = {r["node"]: r["degree"] for r in k_core(e, 3).take_all()}
+    bcast = {r["node"]: r["degree"]
+             for r in k_core(e, 3, dense_bound=0).take_all()}
+    joined = {r["node"]: r["degree"]
+              for r in k_core(e, 3, dense_bound=0,
+                              broadcast_limit=0).take_all()}
+    assert dense == bcast == joined == _brute(edges, 3)
+    # bounded-round approximation identical across tiers
+    for rounds in (1, 2):
+        a = {r["node"]: r["degree"]
+             for r in k_core(e, 3, rounds=rounds).take_all()}
+        b = {r["node"]: r["degree"]
+             for r in k_core(e, 3, rounds=rounds, dense_bound=0).take_all()}
+        assert a == b
+
+
+def test_dense_tier_string_ids(ray_session):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    e = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges]),
+        "dst": pa.array([b for _, b in edges]),
+    }))
+    dense = {r["node"]: r["degree"] for r in k_core(e, 2).take_all()}
+    assert dense == {"a": 2, "b": 2, "c": 2}
+    assert dense == {r["node"]: r["degree"]
+                     for r in k_core(e, 2, dense_bound=0).take_all()}

@@ -141,18 +141,35 @@ def main() -> None:
         .map_batches(lambda t: pa.table({"node": t["id"]}),
                      batch_format="pyarrow")
 
+    want_bfs = _driver_bfs(n, _MAX_DEPTH)
     t0 = time.time()
     got_bfs = {r["node"]: r["depth"]
                for r in bfs_depth(seeds, e, max_depth=_MAX_DEPTH).take_all()}
     wall_bfs = time.time() - t0
-    ok_bfs = got_bfs == _driver_bfs(n, _MAX_DEPTH)
+    ok_bfs = got_bfs == want_bfs
 
+    t0b = time.time()
+    got_bfs_x = {r["node"]: r["depth"]
+                 for r in bfs_depth(seeds, e, max_depth=_MAX_DEPTH,
+                                    dense_bound=0).take_all()}
+    wall_bfs_x = time.time() - t0b
+    ok_bfs_x = got_bfs_x == want_bfs
+
+    want_kc = _driver_kcore(n, _KCORE_K, _KCORE_ROUNDS)
     t1 = time.time()
     got_kc = {r["node"]: r["degree"]
               for r in k_core(_edges_ds(n), _KCORE_K,
                               rounds=_KCORE_ROUNDS).take_all()}
     wall_kc = time.time() - t1
-    ok_kc = got_kc == _driver_kcore(n, _KCORE_K, _KCORE_ROUNDS)
+    ok_kc = got_kc == want_kc
+
+    t1b = time.time()
+    got_kc_x = {r["node"]: r["degree"]
+                for r in k_core(_edges_ds(n), _KCORE_K,
+                                rounds=_KCORE_ROUNDS,
+                                dense_bound=0).take_all()}
+    wall_kc_x = time.time() - t1b
+    ok_kc_x = got_kc_x == want_kc
 
     from pappermate_ray.ops.lpa import label_propagation_auto
 
@@ -177,20 +194,21 @@ def main() -> None:
 
     n_edges = n + (n // 4 + (1 if n % 4 else 0)) * len(_JUMPS)
     print({"n_nodes": n, "n_edges": n_edges, "num_cpus": ncpu,
-           "bfs_wall_s": round(wall_bfs, 2),
+           "bfs_dense_wall_s": round(wall_bfs, 2),
+           "bfs_exchange_wall_s": round(wall_bfs_x, 2),
            "bfs_reached": len(got_bfs),
-           "bfs_edges_per_sec_per_round": round(
-               n_edges * _MAX_DEPTH / wall_bfs),
-           "ok_bfs": ok_bfs,
-           "kcore_wall_s": round(wall_kc, 2),
+           "ok_bfs": ok_bfs and ok_bfs_x,
+           "kcore_dense_wall_s": round(wall_kc, 2),
+           "kcore_exchange_wall_s": round(wall_kc_x, 2),
            "kcore_survivors": len(got_kc),
-           "ok_kcore": ok_kc,
+           "ok_kcore": ok_kc and ok_kc_x,
            "lpa_dense_wall_s": round(wall_lpa, 2),
            "lpa_join_wall_s": round(wall_lpa_j, 2),
            "ok_lpa_dense": ok_lpa,
            "ok_lpa_join": ok_lpa_j})
     ray.shutdown()
-    if not (ok_bfs and ok_kc and ok_lpa and ok_lpa_j):
+    if not (ok_bfs and ok_bfs_x and ok_kc and ok_kc_x
+            and ok_lpa and ok_lpa_j):
         sys.exit(1)
 
 
