@@ -262,6 +262,7 @@ def trustrank(
     iters: int = 3,
     round_to: Optional[int] = None,
     num_partitions: Optional[int] = None,
+    dense_bound: int = 2_000_000,
 ) -> "rd.Dataset":
     """TrustRank (Gyöngyi et al. 2004): PageRank with the teleport mass
     concentrated on a trusted SEED set instead of spread uniformly —
@@ -278,7 +279,14 @@ def trustrank(
     ``is_in`` inside the update map, never a join. Dangling-node mass
     is dropped, exactly as :func:`pagerank` does (pinned semantics both
     sides of the oracle). With fixed ``iters`` the computation unrolls
-    into SQL (CASE WHEN seed teleport per round)."""
+    into SQL (CASE WHEN seed teleport per round).
+
+    Dense tier (round 5, the ``pagerank_auto`` pattern): node sets ≤
+    ``dense_bound`` dictionary-encode and iterate via broadcast rank
+    vectors + ``vector_sum`` bincount-style inflow partials — zero
+    per-round joins/groupbys; beyond the bound the BSP path runs
+    unchanged. Both tiers asserted equal (to the rounding grid) in
+    tests."""
     import ray as _ray
 
     from .bfs import collect_key_array
@@ -298,6 +306,12 @@ def trustrank(
         raise ValueError("trustrank needs a non-empty seed set")
     seed_ref = _ray.put(seed_arr)
     t_seed = 1.0 / n_seeds
+
+    n_nodes = nodes.count()
+    if n_nodes and n_nodes <= dense_bound:
+        return _trustrank_dense(nodes, edges, seed_arr, node_col, src_col,
+                                dst_col, damping, iters, round_to,
+                                n_nodes, key_t, t_seed)
 
     def teleport(col: pa.ChunkedArray) -> np.ndarray:
         hit = pc.is_in(col, value_set=_ray.get(seed_ref))
@@ -363,3 +377,66 @@ def trustrank(
                          "trustrank": pa.array(r, pa.float64())})
 
     return ranks.map_batches(final, batch_format="pyarrow")
+
+
+def _trustrank_dense(
+    nodes, edges, seed_arr, node_col, src_col, dst_col,
+    damping, iters, round_to, n, key_t, t_seed,
+):
+    """Dense-encoded TrustRank rounds (the ``_pagerank_dense`` shape
+    with the teleport vector in place of the uniform base): encode the
+    edge table once, keep the rank vector on the driver, and reduce
+    each round's inflow through ``vector_sum``."""
+    import ray
+
+    from .vecreduce import vector_sum
+
+    ids = pa.array(sorted(r[node_col] for r in nodes.take_all()), key_t)
+    idref = ray.put(ids)
+
+    def enc(t: pa.Table) -> pa.Table:
+        vs = ray.get(idref)
+        return pa.table({
+            "s": pc.index_in(t[src_col], value_set=vs).cast(pa.int64()),
+            "d": pc.index_in(t[dst_col], value_set=vs).cast(pa.int64()),
+        })
+
+    enc_e = edges.map_batches(enc, batch_format="pyarrow").materialize()
+    n_edges = enc_e.count()
+
+    od = vector_sum(
+        enc_e, lambda t: np.bincount(np.asarray(t["s"], np.int64),
+                                     minlength=n),
+        n, np.int64, n_src_rows=n_edges)
+
+    tvec = np.zeros(n, np.float64)
+    seed_idx = np.asarray(pc.index_in(seed_arr, value_set=ids), np.int64)
+    tvec[seed_idx] = t_seed
+    oref = ray.put(od)
+    ranks = tvec.copy()
+    for _ in range(iters):
+        rref = ray.put(ranks)
+
+        def contrib(t: pa.Table, _rref=rref) -> np.ndarray:
+            r, o = ray.get(_rref), ray.get(oref)
+            src = np.asarray(t["s"], np.int64)
+            dst = np.asarray(t["d"], np.int64)
+            vec = np.zeros(n)
+            np.add.at(vec, dst, r[src] / o[src])
+            return vec
+
+        inflow = vector_sum(enc_e, contrib, n, np.float64,
+                            n_src_rows=n_edges)
+        ranks = (1.0 - damping) * tvec + damping * inflow
+
+    fref = ray.put(np.round(ranks, round_to) if round_to is not None
+                   else ranks)
+
+    def emit(t: pa.Table) -> pa.Table:
+        vs = ray.get(idref)
+        r = ray.get(fref)[
+            np.asarray(pc.index_in(t[node_col], value_set=vs), np.int64)]
+        return pa.table({node_col: t[node_col],
+                         "trustrank": pa.array(r, pa.float64())})
+
+    return nodes.map_batches(emit, batch_format="pyarrow")

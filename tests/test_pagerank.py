@@ -178,3 +178,49 @@ def test_trustrank_duplicate_seeds_collapse(ray_session):
     b = {r["node"]: r["trustrank"]
          for r in trustrank(nodes, e, dup, iters=2).take_all()}
     assert a == b
+
+
+def test_trustrank_dense_matches_join_tier(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pappermate_ray.ops.pagerank import trustrank
+
+    rng = np.random.RandomState(23)
+    n = 60
+    edges_l = [(int(rng.randint(n)), int(rng.randint(n)))
+               for _ in range(180)]
+    nodes = rd.from_arrow(pa.table({"node": pa.array(range(n))}))
+    e = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges_l]),
+        "dst": pa.array([b for _, b in edges_l]),
+    })).repartition(4)
+    seeds = rd.from_arrow(pa.table({"node": pa.array([0, 5, 5, 17])}))
+    dense = {r["node"]: r["trustrank"] for r in trustrank(
+        nodes, e, seeds, iters=3, round_to=9).take_all()}
+    join = {r["node"]: r["trustrank"] for r in trustrank(
+        nodes, e, seeds, iters=3, round_to=9, dense_bound=0).take_all()}
+    assert dense == join
+    # seeds hold teleport mass; an unreachable non-seed scores 0
+    assert dense[0] > 0 and dense[5] > 0
+
+
+def test_trustrank_dense_string_ids(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pappermate_ray.ops.pagerank import trustrank
+
+    nodes = rd.from_arrow(pa.table({"node": pa.array(["a", "b", "c", "d"])}))
+    e = rd.from_arrow(pa.table({
+        "src": pa.array(["a", "b", "a"]),
+        "dst": pa.array(["b", "c", "c"]),
+    }))
+    seeds = rd.from_arrow(pa.table({"node": pa.array(["a"])}))
+    dense = {r["node"]: r["trustrank"] for r in trustrank(
+        nodes, e, seeds, iters=2, round_to=9).take_all()}
+    join = {r["node"]: r["trustrank"] for r in trustrank(
+        nodes, e, seeds, iters=2, round_to=9, dense_bound=0).take_all()}
+    assert dense == join
+    assert dense["d"] == 0.0  # unreachable, not a seed
