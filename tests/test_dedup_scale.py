@@ -508,3 +508,75 @@ class TestMatchAgainstIndex:
         full = {(r["new_id"], r["old_id"]) for r in match_against_index(
             new, idx, max_bucket=0).take_all()}
         assert {(1000, i) for i in range(30)} <= full
+
+
+class TestSortedBandLayout:
+    """Round-5 sorted band layout: the manifest-routed probe must be
+    candidate-identical to the legacy tagged-union exchange (same
+    buckets, same storm cap), and indexes written BEFORE the layout
+    existed (flat band dir, no manifest) must keep working."""
+
+    def _old(self, n=40):
+        texts = [f"document number {i} about distributed data processing "
+                 f"with ray datasets and arrow batches topic {i % 5}"
+                 for i in range(n)]
+        return rd.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)],
+            override_num_blocks=4)
+
+    def _new(self):
+        rows = []
+        for i in range(0, 40, 4):
+            rows.append({
+                "doc_id": 1000 + i,
+                "text": f"document number {i} about distributed data "
+                        f"processing with ray datasets and arrow batches "
+                        f"topic {i % 5} updated"})
+        rows.append({"doc_id": 2000,
+                     "text": "completely unrelated recipe for soup"})
+        return rd.from_items(rows, override_num_blocks=3)
+
+    def test_legacy_flat_layout_fallback(self, ray_session, tmp_path):
+        import os
+
+        from pappermate_ray.stages.dedup import (_band_batch,
+                                                 _shingle_set_batch,
+                                                 match_against_index)
+
+        # write the ROUND-4 layout by hand: sets + flat bands, no manifest
+        idx = str(tmp_path / "legacy")
+        sets = self._old().map_batches(
+            lambda t: _shingle_set_batch(t, "doc_id", "text", 3),
+            batch_format="pyarrow").materialize()
+        sets.write_parquet(f"{idx}/sets")
+        sets.map_batches(
+            lambda t: _band_batch(t, 128, 32),
+            batch_format="pyarrow").write_parquet(f"{idx}/bands")
+        assert not os.path.exists(f"{idx}/bands_manifest.parquet")
+        legacy = {(r["new_id"], r["old_id"])
+                  for r in match_against_index(self._new(), idx,
+                                               threshold=0.8).take_all()}
+        assert {(1000 + i, i) for i in range(0, 40, 4)} <= legacy
+        assert not any(n == 2000 for n, _ in legacy)
+
+    def test_sorted_and_legacy_paths_identical(self, ray_session, tmp_path):
+        import os
+
+        from pappermate_ray.stages.dedup import (build_minhash_index,
+                                                 match_against_index)
+
+        idx = str(tmp_path / "sorted")
+        build_minhash_index(self._old(), idx, band_partitions=8)
+        new = self._new()
+        got_sorted = {(r["new_id"], r["old_id"], r["jaccard"])
+                      for r in match_against_index(new, idx,
+                                                   threshold=0.8).take_all()}
+        # hide the manifest -> same index answers through the legacy
+        # union path (the flat read globs the range files)
+        man = f"{idx}/bands_manifest.parquet"
+        os.rename(man, man + ".bak")
+        got_legacy = {(r["new_id"], r["old_id"], r["jaccard"])
+                      for r in match_against_index(new, idx,
+                                                   threshold=0.8).take_all()}
+        os.rename(man + ".bak", man)
+        assert got_sorted == got_legacy
