@@ -182,6 +182,8 @@ def host_reciprocity(
     src_col: str = "src_host",
     dst_col: str = "dst_host",
     round_to: int = 6,
+    pre_canonicalized: bool = False,
+    driver_bound: int = 1_000_000,
 ) -> "rd.Dataset":
     """Link-exchange signals per host over a host-pair edge table (the
     ``host_graph`` output, or any (src_host, dst_host) rows):
@@ -194,11 +196,20 @@ def host_reciprocity(
     input PageRank-grade ranking wants BEFORE the rank runs.
 
     Scale shape: one distinct groupby canonicalizes the pair set
-    (self-loops drop, multiplicity collapses); ONE armored key-only
+    (self-loops drop, multiplicity collapses; skipped when the caller
+    passes an already-distinct materialized table via
+    ``pre_canonicalized`` — host_hygiene does, saving an exchange);
+    then the round-5 bounded tier: a distinct pair set within
+    ``driver_bound`` rows finishes ON THE DRIVER in one vectorized
+    numpy pass (factorize hosts, pack keys, mutual = isin against the
+    reversed keys, three bincounts) — the small-host-graph regime was
+    paying two exchange spin-ups (semi-join + tagged-union groupby) to
+    count thousands of rows. Beyond the bound: ONE armored key-only
     semi-join against the reversed pair set finds mutual edges; three
     narrow per-host counts merge through a single tagged-union
     groupby-sum. Only host-pair keys ever ride an exchange — the table
-    is host²-sparse, never page-sized."""
+    is host²-sparse, never page-sized. Both tiers asserted identical
+    in tests."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
 
@@ -211,10 +222,42 @@ def host_reciprocity(
             pc.invert(pc.equal(out["src"], out["dst"])))
         return out.filter(keep)
 
-    d = (pairs.map_batches(canon, batch_format="pyarrow")
-         .groupby(["src", "dst"]).aggregate(Count())
-         .select_columns(["src", "dst"]).materialize())
+    if pre_canonicalized:
+        d = pairs
+    else:
+        d = (pairs.map_batches(canon, batch_format="pyarrow")
+             .groupby(["src", "dst"]).aggregate(Count())
+             .select_columns(["src", "dst"]).materialize())
     edge_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+
+    if d.count() <= driver_bound:
+        src_l, dst_l = [], []
+        for t in d.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            src_l.extend(t["src"].to_pylist())
+            dst_l.extend(t["dst"].to_pylist())
+        hosts, codes = np.unique(np.array(src_l + dst_l, dtype=object),
+                                 return_inverse=True)
+        n = len(hosts)
+        a = codes[: len(src_l)].astype(np.int64)
+        b = codes[len(src_l):].astype(np.int64)
+        fwd = a * n + b
+        mutual = np.isin(fwd, b * n + a)
+        out_deg = np.bincount(a, minlength=n)
+        in_deg = np.bincount(b, minlength=n)
+        recip = np.bincount(a[mutual], minlength=n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rr = np.where(out_deg > 0,
+                          recip / np.where(out_deg > 0, out_deg, 1), 0.0)
+        keep = (out_deg > 0) | (in_deg > 0)
+        idx = np.flatnonzero(keep)
+        return rd.from_arrow(pa.table({
+            "host": pa.array(hosts[idx].tolist(), pa.string()),
+            "out_deg": pa.array(out_deg[idx], pa.int64()),
+            "in_deg": pa.array(in_deg[idx], pa.int64()),
+            "recip_out": pa.array(recip[idx], pa.int64()),
+            "recip_ratio": pa.array(np.round(rr[idx], round_to),
+                                    pa.float64()),
+        }))
 
     rev = d.map_batches(
         lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
@@ -409,7 +452,8 @@ def host_hygiene(
          .groupby(["src", "dst"]).aggregate(Count())
          .select_columns(["src", "dst"]).materialize())
 
-    r = host_reciprocity(d, src_col="src", dst_col="dst")
+    r = host_reciprocity(d, src_col="src", dst_col="dst",
+                         pre_canonicalized=True)
     kc = k_core(d, k, rounds=kcore_rounds)
     nodes = (d.map_batches(lambda t: pa.table({"node": t["src"]}),
                            batch_format="pyarrow")

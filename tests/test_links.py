@@ -347,3 +347,24 @@ def test_mirror_cluster_transitivity(ray_session):
     got = {r["doc_id"]: r["cluster_id"]
            for r in cluster_pairs(edges).take_all()}
     assert got == {"a.com": "a.com", "b.com": "a.com", "c.com": "a.com"}
+
+
+def test_reciprocity_driver_and_exchange_tiers_identical(ray_session):
+    """Round-5 driver tier (factorize + packed-key isin + bincounts)
+    vs the semi-join/tagged-union exchange path."""
+    import numpy as np
+    import ray.data as rd
+
+    from pappermate_ray.stages.links import host_reciprocity
+
+    rng = np.random.RandomState(31)
+    hosts = [f"h{i}.example" for i in range(40)]
+    rows = [{"src_host": hosts[int(rng.randint(40))],
+             "dst_host": hosts[int(rng.randint(40))]}
+            for _ in range(400)]
+    ds = rd.from_items(rows, override_num_blocks=4)
+    drv = sorted(map(tuple, (r.values() for r in host_reciprocity(
+        ds).take_all())))
+    exch = sorted(map(tuple, (r.values() for r in host_reciprocity(
+        ds, driver_bound=0).take_all())))
+    assert drv == exch
