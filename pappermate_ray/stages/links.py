@@ -309,6 +309,8 @@ def co_citation(
     coupling: bool = False,
     weighted: bool = False,
     round_to: int = 6,
+    driver_bound: int = 1_000_000,
+    pair_bound: int = 5_000_000,
 ) -> "rd.Dataset":
     """Co-citation similarity over a host-pair edge table: ``(host_a,
     host_b, n_shared)`` for host pairs endorsed by ≥ ``min_shared``
@@ -347,7 +349,63 @@ def co_citation(
 
     d = (pairs.map_batches(canon, batch_format="pyarrow")
          .groupby(["key", "val"]).aggregate(Count())
-         .select_columns(["key", "val"]))
+         .select_columns(["key", "val"]).materialize())
+
+    # round-5 bounded tier: a distinct pair set within ``driver_bound``
+    # rows whose eligible-run triu fan-out stays within ``pair_bound``
+    # finishes in one vectorized numpy pass on the driver — the
+    # small-host-graph regime was paying two exchange spin-ups to pair
+    # thousands of rows. Either bound exceeded → distributed path.
+    if d.count() <= driver_bound:
+        keys_l, vals_l = [], []
+        for t in d.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            keys_l.extend(t["key"].to_pylist())
+            vals_l.extend(t["val"].to_pylist())
+        hosts, codes = np.unique(np.array(keys_l + vals_l, dtype=object),
+                                 return_inverse=True)
+        h = len(hosts)
+        kk = codes[: len(keys_l)].astype(np.int64)
+        vv = codes[len(keys_l):].astype(np.int64)
+        order = np.lexsort((vv, kk))
+        kk, vv = kk[order], vv[order]
+        starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]]) \
+            if len(kk) else np.array([], np.int64)
+        ends = np.r_[starts[1:], len(kk)] if len(starts) else starts
+        m = ends - starts
+        elig = (m >= 2) & (m <= max_fanout)
+        if int((m[elig] * (m[elig] - 1) // 2).sum()) <= pair_bound:
+            pks, wts = [], []
+            for s, e in zip(starts[elig], ends[elig]):
+                run = vv[s:e]  # sorted ⇒ triu gives host_a < host_b
+                ia, ib = np.triu_indices(e - s, 1)
+                pks.append(run[ia] * h + run[ib])
+                if weighted:
+                    wts.append(np.full(len(ia), 1.0 / np.log(e - s)))
+            if pks:
+                pk = np.concatenate(pks)
+                upk, inv = np.unique(pk, return_inverse=True)
+                n_shared = np.bincount(inv)
+                keep = n_shared >= min_shared
+                upk, n_shared = upk[keep], n_shared[keep]
+                cols = {
+                    "host_a": pa.array(hosts[upk // h].tolist(),
+                                       pa.string()),
+                    "host_b": pa.array(hosts[upk % h].tolist(),
+                                       pa.string()),
+                    "n_shared": pa.array(n_shared.astype(np.int64),
+                                         pa.int64()),
+                }
+                if weighted:
+                    aa = np.bincount(inv, weights=np.concatenate(wts))
+                    cols["aa_score"] = pa.array(
+                        np.round(aa[keep], round_to), pa.float64())
+            else:
+                cols = {"host_a": pa.array([], pa.string()),
+                        "host_b": pa.array([], pa.string()),
+                        "n_shared": pa.array([], pa.int64())}
+                if weighted:
+                    cols["aa_score"] = pa.array([], pa.float64())
+            return rd.from_arrow(pa.table(cols))
 
     parted, gcols = partition_grouped(d, ["key"])
 

@@ -368,3 +368,35 @@ def test_reciprocity_driver_and_exchange_tiers_identical(ray_session):
     exch = sorted(map(tuple, (r.values() for r in host_reciprocity(
         ds, driver_bound=0).take_all())))
     assert drv == exch
+
+
+def test_co_citation_driver_and_exchange_tiers_identical(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from pappermate_ray.stages.links import co_citation
+
+    rng = np.random.RandomState(37)
+    hosts = [f"h{i}.example" for i in range(30)]
+    rows = [{"src_host": hosts[int(rng.randint(30))],
+             "dst_host": hosts[int(rng.randint(30))]}
+            for _ in range(300)]
+    ds = rd.from_items(rows, override_num_blocks=4)
+    for weighted in (False, True):
+        for coupling in (False, True):
+            drv = sorted(map(tuple, (r.values() for r in co_citation(
+                ds, min_shared=2, weighted=weighted,
+                coupling=coupling).take_all())))
+            exch = sorted(map(tuple, (r.values() for r in co_citation(
+                ds, min_shared=2, weighted=weighted, coupling=coupling,
+                driver_bound=0).take_all())))
+            assert drv == exch
+    # fan-out cap respected identically on both tiers
+    capped_rows = [{"src_host": "hub", "dst_host": f"t{i}"}
+                   for i in range(12)]
+    ds2 = rd.from_items(capped_rows)
+    a = sorted(map(tuple, (r.values() for r in co_citation(
+        ds2, min_shared=1, max_fanout=10).take_all())))
+    b = sorted(map(tuple, (r.values() for r in co_citation(
+        ds2, min_shared=1, max_fanout=10, driver_bound=0).take_all())))
+    assert a == b == []  # 12 > max_fanout: hub endorses nothing
