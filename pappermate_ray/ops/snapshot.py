@@ -191,7 +191,7 @@ def recrawl_priority(
     return grouped.groupby(pkey).map_groups(score, batch_format="pandas")
 
 
-def content_change_rate(
+def content_change_rate_joins(
     obs: "rd.Dataset",
     key_col: str = "url",
     snap_col: str = "snap",
@@ -199,26 +199,12 @@ def content_change_rate(
     round_to: int = 6,
     num_partitions: Optional[int] = None,
 ) -> "rd.Dataset":
-    """Content-granular change rate between consecutive crawl snapshots
-    — the refinement of ``recrawl_priority``'s binary digest-changed
-    signal (a fixed typo and a full rewrite both flip the digest; a
-    scheduler wants to know WHICH): per consecutive observed pair of a
-    url, the word-set Jaccard distance ``(key_col, snap_prev,
-    snap_next, nw_prev, nw_next, n_inter, change)`` where ``change =
-    1 − |W_prev ∩ W_next| / |W_prev ∪ W_next|`` over the DISTINCT
-    whitespace words of each capture (two empty captures → 0.0).
-
-    ``obs`` holds one row per (url, snapshot) observation with the
-    captured text (gaps fine — pairs form between consecutive OBSERVED
-    snapshots); a duplicated (url, snap) raises rather than mispairing.
-
-    Scale shape: word counts per capture and the per-capture distinct
-    word rows are both computed IN-BATCH (the text payload never rides
-    any exchange); the pair skeleton is one partition-grouped lead over
-    (url, snap, nw) rows; intersections come from two armored hash
-    joins over narrow (url, snap, word) rows plus one grouped count —
-    at crawl scale the word rows are the widest thing shuffled, and
-    they are distinct-per-capture, not corpus-sized."""
+    """Join-cascade formulation of :func:`content_change_rate` (the
+    round-4 shape, kept as the cross-check twin — the single-exchange
+    rewrite below is asserted identical in tests): pair skeleton via a
+    partition-grouped lead, intersections via two armored hash joins
+    over narrow (url, snap, word) rows plus one grouped count. Word
+    rows ride exchanges twice here vs once in the rewrite."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Count
 
@@ -360,3 +346,161 @@ def content_change_rate(
         })
 
     return joined.map_batches(fin, batch_format="pyarrow")
+
+
+def content_change_rate(
+    obs: "rd.Dataset",
+    key_col: str = "url",
+    snap_col: str = "snap",
+    text_col: str = "text",
+    round_to: int = 6,
+    num_partitions: Optional[int] = None,
+) -> "rd.Dataset":
+    """Content-granular change rate between consecutive crawl snapshots
+    — the refinement of ``recrawl_priority``'s binary digest-changed
+    signal (a fixed typo and a full rewrite both flip the digest; a
+    scheduler wants to know WHICH): per consecutive observed pair of a
+    url, the word-set Jaccard distance ``(key_col, snap_prev,
+    snap_next, nw_prev, nw_next, n_inter, change)`` where ``change =
+    1 − |W_prev ∩ W_next| / |W_prev ∪ W_next|`` over the DISTINCT
+    whitespace words of each capture (two empty captures → 0.0).
+
+    ``obs`` holds one row per (url, snapshot) observation with the
+    captured text (gaps fine — pairs form between consecutive OBSERVED
+    snapshots); a duplicated (url, snap) raises rather than mispairing.
+
+    Scale shape (round-5 single-exchange rewrite; the join-cascade twin
+    ``content_change_rate_joins`` is asserted identical in tests): the
+    per-capture DISTINCT word rows and the (url, snap, nw) size rows —
+    both computed in-batch, the text payload never rides any exchange —
+    union into ONE partition-grouped exchange keyed on the url, so a
+    url's every capture co-locates. Inside each partition, one
+    vectorized pass builds the consecutive-pair skeleton from the size
+    rows (observation RANK per url) and counts intersections by
+    rank-adjacency: a word occurring at ranks r and r+1 of the same url
+    contributes to pair r — a lexsort + run-diff, no joins anywhere.
+    Word rows ride exactly one exchange (the join formulation shipped
+    them twice plus three more exchanges for skeleton/count/attach)."""
+    import pyarrow.compute as pc
+
+    from .grouping import partition_grouped
+
+    def _word_df(t: pa.Table):
+        words = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(pc.cast(t[text_col], pa.string())))
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(t.num_rows), lens)
+        df = pd.DataFrame({
+            key_col: pc.cast(t[key_col], pa.string())
+                       .to_numpy(zero_copy_only=False)[parent],
+            snap_col: t[snap_col].to_numpy(zero_copy_only=False)
+                        .astype(np.int64)[parent],
+            "word": pc.list_flatten(words).to_numpy(zero_copy_only=False),
+        })
+        return df[df["word"] != ""]
+
+    def tagged_rows(t: pa.Table) -> pa.Table:
+        # word rows (distinct per capture) + one size row per capture;
+        # size rows carry word='' (never a real word — filtered above)
+        # and nw; word rows carry nw=-1
+        wdf = _word_df(t).drop_duplicates([key_col, snap_col, "word"])
+        per = wdf.groupby([key_col, snap_col]).size() if len(wdf) else None
+        urls = pc.cast(t[key_col], pa.string()).to_pylist()
+        snaps = t[snap_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nw = np.zeros(t.num_rows, np.int64)
+        if per is not None and len(per):
+            lut = per.to_dict()
+            nw[:] = [lut.get((u, int(s)), 0) for u, s in zip(urls, snaps)]
+        return pa.table({
+            key_col: pa.array(list(wdf[key_col]) + urls, pa.string()),
+            snap_col: pa.array(
+                np.concatenate([wdf[snap_col].to_numpy(np.int64),
+                                snaps]) if len(wdf)
+                else snaps, pa.int64()),
+            "word": pa.array(list(wdf["word"]) + [""] * t.num_rows,
+                             pa.string()),
+            "nw": pa.array(
+                np.concatenate([np.full(len(wdf), -1, np.int64), nw])
+                if len(wdf) else nw, pa.int64()),
+        })
+
+    tall = obs.map_batches(tagged_rows, batch_format="pyarrow")
+    grouped, pkey = partition_grouped(tall, [key_col],
+                                      npart=num_partitions)
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            key_col: pd.Series([], dtype="str"),
+            "snap_prev": pd.Series([], dtype=np.int64),
+            "snap_next": pd.Series([], dtype=np.int64),
+            "nw_prev": pd.Series([], dtype=np.int64),
+            "nw_next": pd.Series([], dtype=np.int64),
+            "n_inter": pd.Series([], dtype=np.int64),
+            "change": pd.Series([], dtype=np.float64),
+        })
+        if not len(g):
+            return empty
+        is_size = g["nw"].to_numpy() >= 0
+        sz = g[is_size].sort_values([key_col, snap_col], kind="mergesort")
+        u = sz[key_col].to_numpy()
+        s = sz[snap_col].to_numpy(np.int64)
+        nw = sz["nw"].to_numpy(np.int64)
+        n = len(sz)
+        new_url = np.ones(n, bool)
+        new_url[1:] = u[1:] != u[:-1]
+        same = ~new_url
+        if n > 1 and (same[1:] & (s[1:] == s[:-1])).any():
+            bad = u[1:][same[1:] & (s[1:] == s[:-1])][0]
+            raise ValueError(
+                f"content_change_rate: url {bad!r} observed twice in "
+                "one snapshot — run latest_by_url per snapshot first")
+        # observation rank within each url run
+        starts = np.flatnonzero(new_url)
+        rank = np.arange(n) - np.repeat(starts, np.diff(
+            np.append(starts, n)))
+        # pair skeleton: every (rank r, r+1) within a url run — the
+        # prev-observation position of each consecutive pair
+        prev_pos = (np.flatnonzero(~new_url) - 1 if n > 1
+                    else np.array([], np.int64))
+        # map (url, snap) -> global observation position for word rows
+        wr = g[~is_size]
+        n_inter = np.zeros(n, np.int64)  # indexed by prev observation pos
+        if len(wr):
+            upk = pd.MultiIndex.from_arrays([u, s])
+            lut = pd.Series(np.arange(n), index=upk)
+            wpos = lut.loc[pd.MultiIndex.from_arrays(
+                [wr[key_col].to_numpy(), wr[snap_col].to_numpy(np.int64)]
+            )].to_numpy()
+            order = np.lexsort((rank[wpos],
+                                wr["word"].to_numpy(),
+                                wr[key_col].to_numpy()))
+            ww = wr["word"].to_numpy()[order]
+            wu = wr[key_col].to_numpy()[order]
+            wrk = rank[wpos][order]
+            wp = wpos[order]
+            if len(ww) > 1:
+                adj = (wu[1:] == wu[:-1]) & (ww[1:] == ww[:-1]) \
+                    & (wrk[1:] == wrk[:-1] + 1)
+                np.add.at(n_inter, wp[:-1][adj], 1)
+        if not len(prev_pos):
+            return empty
+        ni = n_inter[prev_pos]
+        nwp = nw[prev_pos]
+        nwn = nw[prev_pos + 1]
+        union = nwp + nwn - ni
+        with np.errstate(divide="ignore", invalid="ignore"):
+            change = np.where(
+                union > 0,
+                1.0 - ni / np.where(union > 0, union, 1).astype(np.float64),
+                0.0)
+        return pd.DataFrame({
+            key_col: u[prev_pos],
+            "snap_prev": s[prev_pos],
+            "snap_next": s[prev_pos + 1],
+            "nw_prev": nwp,
+            "nw_next": nwn,
+            "n_inter": ni,
+            "change": np.round(change, round_to),
+        })
+
+    return grouped.groupby(pkey).map_groups(score, batch_format="pandas")

@@ -172,3 +172,47 @@ def test_change_rate_duplicate_observation_raises(ray_session):
     import pytest
     with pytest.raises(Exception, match="observed twice"):
         _ccr([("a", 0, "x"), ("a", 0, "y"), ("a", 1, "z")])
+
+
+def test_change_rate_rewrite_matches_join_formulation(ray_session):
+    """Round-5 single-exchange rewrite vs the join-cascade twin —
+    identical on gaps, empty captures, unchanged/rewritten content and
+    multi-url interleaving."""
+    import numpy as np
+    import ray.data as rd
+
+    from pappermate_ray.ops.snapshot import (content_change_rate,
+                                             content_change_rate_joins)
+
+    rng = np.random.RandomState(9)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for u in range(12):
+        snaps = sorted(rng.choice(10, size=rng.randint(1, 5),
+                                  replace=False).tolist())
+        for sn in snaps:
+            k = rng.randint(0, 8)
+            words = rng.choice(vocab, size=k, replace=False).tolist()
+            rows.append({"url": f"u{u}", "snap": int(sn),
+                         "text": " ".join(words)})
+    ds = rd.from_items(rows, override_num_blocks=4)
+    a = sorted(map(tuple, (r.values() for r in
+                           content_change_rate(ds).take_all())))
+    b = sorted(map(tuple, (r.values() for r in
+                           content_change_rate_joins(ds).take_all())))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_change_rate_rewrite_duplicate_snap_raises(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from pappermate_ray.ops.snapshot import content_change_rate
+
+    ds = rd.from_items([
+        {"url": "u", "snap": 1, "text": "a b"},
+        {"url": "u", "snap": 1, "text": "a c"},
+    ])
+    with pytest.raises(Exception):
+        content_change_rate(ds).take_all()
