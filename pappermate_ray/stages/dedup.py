@@ -434,6 +434,7 @@ def minhash_pairs_exact_verified(
     num_bands: int = 32,
     shingle_k: int = 3,
     max_bucket: int = 1024,
+    verify_driver_bound: int = 100_000,
 ) -> "rd.Dataset":
     """(id_a, id_b, jaccard): LSH candidates verified with EXACT
     word-shingle-set Jaccard — the oracle-checkable near-dup operator.
@@ -450,13 +451,20 @@ def minhash_pairs_exact_verified(
     template families — see ``max_bucket``); the oracle gate confirms
     zero misses on the fixture corpus.
 
-    Fully distributed: the hashed word-set table (id → sorted uint64
-    hashes, ~15-20% of corpus bytes, spills to the object store at scale)
-    is materialized ONCE and shared by the banding pass and both sides of
-    the verification joins; candidate pairs fetch their sets via two hash
-    joins, never via a driver-side text map. Empty/whitespace-only docs
-    are excluded up front (they all collide into one catastrophic LSH
-    bucket, and empty docs are exact-dedup's job, not near-dup's).
+    Fully distributed beyond ``verify_driver_bound`` candidate rows: the
+    hashed word-set table (id → sorted uint64 hashes, ~15-20% of corpus
+    bytes, spills to the object store at scale) is materialized ONCE and
+    shared by the banding pass and both sides of the verification joins;
+    candidate pairs fetch their sets via two hash joins, never via a
+    driver-side text map. Empty/whitespace-only docs are excluded up
+    front (they all collide into one catastrophic LSH bucket, and empty
+    docs are exact-dedup's job, not near-dup's). WITHIN the bound, the
+    round-5 driver tier applies: candidates dedupe via one np.unique on
+    packed pairs, the needed shingle sets stream back through ONE
+    ``is_in``-filtered map (a bounded collect — candidate ids ≤
+    2·bound), and verification runs vectorized on the driver — the
+    dedupe aggregate and both joins (three exchange spin-ups) vanish.
+    Both tiers asserted identical in tests at a forced-zero bound.
     """
 
     sets = ds.map_batches(
@@ -472,8 +480,52 @@ def minhash_pairs_exact_verified(
         lambda t: t.append_column("_one", pa.array([1] * len(t), pa.int8())),
         batch_format="pyarrow",
     ).materialize()
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return _empty_pairs("jaccard")
+
+    if n_cand <= verify_driver_bound:
+        a_l, b_l = [], []
+        for t in cand.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow"):
+            a_l.append(np.asarray(t["id_a"], np.int64))
+            b_l.append(np.asarray(t["id_b"], np.int64))
+        aa = np.concatenate(a_l)
+        bb = np.concatenate(b_l)
+        # dedupe via packed unique (ids are int64; pack through a
+        # stable factorize so arbitrary id ranges stay exact)
+        both = np.concatenate([aa, bb])
+        uids, codes = np.unique(both, return_inverse=True)
+        ca, cb = codes[: len(aa)], codes[len(aa):]
+        upk = np.unique(ca.astype(np.int64) * len(uids) + cb)
+        ca, cb = upk // len(uids), upk % len(uids)
+        need = pa.array(uids, pa.int64())
+        lut: dict = {}
+        fetched = sets.map_batches(
+            lambda t: t.filter(pc.is_in(t["doc_id"], value_set=need)),
+            batch_format="pyarrow")
+        for t in fetched.iter_batches(batch_size=4096,
+                                      batch_format="pyarrow"):
+            for did, ws in zip(t["doc_id"].to_pylist(),
+                               t["ws"].to_pylist()):
+                lut[did] = np.frombuffer(ws, dtype=np.uint64)
+        out_a, out_b, out_j = [], [], []
+        for i, j in zip(uids[ca], uids[cb]):
+            wa, wb = lut.get(int(i)), lut.get(int(j))
+            if wa is None or wb is None:
+                continue
+            inter = len(np.intersect1d(wa, wb, assume_unique=True))
+            jac = inter / (len(wa) + len(wb) - inter)
+            if jac >= threshold:
+                out_a.append(int(i))
+                out_b.append(int(j))
+                out_j.append(round(jac, 6))
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array(out_a, pa.int64()),
+            "id_b": pa.array(out_b, pa.int64()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        }))
+
     cand = _dedupe_pairs(cand, "_one").map_batches(
         lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
     )

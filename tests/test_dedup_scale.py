@@ -580,3 +580,26 @@ class TestSortedBandLayout:
                                                    threshold=0.8).take_all()}
         os.rename(man + ".bak", man)
         assert got_sorted == got_legacy
+
+
+def test_exact_verified_driver_and_join_tiers_identical(ray_session):
+    """Round-5 bounded driver-verify tier vs the dedupe-aggregate +
+    two-join path — identical pair sets and jaccard values."""
+    from pappermate_ray.stages.dedup import minhash_pairs_exact_verified
+
+    texts = [f"document number {i} about distributed data processing "
+             f"with ray datasets and arrow batches topic {i % 5}"
+             for i in range(30)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    for i in range(0, 30, 5):  # light edits -> near-dups
+        rows.append({"doc_id": 1000 + i, "text": texts[i] + " updated"})
+    ds = rd.from_items(rows, override_num_blocks=4)
+    drv = sorted((r["id_a"], r["id_b"], r["jaccard"])
+                 for r in minhash_pairs_exact_verified(
+                     ds, "doc_id", "text", threshold=0.8).take_all())
+    dist = sorted((r["id_a"], r["id_b"], r["jaccard"])
+                  for r in minhash_pairs_exact_verified(
+                      ds, "doc_id", "text", threshold=0.8,
+                      verify_driver_bound=0).take_all())
+    assert drv == dist
+    assert len(drv) >= 6
