@@ -950,6 +950,7 @@ def match_against_index(
     num_bands: int = 32,
     shingle_k: int = 3,
     max_bucket: int = 1024,
+    verify_driver_bound: int = 100_000,
 ) -> "rd.Dataset":
     """(new_id, old_id, jaccard): incoming documents that near-duplicate
     a corpus INDEXED by ``build_minhash_index`` — exact word-shingle
@@ -1008,8 +1009,64 @@ def match_against_index(
             union, ["band_id", "band_hash"], "doc_id", "_side",
             n_rows=old_rows + n_new * num_bands, max_bucket=max_bucket,
         ).materialize()
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return _empty_match()
+
+    if n_cand <= verify_driver_bound:
+        # bounded driver-verify tier (the minhash_pairs_exact_verified
+        # rule): dedupe via np.unique on factorized packed pairs, fetch
+        # the two bounded set groups through is_in-filtered streaming
+        # maps, verify vectorized — the dedupe aggregate and both
+        # verification joins (three exchange spin-ups) vanish. The join
+        # path below is unchanged beyond the bound; tiers asserted
+        # identical in tests.
+        nn_l, oo_l = [], []
+        for t in cand.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow"):
+            nn_l.append(np.asarray(t["new_id"], np.int64))
+            oo_l.append(np.asarray(t["old_id"], np.int64))
+        nn = np.concatenate(nn_l)
+        oo = np.concatenate(oo_l)
+        un, cn = np.unique(nn, return_inverse=True)
+        uo, co = np.unique(oo, return_inverse=True)
+        upk = np.unique(cn.astype(np.int64) * len(uo) + co)
+        cn, co = upk // len(uo), upk % len(uo)
+
+        def fetch(src: "rd.Dataset", ids: np.ndarray) -> dict:
+            need = pa.array(ids, pa.int64())
+            lut: dict = {}
+            filt = src.map_batches(
+                lambda t: t.filter(pc.is_in(t["doc_id"], value_set=need)),
+                batch_format="pyarrow")
+            for t in filt.iter_batches(batch_size=4096,
+                                       batch_format="pyarrow"):
+                for did, ws in zip(t["doc_id"].to_pylist(),
+                                   t["ws"].to_pylist()):
+                    lut[did] = np.frombuffer(ws, dtype=np.uint64)
+            return lut
+
+        lut_n = fetch(new_sets, un)
+        lut_o = fetch(
+            rd.read_parquet(f"{index_dir}/sets", columns=["doc_id", "ws"]),
+            uo)
+        out_n, out_o, out_j = [], [], []
+        for nid, oid in zip(un[cn], uo[co]):
+            wn, wo = lut_n.get(int(nid)), lut_o.get(int(oid))
+            if wn is None or wo is None:
+                continue
+            inter = len(np.intersect1d(wn, wo, assume_unique=True))
+            j = inter / (len(wn) + len(wo) - inter)
+            if j >= threshold:
+                out_n.append(int(nid))
+                out_o.append(int(oid))
+                out_j.append(round(j, 6))
+        return rd.from_arrow(pa.table({
+            "new_id": pa.array(out_n, pa.int64()),
+            "old_id": pa.array(out_o, pa.int64()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        }))
+
     cand = cand.map_batches(
         lambda t: t.append_column("_one", pa.array([1] * len(t), pa.int8())),
         batch_format="pyarrow")

@@ -56,3 +56,32 @@ def test_incremental_refresh_empty_worklist(ray_session, tmp_path):
     build_minhash_index(old, idx)
     out = incremental_refresh(old, old, idx)
     assert out.count() == 0
+
+
+def test_match_index_driver_and_join_verify_identical(ray_session, tmp_path):
+    """Round-5 bounded driver-verify tier in match_against_index vs the
+    dedupe-aggregate + two-join path."""
+    import ray.data as rd
+
+    from pappermate_ray.stages.dedup import (build_minhash_index,
+                                             match_against_index)
+
+    old_rows = [{"doc_id": i,
+                 "text": f"document number {i} about distributed data "
+                         f"processing with ray and arrow topic {i % 5}"}
+                for i in range(30)]
+    idx = str(tmp_path / "idx")
+    build_minhash_index(rd.from_items(old_rows, override_num_blocks=3), idx)
+    new_rows = [{"doc_id": 1000 + i,
+                 "text": old_rows[i]["text"] + " updated"}
+                for i in range(0, 30, 5)]
+    new = rd.from_items(new_rows, override_num_blocks=2)
+    drv = sorted((r["new_id"], r["old_id"], r["jaccard"])
+                 for r in match_against_index(new, idx,
+                                              threshold=0.8).take_all())
+    dist = sorted((r["new_id"], r["old_id"], r["jaccard"])
+                  for r in match_against_index(
+                      new, idx, threshold=0.8,
+                      verify_driver_bound=0).take_all())
+    assert drv == dist
+    assert len(drv) >= 6
