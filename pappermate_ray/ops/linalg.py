@@ -155,7 +155,7 @@ def save_moment_increment(
     emb_col: str = "embedding",
 ) -> str:
     """Reduce ONE corpus increment to its moment row and append it."""
-    from ..stages.search import _next_increment
+    from ..stages.search import write_increment
 
     gram, col_sum, n = covariance_stats(ds, d, emb_col)
     row = pa.table({
@@ -163,7 +163,7 @@ def save_moment_increment(
         "col_sum": pa.array([col_sum.tolist()], pa.list_(pa.float64())),
         "n": pa.array([float(n)], pa.float64()),
     })
-    rd.from_arrow(row).write_parquet(_next_increment(store_dir, "moments"))
+    write_increment(rd.from_arrow(row), store_dir, "moments")
     return store_dir
 
 
@@ -179,7 +179,9 @@ def stored_covariance(
 
     import pyarrow.parquet as _pq
 
-    files = sorted(_glob.glob(f"{store_dir}/moments/add_*/*.parquet"))
+    files = sorted(f for f in
+                   _glob.glob(f"{store_dir}/moments/add_*/*.parquet")
+                   if ".tmp/" not in f)
     if not files:
         raise ValueError(f"no moment increments under {store_dir}")
     gram = np.zeros((d, d), np.float64)

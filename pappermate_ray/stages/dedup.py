@@ -894,9 +894,24 @@ def build_minhash_index(
     time; they are deliberately explicit rather than hidden in a
     sidecar so a cluster job's config is the single source of truth.
     """
+    import os
+    import shutil
+
     import pyarrow.parquet as pqt
 
     from ..ops.rangesort import range_sorted_export
+
+    # idempotent (re)build: a killed prior attempt leaves partial
+    # parquet dirs, and write_parquet APPENDS — rebuilding into the
+    # same path would silently double the sets/bands rows. Callers
+    # gate completed builds with their own marker (_minhash_index_dir's
+    # _SUCCESS), so anything present here is partial by definition.
+    for sub in ("sets", "bands", "bands_manifest.parquet"):
+        p = os.path.join(index_dir, sub)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        elif os.path.exists(p):
+            os.remove(p)
 
     sets = ds.map_batches(
         lambda t: _shingle_set_batch(t, id_col, text_col, shingle_k),

@@ -275,14 +275,15 @@ def fuzzy_index_add(
     same grow-without-rescan contract as the MinHash/BM25/HLL stores.
     ``max_dist`` is baked into the stored neighbourhood; probes must
     use a ``max_dist`` ≤ the smallest one the index was built with."""
-    from .search import _next_increment
+    from .search import write_increment
 
     distinct = ds.groupby(col).aggregate(Count(alias_name="_cnt"))
-    (distinct.map_batches(
-        lambda t: _expand_distinct(t, col, max_dist, max_len, 0)
-        .drop_columns(["_side"]),
-        batch_format="pyarrow")
-     .write_parquet(_next_increment(index_dir, "variants")))
+    write_increment(
+        distinct.map_batches(
+            lambda t: _expand_distinct(t, col, max_dist, max_len, 0)
+            .drop_columns(["_side"]),
+            batch_format="pyarrow"),
+        index_dir, "variants")
     return index_dir
 
 

@@ -262,8 +262,36 @@ def _next_increment(index_dir: str, sub: str) -> str:
 
     d = os.path.join(index_dir, sub)
     os.makedirs(d, exist_ok=True)
-    n = len([x for x in os.listdir(d) if x.startswith("add_")])
+    n = len([x for x in os.listdir(d)
+             if x.startswith("add_") and not x.endswith(".tmp")])
     return os.path.join(d, f"add_{n:05d}")
+
+
+def write_increment(ds: "rd.Dataset", index_dir: str, sub: str,
+                    partition_cols=None) -> str:
+    """Atomic append of one store increment (round-5 hardening, shared
+    by every persisted incremental store — text index, fuzzy variants,
+    moment store, HDR/HLL sketches, stats store): leftover ``*.tmp``
+    dirs from a KILLED prior write are removed, the new increment lands
+    under ``add_NNNNN.tmp`` and renames into place — so a completed
+    ``add_NNNNN`` dir is always a COMPLETE increment and a retry after
+    a mid-write kill can never double-count a batch."""
+    import os
+    import shutil
+
+    d = os.path.join(index_dir, sub)
+    os.makedirs(d, exist_ok=True)
+    for x in os.listdir(d):
+        if x.endswith(".tmp"):
+            shutil.rmtree(os.path.join(d, x), ignore_errors=True)
+    target = _next_increment(index_dir, sub)
+    tmp = target + ".tmp"
+    if partition_cols:
+        ds.write_parquet(tmp, partition_cols=partition_cols)
+    else:
+        ds.write_parquet(tmp)
+    os.rename(tmp, target)
+    return target
 
 
 def text_index_add(
@@ -286,19 +314,20 @@ def text_index_add(
             "bucket",
             pa.array(_term_buckets(t["term"].to_pylist()), pa.int64()))
 
-    postings.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
-        _next_increment(index_dir, "postings"), partition_cols=["bucket"])
+    write_increment(
+        postings.map_batches(add_bucket, batch_format="pyarrow"),
+        index_dir, "postings", partition_cols=["bucket"])
 
     df = postings.groupby("term").aggregate(Count(alias_name="df"))
-    df.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
-        _next_increment(index_dir, "df"), partition_cols=["bucket"])
+    write_increment(df.map_batches(add_bucket, batch_format="pyarrow"),
+                    index_dir, "df", partition_cols=["bucket"])
 
     n_docs, sum_dl = _corpus_stats(ds, text_col)
     row = pa.table({
         "n_docs": pa.array([n_docs], pa.int64()),
         "sum_dl": pa.array([sum_dl], pa.int64()),
     })
-    rd.from_arrow(row).write_parquet(_next_increment(index_dir, "stats"))
+    write_increment(rd.from_arrow(row), index_dir, "stats")
     return index_dir
 
 
@@ -312,7 +341,9 @@ def _bucket_files(index_dir: str, sub: str, buckets: set) -> List[str]:
 
     out: List[str] = []
     base = os.path.join(index_dir, sub)
-    for inc in sorted(os.listdir(base)):
+    incs = [x for x in sorted(os.listdir(base))
+            if x.startswith("add_") and not x.endswith(".tmp")]
+    for inc in incs:
         for b in sorted(buckets):
             out.extend(sorted(glob.glob(
                 os.path.join(base, inc, f"bucket={b}", "*.parquet"))))

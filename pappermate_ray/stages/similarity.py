@@ -816,6 +816,17 @@ def build_pq_index(
     The embedding-ANN analog of ``stages/dedup.build_minhash_index``:
     build once, then every query batch searches the stored codes without
     re-reading or re-encoding the corpus."""
+    import os
+    import shutil
+
+    # idempotent (re)build: write_parquet APPENDS, so a retry after a
+    # killed prior attempt would double the codebook/code rows — clean
+    # the (by-definition partial) target dirs first
+    for sub in ("codebooks", "codes"):
+        p = os.path.join(index_dir, sub)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+
     cb = train_pq_codebooks(ds, emb_col, m, n_centroids, sample_size, seed)
     mm, ncent, dsub = cb.shape
     rows = pa.table({

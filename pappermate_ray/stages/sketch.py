@@ -311,7 +311,7 @@ def save_hdr_increment(
     over a growing stream never re-scan old increments (the quantile
     member of the persisted-store family: HLL=distinct, stats=sum/count,
     HDR=distribution)."""
-    from .search import _next_increment
+    from .search import write_increment
 
     def sketch_batch(t: pa.Table) -> pa.Table:
         keys = hdr_keys(np.asarray(t[value_col], np.int64))
@@ -322,8 +322,10 @@ def save_hdr_increment(
     hist = np.zeros(_HDR_SLOTS, dtype=np.int64)
     for r in rows:
         hist += np.frombuffer(r["h"], dtype=np.int64)
-    rd.from_arrow(pa.table({"h": pa.array([hist.tobytes()], pa.binary())})
-                  ).write_parquet(_next_increment(store_dir, "hdr"))
+    write_increment(
+        rd.from_arrow(pa.table({"h": pa.array([hist.tobytes()],
+                                              pa.binary())})),
+        store_dir, "hdr")
     return store_dir
 
 
@@ -446,12 +448,12 @@ def save_hll_increment(
     for r in rows:
         np.maximum(merged, np.frombuffer(r["regs"], dtype=np.uint8),
                    out=merged)
-    os.makedirs(store_dir, exist_ok=True)
-    n = len([x for x in os.listdir(store_dir) if x.startswith("add_")])
-    rd.from_arrow(pa.table({
+    from .search import write_increment
+
+    write_increment(rd.from_arrow(pa.table({
         "p": pa.array([p], pa.int64()),
         "regs": pa.array([merged.tobytes()], pa.binary()),
-    })).write_parquet(os.path.join(store_dir, f"add_{n:05d}"))
+    })), store_dir, "")
     return store_dir
 
 
@@ -478,7 +480,8 @@ def stored_hll_estimate(store_dir: str) -> Tuple[float, int]:
     import os
 
     regs = stored_hll_registers(store_dir)
-    n = len([x for x in os.listdir(store_dir) if x.startswith("add_")])
+    n = len([x for x in os.listdir(store_dir)
+             if x.startswith("add_") and not x.endswith(".tmp")])
     return hll_estimate(regs), n
 
 

@@ -23,7 +23,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
-from .search import _next_increment
+from .search import write_increment
 
 
 def save_stats_increment(
@@ -40,7 +40,7 @@ def save_stats_increment(
     agg = ds.groupby(group_cols).aggregate(
         Count(alias_name=count_alias),
         Sum(value_col, alias_name=sum_alias))
-    agg.write_parquet(_next_increment(store_dir, "stats"))
+    write_increment(agg, store_dir, "stats")
     return store_dir
 
 

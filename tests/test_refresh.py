@@ -85,3 +85,75 @@ def test_match_index_driver_and_join_verify_identical(ray_session, tmp_path):
                       verify_driver_bound=0).take_all())
     assert drv == dist
     assert len(drv) >= 6
+
+
+def test_index_rebuild_is_idempotent(ray_session, tmp_path):
+    """A partial/killed build followed by a re-run must not duplicate
+    sets or band rows (write_parquet appends; the builder cleans its
+    target dirs first)."""
+    import ray.data as rd
+
+    from pappermate_ray.stages.dedup import (build_minhash_index,
+                                             match_against_index)
+
+    rows = [{"doc_id": i,
+             "text": f"document number {i} about data processing "
+                     f"with ray topic {i % 3}"}
+            for i in range(20)]
+    old = rd.from_items(rows, override_num_blocks=2)
+    idx = str(tmp_path / "idx")
+    build_minhash_index(old, idx)      # simulate a completed first pass
+    build_minhash_index(old, idx)      # rebuild into the same dir
+    new = rd.from_items(
+        [{"doc_id": 1000, "text": rows[0]["text"] + " updated"}])
+    out = match_against_index(new, idx, threshold=0.8).take_all()
+    # exactly one match row, not doubled
+    assert [(r["new_id"], r["old_id"]) for r in out] == [(1000, 0)]
+    # distributed verify path agrees (would double without the clean)
+    out2 = match_against_index(new, idx, threshold=0.8,
+                               verify_driver_bound=0).take_all()
+    assert [(r["new_id"], r["old_id"]) for r in out2] == [(1000, 0)]
+
+
+def test_write_increment_atomicity(ray_session, tmp_path):
+    """A leftover .tmp increment (killed prior write) is cleaned on the
+    next write, never read, and never disturbs increment numbering."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pappermate_ray.stages.search import write_increment
+
+    base = str(tmp_path / "store")
+    t1 = rd.from_arrow(pa.table({"v": pa.array([1, 2], pa.int64())}))
+    write_increment(t1, base, "stats")
+    # simulate a killed second write: partial tmp dir left behind
+    os.makedirs(f"{base}/stats/add_00001.tmp", exist_ok=True)
+    with open(f"{base}/stats/add_00001.tmp/garbage", "w") as f:
+        f.write("partial")
+    t2 = rd.from_arrow(pa.table({"v": pa.array([3], pa.int64())}))
+    write_increment(t2, base, "stats")
+    names = sorted(os.listdir(f"{base}/stats"))
+    assert names == ["add_00000", "add_00001"]
+    import pyarrow.parquet as pqt
+    got = sorted(pqt.read_table(f"{base}/stats")["v"].to_pylist())
+    assert got == [1, 2, 3]
+
+
+def test_pq_index_rebuild_is_idempotent(ray_session, tmp_path):
+    import numpy as np
+    import ray.data as rd
+
+    from pappermate_ray.stages.similarity import build_pq_index
+
+    rows = [{"vec_id": i,
+             "embedding": [float(i % 7), float(i % 5), 1.0, 0.5]}
+            for i in range(40)]
+    ds = rd.from_items(rows, override_num_blocks=2)
+    idx = str(tmp_path / "pq")
+    build_pq_index(ds, idx, m=1, n_centroids=40, sample_size=40)
+    build_pq_index(ds, idx, m=1, n_centroids=40, sample_size=40)  # rebuild
+    import pyarrow.parquet as pqt
+    # codes not doubled
+    assert pqt.read_table(f"{idx}/codes").num_rows == 40
