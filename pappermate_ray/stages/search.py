@@ -294,6 +294,40 @@ def write_increment(ds: "rd.Dataset", index_dir: str, sub: str,
     return target
 
 
+def _write_at(ds: "rd.Dataset", index_dir: str, sub: str, n: int,
+              partition_cols=None) -> str:
+    """Write sub-increment ``add_NNNNN`` at an EXPLICIT index via
+    tmp+rename, replacing any uncommitted leftover at that index (used
+    by the grouped text-index commit below; single-table stores use
+    ``write_increment``)."""
+    import os
+    import shutil
+
+    d = os.path.join(index_dir, sub)
+    os.makedirs(d, exist_ok=True)
+    target = os.path.join(d, f"add_{n:05d}")
+    for x in (target, target + ".tmp"):
+        if os.path.isdir(x):
+            shutil.rmtree(x)
+    if partition_cols:
+        ds.write_parquet(target + ".tmp", partition_cols=partition_cols)
+    else:
+        ds.write_parquet(target + ".tmp")
+    os.rename(target + ".tmp", target)
+    return target
+
+
+def _committed_incs(index_dir: str):
+    """Set of committed increment names, or None for a legacy
+    (pre-marker) index where every complete add_ dir counts."""
+    import os
+
+    commits = os.path.join(index_dir, "commits")
+    if not os.path.isdir(commits):
+        return None
+    return {x for x in os.listdir(commits) if x.startswith("add_")}
+
+
 def text_index_add(
     ds: "rd.Dataset",
     index_dir: str,
@@ -306,7 +340,35 @@ def text_index_add(
     hash-bucketed by term, df partials per bucket, corpus scalars as a
     single row. Caller contract: doc ids must be unique across
     increments (re-crawls go through latest_by_url / snapshot_diff
-    first)."""
+    first).
+
+    Group-atomic commit (round-5 hardening): the three sub-increments
+    (postings, df, stats) land at the SAME explicit index via
+    tmp+rename, and the increment only becomes visible when its marker
+    file appears under ``{index_dir}/commits`` — a kill anywhere in the
+    sequence leaves orphans that the next add overwrites, so readers
+    can never see a postings increment without its df/stats twins, and
+    a retry can never double-count a batch. Legacy marker-less indexes
+    are adopted in place (markers written retroactively for their
+    complete increments)."""
+    import os
+
+    commits = os.path.join(index_dir, "commits")
+    os.makedirs(commits, exist_ok=True)
+    committed = sorted(x for x in os.listdir(commits)
+                       if x.startswith("add_"))
+    if not committed:
+        # legacy adoption: everything already on disk predates markers
+        pdir = os.path.join(index_dir, "postings")
+        if os.path.isdir(pdir):
+            for x in sorted(os.listdir(pdir)):
+                if x.startswith("add_") and not x.endswith(".tmp"):
+                    with open(os.path.join(commits, x), "w"):
+                        pass
+            committed = sorted(x for x in os.listdir(commits)
+                               if x.startswith("add_"))
+    n = len(committed)
+
     postings = build_postings(ds, id_col, text_col).materialize()
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -314,20 +376,19 @@ def text_index_add(
             "bucket",
             pa.array(_term_buckets(t["term"].to_pylist()), pa.int64()))
 
-    write_increment(
-        postings.map_batches(add_bucket, batch_format="pyarrow"),
-        index_dir, "postings", partition_cols=["bucket"])
-
+    _write_at(postings.map_batches(add_bucket, batch_format="pyarrow"),
+              index_dir, "postings", n, partition_cols=["bucket"])
     df = postings.groupby("term").aggregate(Count(alias_name="df"))
-    write_increment(df.map_batches(add_bucket, batch_format="pyarrow"),
-                    index_dir, "df", partition_cols=["bucket"])
-
+    _write_at(df.map_batches(add_bucket, batch_format="pyarrow"),
+              index_dir, "df", n, partition_cols=["bucket"])
     n_docs, sum_dl = _corpus_stats(ds, text_col)
     row = pa.table({
         "n_docs": pa.array([n_docs], pa.int64()),
         "sum_dl": pa.array([sum_dl], pa.int64()),
     })
-    write_increment(rd.from_arrow(row), index_dir, "stats")
+    _write_at(rd.from_arrow(row), index_dir, "stats", n)
+    with open(os.path.join(commits, f"add_{n:05d}"), "w"):
+        pass  # the group commit point
     return index_dir
 
 
@@ -341,8 +402,10 @@ def _bucket_files(index_dir: str, sub: str, buckets: set) -> List[str]:
 
     out: List[str] = []
     base = os.path.join(index_dir, sub)
+    committed = _committed_incs(index_dir)
     incs = [x for x in sorted(os.listdir(base))
-            if x.startswith("add_") and not x.endswith(".tmp")]
+            if x.startswith("add_") and not x.endswith(".tmp")
+            and (committed is None or x in committed)]
     for inc in incs:
         for b in sorted(buckets):
             out.extend(sorted(glob.glob(
@@ -372,8 +435,17 @@ def bm25_search_index(
         raise ValueError("query_terms must be non-empty")
     buckets = set(_term_buckets(qterms).tolist())
 
-    # corpus scalars: one row per increment
-    stats = pqt.read_table(f"{index_dir}/stats")
+    # corpus scalars: one row per COMMITTED increment
+    import glob as _glob
+    import os as _os
+
+    committed = _committed_incs(index_dir)
+    sdirs = [d for d in sorted(_glob.glob(f"{index_dir}/stats/add_*"))
+             if not d.endswith(".tmp")
+             and (committed is None or _os.path.basename(d) in committed)]
+    stats = pa.concat_tables([pqt.read_table(d) for d in sdirs]) if sdirs \
+        else pa.table({"n_docs": pa.array([], pa.int64()),
+                       "sum_dl": pa.array([], pa.int64())})
     n_docs = int(pc.sum(stats["n_docs"]).as_py() or 0)
     sum_dl = int(pc.sum(stats["sum_dl"]).as_py() or 0)
     avgdl = sum_dl / n_docs if n_docs else 0.0

@@ -245,3 +245,63 @@ class TestSnippetWhitespaceContract:
         # repeated ASCII whitespace collapses like the oracle's \s+
         assert out[0]["pos"] == 2
         assert out[0]["snippet"] == "b window c"
+
+
+class TestTextIndexGroupCommit:
+    """Round-5 group-atomic text-index increments: a kill between the
+    three sub-writes must leave the increment INVISIBLE, and the retry
+    must not double-count."""
+
+    def _docs(self, lo, hi):
+        import ray.data as rd
+
+        return rd.from_items(
+            [{"doc_id": i, "text": f"common term{i % 3} word{i}"}
+             for i in range(lo, hi)], override_num_blocks=2)
+
+    def test_uncommitted_increment_is_invisible_and_retry_clean(
+            self, ray_session, tmp_path):
+        import os
+        import shutil
+
+        from pappermate_ray.stages.search import (bm25_search_index,
+                                                  text_index_add)
+
+        idx = str(tmp_path / "ti")
+        text_index_add(self._docs(0, 10), idx)
+        base = {r["doc_id"]: r["score"]
+                for r in bm25_search_index(idx, ["common"], k=20).take_all()}
+
+        # simulate a kill AFTER postings/df landed but BEFORE the commit
+        # marker: copy the committed add_00000 dirs to add_00001 without
+        # a marker
+        for sub in ("postings", "df", "stats"):
+            shutil.copytree(os.path.join(idx, sub, "add_00000"),
+                            os.path.join(idx, sub, "add_00001"))
+        mid = {r["doc_id"]: r["score"]
+               for r in bm25_search_index(idx, ["common"], k=20).take_all()}
+        assert mid == base  # orphan increment invisible
+
+        # retry of the "killed" add overwrites the orphans at index 1
+        text_index_add(self._docs(10, 20), idx)
+        out = {r["doc_id"]
+               for r in bm25_search_index(idx, ["common"], k=40).take_all()}
+        assert out == set(range(20))
+
+    def test_legacy_markerless_index_adopted(self, ray_session, tmp_path):
+        import os
+        import shutil
+
+        from pappermate_ray.stages.search import (bm25_search_index,
+                                                  text_index_add)
+
+        idx = str(tmp_path / "ti2")
+        text_index_add(self._docs(0, 10), idx)
+        shutil.rmtree(os.path.join(idx, "commits"))  # make it "legacy"
+        got = {r["doc_id"]
+               for r in bm25_search_index(idx, ["common"], k=20).take_all()}
+        assert got == set(range(10))  # marker-less dirs still count
+        text_index_add(self._docs(10, 20), idx)  # adopt + append
+        got = {r["doc_id"]
+               for r in bm25_search_index(idx, ["common"], k=40).take_all()}
+        assert got == set(range(20))
