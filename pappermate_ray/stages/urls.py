@@ -604,19 +604,49 @@ def trap_filter(
     traps,
     url_col: str = "url",
     num_partitions: Optional[int] = None,
+    broadcast_bound: int = 2_000_000,
 ):
     """Drop urls whose (host, digit-collapsed pattern) is in the trap
-    table — the apply side of ``url_pattern_traps``. Distributed
-    anti-join on the pattern key (trap tables are aggregate-sized but
-    unbounded in principle — a flagged mega-host contributes ONE row,
-    so the exchange is narrow either way)."""
+    table — the apply side of ``url_pattern_traps``. Hybrid (the
+    robots_filter_rfc rule): a trap table within ``broadcast_bound``
+    rows ships ONCE via ``ray.put`` as packed keys and the urls filter
+    in a zero-exchange streaming ``is_in`` map; beyond the bound a
+    distributed anti-join runs on the (host, pattern) key — trap
+    tables are aggregate-sized (a flagged mega-host contributes ONE
+    row), so the exchange is narrow either way. Tiers asserted
+    identical in tests."""
+    import ray as _ray
+
     from ..ops.joins import anti_join
+
+    sep = "\x1f"  # never occurs in a host; paths are sanitized urls
 
     def keyed(t: pa.Table) -> pa.Table:
         _, host, _, path, _, _ = _decompose(t[url_col])
         pattern = pc.replace_substring_regex(path, r"[0-9]+", "N")
         return (t.append_column("host", host)
                  .append_column("pattern", pattern))
+
+    traps = traps.materialize()
+    if traps.count() <= broadcast_bound:
+        keys = []
+        for t in traps.iter_batches(batch_size=65536,
+                                    batch_format="pyarrow"):
+            keys.extend(
+                f"{h}{sep}{p}" for h, p in
+                zip(t["host"].to_pylist(), t["pattern"].to_pylist()))
+        kref = _ray.put(pa.array(keys, pa.string()))
+
+        def drop_trapped(t: pa.Table) -> pa.Table:
+            tk = _ray.get(kref)
+            kt = keyed(t)
+            combined = pc.binary_join_element_wise(
+                pc.cast(kt["host"], pa.string()),
+                pc.cast(kt["pattern"], pa.string()), sep)
+            keep = pc.invert(pc.is_in(combined, value_set=tk))
+            return t.filter(keep)
+
+        return ds.map_batches(drop_trapped, batch_format="pyarrow")
 
     keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
     # right_schema: the trap lineage ends in two aggregates — without

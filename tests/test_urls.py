@@ -308,3 +308,31 @@ def test_host_lang_profile(ray_session):
     e = out["edge.io"]
     assert (e["n_docs"], e["majority_n"]) == (5, 4)
     assert not e["is_mixed"]  # 4*1000 == 800*5 — strict inequality
+
+
+def test_trap_filter_broadcast_and_join_tiers_identical(ray_session):
+    """Round-5 hybrid: broadcast packed-key is_in vs the distributed
+    anti-join, identical survivors."""
+    import ray.data as rd
+
+    from pappermate_ray.stages.urls import trap_filter, url_pattern_traps
+
+    rows = []
+    for i in range(120):
+        host = f"h{i % 4}.example"
+        # hosts h0/h1 generate a calendar trap family (many urls, one
+        # digit-collapsed pattern); others are organic
+        if i % 4 in (0, 1):
+            rows.append({"doc_id": i,
+                         "url": f"https://{host}/cal/2024/{i}/page"})
+        else:
+            rows.append({"doc_id": i,
+                         "url": f"https://{host}/article-{i}"})
+    ds = rd.from_items(rows, override_num_blocks=3)
+    traps = url_pattern_traps(ds, min_urls=3)
+    bcast = sorted(r["doc_id"] for r in
+                   trap_filter(ds, traps).take_all())
+    joined = sorted(r["doc_id"] for r in
+                    trap_filter(ds, traps, broadcast_bound=0).take_all())
+    assert bcast == joined
+    assert len(bcast) < 120  # the trap family actually dropped
