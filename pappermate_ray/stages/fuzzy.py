@@ -40,6 +40,7 @@ from itertools import combinations
 from typing import List, Optional
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Min
@@ -331,15 +332,21 @@ def fuzzy_match_index(
 
     verified = cand.map_batches(verify, batch_format="pyarrow")
 
-    def pick(g: pa.Table) -> pa.Table:
-        best = min(zip(g["match_dist"].to_pylist(), g["match"].to_pylist()))
-        return pa.table({
-            "value": g["value"].slice(0, 1),
-            "match": pa.array([best[1]], pa.string()),
-            "match_dist": pa.array([best[0]], pa.int64()),
-        })
+    # per-value best (min dist, lexicographic match) rides
+    # partition_grouped — one sort + first-per-run over ALL values in
+    # the partition, never per-key pandas groups (round-5; the last
+    # per-key map_groups in the library)
+    from ..ops.grouping import partition_grouped
 
-    return verified.groupby("value").map_groups(pick, batch_format="pyarrow")
+    part, gcols = partition_grouped(verified, ["value"])
+
+    def pick_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["value", "match_dist", "match"],
+                            kind="mergesort")
+        return df.drop_duplicates("value", keep="first")[
+            ["value", "match", "match_dist"]]
+
+    return part.groupby(gcols).map_groups(pick_part, batch_format="pandas")
 
 
 def fuzzy_match_lookup(
