@@ -147,3 +147,4 @@ def test_auto_dense_parallel_edges_count_multiply(ray_session):
     assert got[2] == 0
     assert got == _run_auto(3, edges, iters=1, undirected=False,
                             dense_bound=0)
+

@@ -157,3 +157,22 @@ def test_pq_index_rebuild_is_idempotent(ray_session, tmp_path):
     import pyarrow.parquet as pqt
     # codes not doubled
     assert pqt.read_table(f"{idx}/codes").num_rows == 40
+
+
+def test_match_index_no_routable_rows(ray_session, tmp_path):
+    """A new batch whose buckets all miss the stored ranges returns a
+    typed empty result through the sorted-probe path."""
+    import ray.data as rd
+
+    from pappermate_ray.stages.dedup import (build_minhash_index,
+                                             match_against_index)
+
+    idx = str(tmp_path / "idx")
+    build_minhash_index(rd.from_items(
+        [{"doc_id": i, "text": f"alpha beta gamma delta {i}"}
+         for i in range(10)]), idx)
+    new = rd.from_items(
+        [{"doc_id": 99, "text": "totally different words entirely here"}])
+    out = match_against_index(new, idx, threshold=0.8)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"new_id", "old_id", "jaccard"}
